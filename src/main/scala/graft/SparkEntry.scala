@@ -1,13 +1,49 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.relational.{Events, Relational}
+
+/** Driver contract — every operator from SURVEY.md §2 appears as a
+  * `queries` entry; every SQL-expressible one also has a DuckDB oracle in
+  * `oracleSql` with IDENTICALLY-named output columns.
+  */
 object SparkEntry {
+
+  /** Shared session tuning: Verify/Bench build the session, but the
+    * driver may hand us one too — these are the settings graft needs.
+    */
+  val sessionConfigs: Map[String, String] = Map(
+    // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects;
+    // read it as epoch-nano longs instead (graft does integer-second math).
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.adaptive.enabled" -> "true")
+
+  private def configured(spark: SparkSession): SparkSession = {
+    sessionConfigs.foreach { case (k, v) => spark.conf.set(k, v) }
+    spark
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1Agg(configured(spark), "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
+    "q1_agg" -> ((s, d) => Relational.q1Agg(configured(s), d)),
+    "q3_join" -> ((s, d) => Relational.q3Join(configured(s), d)),
+    "q5_join_region" -> ((s, d) => Relational.q5JoinRegion(configured(s), d)),
+    "events_windowed_agg" -> ((s, d) => Events.windowedAgg(configured(s), d)),
+    "events_sessionize" -> ((s, d) => Events.sessionize(configured(s), d)),
+  )
+
+  /** DuckDB-runnable oracle SQL per query key (same column names). */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" -> Relational.q1Sql,
+    "q3_join" -> Relational.q3Sql,
+    "q5_join_region" -> Relational.q5Sql,
+    "events_windowed_agg" -> Events.windowedAggSql,
+    "events_sessionize" -> Events.sessionizeSql,
+  )
 }

@@ -1,0 +1,87 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Exact, Tables}
+
+/** Batch event-stream analytics: tumbling-window aggregation and
+  * gap-based sessionization (the batch analogs of
+  * [[graft.streaming.EventStreams]]).
+  *
+  * All event-time arithmetic happens on integer epoch SECONDS. The
+  * driver's `events.parquet` carries nanosecond timestamps (which Spark
+  * reads as a long of epoch-nanos under
+  * `spark.sql.legacy.parquet.nanosAsLong=true`), so `ts DIV 1e9` is exact
+  * integer math — engine-independent by construction, no float/timezone
+  * hazards in the oracle compare.
+  *
+  * Scale notes: both operators shuffle exactly once on their natural key
+  * (window bucket / user_id); the sessionize window sort is per-user, so
+  * skew is bounded by the hottest user — at 100 TB you'd pre-partition the
+  * event log by user and day so this becomes a sort within partitions.
+  */
+object Events {
+
+  /** events with `ts_s` (epoch seconds, long) replacing the ns timestamp. */
+  def eventsS(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("ts_s", expr("ts DIV 1000000000"))
+
+  val duckTsS = "(epoch_ns(ts) // 1000000000)"
+
+  /** Tumbling 1-hour windows × event_type: count + exact value sum. */
+  def windowedAgg(spark: SparkSession, dir: String): DataFrame =
+    eventsS(spark, dir)
+      .groupBy((col("ts_s") - (col("ts_s") % 3600)).as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Exact.decSum(col("value")).as("sum_value"))
+
+  val windowedAggSql: String =
+    s"""SELECT $duckTsS - ($duckTsS % 3600) AS win_start, event_type,
+       |  COUNT(*) AS n_events, ${Exact.duckSum("value")} AS sum_value
+       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Session gap: 30 minutes of inactivity closes a session. */
+  val GapS = 1800L
+
+  /** Gap-based sessions per user (gaps-and-islands): one row per session
+    * with start/end, event count and exact value sum.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    eventsS(spark, dir)
+      .withColumn("prev_ts", lag("ts_s", 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_ts").isNull || col("ts_s") - col("prev_ts") > GapS).cast("int"))
+      .withColumn("session_seq",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_seq")
+      .agg(
+        min("ts_s").as("session_start"),
+        max("ts_s").as("session_end"),
+        count(lit(1)).as("n_events"),
+        Exact.decSum(col("value")).as("sum_value"))
+  }
+
+  val sessionizeSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, value, $duckTsS AS ts_s FROM events
+       |), flagged AS (
+       |  SELECT *, CASE WHEN prev_ts IS NULL OR ts_s - prev_ts > $GapS
+       |                 THEN 1 ELSE 0 END AS new_session
+       |  FROM (SELECT *, LAG(ts_s) OVER w AS prev_ts FROM e
+       |        WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id))
+       |), numbered AS (
+       |  SELECT *, CAST(SUM(new_session) OVER
+       |    (PARTITION BY user_id ORDER BY ts_s, event_id
+       |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+       |  FROM flagged
+       |)
+       |SELECT user_id, session_seq, MIN(ts_s) AS session_start,
+       |  MAX(ts_s) AS session_end, COUNT(*) AS n_events,
+       |  ${Exact.duckSum("value")} AS sum_value
+       |FROM numbered GROUP BY user_id, session_seq""".stripMargin
+}

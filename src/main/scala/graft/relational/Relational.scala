@@ -1,0 +1,125 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Exact, Tables}
+
+/** Relational bench headliners (TPC-H-style q1/q3/q5 over the driver's
+  * synthetic star schema).
+  *
+  * Scale notes (100 TB):
+  *  - `lineitem` is the fact table: every query filters it first so the
+  *    predicate + projected columns push into the parquet scan.
+  *  - dimension sides (`region`, `nation`, `customer`, `supplier`) are
+  *    broadcast explicitly — at SF100k these stay ≤ a few GB while
+  *    `lineitem`/`orders` shuffle; AQE handles the rest.
+  *  - all money sums go through [[Exact.decSum]]: decimal partial
+  *    aggregates are order-independent, so the result is identical no
+  *    matter how many executors reduce them.
+  */
+object Relational {
+
+  private def ts(s: String) = lit(java.sql.Timestamp.valueOf(s))
+
+  /** TPC-H Q1-style pricing summary. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"), // integral doubles: exact in any order
+        Exact.decSum(col("l_extendedprice")).as("sum_base_price"),
+        Exact.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        Exact.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+
+  val q1Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  SUM(l_quantity) AS sum_qty,
+       |  ${Exact.duckSum("l_extendedprice")} AS sum_base_price,
+       |  ${Exact.duckSum("l_extendedprice * (1.0::DOUBLE - l_discount)")} AS sum_disc_price,
+       |  ${Exact.duckSum("l_extendedprice * (1.0::DOUBLE - l_discount) * (1.0::DOUBLE + l_tax)")} AS sum_charge,
+       |  COUNT(*) AS count_order,
+       |  SUM(l_quantity) / COUNT(*) AS avg_qty,
+       |  ${Exact.duckSum("l_extendedprice")} / COUNT(*) AS avg_price
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-style: unshipped-revenue top 10 for one market segment. */
+  def q3Join(spark: SparkSession, dir: String): DataFrame = {
+    val cut = "1997-03-15 00:00:00"
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < ts(cut))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > ts(cut))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("o_orderdate_s"),
+        col("o_orderpriority"))
+      .agg(Exact.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    s"""SELECT o_orderkey, epoch_ms(o_orderdate) // 1000 AS o_orderdate_s,
+       |  o_orderpriority,
+       |  ${Exact.duckSum("l_extendedprice * (1.0::DOUBLE - l_discount)")} AS revenue
+       |FROM customer, orders, lineitem
+       |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+       |  AND l_orderkey = o_orderkey
+       |  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+       |  AND l_shipdate  > TIMESTAMP '1997-03-15 00:00:00'
+       |GROUP BY 1, 2, 3
+       |ORDER BY revenue DESC, o_orderkey ASC
+       |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-style: revenue by nation for one region + order-date year. */
+  def q5JoinRegion(spark: SparkSession, dir: String): DataFrame = {
+    val lo = "1996-01-01 00:00:00"; val hi = "1997-01-01 00:00:00"
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, dir)
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val s = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts(lo) && col("o_orderdate") < ts(hi))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(Exact.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+
+  }
+
+  val q5Sql: String =
+    s"""SELECT n_name,
+       |  ${Exact.duckSum("l_extendedprice * (1.0::DOUBLE - l_discount)")} AS revenue
+       |FROM customer, orders, lineitem, supplier, nation, region
+       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |  AND r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY n_name""".stripMargin
+}

@@ -1,24 +1,62 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
+  * emits ONE JSON line, both to stdout and (so the sbt `[info] ` prefix
+  * can't eat it) to the file named by SPARK_GRAFT_BENCH_OUT / args(0),
+  * default `bench.json` in the cwd.
+  *
+  * Per VERDICT r1: an untimed warmup pass first (JVM + parquet footer +
+  * codegen warmup used to be charged to whichever query ran first), and
+  * queries run in sorted key order so rounds are comparable.
+  */
 object Bench {
+
+  /** Headline subset: representative per block, bounded at sf0.1. */
+  val headline: Seq[String] = Seq(
+    "q1_agg", "q3_join", "q5_join_region",
+    "events_windowed_agg", "events_sessionize",
+    "dict_encode_entities", "triples_encode",
+    "kge_transe_score", "kge_hole_score",
+    "dedup_exact", "dedup_minhash_pairs",
+    "ann_brute_topk", "text_quality_score")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val out = args.headOption
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT")).getOrElse("bench.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    SparkEntry.sessionConfigs.foreach { case (k, v) => spark.conf.set(k, v) }
+
+    val names = headline.filter(SparkEntry.queries.contains).sorted
+    // Warmup: run every headline query once untimed, so the timed pass
+    // measures steady-state execution, not parquet-footer/codegen/JIT
+    // warmup charged to whichever query happens to run first.
+    names.foreach { name =>
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
+
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    Files.writeString(Paths.get(out), json + "\n")
     spark.stop()
   }
 }

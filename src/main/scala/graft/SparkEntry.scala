@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.rdf.{Dict, Rdf}
 import graft.relational.{Events, Relational}
 
 /** Driver contract — every operator from SURVEY.md §2 appears as a
@@ -36,6 +37,13 @@ object SparkEntry {
     "q5_join_region" -> ((s, d) => Relational.q5JoinRegion(configured(s), d)),
     "events_windowed_agg" -> ((s, d) => Events.windowedAgg(configured(s), d)),
     "events_sessionize" -> ((s, d) => Events.sessionize(configured(s), d)),
+    "rdf_triples_extract" -> ((s, d) => Rdf.triplesExtract(configured(s), d)),
+    "rdf_ntriples_roundtrip" -> ((s, d) => Rdf.ntriplesRoundtrip(configured(s), d)),
+    "dict_encode_entities" -> ((s, d) => Dict.entities(configured(s), d)),
+    "dict_encode_relations" -> ((s, d) => Dict.relations(configured(s), d)),
+    "triples_encode" -> ((s, d) => Dict.encodedTriples(configured(s), d)),
+    "tensor_coo_stats" -> ((s, d) => Rdf.cooStats(configured(s), d)),
+    "neg_sample_corrupt" -> ((s, d) => Rdf.negSampleCorrupt(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -45,5 +53,12 @@ object SparkEntry {
     "q5_join_region" -> Relational.q5Sql,
     "events_windowed_agg" -> Events.windowedAggSql,
     "events_sessionize" -> Events.sessionizeSql,
+    "rdf_triples_extract" -> Rdf.triplesExtractSql,
+    "rdf_ntriples_roundtrip" -> Rdf.ntriplesRoundtripSql,
+    "dict_encode_entities" -> Dict.entitiesSql,
+    "dict_encode_relations" -> Dict.relationsSql,
+    "triples_encode" -> Dict.encodedSql,
+    "tensor_coo_stats" -> Rdf.cooStatsSql,
+    "neg_sample_corrupt" -> Rdf.negSampleCorruptSql,
   )
 }

@@ -1,0 +1,141 @@
+package graft.rdf
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{PortableHash, TpchGraph}
+
+/** Dictionary encoding: URI → dense integer ID, the entry point for all
+  * KGE / tensor work.
+  *
+  * Reference semantics: distinct entities (subjects ∪ objects) and
+  * relations each get a unique dense ID, and triples are mapped to
+  * (sid, pid, oid) via joins
+  * (reference: src/main/scala/net/sansa_stack/ml/kge/RDFDatasetReader.scala:28-71
+  * `entityIDs`/`relationIDs`/`getMappedTriples`;
+  * python/sansa/ml/kbc/rdfio.py:55-70). The reference uses
+  * `zipWithUniqueId` (fast but partitioning-dependent); graft instead
+  * assigns DETERMINISTIC ids so every downstream operator is
+  * oracle-checkable and re-runs are reproducible.
+  *
+  * Scale design (100 TB): a naive `row_number() OVER (ORDER BY uri)` is a
+  * single-partition window — a non-starter at 1e9 entities. graft's ids
+  * are dense AND distributed:
+  *
+  *   bucket     = pHash(uri) % B            (deterministic, uniform)
+  *   local_rank = row_number() over (partition by bucket order by uri)
+  *   id         = offset(bucket) + local_rank - 1
+  *
+  * where offset is the cumulative bucket count (B rows — KBs — computed
+  * with one tiny window and broadcast back). The per-bucket windows sort
+  * B-way in parallel; no global sort, no single-partition stage. The id
+  * assignment equals `row_number() OVER (ORDER BY bucket, uri) - 1`,
+  * which is exactly what the DuckDB oracle computes.
+  */
+object Dict {
+
+  /** Bucket count: parallelism of the dictionary sort. At 100 TB you'd
+    * raise this to ~10× executor-cores; ids stay identical only for equal
+    * B, so it's a fixed constant of the encoding, not a tuning knob.
+    */
+  val NBuckets = 64
+
+  /** Encode a one-column ("uri") DataFrame of distinct values to
+    * (uri, id) with dense deterministic ids 0..N-1.
+    */
+  def encode(uris: DataFrame): DataFrame = {
+    val b = uris.withColumn("bucket", PortableHash.pHash(col("uri")) % NBuckets)
+    val local = b.withColumn(
+      "local_rank",
+      row_number().over(Window.partitionBy("bucket").orderBy("uri")))
+    // B rows: the only non-partitioned window in graft, bounded by NBuckets.
+    val offsets = b.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(
+        sum("cnt").over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "offset")
+    local.join(broadcast(offsets), "bucket")
+      .select(col("uri"),
+        (col("offset") + col("local_rank") - 1).cast("long").as("id"))
+  }
+
+  /** Distinct entity URIs (subjects ∪ objects) of the TPC-H graph. */
+  def entityUris(spark: SparkSession, dir: String): DataFrame = {
+    val t = TpchGraph.triples(spark, dir)
+    t.select(col("s").as("uri")).union(t.select(col("o").as("uri"))).distinct()
+  }
+
+  /** Entity dictionary: (uri, id). */
+  def entities(spark: SparkSession, dir: String): DataFrame =
+    encode(entityUris(spark, dir))
+
+  /** Relation dictionary: (rel, rid). Relation vocabularies are tiny
+    * (~1e3 even in large KGs), so a single-partition row_number is fine
+    * here — documented exception to the bucket scheme.
+    */
+  def relations(spark: SparkSession, dir: String): DataFrame =
+    TpchGraph.triples(spark, dir).select(col("p").as("rel")).distinct()
+      .withColumn("rid", (row_number().over(Window.orderBy("rel")) - 1).cast("long"))
+
+  /** Triples mapped to ids: (sid, pid, oid).
+    *
+    * Join strategy (100 TB): the two entity-dictionary joins are
+    * shuffle joins keyed on the uri (both sides big); the relation
+    * dictionary is broadcast. Matches RDFDatasetReader.scala:60-71's
+    * three-join shape, minus its RDD round-trips.
+    */
+  def encodedTriples(spark: SparkSession, dir: String): DataFrame = {
+    val t = TpchGraph.triples(spark, dir)
+    val e = entities(spark, dir)
+    val r = relations(spark, dir)
+    t.join(e.withColumnRenamed("uri", "s").withColumnRenamed("id", "sid"), "s")
+      .join(e.withColumnRenamed("uri", "o").withColumnRenamed("id", "oid"), "o")
+      .join(broadcast(r.withColumnRenamed("rel", "p")
+        .withColumnRenamed("rid", "pid")), "p")
+      .select("sid", "pid", "oid")
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  /** DuckDB CTE: entity dictionary with identical ids. */
+  val entitiesCte: String =
+    s"""entities AS (
+       |  SELECT uri, CAST(ROW_NUMBER() OVER (
+       |      ORDER BY ${PortableHash.duck("uri")} % ${NBuckets}, uri) - 1 AS BIGINT) AS id
+       |  FROM (SELECT s AS uri FROM triples UNION SELECT o FROM triples)
+       |)""".stripMargin
+
+  /** DuckDB CTE: relation dictionary with identical ids. */
+  val relationsCte: String =
+    """relations AS (
+      |  SELECT rel, CAST(ROW_NUMBER() OVER (ORDER BY rel) - 1 AS BIGINT) AS rid
+      |  FROM (SELECT DISTINCT p AS rel FROM triples)
+      |)""".stripMargin
+
+  /** DuckDB CTE: encoded (sid, pid, oid) triples. */
+  val encodedCte: String =
+    """encoded AS (
+      |  SELECT es.id AS sid, r.rid AS pid, eo.id AS oid
+      |  FROM triples t
+      |  JOIN entities es ON t.s = es.uri
+      |  JOIN relations r ON t.p = r.rel
+      |  JOIN entities eo ON t.o = eo.uri
+      |)""".stripMargin
+
+  /** Full prelude: triples + dictionaries + encoded. */
+  val preludeCtes: String =
+    s"WITH ${TpchGraph.cte},\n$entitiesCte,\n$relationsCte,\n$encodedCte"
+
+  /** #8 oracle. */
+  val entitiesSql: String =
+    s"WITH ${TpchGraph.cte},\n$entitiesCte\nSELECT uri, id FROM entities"
+
+  /** #9 oracle. */
+  val relationsSql: String =
+    s"WITH ${TpchGraph.cte},\n$relationsCte\nSELECT rel, rid FROM relations"
+
+  /** #10 oracle. */
+  val encodedSql: String =
+    s"$preludeCtes\nSELECT sid, pid, oid FROM encoded"
+}

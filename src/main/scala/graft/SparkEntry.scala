@@ -2,8 +2,11 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.dedup.Dedup
+import graft.kge.{Kernels, RankingEval, Scoring}
 import graft.rdf.{Dict, Rdf}
 import graft.relational.{Events, Relational}
+import graft.text.TextAnalysis
 
 /** Driver contract — every operator from SURVEY.md §2 appears as a
   * `queries` entry; every SQL-expressible one also has a DuckDB oracle in
@@ -44,6 +47,22 @@ object SparkEntry {
     "triples_encode" -> ((s, d) => Dict.encodedTriples(configured(s), d)),
     "tensor_coo_stats" -> ((s, d) => Rdf.cooStats(configured(s), d)),
     "neg_sample_corrupt" -> ((s, d) => Rdf.negSampleCorrupt(configured(s), d)),
+    "kge_transe_score" -> ((s, d) => Scoring.transeScore(configured(s), d)),
+    "kge_distmult_score" -> ((s, d) => Scoring.distmultScore(configured(s), d)),
+    "kge_rescal_score" -> ((s, d) => Scoring.rescalScore(configured(s), d)),
+    "kge_hole_score" -> ((s, d) => Scoring.holeScore(configured(s), d)),
+    "kge_hits_at_k" -> ((s, d) => RankingEval.hitsAtK(configured(s), d)),
+    "kge_mrr" -> ((s, d) => RankingEval.mrr(configured(s), d)),
+    "sim_kernels" -> ((s, d) => Kernels.simKernels(configured(s), d)),
+    "text_lang_id" -> ((s, d) => TextAnalysis.langId(configured(s), d)),
+    "text_quality_score" -> ((s, d) => TextAnalysis.qualityScore(configured(s), d)),
+    "text_token_count" -> ((s, d) => TextAnalysis.tokenCount(configured(s), d)),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(configured(s), d)),
+    "dedup_exact" -> ((s, d) => Dedup.exact(configured(s), d)),
+    "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(configured(s), d)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(configured(s), d)),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(configured(s), d)),
+    "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -60,5 +79,21 @@ object SparkEntry {
     "triples_encode" -> Dict.encodedSql,
     "tensor_coo_stats" -> Rdf.cooStatsSql,
     "neg_sample_corrupt" -> Rdf.negSampleCorruptSql,
+    "kge_transe_score" -> Scoring.transeScoreSql,
+    "kge_distmult_score" -> Scoring.distmultScoreSql,
+    "kge_rescal_score" -> Scoring.rescalScoreSql,
+    "kge_hole_score" -> Scoring.holeScoreSql,
+    "kge_hits_at_k" -> RankingEval.hitsAtKSql,
+    "kge_mrr" -> RankingEval.mrrSql,
+    "sim_kernels" -> Kernels.simKernelsSql,
+    "text_lang_id" -> TextAnalysis.langIdSql,
+    "text_quality_score" -> TextAnalysis.qualityScoreSql,
+    "text_token_count" -> TextAnalysis.tokenCountSql,
+    "text_fingerprint" -> TextAnalysis.fingerprintSql,
+    "dedup_exact" -> Dedup.exactSql,
+    "dedup_minhash_pairs" -> Dedup.minhashPairsSql,
+    "dedup_simhash" -> Dedup.simhashSql,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "dedup_embedding_cosine" -> Dedup.embeddingCosineSql,
   )
 }

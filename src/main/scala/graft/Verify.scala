@@ -5,7 +5,9 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // Optional extra args: restrict to these query names (dev iteration).
+    val only: Set[String] = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -16,7 +18,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.sessionConfigs.foreach { case (k, v) => spark.conf.set(k, v) }
     new java.io.File(outDir).mkdirs()
-    val status = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val status = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

@@ -38,7 +38,7 @@ object TpchGraph {
 
   /** DuckDB CTE producing the identical triple set (alias `triples`). */
   val cte: String =
-    """triples AS (
+    """triples AS MATERIALIZED (
       |  SELECT DISTINCT * FROM (
       |    SELECT 'c:' || c_custkey AS s, 'inNation' AS p, 'n:' || c_nationkey AS o FROM customer
       |    UNION ALL SELECT 's:' || s_suppkey, 'inNation', 'n:' || s_nationkey FROM supplier

@@ -1,0 +1,295 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{PortableHash, Tables}
+
+/** Document deduplication operators over `documents`: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding cosine.
+  *
+  * LLM-pipeline block (beyond the reference's surface, mandated by the
+  * build brief). 100 TB design, judged per SURVEY §5:
+  *  - signatures (MinHash sigs, SimHash words, shingle sets) are per-row
+  *    array math — ONE scan, zero shuffle;
+  *  - the only shuffles are keyed on (band, bucket) — bucket population
+  *    is bounded by the banding parameters AND an explicit bucket-size
+  *    cap (skew guard: a degenerate bucket degrades recall, never blows
+  *    up a join);
+  *  - pair generation is a bucket self-join with `id1 < id2`;
+  *  - verification joins the pair list back to per-doc state by id
+  *    (sort-merge on doc_id) — never an all-pairs product.
+  */
+object Dedup {
+
+  private val duckWords = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** Distinct word-3-gram shingle array per doc (docs with ≥3 words). */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), array_distinct(
+        transform(sequence(lit(0), size(col("ws")) - 3),
+          i => concat_ws(" ", slice(col("ws"), i + 1, lit(3))))).as("sh"))
+
+  private val duckShingles: String =
+    s"""sh_t AS (
+       |  SELECT doc_id, $duckWords AS words FROM documents
+       |), shd AS MATERIALIZED (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(words) - 1),
+       |    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS sh
+       |  FROM sh_t WHERE len(words) >= 3
+       |)""".stripMargin
+
+  // ------------------------------------------------------------ #24 exact
+
+  /** Exact dedup: group by md5 of normalized text; the dedup decision is
+    * "keep the smallest doc_id per group". One hash-groupBy shuffle.
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("text_hash"))
+      .groupBy("text_hash")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc_id"))
+
+  val exactSql: String =
+    """SELECT md5(lower(trim(text))) AS text_hash,
+      |  COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------- #25 MinHash + LSH
+
+  val NPerm = 16
+  val NBands = 4
+  val RowsPerBand = 4
+  val BucketCap = 100
+  val JaccardTau = 0.5
+
+  /** MinHash signatures + banded LSH candidate pairs + exact shingle
+    * Jaccard verification. Classic near-dedup at scale: Broder
+    * resemblance + banding (Leskovec/Rajaraman/Ullman ch.3 shape).
+    */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(spark, dir)
+    // 16 min-hashes per doc, computed in one pass over the shingle array.
+    val sigs = docs.withColumn("sig",
+      transform(sequence(lit(0), lit(NPerm - 1)),
+        j => array_min(transform(col("sh"),
+          s => PortableHash.pHash(concat(j.cast("string"), lit("|"), s))))))
+    // band hash = pHash over the band's 4 signature values.
+    val bandStructs = transform(sequence(lit(0), lit(NBands - 1)),
+      b => struct(b.as("b"), PortableHash.pHash(concat_ws(",",
+        b.cast("string"),
+        element_at(col("sig"), b * RowsPerBand + 1),
+        element_at(col("sig"), b * RowsPerBand + 2),
+        element_at(col("sig"), b * RowsPerBand + 3),
+        element_at(col("sig"), b * RowsPerBand + 4))).as("bh")))
+    val bands = sigs
+      .select(col("doc_id"), explode(bandStructs).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.bh").as("bh"))
+    // Skew guard: drop degenerate buckets (cost: recall, never runtime).
+    val capped = bands.withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy("b", "bh")))
+      .filter(col("cnt") <= BucketCap)
+    val pairs = capped.as("x").join(capped.as("y"),
+        col("x.b") === col("y.b") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    // Exact verification: |A∩B| / (|A|+|B|-|A∩B|) on the shingle sets.
+    val s1 = docs.select(col("doc_id").as("d1"), col("sh").as("sh1"))
+    val s2 = docs.select(col("doc_id").as("d2"), col("sh").as("sh2"))
+    val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+    pairs.join(s1, "d1").join(s2, "d2")
+      .withColumn("jaccard", inter /
+        (size(col("sh1")) + size(col("sh2")) - inter))
+      .filter(col("jaccard") >= JaccardTau)
+      .select("d1", "d2", "jaccard")
+  }
+
+  val minhashPairsSql: String = {
+    val perm = PortableHash.duck("j || '|' || s")
+    val bandSeed = "b || ',' || sig[b*4+1] || ',' || sig[b*4+2] || ',' || sig[b*4+3] || ',' || sig[b*4+4]"
+    s"""WITH $duckShingles,
+       |sig AS MATERIALIZED (
+       |  SELECT doc_id, sh, list_transform(range(0, $NPerm),
+       |    j -> list_min(list_transform(sh, s -> $perm))) AS sig
+       |  FROM shd
+       |),
+       |bands AS MATERIALIZED (
+       |  SELECT doc_id, b, ${PortableHash.duck(s"($bandSeed)")} AS bh
+       |  FROM sig, (SELECT unnest(range(0, $NBands)) AS b)
+       |),
+       |capped AS MATERIALIZED (
+       |  SELECT doc_id, b, bh FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY b, bh) AS cnt FROM bands
+       |  ) WHERE cnt <= $BucketCap
+       |),
+       |pairs AS MATERIALIZED (
+       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM capped x JOIN capped y
+       |    ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
+       |)
+       |SELECT d1, d2,
+       |  CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) /
+       |    (len(s1.sh) + len(s2.sh) - CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)) AS jaccard
+       |FROM pairs JOIN shd s1 ON s1.doc_id = d1 JOIN shd s2 ON s2.doc_id = d2
+       |WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) /
+       |    (len(s1.sh) + len(s2.sh) - CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)) >= $JaccardTau""".stripMargin
+  }
+
+  // --------------------------------------------------------- #26 SimHash
+
+  val SimBits = 60
+  val SimBandBits = 15
+  val HammingMax = 3
+
+  /** 60-bit SimHash (token-frequency weighted) + banded near-dup pairs.
+    * Hamming ≤ 3 with 4 disjoint 15-bit bands ⇒ every qualifying pair
+    * shares ≥ 1 exact band (pigeonhole), so the band join loses nothing.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .withColumn("hs", transform(col("ws"), w => PortableHash.pHash(w)))
+      // one ±1 vote per token occurrence per bit ≡ count-weighted simhash
+      .withColumn("simhash", expr(
+        s"""aggregate(sequence(0, ${SimBits - 1}), 0L, (acc, i) ->
+           |  acc + IF(aggregate(hs, 0L, (a, h) -> a + (shiftright(h, i) & 1) * 2 - 1) > 0,
+           |           shiftleft(1L, i), 0L))""".stripMargin))
+      .select("doc_id", "simhash")
+    bandsDf(docs).as("x").join(bandsDf(docs).as("y"),
+        col("x.b") === col("y.b") && col("x.band") === col("y.band") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .filter(col("hamming") <= HammingMax)
+      .distinct()
+  }
+
+  private def bandsDf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("simhash"),
+      explode(expr(s"transform(sequence(0, ${SimBits / SimBandBits - 1}), " +
+        s"b -> struct(b, (shiftright(simhash, b * $SimBandBits) & ${(1 << SimBandBits) - 1}) AS band))")).as("s"))
+      .select(col("doc_id"), col("simhash"),
+        col("s.b").as("b"), col("s.band").as("band"))
+
+  val simhashSql: String = {
+    val mask = (1 << SimBandBits) - 1
+    s"""WITH d AS (
+       |  SELECT doc_id, list_transform($duckWords, w -> ${PortableHash.duck("w")}) AS hs
+       |  FROM documents
+       |), sh AS MATERIALIZED (
+       |  SELECT doc_id, list_sum(list_transform(range(0, $SimBits), i ->
+       |    CASE WHEN list_sum(list_transform(hs, h -> ((h >> i) & 1) * 2 - 1)) > 0
+       |         THEN 1::BIGINT << i ELSE 0::BIGINT END)) AS simhash
+       |  FROM d
+       |), bands AS (
+       |  SELECT doc_id, simhash, b,
+       |    (simhash >> (b * $SimBandBits)) & $mask AS band
+       |  FROM sh, (SELECT unnest(range(0, ${SimBits / SimBandBits})) AS b)
+       |)
+       |SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+       |  bit_count(xor(x.simhash, y.simhash)) AS hamming
+       |FROM bands x JOIN bands y
+       |  ON x.b = y.b AND x.band = y.band AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= $HammingMax""".stripMargin
+  }
+
+  // -------------------------------------------------- #27 n-gram Jaccard
+
+  val NgramTau = 0.4
+
+  /** Word-3-gram Jaccard ≥ τ pairs within each source (blocked all-pairs:
+    * the block key bounds the quadratic term; cross-source dups are the
+    * MinHash operator's job).
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select("doc_id", "source")
+    val docs = shingled(spark, dir).join(src, "doc_id")
+    val a = docs.select(col("source"), col("doc_id").as("d1"), col("sh").as("sh1"))
+    val b = docs.select(col("source"), col("doc_id").as("d2"), col("sh").as("sh2"))
+    val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
+    a.join(b, Seq("source"))
+      .filter(col("d1") < col("d2"))
+      .withColumn("jaccard", inter /
+        (size(col("sh1")) + size(col("sh2")) - inter))
+      .filter(col("jaccard") >= NgramTau)
+      .select("source", "d1", "d2", "jaccard")
+  }
+
+  val ngramJaccardSql: String =
+    s"""WITH $duckShingles,
+       |ds AS MATERIALIZED (
+       |  SELECT s.doc_id, d.source, s.sh
+       |  FROM shd s JOIN documents d ON d.doc_id = s.doc_id
+       |)
+       |SELECT a.source AS source, a.doc_id AS d1, b.doc_id AS d2,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) AS jaccard
+       |FROM ds a JOIN ds b ON a.source = b.source AND a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |    (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) >= $NgramTau""".stripMargin
+
+  // -------------------------------------------- #28 embedding-cosine dedup
+
+  val NPlanes = 4
+  val CosineTau = 0.3
+  val EmbDim = 64
+
+  private def planeDot(v: Column, p: Int): Column = {
+    val plane = transform(sequence(lit(0), lit(EmbDim - 1)),
+      i => PortableHash.dyadic(concat(lit(s"P|$p|"), i.cast("string"))))
+    aggregate(zip_with(v, plane, _ * _), lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** Near-dup pairs by cosine ≥ τ, candidate-limited to random-hyperplane
+    * LSH buckets (4 dyadic planes → 16 buckets). The bucket join is the
+    * only shuffle; cosine verification is per-pair array math.
+    */
+  def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val bucketed = e.withColumn("bucket",
+      (0 until NPlanes).map(p => when(planeDot(col("v"), p) > 0, 1 << p).otherwise(0))
+        .reduce(_ + _))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("d1"), col("v").as("v1"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("d2"), col("v").as("v2"))
+    val dot = Dedup.fold(zip_with(col("v1"), col("v2"), _ * _))
+    val n1 = Dedup.fold(transform(col("v1"), x => x * x))
+    val n2 = Dedup.fold(transform(col("v2"), x => x * x))
+    a.join(b, Seq("bucket"))
+      .filter(col("d1") < col("d2"))
+      .withColumn("cosine", dot / (sqrt(n1) * sqrt(n2)))
+      .filter(col("cosine") >= CosineTau)
+      .select("d1", "d2", "cosine")
+  }
+
+  private[dedup] def fold(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  val embeddingCosineSql: String = {
+    def fold(term: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, ${EmbDim + 1}), i -> ($term))), (acc, x) -> acc + x)"
+    val planeEl = PortableHash.duckDyadic(s"'P|' || p || '|' || (i - 1)")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), pd AS MATERIALIZED (
+       |  SELECT vec_id, v, p, ${fold("v[i] * " + planeEl)} AS dot
+       |  FROM e, (SELECT unnest(range(0, $NPlanes)) AS p)
+       |), bk AS MATERIALIZED (
+       |  SELECT vec_id, v,
+       |    CAST(SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
+       |  FROM pd GROUP BY vec_id, v
+       |)
+       |SELECT a.vec_id AS d1, b.vec_id AS d2,
+       |  ${fold("a.v[i] * b.v[i]")} /
+       |    (sqrt(${fold("a.v[i] * a.v[i]")}) * sqrt(${fold("b.v[i] * b.v[i]")})) AS cosine
+       |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${fold("a.v[i] * b.v[i]")} /
+       |    (sqrt(${fold("a.v[i] * a.v[i]")}) * sqrt(${fold("b.v[i] * b.v[i]")})) >= $CosineTau""".stripMargin
+  }
+}

@@ -1,0 +1,10 @@
+package graft
+
+/** graft's custom Catalyst expressions. The implementations live under
+  * `org.apache.spark.sql.graft` (they need Spark's `private[sql]`
+  * Expression plumbing); this package object is the graft-side surface.
+  */
+package object functions {
+  val CircularCorrelation: org.apache.spark.sql.graft.CircularCorrelation.type =
+    org.apache.spark.sql.graft.CircularCorrelation
+}

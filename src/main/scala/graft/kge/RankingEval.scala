@@ -1,0 +1,124 @@
+package graft.kge
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.rdf.Dict
+
+/** #17/#18: ranking evaluation — Hits@{1,3,10}, MRR, mean rank — for
+  * DistMult scores over a deterministic test slice.
+  *
+  * Reference: kge/hole.py:372-425 (`get_mrr`: rank the true object among
+  * candidates, pos_obj rank with np.argsort) and Functions.scala:48-54
+  * (`Hits.hitsAt1`).
+  *
+  * Scale design (the N_test × N_entities blow-up VERDICT flagged):
+  *  - the test slice is a 1-in-199 deterministic sample, filtered BEFORE
+  *    any join;
+  *  - candidates are NOT all entities but the distinct objects of the
+  *    test triple's own relation (type-correct candidates, the standard
+  *    "filtered" KGE protocol) — bounded per relation;
+  *  - the candidate list joins via broadcast (relation → candidate set is
+  *    dictionary-sized); scores are inline dyadic math, no embedding
+  *    shuffle; the rank is computed by counting strictly-better
+  *    candidates in ONE groupBy — no global sort, no window over the
+  *    cross product. At larger candidate sets the documented scale path
+  *    is an ANN/LSH pre-filter per head (see SURVEY §5).
+  */
+object RankingEval {
+  import Embeddings._
+
+  /** Per-test-triple rank of the true object (1-based; ties broken by
+    * candidate id so the rank is total-order deterministic).
+    */
+  def ranks(spark: SparkSession, dir: String): DataFrame = {
+    val test = encodedSample(spark, dir, EvalMod)
+      .withColumn("score_t", Scoring.distmultCol(col("sid"), col("pid"), col("oid")))
+    val cands = Dict.encodedTriples(spark, dir)
+      .select(col("pid"), col("oid").as("cand")).distinct()
+    test.join(broadcast(cands), "pid")
+      .withColumn("score_c", Scoring.distmultCol(col("sid"), col("pid"), col("cand")))
+      .groupBy("sid", "pid", "oid")
+      .agg((lit(1) + sum(when(
+        col("score_c") > col("score_t") ||
+          (col("score_c") === col("score_t") && col("cand") < col("oid")),
+        1).otherwise(0))).cast("long").as("rank"))
+  }
+
+  /** #17: Hits@1/3/10 over the test slice (single summary row). */
+  def hitsAtK(spark: SparkSession, dir: String): DataFrame =
+    ranks(spark, dir).agg(
+      count(lit(1)).as("n_test"),
+      (sum(when(col("rank") <= 1, 1).otherwise(0)).cast("double") /
+        count(lit(1))).as("hits1"),
+      (sum(when(col("rank") <= 3, 1).otherwise(0)).cast("double") /
+        count(lit(1))).as("hits3"),
+      (sum(when(col("rank") <= 10, 1).otherwise(0)).cast("double") /
+        count(lit(1))).as("hits10"))
+
+  /** #18: mean reciprocal rank + mean rank (single summary row). */
+  def mrr(spark: SparkSession, dir: String): DataFrame =
+    ranks(spark, dir).agg(
+      count(lit(1)).as("n_test"),
+      graft.core.Exact.decAvg(lit(1.0) / col("rank")).as("mrr"),
+      (sum("rank").cast("double") / count(lit(1))).as("mean_rank"))
+
+  // ---------------------------------------------------------------- oracle
+
+  /** Shared rank CTE chain: embeddings materialized per (id, dim) so the
+    * candidate join does no md5 work.
+    */
+  private val ranksCtes: String = {
+    import graft.core.PortableHash.duckDyadic
+    s"""${Dict.preludeCtes},
+       |${Dict.sampleEncodedCte(EvalMod)},
+       |dims AS (SELECT unnest(range(0, ${D})) AS i),
+       |ent_emb AS MATERIALIZED (
+       |  SELECT id, i, ${duckDyadic("'E|' || id || '|' || i")} AS v FROM entities, dims
+       |),
+       |rel_emb AS MATERIALIZED (
+       |  SELECT rid, i, ${duckDyadic("'R|' || rid || '|' || i")} AS v FROM relations, dims
+       |),
+       |cands AS MATERIALIZED (SELECT DISTINCT pid, oid AS cand FROM encoded),
+       |score_t AS MATERIALIZED (
+       |  SELECT t.sid, t.pid, t.oid, SUM((eh.v * er.v) * et.v) AS score_t
+       |  FROM test_enc t
+       |  JOIN ent_emb eh ON eh.id = t.sid
+       |  JOIN rel_emb er ON er.rid = t.pid AND er.i = eh.i
+       |  JOIN ent_emb et ON et.id = t.oid AND et.i = eh.i
+       |  GROUP BY 1, 2, 3
+       |),
+       |score_c AS MATERIALIZED (
+       |  SELECT t.sid, t.pid, t.oid, c.cand, SUM((eh.v * er.v) * et.v) AS score_c
+       |  FROM test_enc t
+       |  JOIN cands c ON c.pid = t.pid
+       |  JOIN ent_emb eh ON eh.id = t.sid
+       |  JOIN rel_emb er ON er.rid = t.pid AND er.i = eh.i
+       |  JOIN ent_emb et ON et.id = c.cand AND et.i = eh.i
+       |  GROUP BY 1, 2, 3, 4
+       |),
+       |ranks AS MATERIALIZED (
+       |  SELECT s.sid, s.pid, s.oid,
+       |    CAST(1 + SUM(CASE WHEN c.score_c > s.score_t
+       |      OR (c.score_c = s.score_t AND c.cand < s.oid) THEN 1 ELSE 0 END) AS BIGINT) AS rank
+       |  FROM score_c c
+       |  JOIN score_t s ON c.sid = s.sid AND c.pid = s.pid AND c.oid = s.oid
+       |  GROUP BY 1, 2, 3
+       |)""".stripMargin
+  }
+
+  val hitsAtKSql: String =
+    s"""$ranksCtes
+       |SELECT COUNT(*) AS n_test,
+       |  CAST(SUM(CASE WHEN rank <= 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS hits1,
+       |  CAST(SUM(CASE WHEN rank <= 3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS hits3,
+       |  CAST(SUM(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS hits10
+       |FROM ranks""".stripMargin
+
+  val mrrSql: String =
+    s"""$ranksCtes
+       |SELECT COUNT(*) AS n_test,
+       |  ${graft.core.Exact.duckAvg("CAST(1 AS DOUBLE) / rank")} AS mrr,
+       |  CAST(SUM(rank) AS DOUBLE) / COUNT(*) AS mean_rank
+       |FROM ranks""".stripMargin
+}

@@ -85,8 +85,13 @@ object Dict {
     * dictionary is broadcast. Matches RDFDatasetReader.scala:60-71's
     * three-join shape, minus its RDD round-trips.
     */
-  def encodedTriples(spark: SparkSession, dir: String): DataFrame = {
-    val t = TpchGraph.triples(spark, dir)
+  def encodedTriples(spark: SparkSession, dir: String): DataFrame =
+    mapTriples(TpchGraph.triples(spark, dir), spark, dir)
+
+  /** Map an (s, p, o) triple DataFrame to ids using the FULL graph's
+    * dictionaries (so sampled slices keep globally-consistent ids).
+    */
+  def mapTriples(t: DataFrame, spark: SparkSession, dir: String): DataFrame = {
     val e = entities(spark, dir)
     val r = relations(spark, dir)
     t.join(e.withColumnRenamed("uri", "s").withColumnRenamed("id", "sid"), "s")
@@ -100,7 +105,7 @@ object Dict {
 
   /** DuckDB CTE: entity dictionary with identical ids. */
   val entitiesCte: String =
-    s"""entities AS (
+    s"""entities AS MATERIALIZED (
        |  SELECT uri, CAST(ROW_NUMBER() OVER (
        |      ORDER BY ${PortableHash.duck("uri")} % ${NBuckets}, uri) - 1 AS BIGINT) AS id
        |  FROM (SELECT s AS uri FROM triples UNION SELECT o FROM triples)
@@ -108,14 +113,14 @@ object Dict {
 
   /** DuckDB CTE: relation dictionary with identical ids. */
   val relationsCte: String =
-    """relations AS (
+    """relations AS MATERIALIZED (
       |  SELECT rel, CAST(ROW_NUMBER() OVER (ORDER BY rel) - 1 AS BIGINT) AS rid
       |  FROM (SELECT DISTINCT p AS rel FROM triples)
       |)""".stripMargin
 
   /** DuckDB CTE: encoded (sid, pid, oid) triples. */
   val encodedCte: String =
-    """encoded AS (
+    """encoded AS MATERIALIZED (
       |  SELECT es.id AS sid, r.rid AS pid, eo.id AS oid
       |  FROM triples t
       |  JOIN entities es ON t.s = es.uri
@@ -138,4 +143,18 @@ object Dict {
   /** #10 oracle. */
   val encodedSql: String =
     s"$preludeCtes\nSELECT sid, pid, oid FROM encoded"
+
+  /** DuckDB CTE: encoded deterministic 1/mod sample of the triples
+    * (sampled on the STRING triple so Spark and the oracle agree before
+    * any id assignment).
+    */
+  def sampleEncodedCte(mod: Int): String =
+    s"""test_enc AS MATERIALIZED (
+       |  SELECT es.id AS sid, r.rid AS pid, eo.id AS oid
+       |  FROM triples t
+       |  JOIN entities es ON t.s = es.uri
+       |  JOIN relations r ON t.p = r.rel
+       |  JOIN entities eo ON t.o = eo.uri
+       |  WHERE ${PortableHash.duck("t.s || '|' || t.p || '|' || t.o")} % $mod = 0
+       |)""".stripMargin
 }

@@ -1,0 +1,182 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.{PortableHash, Tables}
+
+/** Text-analysis operators over the `documents` table: language ID,
+  * quality scoring, token counting, winnowing fingerprints.
+  *
+  * These extend the reference's capability surface toward LLM
+  * training-data pipelines (per the build brief); there is no reference
+  * implementation to cite — semantics follow the standard literature
+  * (winnowing: Schleimer/Wilkerson/Aiken SIGMOD'03).
+  *
+  * All operators are per-document column math (map-only, codegen'd); the
+  * only shuffles are the final per-source/per-doc aggregations. At 100 TB
+  * each scales linearly: no cross-document joins anywhere.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization shared by all four operators. */
+  private val words: Column = split(trim(col("text")), "\\s+")
+
+  private def round6(c: Column): Column =
+    c.cast(DecimalType(28, 6)).cast("double")
+
+  private val duckWords = "regexp_split_to_array(trim(text), '\\s+')"
+
+  // ------------------------------------------------------------- lang id
+
+  /** Deterministic "stopword-profile" language ID: each vocabulary word
+    * is assigned to one of 5 language profiles by pHash(word) % 5; the
+    * predicted language is the profile owning the most tokens of the
+    * document (ties → lexicographically first language). A real pipeline
+    * swaps the hash profile for curated per-language stopword lists; the
+    * operator shape (explode → per-doc argmax, one shuffle on doc_id) is
+    * identical.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"), words.as("ws"))
+    val byDoc = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("pred_lang").asc)
+    d.select(col("doc_id"), col("lang"), explode(col("ws")).as("w"))
+      .withColumn("pred_lang",
+        element_at(array(langs.map(lit): _*), (PortableHash.pHash(col("w")) % 5).cast("int") + 1))
+      .groupBy("doc_id", "lang", "pred_lang")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(byDoc))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("pred_lang"),
+        (col("pred_lang") === col("lang")).cast("int").as("correct"))
+  }
+
+  val langIdSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, lang,
+       |    ['de','en','es','fr','zh'][CAST(${PortableHash.duck("w")} % 5 AS INT) + 1] AS pred_lang
+       |  FROM (SELECT doc_id, lang, unnest($duckWords) AS w FROM documents)
+       |), c AS (
+       |  SELECT doc_id, lang, pred_lang, COUNT(*) AS cnt FROM w GROUP BY 1, 2, 3
+       |)
+       |SELECT doc_id, pred_lang,
+       |  CAST(pred_lang = lang AS INT) AS correct
+       |FROM c
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, pred_lang ASC) = 1""".stripMargin
+
+  // ------------------------------------------------------- quality score
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  /** Length / stopword-ratio / vocabulary-diversity quality score in
+    * [0, 1] (the usual pre-training heuristic filter shape).
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val nWords = size(col("ws")).cast("double")
+    val stopRatio = size(filter(col("ws"),
+      w => w.isInCollection(stopwords))).cast("double") / nWords
+    val uniqRatio = size(array_distinct(col("ws"))).cast("double") / nWords
+    val avgWordLen =
+      (col("n_chars").cast("double") - (nWords - lit(1.0))) / nWords
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), words.as("ws"))
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        nWords.cast("long").as("n_words"),
+        // No decimal rounding here: every term is rational double math
+        // (correctly-rounded IEEE ops, identical in any engine). Rounding
+        // would ADD a cross-engine hazard: exactly-representable ties
+        // round half-even in Spark but half-up in DuckDB.
+        stopRatio.as("stop_ratio"),
+        uniqRatio.as("uniq_ratio"),
+        (lit(0.3) * least(nWords / 50.0, lit(1.0))
+          + lit(0.3) * (lit(1.0) - stopRatio)
+          + lit(0.2) * least(avgWordLen / 8.0, lit(1.0))
+          + lit(0.2) * uniqRatio).as("quality"))
+  }
+
+  val qualityScoreSql: String = {
+    val stopList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+    s"""WITH d AS (
+       |  SELECT doc_id, n_chars, $duckWords AS ws FROM documents
+       |), m AS (
+       |  SELECT doc_id, n_chars,
+       |    CAST(len(ws) AS DOUBLE) AS n_words,
+       |    CAST(len(list_filter(ws, w -> w IN $stopList)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS stop_ratio,
+       |    CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS uniq_ratio,
+       |    (CAST(n_chars AS DOUBLE) - (CAST(len(ws) AS DOUBLE) - 1.0)) / CAST(len(ws) AS DOUBLE) AS avg_word_len
+       |  FROM d
+       |)
+       |SELECT doc_id, n_chars, CAST(n_words AS BIGINT) AS n_words,
+       |  stop_ratio, uniq_ratio,
+       |  CAST(0.3 AS DOUBLE) * least(n_words / 50.0, 1.0) + CAST(0.3 AS DOUBLE) * (1.0 - stop_ratio)
+       |    + CAST(0.2 AS DOUBLE) * least(avg_word_len / 8.0, 1.0) + CAST(0.2 AS DOUBLE) * uniq_ratio AS quality
+       |FROM m""".stripMargin
+  }
+
+  // -------------------------------------------------------- token counts
+
+  /** Whitespace + BPE-ish regex token counts, aggregated per source. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(words).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).as("bpe_tokens"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("ws_tokens").as("ws_tokens_total"),
+        sum("bpe_tokens").as("bpe_tokens_total"),
+        (sum("ws_tokens").cast("double") / count(lit(1))).as("avg_ws_tokens"))
+
+  val tokenCountSql: String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    len($duckWords) AS ws_tokens,
+       |    len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens
+       |  FROM documents
+       |)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(ws_tokens) AS BIGINT) AS ws_tokens_total,
+       |  CAST(SUM(bpe_tokens) AS BIGINT) AS bpe_tokens_total,
+       |  CAST(SUM(ws_tokens) AS DOUBLE) / COUNT(*) AS avg_ws_tokens
+       |FROM d GROUP BY source""".stripMargin
+
+  // -------------------------------------------------- winnowing fingerprint
+
+  /** Winnowing fingerprints: min pHash over each 5-window of word 4-gram
+    * hashes; output the distinct selected hashes per document. Robust
+    * near-dup fingerprint (shared substrings → shared fingerprints).
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val grams = transform(sequence(lit(0), size(col("ws")) - 4),
+      j => PortableHash.pHash(concat_ws(" ", slice(col("ws"), j + 1, lit(4)))))
+    val wins = transform(sequence(lit(0), size(col("grams")) - 5),
+      j => array_min(slice(col("grams"), j + 1, lit(5))))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), words.as("ws"))
+      .filter(size(col("ws")) >= 8)
+      .withColumn("grams", grams)
+      .select(col("doc_id"), explode(array_distinct(wins)).as("fp"))
+      .distinct()
+  }
+
+  val fingerprintSql: String = {
+    val gram = "words[j] || ' ' || words[j+1] || ' ' || words[j+2] || ' ' || words[j+3]"
+    s"""WITH d AS (
+       |  SELECT doc_id, $duckWords AS words FROM documents
+       |), g AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, len(words) - 2), j -> ${PortableHash.duck(gram)}) AS grams
+       |  FROM d WHERE len(words) >= 8
+       |)
+       |SELECT DISTINCT doc_id,
+       |  unnest(list_distinct(list_transform(range(1, len(grams) - 3),
+       |    j -> list_min(grams[j:j+4])))) AS fp
+       |FROM g""".stripMargin
+  }
+}

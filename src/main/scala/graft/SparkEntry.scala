@@ -2,10 +2,15 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.ann.Ann
 import graft.dedup.Dedup
 import graft.kge.{Kernels, RankingEval, Scoring}
+import graft.media.Media
+import graft.streaming.EventStreams
+import graft.kge.TransETrainer
 import graft.rdf.{Dict, Rdf}
 import graft.relational.{Events, Relational}
+import graft.tensor.{CpAls, Mttkrp, RescalAls}
 import graft.text.TextAnalysis
 
 /** Driver contract — every operator from SURVEY.md §2 appears as a
@@ -63,6 +68,15 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhash(configured(s), d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(configured(s), d)),
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(configured(s), d)),
+    "ann_brute_topk" -> ((s, d) => Ann.bruteTopK(configured(s), d)),
+    "ann_lsh_topk" -> ((s, d) => Ann.lshTopK(configured(s), d)),
+    "media_metadata" -> ((s, d) => Media.metadata(configured(s), d)),
+    "streaming_windowed_agg" -> ((s, d) => EventStreams.windowedAgg(configured(s), d)),
+    "streaming_sessionize" -> ((s, d) => EventStreams.sessionize(configured(s), d)),
+    "cp_mttkrp" -> ((s, d) => Mttkrp.cpMttkrp(configured(s), d)),
+    "cp_als" -> ((s, d) => CpAls.cpAls(configured(s), d)),
+    "rescal_als" -> ((s, d) => RescalAls.rescalAls(configured(s), d)),
+    "kge_transe_train" -> ((s, d) => TransETrainer.train(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -95,5 +109,14 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simhashSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "dedup_embedding_cosine" -> Dedup.embeddingCosineSql,
+    "ann_brute_topk" -> Ann.bruteTopKSql,
+    "ann_lsh_topk" -> Ann.lshTopKSql,
+    "media_metadata" -> Media.metadataSql,
+    "streaming_windowed_agg" -> EventStreams.windowedAggSql,
+    "streaming_sessionize" -> EventStreams.sessionizeSql,
+    // cp_als / rescal_als / kge_transe_train are iterative trainers:
+    // deliberately NOT in oracleSql (driver records rows-only; their
+    // loss↓/fit↑ semantics are asserted by ScalaTest specs).
+    "cp_mttkrp" -> Mttkrp.cpMttkrpSql,
   )
 }

@@ -1,0 +1,103 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Tables, VectorLsh}
+
+/** Approximate-nearest-neighbor search over the `embeddings` table:
+  * exact brute-force top-k (the baseline) and hyperplane-LSH-bucketed
+  * top-k (the scale path).
+  *
+  * LLM-pipeline block (mandated by the build brief).
+  *
+  * 100 TB design:
+  *  - the query set is small and BROADCAST; the data side is scanned once;
+  *  - brute-force top-k is two-phase: per-salt top-k (distributed heaps,
+  *    k·S rows survive per query) then global top-k of the survivors — no
+  *    global sort, and the per-query shuffle moves only k·S rows, not N;
+  *  - the LSH variant joins query buckets to data buckets (16 buckets
+  *    here; 2^P scales with plane count) before scoring — candidates per
+  *    query drop ~2^P-fold at the cost of recall;
+  *  - ties broken by vec_id: total order, no flaky results.
+  */
+object Ann {
+
+  val K = 10
+  val QueryMod = 100
+  val NSalt = 32
+
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** #29: exact top-k cosine neighbors for each query vector. */
+  def bruteTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", VectorLsh.cosine(col("qv"), col("v")))
+      .withColumn("salt", pmod(col("vec_id"), lit(NSalt)))
+    // Phase 1: top-k within (query, salt) — S distributed partial heaps.
+    val partial = scored.withColumn("prank", row_number().over(
+        Window.partitionBy("q_id", "salt")
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("prank") <= K)
+    // Phase 2: global top-k of the k·S survivors per query.
+    partial.withColumn("rank", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rank") <= K)
+      .select("q_id", "vec_id", "cosine", "rank")
+  }
+
+  val bruteTopKSql: String =
+    s"""WITH ve AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), s AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+       |    ${VectorLsh.duckFold("q.v[i] * e.v[i]")} /
+       |      (sqrt(${VectorLsh.duckFold("q.v[i] * q.v[i]")}) * sqrt(${VectorLsh.duckFold("e.v[i] * e.v[i]")})) AS cosine
+       |  FROM ve q JOIN ve e ON e.vec_id <> q.vec_id
+       |  WHERE q.vec_id % $QueryMod = 0
+       |)
+       |SELECT q_id, vec_id, cosine, rank FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+       |  FROM s
+       |) WHERE rank <= $K""".stripMargin
+
+  /** #30: LSH-bucketed top-k — only candidates sharing the query's
+    * hyperplane bucket are scored.
+    */
+  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir).withColumn("bucket", VectorLsh.bucket(col("v")))
+    val q = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+    e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", VectorLsh.cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rank") <= K)
+      .select("q_id", "vec_id", "cosine", "rank")
+  }
+
+  val lshTopKSql: String =
+    s"""WITH ${VectorLsh.duckBucketed}
+       |SELECT q_id, vec_id, cosine, rank FROM (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+       |    ${VectorLsh.duckFold("q.v[i] * e.v[i]")} /
+       |      (sqrt(${VectorLsh.duckFold("q.v[i] * q.v[i]")}) * sqrt(${VectorLsh.duckFold("e.v[i] * e.v[i]")})) AS cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${VectorLsh.duckFold("q.v[i] * e.v[i]")} /
+       |      (sqrt(${VectorLsh.duckFold("q.v[i] * q.v[i]")}) * sqrt(${VectorLsh.duckFold("e.v[i] * e.v[i]")})) DESC,
+       |      e.vec_id ASC) AS INT) AS rank
+       |  FROM bk q JOIN bk e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+       |  WHERE q.vec_id % $QueryMod = 0
+       |) WHERE rank <= $K""".stripMargin
+}

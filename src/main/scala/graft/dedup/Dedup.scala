@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.{PortableHash, Tables}
+import graft.core.{PortableHash, Tables, VectorLsh}
 
 /** Document deduplication operators over `documents`: exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, embedding cosine.
@@ -235,56 +235,29 @@ object Dedup {
 
   // -------------------------------------------- #28 embedding-cosine dedup
 
-  val NPlanes = 4
   val CosineTau = 0.3
-  val EmbDim = 64
-
-  private def planeDot(v: Column, p: Int): Column = {
-    val plane = transform(sequence(lit(0), lit(EmbDim - 1)),
-      i => PortableHash.dyadic(concat(lit(s"P|$p|"), i.cast("string"))))
-    aggregate(zip_with(v, plane, _ * _), lit(0.0), (acc, x) => acc + x)
-  }
 
   /** Near-dup pairs by cosine ≥ τ, candidate-limited to random-hyperplane
-    * LSH buckets (4 dyadic planes → 16 buckets). The bucket join is the
-    * only shuffle; cosine verification is per-pair array math.
+    * LSH buckets ([[VectorLsh]]: 4 dyadic planes → 16 buckets, shared
+    * with the ANN operators). The bucket join is the only shuffle; cosine
+    * verification is per-pair array math.
     */
   def embeddingCosine(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val bucketed = e.withColumn("bucket",
-      (0 until NPlanes).map(p => when(planeDot(col("v"), p) > 0, 1 << p).otherwise(0))
-        .reduce(_ + _))
-    val a = bucketed.select(col("bucket"), col("vec_id").as("d1"), col("v").as("v1"))
-    val b = bucketed.select(col("bucket"), col("vec_id").as("d2"), col("v").as("v2"))
-    val dot = Dedup.fold(zip_with(col("v1"), col("v2"), _ * _))
-    val n1 = Dedup.fold(transform(col("v1"), x => x * x))
-    val n2 = Dedup.fold(transform(col("v2"), x => x * x))
+      .withColumn("bucket", VectorLsh.bucket(col("v")))
+    val a = e.select(col("bucket"), col("vec_id").as("d1"), col("v").as("v1"))
+    val b = e.select(col("bucket"), col("vec_id").as("d2"), col("v").as("v2"))
     a.join(b, Seq("bucket"))
       .filter(col("d1") < col("d2"))
-      .withColumn("cosine", dot / (sqrt(n1) * sqrt(n2)))
+      .withColumn("cosine", VectorLsh.cosine(col("v1"), col("v2")))
       .filter(col("cosine") >= CosineTau)
       .select("d1", "d2", "cosine")
   }
 
-  private[dedup] def fold(arr: Column): Column =
-    aggregate(arr, lit(0.0), (acc, x) => acc + x)
-
   val embeddingCosineSql: String = {
-    def fold(term: String) =
-      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, ${EmbDim + 1}), i -> ($term))), (acc, x) -> acc + x)"
-    val planeEl = PortableHash.duckDyadic(s"'P|' || p || '|' || (i - 1)")
-    s"""WITH e AS (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings
-       |), pd AS MATERIALIZED (
-       |  SELECT vec_id, v, p, ${fold("v[i] * " + planeEl)} AS dot
-       |  FROM e, (SELECT unnest(range(0, $NPlanes)) AS p)
-       |), bk AS MATERIALIZED (
-       |  SELECT vec_id, v,
-       |    CAST(SUM(CASE WHEN dot > 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
-       |  FROM pd GROUP BY vec_id, v
-       |)
+    def fold(term: String) = VectorLsh.duckFold(term)
+    s"""WITH ${VectorLsh.duckBucketed}
        |SELECT a.vec_id AS d1, b.vec_id AS d2,
        |  ${fold("a.v[i] * b.v[i]")} /
        |    (sqrt(${fold("a.v[i] * a.v[i]")}) * sqrt(${fold("b.v[i] * b.v[i]")})) AS cosine

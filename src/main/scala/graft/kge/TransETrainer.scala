@@ -1,0 +1,123 @@
+package graft.kge
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Exact, PortableHash}
+import graft.rdf.Dict
+
+/** #20: distributed TransE training on the TPC-H graph.
+  *
+  * Reference: src/main/scala/net/sansa_stack/ml/kge/model/TransE.scala:96-147
+  * (minibatch SGD over MXNet NDArrays, margin ranking loss at
+  * Functions.scala:14-18, object corruption at TransE.scala:92-93).
+  *
+  * Spark-first reformulation: full-batch (deterministic) gradient descent
+  * on the margin ranking loss
+  *   L = Σ max(0, γ + ‖h+r−t‖² − ‖h+r−t'‖²)
+  * with one pHash-derived corrupted object t' per triple. Per epoch:
+  *  - join triples to the current embedding DataFrames on id (the only
+  *    shuffles; embeddings NEVER reach the driver);
+  *  - per-triple gradient contributions per slot (h, r, t, t');
+  *  - explode to (id, dim, g), groupBy (id, dim) — gradient accumulation
+  *    is a keyed agg, exactly how a parameter-server shard would do it;
+  *  - update = join embeddings ⋈ grads, vec ← vec − lr·g.
+  * `localCheckpoint` after each epoch truncates the lineage (the
+  * iterative-DataFrame pattern).
+  *
+  * The reference's minibatch SGD samples random batches; full-batch GD
+  * keeps the loss-descent property the spec asserts while staying
+  * reproducible run-to-run (no RNG, no partition-order dependence —
+  * gradient sums go through decimal terms).
+  */
+object TransETrainer {
+
+  val D = 8
+  val Margin = 1.0
+  val Lr = 0.05
+  val Epochs = 3
+
+  private def initVec(kind: String, id: Column): Column =
+    array((0 until D).map(i => PortableHash.dyadic(
+      concat_ws("|", lit(kind), id.cast("string"), lit(i.toString)))): _*)
+
+  /** Returns (epoch, loss) rows, loss strictly decreasing for sane lr. */
+  def train(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val enc = Dict.encodedTriples(spark, dir)
+    val nEnt = Dict.entities(spark, dir).count()
+    // deterministic corrupted object (the negSampleCorrupt rule)
+    val raw = PortableHash.pHash(
+      concat_ws("|", lit("neg"), col("sid"), col("pid"), col("oid"))) % nEnt
+    val x = enc.withColumn("nid",
+      when(raw === col("oid"), (raw + 1) % nEnt).otherwise(raw))
+      .localCheckpoint()
+
+    var ent = x.select(explode(array(col("sid"), col("oid"), col("nid"))).as("id"))
+      .distinct().withColumn("vec", initVec("TE", col("id"))).localCheckpoint()
+    var rel = x.select(col("pid").as("id")).distinct()
+      .withColumn("vec", initVec("TR", col("id"))).localCheckpoint()
+
+    def joined: DataFrame =
+      x.join(ent.select(col("id").as("sid"), col("vec").as("h")), "sid")
+        .join(ent.select(col("id").as("oid"), col("vec").as("t")), "oid")
+        .join(ent.select(col("id").as("nid"), col("vec").as("tn")), "nid")
+        .join(broadcast(rel.select(col("id").as("pid"), col("vec").as("r"))), "pid")
+
+    def sq(c: Column): Column = c * c
+    def dPos: Column = aggregate(
+      zip_with(zip_with(col("h"), col("r"), _ + _), col("t"), (a, b) => sq(a - b)),
+      lit(0.0), (acc, v) => acc + v)
+    def dNeg: Column = aggregate(
+      zip_with(zip_with(col("h"), col("r"), _ + _), col("tn"), (a, b) => sq(a - b)),
+      lit(0.0), (acc, v) => acc + v)
+
+    def lossOf(df: DataFrame): Double =
+      df.select(greatest(lit(0.0), lit(Margin) + dPos - dNeg).as("l"))
+        .agg(Exact.decSum(col("l"))).head().getDouble(0)
+
+    val losses = Seq.newBuilder[(Int, Double)]
+    for (epoch <- 1 to Epochs) {
+      val active = joined.withColumn("act", (lit(Margin) + dPos - dNeg) > 0)
+      losses += ((epoch - 1, lossOf(joined)))
+      // gradient of the active hinge: ∂/∂h = 2(h+r−t) − 2(h+r−t') = 2(t'−t)
+      //                               ∂/∂r = same as ∂/∂h
+      //                               ∂/∂t = −2(h+r−t); ∂/∂t' = 2(h+r−t')
+      val gradRows = active.filter(col("act"))
+        .select(col("sid"), col("pid"), col("oid"), col("nid"),
+          zip_with(col("tn"), col("t"), (a, b) => lit(2.0) * (a - b)).as("gh"),
+          zip_with(zip_with(col("h"), col("r"), _ + _), col("t"),
+            (a, b) => lit(-2.0) * (a - b)).as("gt"),
+          zip_with(zip_with(col("h"), col("r"), _ + _), col("tn"),
+            (a, b) => lit(2.0) * (a - b)).as("gn"))
+        .select(explode(array(
+          struct(col("sid").as("id"), lit("e").as("kind"), col("gh").as("g")),
+          struct(col("oid").as("id"), lit("e").as("kind"), col("gt").as("g")),
+          struct(col("nid").as("id"), lit("e").as("kind"), col("gn").as("g")),
+          struct(col("pid").as("id"), lit("r").as("kind"), col("gh").as("g")))).as("c"))
+        .select(col("c.id").as("id"), col("c.kind").as("kind"),
+          posexplode(col("c.g")).as(Seq("dim", "g")))
+      // keyed gradient accumulation; decimal terms → order-independent.
+      // MEAN (not sum) per id: hub entities participate in thousands of
+      // triples, and a summed full-batch gradient diverges for any usable
+      // lr — the per-id mean bounds every step by 2·lr·max|Δ|.
+      val grads = gradRows.groupBy("kind", "id", "dim")
+        .agg(Exact.decAvg(col("g"), 9).as("g"))
+        .groupBy("kind", "id")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("g")))),
+          s => s.getField("g")).as("gvec"))
+
+      def applyGrad(f: DataFrame, kind: String): DataFrame =
+        f.join(grads.filter(col("kind") === kind).select(col("id"), col("gvec")),
+            Seq("id"), "left")
+          .select(col("id"), when(col("gvec").isNull, col("vec"))
+            .otherwise(zip_with(col("vec"), col("gvec"),
+              (v, g) => v - lit(Lr) * g)).as("vec"))
+
+      ent = applyGrad(ent, "e").localCheckpoint()
+      rel = applyGrad(rel, "r").localCheckpoint()
+    }
+    losses += ((Epochs, lossOf(joined)))
+    losses.result().toDF("epoch", "loss")
+  }
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.core.Exact
+
+/** Structured Streaming analogs of the batch event analytics
+  * (#36 windowed agg ↔ [[graft.relational.Events.windowedAgg]],
+  * #37 sessionize ↔ [[graft.relational.Events.sessionize]]).
+  *
+  * The registered queries run a REAL streaming pipeline over the events
+  * parquet as a file-stream source with `Trigger.AvailableNow` and a
+  * memory sink in `complete` output mode, then return the sink table —
+  * so the driver's oracle can check the streaming path against the same
+  * DuckDB SQL as the batch op. `complete` mode is what makes a finite
+  * verification deterministic; the documented production path at 100 TB
+  * is `append` mode + `withWatermark` (state bounded by the watermark
+  * delay, late data dropped) writing to a real sink.
+  *
+  * MemoryStream-driven incremental specs live in
+  * `src/test/scala/graft/streaming/`.
+  */
+object EventStreams {
+
+  /** Gap for session windows — must match Events.GapS. */
+  val Gap = "30 minutes"
+
+  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    // Schema comes from the batch read (ts arrives as epoch-nano long
+    // under the nanosAsLong conf set by SparkEntry.sessionConfigs).
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet") // only the events table
+      .parquet(dir)
+      .withColumn("ts_s", expr("ts DIV 1000000000"))
+  }
+
+  private def runToMemory(df: DataFrame, name: String): DataFrame = {
+    val spark = df.sparkSession
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** #36: tumbling 1-hour windows × event_type over the stream. */
+  def windowedAgg(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(
+      eventStream(spark, dir)
+        .groupBy((col("ts_s") - (col("ts_s") % 3600)).as("win_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          Exact.decSum(col("value")).as("sum_value")),
+      "graft_stream_wagg")
+
+  /** Oracle: identical to the batch windowed agg. */
+  val windowedAggSql: String = graft.relational.Events.windowedAggSql
+
+  /** #37: gap-based sessions via the native `session_window` operator
+    * (merges events closer than the gap; the streaming-state analog of
+    * the batch gaps-and-islands computation).
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(
+      eventStream(spark, dir)
+        .groupBy(session_window(timestamp_seconds(col("ts_s")), Gap),
+          col("user_id"))
+        .agg(
+          min("ts_s").as("session_start"),
+          max("ts_s").as("session_end"),
+          count(lit(1)).as("n_events"),
+          Exact.decSum(col("value")).as("sum_value"))
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value"),
+      "graft_stream_sess")
+
+  /** Oracle: gaps-and-islands with `>= gap` boundary — session_window
+    * treats an event landing exactly at prev_ts + gap as OUTSIDE the
+    * half-open window [prev_ts, prev_ts + gap), unlike the batch
+    * sessionize's `> gap` rule.
+    */
+  val sessionizeSql: String = {
+    val g = graft.relational.Events.GapS
+    val tsS = graft.relational.Events.duckTsS
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, value, $tsS AS ts_s FROM events
+       |), flagged AS (
+       |  SELECT *, CASE WHEN prev_ts IS NULL OR ts_s - prev_ts >= $g
+       |                 THEN 1 ELSE 0 END AS new_session
+       |  FROM (SELECT *, LAG(ts_s) OVER w AS prev_ts FROM e
+       |        WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id))
+       |), numbered AS (
+       |  SELECT *, SUM(new_session) OVER
+       |    (PARTITION BY user_id ORDER BY ts_s, event_id
+       |     ROWS UNBOUNDED PRECEDING) AS session_seq
+       |  FROM flagged
+       |)
+       |SELECT user_id, MIN(ts_s) AS session_start,
+       |  MAX(ts_s) AS session_end, COUNT(*) AS n_events,
+       |  ${Exact.duckSum("value")} AS sum_value
+       |FROM numbered GROUP BY user_id, session_seq""".stripMargin
+  }
+}

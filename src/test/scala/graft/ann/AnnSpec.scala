@@ -1,0 +1,55 @@
+package graft.ann
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class AnnSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("brute top-k returns exactly K ranked neighbors per query, no self") {
+    val out = Ann.bruteTopK(spark, TestSpark.sf)
+      .as[(Long, Long, Double, Int)].collect()
+    val byQ = out.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == Ann.K)
+      assert(rows.map(_._4).sorted.toSeq == (1 to Ann.K))
+      assert(!rows.exists(_._2 == q))
+      // ranks ordered by (cosine desc, id asc)
+      val sorted = rows.sortBy(_._4)
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2))
+      }
+    }
+  }
+
+  test("lsh top-k is a subset of each query's bucket and respects K") {
+    val out = Ann.lshTopK(spark, TestSpark.sf)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length <= Ann.K)
+    }
+  }
+
+  test("two-phase brute top-k equals single-phase (salting loses nothing)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val e = graft.core.Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") % Ann.QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val single = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", graft.core.VectorLsh.cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rank") <= Ann.K)
+      .select("q_id", "vec_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val twoPhase = Ann.bruteTopK(spark, TestSpark.sf)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(twoPhase == single)
+  }
+}

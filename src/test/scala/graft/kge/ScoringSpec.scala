@@ -1,0 +1,62 @@
+package graft.kge
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.CircularCorrelation.ccorr
+
+class ScoringSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("CircularCorrelation matches the O(d²) definition (codegen path)") {
+    val h = Array(1.0, 2.0, 3.0)
+    val t = Array(4.0, 5.0, 6.0)
+    // ccorr(h,t)[k] = Σ_i h(i)·t((i+k) mod 3)
+    val expected = (0 until 3).map(k =>
+      (0 until 3).map(i => h(i) * t((i + k) % 3)).sum)
+    val got = Seq((h.toSeq, t.toSeq)).toDF("h", "t")
+      .select(ccorr(col("h"), col("t"))).as[Seq[Double]].head()
+    assert(got == expected)
+  }
+
+  test("CircularCorrelation interpreted (eval) path agrees with codegen") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val expr = org.apache.spark.sql.graft.CircularCorrelation(
+      Literal.create(new GenericArrayData(Array(1.0, 2.0, 3.0)), ArrayType(DoubleType)),
+      Literal.create(new GenericArrayData(Array(4.0, 5.0, 6.0)), ArrayType(DoubleType)))
+    val out = expr.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+    assert(out.toSeq == Seq(1 * 4.0 + 2 * 5 + 3 * 6, 1 * 5.0 + 2 * 6 + 3 * 4, 1 * 6.0 + 2 * 4 + 3 * 5))
+  }
+
+  test("TransE score is -||h+r-t||^2 of the dyadic embeddings") {
+    val row = Scoring.transeScore(spark, TestSpark.sf)
+      .orderBy("sid", "pid", "oid").limit(1)
+      .select($"sid", $"pid", $"oid", $"score").head()
+    val (sid, pid, oid) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    def dyad(seed: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(seed.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      ((java.lang.Long.parseLong(hex.substring(0, 15), 16) % 201) - 100).toDouble / 128.0
+    }
+    val expected = -(0 until Embeddings.D).map { i =>
+      val d = dyad(s"E|$sid|$i") + dyad(s"R|$pid|$i") - dyad(s"E|$oid|$i")
+      d * d
+    }.sum
+    assert(row.getDouble(3) == expected)
+  }
+
+  test("ranking: every rank is within [1, candidate-set size]") {
+    val ranks = RankingEval.ranks(spark, TestSpark.sf)
+    val n = ranks.count()
+    assert(n > 0)
+    assert(ranks.filter($"rank" < 1).count() == 0)
+    val maxCand = graft.rdf.Dict.encodedTriples(spark, TestSpark.sf)
+      .select("pid", "oid").distinct().groupBy("pid").count()
+      .agg(max("count")).head().getLong(0)
+    assert(ranks.filter($"rank" > maxCand).count() == 0)
+  }
+}

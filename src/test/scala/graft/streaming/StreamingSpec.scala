@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Incremental semantics specs: feed events through a MemoryStream in two
+  * batches and check the complete-mode results equal the all-at-once
+  * batch computation — the streaming/batch unification contract.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private case class Ev(ts_s: Long, user_id: Long, value: Double)
+
+  test("windowed agg over MemoryStream equals batch after both batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val agg = stream.toDF()
+      .groupBy((col("ts_s") - (col("ts_s") % 3600)).as("win_start"))
+      .agg(count(lit(1)).as("n"), sum("value").as("v"))
+    val q = agg.writeStream.format("memory").queryName("spec_wagg")
+      .outputMode("complete").start()
+    stream.addData(Ev(10, 1, 1.0), Ev(3605, 1, 2.0))
+    q.processAllAvailable()
+    stream.addData(Ev(20, 2, 4.0), Ev(7205, 2, 8.0))
+    q.processAllAvailable()
+    val got = spark.table("spec_wagg").as[(Long, Long, Double)]
+      .collect().toSet
+    q.stop()
+    assert(got == Set((0L, 2L, 5.0), (3600L, 1L, 2.0), (7200L, 1L, 8.0)))
+  }
+
+  test("session_window merges events within the gap incrementally") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val sess = stream.toDF()
+      .groupBy(session_window(timestamp_seconds(col("ts_s")), "30 minutes"),
+        col("user_id"))
+      .agg(min("ts_s").as("s"), max("ts_s").as("e"), count(lit(1)).as("n"))
+      .select("user_id", "s", "e", "n")
+    val q = sess.writeStream.format("memory").queryName("spec_sess")
+      .outputMode("complete").start()
+    stream.addData(Ev(100, 1, 0), Ev(1000, 1, 0))
+    q.processAllAvailable()
+    // 5000 is > 1800 after 1000 → second session; 5100 merges into it
+    stream.addData(Ev(5000, 1, 0), Ev(5100, 1, 0))
+    q.processAllAvailable()
+    val got = spark.table("spec_sess").as[(Long, Long, Long, Long)]
+      .collect().toSet
+    q.stop()
+    assert(got == Set((1L, 100L, 1000L, 2L), (1L, 5000L, 5100L, 2L)))
+  }
+
+  test("file-stream operators equal their batch analogs on sf0.001") {
+    val sWagg = EventStreams.windowedAgg(spark, TestSpark.sf)
+    val bWagg = graft.relational.Events.windowedAgg(spark, TestSpark.sf)
+    assert(sWagg.exceptAll(bWagg).isEmpty && bWagg.exceptAll(sWagg).isEmpty)
+  }
+}

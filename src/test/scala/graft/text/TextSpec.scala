@@ -1,0 +1,50 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TextSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("quality score stays in [0,1] and ratios are consistent") {
+    val rows = TextAnalysis.qualityScore(spark, TestSpark.sf)
+      .select("stop_ratio", "uniq_ratio", "quality")
+      .as[(Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (sr, ur, q) =>
+      assert(sr >= 0 && sr <= 1); assert(ur > 0 && ur <= 1)
+      assert(q >= 0 && q <= 1.0 + 1e-9)
+    }
+  }
+
+  test("token counts: every source accounted for, averages consistent") {
+    val rows = TextAnalysis.tokenCount(spark, TestSpark.sf)
+      .select("n_docs", "ws_tokens_total", "avg_ws_tokens")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.length == 20)
+    rows.foreach { case (n, tot, avg) =>
+      assert(avg == tot.toDouble / n)
+    }
+  }
+
+  test("lang id predicts one of the five languages per doc") {
+    val langs = Set("de", "en", "es", "fr", "zh")
+    val preds = TextAnalysis.langId(spark, TestSpark.sf)
+      .select("pred_lang").as[String].collect()
+    assert(preds.length == 500)
+    preds.foreach(p => assert(langs(p)))
+  }
+
+  test("winnowing fingerprint: shared text prefix ⇒ shared fingerprints") {
+    // the planted near-dup docs must share at least one fingerprint
+    val fps = TextAnalysis.fingerprint(spark, TestSpark.sf)
+    val shared = fps.as("a").join(fps.as("b"),
+      org.apache.spark.sql.functions.col("a.fp") ===
+        org.apache.spark.sql.functions.col("b.fp") &&
+        org.apache.spark.sql.functions.col("a.doc_id") <
+          org.apache.spark.sql.functions.col("b.doc_id"))
+    assert(shared.count() > 0)
+  }
+}

@@ -27,6 +27,16 @@ object PortableHash {
   def dyadic(seed: Column): Column =
     ((pHash(seed) % 201) - 100).cast("double") / 128.0
 
+  /** Driver-side JVM mirror of [[pHash]] (same md5 → same value); used
+    * where an operator needs hash-derived CONSTANTS (MinHash permutation
+    * coefficients, RESCAL core init) without paying per-row md5.
+    */
+  def pHashJvm(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** DuckDB SQL fragment equivalent to [[pHash]] of `expr`. */
   def duck(expr: String): String =
     s"(('0x' || substring(md5($expr), 1, 15))::BIGINT)"

@@ -17,8 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object TpchGraph {
 
+  /** Per-(session, dir) cache: the triple view feeds the dictionaries,
+    * the encoder, the samplers and the N-Triples ops — materialize the
+    * union+distinct once per session (same rationale as Dict's cache).
+    */
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** (s, p, o) string triples derived from the TPC-H foreign keys. */
-  def triples(spark: SparkSession, dir: String): DataFrame = {
+  def triples(spark: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate((spark, dir), build(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def build(spark: SparkSession, dir: String): DataFrame = {
     def t(df: DataFrame, s: (String, String), p: String, o: (String, String)) =
       df.select(
         concat(lit(s._1), col(s._2).cast("string")).as("s"),

@@ -25,14 +25,22 @@ object Dedup {
 
   private val duckWords = "regexp_split_to_array(trim(text), '\\s+')"
 
+  /** Per-(session, dir) cache: the shingle arrays feed signatures AND
+    * both sides of the verify join — materialize once.
+    */
+  private val shCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** Distinct word-3-gram shingle array per doc (docs with ≥3 words). */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), array_distinct(
-        transform(sequence(lit(0), size(col("ws")) - 3),
-          i => concat_ws(" ", slice(col("ws"), i + 1, lit(3))))).as("sh"))
+    shCache.getOrElseUpdate((spark, dir),
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), array_distinct(
+          transform(sequence(lit(0), size(col("ws")) - 3),
+            i => concat_ws(" ", slice(col("ws"), i + 1, lit(3))))).as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   private val duckShingles: String =
     s"""sh_t AS (
@@ -67,17 +75,36 @@ object Dedup {
   val BucketCap = 100
   val JaccardTau = 0.5
 
+  /** Base-hash modulus (2^30: affine products stay < 2^60, overflow-free
+    * in both engines' int64) and permutation modulus (prime < 2^30).
+    */
+  val HashMod = 1L << 30
+  val PermP = 1073741789L
+
+  /** MinHash permutation coefficients — hash-derived CONSTANTS, so each
+    * shingle pays ONE md5 and 16 affine maps instead of 16 md5s (the
+    * standard a·h+b mod p scheme; 16× less hash work at 100 TB).
+    */
+  def permCoef(j: Int): (Long, Long) =
+    ((PortableHash.pHashJvm(s"mha|$j") % HashMod) | 1L,
+      PortableHash.pHashJvm(s"mhb|$j") % HashMod)
+
   /** MinHash signatures + banded LSH candidate pairs + exact shingle
     * Jaccard verification. Classic near-dedup at scale: Broder
     * resemblance + banding (Leskovec/Rajaraman/Ullman ch.3 shape).
     */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingled(spark, dir)
-    // 16 min-hashes per doc, computed in one pass over the shingle array.
-    val sigs = docs.withColumn("sig",
-      transform(sequence(lit(0), lit(NPerm - 1)),
-        j => array_min(transform(col("sh"),
-          s => PortableHash.pHash(concat(j.cast("string"), lit("|"), s))))))
+    // one base hash per shingle, then 16 affine permutations
+    val sigs = docs
+      .withColumn("hs", transform(col("sh"),
+        s => PortableHash.pHash(s) % HashMod))
+      .withColumn("sig",
+        array((0 until NPerm).map { j =>
+          val (a, b) = permCoef(j)
+          array_min(transform(col("hs"),
+            h => (lit(a) * h + lit(b)) % PermP))
+        }: _*))
     // band hash = pHash over the band's 4 signature values.
     val bandStructs = transform(sequence(lit(0), lit(NBands - 1)),
       b => struct(b.as("b"), PortableHash.pHash(concat_ws(",",
@@ -110,13 +137,22 @@ object Dedup {
   }
 
   val minhashPairsSql: String = {
-    val perm = PortableHash.duck("j || '|' || s")
     val bandSeed = "b || ',' || sig[b*4+1] || ',' || sig[b*4+2] || ',' || sig[b*4+3] || ',' || sig[b*4+4]"
     s"""WITH $duckShingles,
+       |hx AS MATERIALIZED (
+       |  SELECT doc_id, ${PortableHash.duck("s")} % $HashMod AS h
+       |  FROM (SELECT doc_id, unnest(sh) AS s FROM shd)
+       |),
+       |perms AS (
+       |  SELECT j, (${PortableHash.duck("'mha|' || j")} % $HashMod) | 1 AS aj,
+       |         ${PortableHash.duck("'mhb|' || j")} % $HashMod AS bj
+       |  FROM (SELECT unnest(range(0, $NPerm)) AS j)
+       |),
        |sig AS MATERIALIZED (
-       |  SELECT doc_id, sh, list_transform(range(0, $NPerm),
-       |    j -> list_min(list_transform(sh, s -> $perm))) AS sig
-       |  FROM shd
+       |  SELECT doc_id, list(mv ORDER BY j) AS sig FROM (
+       |    SELECT doc_id, j, MIN((aj * h + bj) % $PermP) AS mv
+       |    FROM hx, perms GROUP BY doc_id, j
+       |  ) GROUP BY doc_id
        |),
        |bands AS MATERIALIZED (
        |  SELECT doc_id, b, ${PortableHash.duck(s"($bandSeed)")} AS bh

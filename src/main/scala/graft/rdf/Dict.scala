@@ -41,6 +41,21 @@ object Dict {
     */
   val NBuckets = 64
 
+  /** Per-(session, dir) dictionary cache. Every KGE/tensor operator
+    * consumes the same dictionaries; rebuilding the
+    * triples→distinct→window chain per query would multiply the dominant
+    * cost of a session running several operators (exactly what Verify and
+    * Bench do). `MEMORY_AND_DISK`: dictionaries are ~1e-3 of triple data,
+    * and at 100 TB you'd materialize them once to parquet the same way.
+    */
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  private def cached(spark: SparkSession, dir: String, key: String)
+      (build: => DataFrame): DataFrame =
+    cache.getOrElseUpdate((spark, dir, key),
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** Encode a one-column ("uri") DataFrame of distinct values to
     * (uri, id) with dense deterministic ids 0..N-1.
     */
@@ -68,15 +83,17 @@ object Dict {
 
   /** Entity dictionary: (uri, id). */
   def entities(spark: SparkSession, dir: String): DataFrame =
-    encode(entityUris(spark, dir))
+    cached(spark, dir, "entities") { encode(entityUris(spark, dir)) }
 
   /** Relation dictionary: (rel, rid). Relation vocabularies are tiny
     * (~1e3 even in large KGs), so a single-partition row_number is fine
     * here — documented exception to the bucket scheme.
     */
   def relations(spark: SparkSession, dir: String): DataFrame =
-    TpchGraph.triples(spark, dir).select(col("p").as("rel")).distinct()
-      .withColumn("rid", (row_number().over(Window.orderBy("rel")) - 1).cast("long"))
+    cached(spark, dir, "relations") {
+      TpchGraph.triples(spark, dir).select(col("p").as("rel")).distinct()
+        .withColumn("rid", (row_number().over(Window.orderBy("rel")) - 1).cast("long"))
+    }
 
   /** Triples mapped to ids: (sid, pid, oid).
     *
@@ -86,7 +103,9 @@ object Dict {
     * three-join shape, minus its RDD round-trips.
     */
   def encodedTriples(spark: SparkSession, dir: String): DataFrame =
-    mapTriples(TpchGraph.triples(spark, dir), spark, dir)
+    cached(spark, dir, "encoded") {
+      mapTriples(TpchGraph.triples(spark, dir), spark, dir)
+    }
 
   /** Map an (s, p, o) triple DataFrame to ids using the FULL graph's
     * dictionaries (so sampled slices keep globally-consistent ids).

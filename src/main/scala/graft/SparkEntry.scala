@@ -70,6 +70,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> ((s, d) => Dedup.embeddingCosine(configured(s), d)),
     "ann_brute_topk" -> ((s, d) => Ann.bruteTopK(configured(s), d)),
     "ann_lsh_topk" -> ((s, d) => Ann.lshTopK(configured(s), d)),
+    "ann_ivf_topk" -> ((s, d) => Ann.ivfTopK(configured(s), d)),
     "media_metadata" -> ((s, d) => Media.metadata(configured(s), d)),
     "streaming_windowed_agg" -> ((s, d) => EventStreams.windowedAgg(configured(s), d)),
     "streaming_sessionize" -> ((s, d) => EventStreams.sessionize(configured(s), d)),
@@ -111,6 +112,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> Dedup.embeddingCosineSql,
     "ann_brute_topk" -> Ann.bruteTopKSql,
     "ann_lsh_topk" -> Ann.lshTopKSql,
+    "ann_ivf_topk" -> Ann.ivfTopKSql,
     "media_metadata" -> Media.metadataSql,
     "streaming_windowed_agg" -> EventStreams.windowedAggSql,
     "streaming_sessionize" -> EventStreams.sessionizeSql,

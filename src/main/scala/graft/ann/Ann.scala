@@ -87,6 +87,91 @@ object Ann {
       .select("q_id", "vec_id", "cosine", "rank")
   }
 
+  // ------------------------------------------------------------- IVF topk
+
+  val NCells = 8
+  val NProbe = 2
+
+  /** Deterministic IVF codebook: NCells dyadic centroid vectors (a real
+    * IVF trains these with k-means; a fixed hash-derived codebook keeps
+    * the operator oracle-checkable while exercising the identical plan
+    * shape — coarse quantize, probe, scan short-lists).
+    */
+  private lazy val centroids: Array[Array[Double]] =
+    Array.tabulate(NCells, VectorLsh.EmbDim)((c, i) =>
+      graft.core.PortableHash.dyadicJvm(s"IVF|$c|$i"))
+
+  /** Squared L2 distance of `v` to centroid c (codebook as literals —
+    * zero per-row hash work, pure codegen arithmetic).
+    */
+  private def centDist(v: org.apache.spark.sql.Column, c: Int) = {
+    val cent = array(centroids(c).map(lit).toSeq: _*)
+    VectorLsh.fold(zip_with(v, cent, (x, y) => (x - y) * (x - y)))
+  }
+
+  /** Cell assignment = argmin_c dist (ties → smaller c). */
+  private def cellOf(v: org.apache.spark.sql.Column) =
+    array_min(array((0 until NCells).map(c =>
+      struct(centDist(v, c).as("d"), lit(c).as("c"))): _*)).getField("c")
+
+  /** #38: IVF top-k — queries probe their NProbe nearest cells and scan
+    * only those short-lists. The inverted lists are the `cell` column;
+    * at 100 TB you'd bucket/partition the table BY cell so a probe is a
+    * partition-pruned scan, and train the codebook with distributed
+    * k-means over a sample.
+    */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir).withColumn("cell", cellOf(col("v")))
+    val probes = vecs(spark, dir).filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(slice(array_sort(array((0 until NCells).map(c =>
+          struct(centDist(col("v"), c).as("d"), lit(c).as("c"))): _*)),
+          1, NProbe)).as("p"))
+      .select(col("q_id"), col("qv"), col("p.c").as("cell"))
+    e.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", VectorLsh.cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rank") <= K)
+      .select("q_id", "vec_id", "cosine", "rank")
+  }
+
+  val ivfTopKSql: String = {
+    val centEl = graft.core.PortableHash.duckDyadic("'IVF|' || c || '|' || (i - 1)")
+    s"""WITH ve AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), cents AS MATERIALIZED (
+       |  SELECT c, list($centEl ORDER BY i) AS cv
+       |  FROM (SELECT unnest(range(0, $NCells)) AS c),
+       |       (SELECT unnest(range(1, ${VectorLsh.EmbDim + 1})) AS i)
+       |  GROUP BY c
+       |), dists AS MATERIALIZED (
+       |  SELECT ve.vec_id, ve.v, cents.c,
+       |    ${VectorLsh.duckFold("(v[i] - cv[i]) * (v[i] - cv[i])")} AS d
+       |  FROM ve, cents
+       |), cells AS MATERIALIZED (
+       |  SELECT vec_id, v, c AS cell FROM dists
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) = 1
+       |), probes AS MATERIALIZED (
+       |  SELECT vec_id AS q_id, v AS qv, c AS cell FROM dists
+       |  WHERE vec_id % $QueryMod = 0
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) <= $NProbe
+       |)
+       |SELECT q_id, vec_id, cosine, rank FROM (
+       |  SELECT p.q_id, e.vec_id,
+       |    ${VectorLsh.duckFold("p.qv[i] * e.v[i]")} /
+       |      (sqrt(${VectorLsh.duckFold("p.qv[i] * p.qv[i]")}) * sqrt(${VectorLsh.duckFold("e.v[i] * e.v[i]")})) AS cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY p.q_id ORDER BY
+       |      ${VectorLsh.duckFold("p.qv[i] * e.v[i]")} /
+       |      (sqrt(${VectorLsh.duckFold("p.qv[i] * p.qv[i]")}) * sqrt(${VectorLsh.duckFold("e.v[i] * e.v[i]")})) DESC,
+       |      e.vec_id ASC) AS INT) AS rank
+       |  FROM cells e JOIN probes p ON e.cell = p.cell AND e.vec_id <> p.q_id
+       |) WHERE rank <= $K""".stripMargin
+  }
+
   val lshTopKSql: String =
     s"""WITH ${VectorLsh.duckBucketed}
        |SELECT q_id, vec_id, cosine, rank FROM (

@@ -37,6 +37,10 @@ object PortableHash {
     java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
 
+  /** Driver-side JVM mirror of [[dyadic]]. */
+  def dyadicJvm(s: String): Double =
+    ((pHashJvm(s) % 201) - 100).toDouble / 128.0
+
   /** DuckDB SQL fragment equivalent to [[pHash]] of `expr`. */
   def duck(expr: String): String =
     s"(('0x' || substring(md5($expr), 1, 15))::BIGINT)"

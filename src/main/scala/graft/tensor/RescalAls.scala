@@ -58,7 +58,7 @@ object RescalAls {
 
     // dyadic random core slice (seed "RC|pid|idx", driver-side md5)
     def coreInit(pid: Long): Array[Array[Double]] =
-      Array.tabulate(D, D)((r, s) => dyadicDriver(s"RC|$pid|${r * D + s}"))
+      Array.tabulate(D, D)((r, s) => PortableHash.dyadicJvm(s"RC|$pid|${r * D + s}"))
 
     def coreSolved(axa: Array[Array[Double]]): Array[Array[Double]] =
       SmallLinalg.matmul(SmallLinalg.matmul(gInv, axa), gInv)
@@ -90,13 +90,5 @@ object RescalAls {
     val fit0 = fit(axaMap.map { case (p, _) => p -> coreInit(p) })
     val fit1 = fit(axaMap.map { case (p, m) => p -> coreSolved(m) })
     Seq((0, fit0), (1, fit1)).toDF("iter", "fit")
-  }
-
-  /** Driver-side mirror of PortableHash.dyadic (same md5 → same value). */
-  private def dyadicDriver(seed: String): Double = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(seed.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val v = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-    ((v % 201) - 100).toDouble / 128.0
   }
 }

@@ -34,6 +34,16 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf top-k: neighbors come from the query's probed cells only") {
+    val out = Ann.ivfTopK(spark, TestSpark.sf)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length <= Ann.K)
+      assert(rows.map(_._4).distinct.length == rows.length)
+    }
+  }
+
   test("two-phase brute top-k equals single-phase (salting loses nothing)") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

@@ -13,14 +13,20 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
 
-  /** Headline subset: representative per block, bounded at sf0.1. */
+  /** Headline subset: representative per block, bounded at sf0.1.
+    * Timed AFTER a full warmup pass, so dictionary/shingle caches are
+    * warm — these numbers are steady-state throughput (the intended
+    * deployment shape); cold encode cost shows up once in the warmup.
+    */
   val headline: Seq[String] = Seq(
     "q1_agg", "q3_join", "q5_join_region",
     "events_windowed_agg", "events_sessionize",
-    "dict_encode_entities", "triples_encode",
+    "dict_encode_entities", "triples_encode", "cp_mttkrp",
     "kge_transe_score", "kge_hole_score",
-    "dedup_exact", "dedup_minhash_pairs",
-    "ann_brute_topk", "text_quality_score")
+    "dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
+    "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "text_quality_score", "text_token_count", "text_fingerprint",
+    "media_metadata", "streaming_windowed_agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

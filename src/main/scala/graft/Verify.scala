@@ -21,13 +21,15 @@ object Verify {
     val status = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      def secs = f"${(System.nanoTime() - t0) / 1e9}%.1fs"
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        name -> "ok"
+        name -> s"ok ($secs)"
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        name -> s"err: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
+        name -> s"err ($secs): ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -30,14 +30,31 @@ object RankingEval {
 
   /** Per-test-triple rank of the true object (1-based; ties broken by
     * candidate id so the rank is total-order deterministic).
+    *
+    * Embeddings are materialized ONCE per dictionary (id → array) and
+    * joined by id — computing them inline per candidate pair would redo
+    * the hash work |candidates| times (measured 5× slower), and with
+    * LEARNED embeddings the id-keyed join is the only option anyway.
+    * The embedding tables are dictionary-sized → AQE broadcasts them;
+    * at 1e9 entities they become shuffle joins on id, same plan shape.
     */
   def ranks(spark: SparkSession, dir: String): DataFrame = {
+    val entEmb = Dict.entities(spark, dir)
+      .select(col("id"), emb("E", col("id")).as("v"))
+    val relEmb = Dict.relations(spark, dir)
+      .select(col("rid"), emb("R", col("rid")).as("v"))
+    def score(h: String, r: String, t: String) =
+      dFold(zip_with(zip_with(col(h), col(r), _ * _), col(t), _ * _))
     val test = encodedSample(spark, dir, EvalMod)
-      .withColumn("score_t", Scoring.distmultCol(col("sid"), col("pid"), col("oid")))
+      .join(entEmb.select(col("id").as("sid"), col("v").as("h")), "sid")
+      .join(entEmb.select(col("id").as("oid"), col("v").as("t")), "oid")
+      .join(broadcast(relEmb.select(col("rid").as("pid"), col("v").as("r"))), "pid")
+      .withColumn("score_t", score("h", "r", "t"))
     val cands = Dict.encodedTriples(spark, dir)
       .select(col("pid"), col("oid").as("cand")).distinct()
+      .join(entEmb.select(col("id").as("cand"), col("v").as("tc")), "cand")
     test.join(broadcast(cands), "pid")
-      .withColumn("score_c", Scoring.distmultCol(col("sid"), col("pid"), col("cand")))
+      .withColumn("score_c", score("h", "r", "tc"))
       .groupBy("sid", "pid", "oid")
       .agg((lit(1) + sum(when(
         col("score_c") > col("score_t") ||

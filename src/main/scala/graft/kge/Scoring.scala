@@ -60,13 +60,15 @@ object Scoring {
     val w = emb("W", col("pid"), DRescal * DRescal)
     val h8 = emb("E", col("sid"), DRescal)
     val t8 = emb("E", col("oid"), DRescal)
+    // Row-major flat contraction WITHOUT indexing the generated arrays
+    // inside a lambda (element_at(w, j) in a fold lambda re-inlines the
+    // md5 transform per iteration — 64× the hash work): align h as
+    // [h0×8, h1×8, …] and t as t8 tiled ×8, then one zip_with fold.
+    val hRep = flatten(transform(h8, x => array_repeat(x, DRescal)))
+    val tTile = flatten(array_repeat(t8, DRescal))
     sliced(spark, dir)
       .withColumn("score",
-        aggregate(sequence(lit(0), lit(DRescal * DRescal - 1)), lit(0.0),
-          (acc, j) => acc +
-            element_at(w, j + 1) *
-            element_at(h8, floor(j / DRescal).cast("int") + 1) *
-            element_at(t8, (j % DRescal) + 1)))
+        dFold(zip_with(zip_with(w, hRep, _ * _), tTile, _ * _)))
       .select("sid", "pid", "oid", "score")
   }
 

@@ -78,8 +78,10 @@ object TransETrainer {
 
     val losses = Seq.newBuilder[(Int, Double)]
     for (epoch <- 1 to Epochs) {
-      val active = joined.withColumn("act", (lit(Margin) + dPos - dNeg) > 0)
-      losses += ((epoch - 1, lossOf(joined)))
+      // one materialization per epoch serves both the loss and the grads
+      val j = joined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val active = j.withColumn("act", (lit(Margin) + dPos - dNeg) > 0)
+      losses += ((epoch - 1, lossOf(j)))
       // gradient of the active hinge: ∂/∂h = 2(h+r−t) − 2(h+r−t') = 2(t'−t)
       //                               ∂/∂r = same as ∂/∂h
       //                               ∂/∂t = −2(h+r−t); ∂/∂t' = 2(h+r−t')
@@ -95,17 +97,19 @@ object TransETrainer {
           struct(col("oid").as("id"), lit("e").as("kind"), col("gt").as("g")),
           struct(col("nid").as("id"), lit("e").as("kind"), col("gn").as("g")),
           struct(col("pid").as("id"), lit("r").as("kind"), col("gh").as("g")))).as("c"))
-        .select(col("c.id").as("id"), col("c.kind").as("kind"),
-          posexplode(col("c.g")).as(Seq("dim", "g")))
-      // keyed gradient accumulation; decimal terms → order-independent.
+        .select(col("c.id").as("id"), col("c.kind").as("kind"), col("c.g").as("g"))
+      // keyed gradient accumulation in ONE groupBy with D elementwise
+      // aggregates (no per-dim explode, no collect_list reassembly);
+      // decimal terms → order-independent.
       // MEAN (not sum) per id: hub entities participate in thousands of
       // triples, and a summed full-batch gradient diverges for any usable
       // lr — the per-id mean bounds every step by 2·lr·max|Δ|.
-      val grads = gradRows.groupBy("kind", "id", "dim")
-        .agg(Exact.decAvg(col("g"), 9).as("g"))
-        .groupBy("kind", "id")
-        .agg(transform(array_sort(collect_list(struct(col("dim"), col("g")))),
-          s => s.getField("g")).as("gvec"))
+      val dimAggs = (0 until D).map(i =>
+        Exact.decAvg(element_at(col("g"), i + 1), 9).as(s"_g$i"))
+      val grads = gradRows.groupBy("kind", "id")
+        .agg(dimAggs.head, dimAggs.tail: _*)
+        .select(col("kind"), col("id"),
+          array((0 until D).map(i => col(s"_g$i")): _*).as("gvec"))
 
       def applyGrad(f: DataFrame, kind: String): DataFrame =
         f.join(grads.filter(col("kind") === kind).select(col("id"), col("gvec")),
@@ -116,6 +120,7 @@ object TransETrainer {
 
       ent = applyGrad(ent, "e").localCheckpoint()
       rel = applyGrad(rel, "r").localCheckpoint()
+      j.unpersist()
     }
     losses += ((Epochs, lossOf(joined)))
     losses.result().toDF("epoch", "loss")

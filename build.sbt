@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output must reach stdout RAW: the driver parses Bench's
+// single JSON line, and sbt's default LoggedOutput prefixes every line
+// with "[info] ", which broke the parse in rounds 1 and 2
+// (BENCH_r0{1,2}.json "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,23 +1,27 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
-  * emits ONE JSON line, both to stdout and (so the sbt `[info] ` prefix
-  * can't eat it) to the file named by SPARK_GRAFT_BENCH_OUT / args(0),
-  * default `bench.json` in the cwd.
+  * emits ONE JSON line — raw on stdout (build.sbt sets
+  * `run / outputStrategy := StdoutOutput` so sbt can't prefix it with
+  * "[info] ", which lost the bench signal in rounds 1 and 2) and to the
+  * file named by args(0) / SPARK_GRAFT_BENCH_OUT (default `bench.json`).
   *
-  * Per VERDICT r1: an untimed warmup pass first (JVM + parquet footer +
-  * codegen warmup used to be charged to whichever query ran first), and
-  * queries run in sorted key order so rounds are comparable.
+  * Timing protocol (VERDICT r1 + ADVICE r2):
+  *  - untimed warmup pass first (JVM/codegen/parquet-footer warmup, and
+  *    it populates the session dictionary/shingle caches — steady-state
+  *    throughput is the deployment shape);
+  *  - sorted key order so rounds are comparable;
+  *  - materialize via a noop-format WRITE, not count(): count() lets
+  *    Catalyst prune every column, so map-shaped queries (scores,
+  *    quality, kernels) would benchmark only their scan+joins;
+  *  - a failing query is recorded in "errors" and EXCLUDED from the
+  *    total, never silently counted as a fast run.
   */
 object Bench {
 
-  /** Headline subset: representative per block, bounded at sf0.1.
-    * Timed AFTER a full warmup pass, so dictionary/shingle caches are
-    * warm — these numbers are steady-state throughput (the intended
-    * deployment shape); cold encode cost shows up once in the warmup.
-    */
+  /** Headline subset: representative per block, bounded at sf0.1. */
   val headline: Seq[String] = Seq(
     "q1_agg", "q3_join", "q5_join_region",
     "events_windowed_agg", "events_sessionize",
@@ -27,6 +31,10 @@ object Bench {
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
     "text_quality_score", "text_token_count", "text_fingerprint",
     "media_metadata", "streaming_windowed_agg")
+
+  /** Force full materialization of every output column. */
+  private def run(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -42,27 +50,31 @@ object Bench {
     SparkEntry.sessionConfigs.foreach { case (k, v) => spark.conf.set(k, v) }
 
     val names = headline.filter(SparkEntry.queries.contains).sorted
-    // Warmup: run every headline query once untimed, so the timed pass
-    // measures steady-state execution, not parquet-footer/codegen/JIT
-    // warmup charged to whichever query happens to run first.
     names.foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir).count()
+      try run(SparkEntry.queries(name)(spark, sfDir))
       catch { case _: Throwable => () }
     }
 
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err: Option[String] =
+        try { run(fn(spark, sfDir)); None }
+        catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val ok = results.filter(_._3.isEmpty)
+    val qs = ok.map { case (k, v, _) => jq(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val errs = results.collect { case (k, _, Some(e)) => jq(k) + ":" + jq(e) }
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     Files.writeString(Paths.get(out), json + "\n")
+    graft.core.Caches.clearAll()
     spark.stop()
   }
 }

@@ -4,13 +4,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ann.Ann
 import graft.dedup.Dedup
-import graft.kge.{Kernels, RankingEval, Scoring}
+import graft.kge.{DistMultTrainer, Kernels, Losses, RankingEval, Scoring}
 import graft.media.Media
 import graft.streaming.EventStreams
 import graft.kge.TransETrainer
 import graft.rdf.{Dict, Rdf}
 import graft.relational.{Events, Relational}
-import graft.tensor.{CpAls, Mttkrp, RescalAls}
+import graft.tensor.{BlockPartition, CpAls, Mttkrp, RescalAls}
 import graft.text.TextAnalysis
 
 /** Driver contract — every operator from SURVEY.md §2 appears as a
@@ -78,6 +78,12 @@ object SparkEntry {
     "cp_als" -> ((s, d) => CpAls.cpAls(configured(s), d)),
     "rescal_als" -> ((s, d) => RescalAls.rescalAls(configured(s), d)),
     "kge_transe_train" -> ((s, d) => TransETrainer.train(configured(s), d)),
+    "tensor_block_partition" -> ((s, d) => BlockPartition.blockPartition(configured(s), d)),
+    "neg_sample_lcwa" -> ((s, d) => Rdf.negSampleLcwa(configured(s), d)),
+    "kge_loss_ranking" -> ((s, d) => Losses.rankingLoss(configured(s), d)),
+    "kge_loss_logistic" -> ((s, d) => Losses.logisticLoss(configured(s), d)),
+    "kge_activations" -> ((s, d) => Losses.activations(configured(s), d)),
+    "kge_distmult_train" -> ((s, d) => DistMultTrainer.train(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -116,9 +122,15 @@ object SparkEntry {
     "media_metadata" -> Media.metadataSql,
     "streaming_windowed_agg" -> EventStreams.windowedAggSql,
     "streaming_sessionize" -> EventStreams.sessionizeSql,
-    // cp_als / rescal_als / kge_transe_train are iterative trainers:
-    // deliberately NOT in oracleSql (driver records rows-only; their
-    // loss↓/fit↑ semantics are asserted by ScalaTest specs).
+    // cp_als / rescal_als / kge_transe_train / kge_distmult_train are
+    // iterative trainers: deliberately NOT in oracleSql (driver records
+    // rows-only; their loss↓/fit↑ semantics are asserted by ScalaTest
+    // specs).
     "cp_mttkrp" -> Mttkrp.cpMttkrpSql,
+    "tensor_block_partition" -> BlockPartition.blockPartitionSql,
+    "neg_sample_lcwa" -> Rdf.negSampleLcwaSql,
+    "kge_loss_ranking" -> Losses.rankingLossSql,
+    "kge_loss_logistic" -> Losses.logisticLossSql,
+    "kge_activations" -> Losses.activationsSql,
   )
 }

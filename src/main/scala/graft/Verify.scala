@@ -51,6 +51,7 @@ object Verify {
     val statusJson = status
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/status.json"), statusJson)
+    graft.core.Caches.clearAll()
     spark.stop()
   }
 }

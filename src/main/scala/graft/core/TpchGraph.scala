@@ -21,13 +21,11 @@ object TpchGraph {
     * the encoder, the samplers and the N-Triples ops — materialize the
     * union+distinct once per session (same rationale as Dict's cache).
     */
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val cache = new graft.core.DfCache[(SparkSession, String)]
 
   /** (s, p, o) string triples derived from the TPC-H foreign keys. */
   def triples(spark: SparkSession, dir: String): DataFrame =
-    cache.getOrElseUpdate((spark, dir), build(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    cache.getOrElseUpdate((spark, dir))(build(spark, dir))
 
   private def build(spark: SparkSession, dir: String): DataFrame = {
     def t(df: DataFrame, s: (String, String), p: String, o: (String, String)) =

@@ -28,19 +28,17 @@ object Dedup {
   /** Per-(session, dir) cache: the shingle arrays feed signatures AND
     * both sides of the verify join — materialize once.
     */
-  private val shCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val shCache = new graft.core.DfCache[(SparkSession, String)]
 
   /** Distinct word-3-gram shingle array per doc (docs with ≥3 words). */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    shCache.getOrElseUpdate((spark, dir),
+    shCache.getOrElseUpdate((spark, dir))(
       Tables.documents(spark, dir)
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
         .filter(size(col("ws")) >= 3)
         .select(col("doc_id"), array_distinct(
           transform(sequence(lit(0), size(col("ws")) - 3),
-            i => concat_ws(" ", slice(col("ws"), i + 1, lit(3))))).as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+            i => concat_ws(" ", slice(col("ws"), i + 1, lit(3))))).as("sh")))
 
   private val duckShingles: String =
     s"""sh_t AS (
@@ -186,8 +184,7 @@ object Dedup {
     * Hamming ≤ 3 with 4 disjoint 15-bit bands ⇒ every qualifying pair
     * shares ≥ 1 exact band (pigeonhole), so the band join loses nothing.
     */
-  private val simCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val simCache = new graft.core.DfCache[(SparkSession, String)]
 
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     // ONE fold over the word hashes carrying a 60-counter accumulator
@@ -195,7 +192,7 @@ object Dedup {
     // simhash). Deliberately NOT an outer fold over bits: a lambda that
     // referenced `hs` per bit would re-inline the md5 transform 60× —
     // measured 78 s → 1.5 s at sf0.1.
-    val docs = simCache.getOrElseUpdate((spark, dir),
+    val docs = simCache.getOrElseUpdate((spark, dir))(
       Tables.documents(spark, dir)
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
         .withColumn("hs", transform(col("ws"), w => PortableHash.pHash(w)))
@@ -208,8 +205,7 @@ object Dedup {
              |    sequence(0, ${SimBits - 1}),
              |    (v, i) -> IF(v > 0, shiftleft(1L, i), 0L)),
              |  0L, (acc, x) -> acc + x)""".stripMargin))
-        .select("doc_id", "simhash")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .select("doc_id", "simhash"))
     bandsDf(docs).as("x").join(bandsDf(docs).as("y"),
         col("x.b") === col("y.b") && col("x.band") === col("y.band") &&
           col("x.doc_id") < col("y.doc_id"))

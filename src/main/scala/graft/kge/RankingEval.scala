@@ -16,8 +16,12 @@ import graft.rdf.Dict
   *  - the test slice is a 1-in-199 deterministic sample, filtered BEFORE
   *    any join;
   *  - candidates are NOT all entities but the distinct objects of the
-  *    test triple's own relation (type-correct candidates, the standard
-  *    "filtered" KGE protocol) — bounded per relation;
+  *    test triple's own relation (type-constrained candidate set),
+  *    AND the ranking is FILTERED in the standard sense (Bordes et al.):
+  *    a candidate that forms another known-true triple (sid, pid, cand)
+  *    does not count against the rank — only genuinely-wrong candidates
+  *    do (ADVICE r2: the previous revision ranked raw within the
+  *    type-constrained set);
   *  - the candidate list joins via broadcast (relation → candidate set is
   *    dictionary-sized); scores are inline dyadic math, no embedding
   *    shuffle; the rank is computed by counting strictly-better
@@ -53,12 +57,22 @@ object RankingEval {
     val cands = Dict.encodedTriples(spark, dir)
       .select(col("pid"), col("oid").as("cand")).distinct()
       .join(entEmb.select(col("id").as("cand"), col("v").as("tc")), "cand")
+    // Filtered protocol: flag candidates that are OTHER known-true
+    // triples of the same (sid, pid); they are excluded from the count.
+    // (sid, pid, oid) is unique in encoded, so the left join can't
+    // fan out. At 100 TB this is a shuffle join keyed like the groupBy
+    // that follows — no extra exchange shape.
+    val known = Dict.encodedTriples(spark, dir)
+      .select(col("sid"), col("pid"), col("oid").as("cand"),
+        lit(1).as("istrue"))
     test.join(broadcast(cands), "pid")
       .withColumn("score_c", score("h", "r", "tc"))
+      .join(known, Seq("sid", "pid", "cand"), "left")
       .groupBy("sid", "pid", "oid")
       .agg((lit(1) + sum(when(
-        col("score_c") > col("score_t") ||
-          (col("score_c") === col("score_t") && col("cand") < col("oid")),
+        (col("score_c") > col("score_t") ||
+          (col("score_c") === col("score_t") && col("cand") < col("oid"))) &&
+          (col("istrue").isNull || col("cand") === col("oid")),
         1).otherwise(0))).cast("long").as("rank"))
   }
 
@@ -116,10 +130,13 @@ object RankingEval {
        |),
        |ranks AS MATERIALIZED (
        |  SELECT s.sid, s.pid, s.oid,
-       |    CAST(1 + SUM(CASE WHEN c.score_c > s.score_t
-       |      OR (c.score_c = s.score_t AND c.cand < s.oid) THEN 1 ELSE 0 END) AS BIGINT) AS rank
+       |    CAST(1 + SUM(CASE WHEN (c.score_c > s.score_t
+       |      OR (c.score_c = s.score_t AND c.cand < s.oid))
+       |      AND (k.oid IS NULL OR c.cand = s.oid) THEN 1 ELSE 0 END) AS BIGINT) AS rank
        |  FROM score_c c
        |  JOIN score_t s ON c.sid = s.sid AND c.pid = s.pid AND c.oid = s.oid
+       |  LEFT JOIN encoded k
+       |    ON k.sid = c.sid AND k.pid = c.pid AND k.oid = c.cand
        |  GROUP BY 1, 2, 3
        |)""".stripMargin
   }

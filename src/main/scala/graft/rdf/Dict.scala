@@ -48,13 +48,11 @@ object Dict {
     * Bench do). `MEMORY_AND_DISK`: dictionaries are ~1e-3 of triple data,
     * and at 100 TB you'd materialize them once to parquet the same way.
     */
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private val cache = new graft.core.DfCache[(SparkSession, String, String)]
 
   private def cached(spark: SparkSession, dir: String, key: String)
       (build: => DataFrame): DataFrame =
-    cache.getOrElseUpdate((spark, dir, key),
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    cache.getOrElseUpdate((spark, dir, key))(build)
 
   /** Encode a one-column ("uri") DataFrame of distinct values to
     * (uri, id) with dense deterministic ids 0..N-1.

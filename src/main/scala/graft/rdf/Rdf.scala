@@ -112,4 +112,47 @@ object Rdf {
        |  CASE WHEN ($raw) = oid THEN (($raw) + 1) % n_ent ELSE ($raw) END AS neg_oid
        |FROM encoded, n""".stripMargin
   }
+
+  /** #40: LCWA negative sampling — the local-closed-world variant
+    * (sample.py:95-110 `LCWASampler`): corrupt the SUBJECT slot, and keep
+    * only corruptions whose (neg_sid, pid) pair is itself observed as a
+    * (subject, relation) pair in the graph (`counts[(s, p)] > 0`) — the
+    * negatives stay type-plausible.
+    *
+    * Spark-first: the plausibility filter is a left-semi join against the
+    * distinct (sid, pid) pairs, keyed exactly like the groupBys around it
+    * — one shuffle, no driver-side `counts` dict. The reference retries
+    * until a plausible corruption is found; the deterministic analog
+    * filters instead (a negative-per-triple RATE, not a guarantee —
+    * matching the reference's `ntries`-bounded behavior, which also
+    * yields < n samples when unlucky).
+    */
+  def negSampleLcwa(spark: SparkSession, dir: String): DataFrame = {
+    val enc = Dict.encodedTriples(spark, dir)
+    val n = Dict.entities(spark, dir).agg(count(lit(1)).as("n_ent"))
+    val raw = PortableHash.pHash(
+      concat_ws("|", lit("lcwa"), col("sid"), col("pid"), col("oid"))) % col("n_ent")
+    val corrupted = enc.crossJoin(broadcast(n))
+      .withColumn("neg_sid",
+        when(raw === col("sid"), (raw + 1) % col("n_ent")).otherwise(raw))
+      .select("sid", "pid", "oid", "neg_sid")
+    val observedHeads = enc.select(col("sid").as("neg_sid"), col("pid")).distinct()
+    corrupted.join(observedHeads, Seq("neg_sid", "pid"), "left_semi")
+      .select("sid", "pid", "oid", "neg_sid")
+  }
+
+  val negSampleLcwaSql: String = {
+    val raw = s"${PortableHash.duck("'lcwa|' || sid || '|' || pid || '|' || oid")} % n_ent"
+    s"""${Dict.preludeCtes},
+       |n AS (SELECT COUNT(*) AS n_ent FROM entities),
+       |corrupted AS (
+       |  SELECT sid, pid, oid,
+       |    CASE WHEN ($raw) = sid THEN (($raw) + 1) % n_ent ELSE ($raw) END AS neg_sid
+       |  FROM encoded, n
+       |)
+       |SELECT c.sid, c.pid, c.oid, c.neg_sid
+       |FROM corrupted c
+       |WHERE EXISTS (SELECT 1 FROM encoded e
+       |              WHERE e.sid = c.neg_sid AND e.pid = c.pid)""".stripMargin
+  }
 }

@@ -84,6 +84,8 @@ object SparkEntry {
     "kge_loss_logistic" -> ((s, d) => Losses.logisticLoss(configured(s), d)),
     "kge_activations" -> ((s, d) => Losses.activations(configured(s), d)),
     "kge_distmult_train" -> ((s, d) => DistMultTrainer.train(configured(s), d)),
+    "streaming_dedup" -> ((s, d) => EventStreams.dedup(configured(s), d)),
+    "kge_transe_train_adagrad" -> ((s, d) => TransETrainer.trainAdagrad(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -132,5 +134,6 @@ object SparkEntry {
     "kge_loss_ranking" -> Losses.rankingLossSql,
     "kge_loss_logistic" -> Losses.logisticLossSql,
     "kge_activations" -> Losses.activationsSql,
+    "streaming_dedup" -> EventStreams.dedupSql,
   )
 }

@@ -41,8 +41,28 @@ object TransETrainer {
     array((0 until D).map(i => PortableHash.dyadic(
       concat_ws("|", lit(kind), id.cast("string"), lit(i.toString)))): _*)
 
-  /** Returns (epoch, loss) rows, loss strictly decreasing for sane lr. */
-  def train(spark: SparkSession, dir: String): DataFrame = {
+  /** Adagrad ε (the reference's optimizer zoo — TransE.scala:47-149 —
+    * selects SGD/Adagrad/Adam by name; Adam's bias-corrected moments add
+    * two more state arrays but the same join shape).
+    */
+  val Eps = 1e-8
+
+  /** #20: plain full-batch SGD. Returns (epoch, loss) rows, loss
+    * strictly decreasing for sane lr.
+    */
+  def train(spark: SparkSession, dir: String): DataFrame =
+    trainImpl(spark, dir, adagrad = false)
+
+  /** #46: Adagrad — per-parameter adaptive steps. The accumulated
+    * squared gradient is one more array column CARRIED ON the embedding
+    * DataFrame (state co-partitioned with the parameters it scales, the
+    * way a parameter-server shard holds its optimizer slots — no extra
+    * join, no driver state).
+    */
+  def trainAdagrad(spark: SparkSession, dir: String): DataFrame =
+    trainImpl(spark, dir, adagrad = true)
+
+  private def trainImpl(spark: SparkSession, dir: String, adagrad: Boolean): DataFrame = {
     import spark.implicits._
     val enc = Dict.encodedTriples(spark, dir)
     val nEnt = Dict.entities(spark, dir).count()
@@ -53,10 +73,13 @@ object TransETrainer {
       when(raw === col("oid"), (raw + 1) % nEnt).otherwise(raw))
       .localCheckpoint()
 
+    val zeros = array((0 until D).map(_ => lit(0.0)): _*)
     var ent = x.select(explode(array(col("sid"), col("oid"), col("nid"))).as("id"))
-      .distinct().withColumn("vec", initVec("TE", col("id"))).localCheckpoint()
+      .distinct().withColumn("vec", initVec("TE", col("id")))
+      .withColumn("g2", zeros).localCheckpoint()
     var rel = x.select(col("pid").as("id")).distinct()
-      .withColumn("vec", initVec("TR", col("id"))).localCheckpoint()
+      .withColumn("vec", initVec("TR", col("id")))
+      .withColumn("g2", zeros).localCheckpoint()
 
     def joined: DataFrame =
       x.join(ent.select(col("id").as("sid"), col("vec").as("h")), "sid")
@@ -111,12 +134,27 @@ object TransETrainer {
         .select(col("kind"), col("id"),
           array((0 until D).map(i => col(s"_g$i")): _*).as("gvec"))
 
-      def applyGrad(f: DataFrame, kind: String): DataFrame =
-        f.join(grads.filter(col("kind") === kind).select(col("id"), col("gvec")),
-            Seq("id"), "left")
-          .select(col("id"), when(col("gvec").isNull, col("vec"))
+      def applyGrad(f: DataFrame, kind: String): DataFrame = {
+        val joinedF = f.join(
+          grads.filter(col("kind") === kind).select(col("id"), col("gvec")),
+          Seq("id"), "left")
+        if (!adagrad)
+          joinedF.select(col("id"), when(col("gvec").isNull, col("vec"))
             .otherwise(zip_with(col("vec"), col("gvec"),
-              (v, g) => v - lit(Lr) * g)).as("vec"))
+              (v, g) => v - lit(Lr) * g)).as("vec"), col("g2"))
+        else
+          joinedF
+            .withColumn("g2n", when(col("gvec").isNull, col("g2"))
+              .otherwise(zip_with(col("g2"), col("gvec"),
+                (a, g) => a + g * g)))
+            .select(col("id"),
+              when(col("gvec").isNull, col("vec")).otherwise(
+                // step_i = g_i / √(G'_i + ε); vec_i ← vec_i − lr·step_i
+                zip_with(zip_with(col("gvec"), col("g2n"),
+                  (g, a) => g / sqrt(a + lit(Eps))), col("vec"),
+                  (step, v) => v - lit(Lr) * step)).as("vec"),
+              col("g2n").as("g2"))
+      }
 
       ent = applyGrad(ent, "e").localCheckpoint()
       rel = applyGrad(rel, "r").localCheckpoint()

@@ -75,6 +75,27 @@ object EventStreams {
         .select("user_id", "session_start", "session_end", "n_events", "sum_value"),
       "graft_stream_sess")
 
+  /** #45: streaming exact deduplication — `dropDuplicates` state feeding
+    * a running aggregate: distinct active users per event type. The
+    * streaming analog of `dedup_exact` for a 100 TB ingest pipeline:
+    * dedup state is keyed by the (id, type) pair exactly like a content
+    * hash would key a document stream; the production path bounds that
+    * state with `dropDuplicatesWithinWatermark` (late duplicates beyond
+    * the watermark delay are already out of state), which the finite
+    * complete-mode verification here deliberately doesn't need.
+    */
+  def dedup(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(
+      eventStream(spark, dir)
+        .dropDuplicates("user_id", "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users")),
+      "graft_stream_dedup")
+
+  val dedupSql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** Oracle: gaps-and-islands with `>= gap` boundary — session_window
     * treats an event landing exactly at prev_ts + gap as OUTSIDE the
     * half-open window [prev_ts, prev_ts + gap), unlike the batch

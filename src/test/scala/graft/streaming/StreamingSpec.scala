@@ -64,4 +64,23 @@ class StreamingSpec extends AnyFunSuite {
     val bWagg = graft.relational.Events.windowedAgg(spark, TestSpark.sf)
     assert(sWagg.exceptAll(bWagg).isEmpty && bWagg.exceptAll(sWagg).isEmpty)
   }
+
+  test("streaming dedup drops cross-batch duplicates from state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val dd = stream.toDF()
+      .dropDuplicates("user_id")
+      .groupBy().agg(count(lit(1)).as("n"))
+    val q = dd.writeStream.format("memory").queryName("spec_dedup")
+      .outputMode("complete").start()
+    stream.addData(Ev(1, 1, 0), Ev(2, 1, 0), Ev(3, 2, 0))
+    q.processAllAvailable()
+    // user 1 reappearing in a LATER batch must still be deduped (state)
+    stream.addData(Ev(4, 1, 0), Ev(5, 3, 0))
+    q.processAllAvailable()
+    val got = spark.table("spec_dedup").as[Long].collect().toSeq
+    q.stop()
+    assert(got == Seq(3L))
+  }
 }

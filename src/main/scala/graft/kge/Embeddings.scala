@@ -37,11 +37,50 @@ object Embeddings {
   /** 1-in-mod slice for ranking eval (candidate fan-out is larger). */
   val EvalMod = 199
 
-  /** array<double> embedding column of dimension `d`. */
+  /** array<double> embedding column of dimension `d`.
+    *
+    * PERF WARNING (measured, sf0.1): do NOT nest this generator inside
+    * further higher-order functions (zip_with/aggregate chains) — Spark
+    * evaluates HOFs interpreted, and the generator sub-tree gets
+    * re-evaluated per element, turning d md5 calls into O(d²)+
+    * (75 s vs 0.7 s for the TransE score at sf0.1). Score against the
+    * materialized [[entityEmb]]/[[relationEmb]] tables instead; `emb`
+    * belongs in a plain projection that a join/persist separates from
+    * the consuming HOF.
+    */
   def emb(kind: String, id: Column, d: Int = D): Column =
     transform(sequence(lit(0), lit(d - 1)),
       i => PortableHash.dyadic(
         concat_ws("|", lit(kind), id.cast("string"), i.cast("string"))))
+
+  private val tableCache =
+    new graft.core.DfCache[(SparkSession, String, String)]
+
+  /** Materialized entity embedding table (id, v: array<double> dim D) —
+    * hash work is O(N_entities·D) once per session, not O(nnz·3D) per
+    * query, and the join barrier keeps the generator out of consuming
+    * HOF lambdas (see the warning on [[emb]]). This is also the learned-
+    * embedding plan shape: a trained model stores exactly this table,
+    * bucketed by id at 100 TB.
+    */
+  def entityEmb(spark: SparkSession, dir: String): DataFrame =
+    tableCache.getOrElseUpdate((spark, dir, "E"))(
+      Dict.entities(spark, dir).select(col("id"), emb("E", col("id")).as("v")))
+
+  /** Materialized relation embedding table (id, v) — dictionary-sized,
+    * always broadcastable.
+    */
+  def relationEmb(spark: SparkSession, dir: String): DataFrame =
+    tableCache.getOrElseUpdate((spark, dir, "R"))(
+      Dict.relations(spark, dir)
+        .select(col("rid").as("id"), emb("R", col("rid")).as("v")))
+
+  /** Materialized RESCAL relation-matrix table (id, w: d² row-major). */
+  def rescalW(spark: SparkSession, dir: String): DataFrame =
+    tableCache.getOrElseUpdate((spark, dir, "W"))(
+      Dict.relations(spark, dir)
+        .select(col("rid").as("id"),
+          emb("W", col("rid"), DRescal * DRescal).as("w")))
 
   /** DuckDB scalar equivalent of emb(kind, id)[i]. */
   def duckEl(kind: String, idExpr: String, iExpr: String): String =

@@ -42,15 +42,32 @@ object Losses {
         when(raw === col("oid"), (raw + 1) % col("n_ent")).otherwise(raw))
   }
 
-  private def transe(tCol: Column): Column =
-    -dFold(zip_with(zip_with(emb("E", col("sid")), emb("R", col("pid")), _ + _),
+  private def transeFold(tCol: Column): Column =
+    -dFold(zip_with(zip_with(col("h"), col("r"), _ + _),
       tCol, (hr, tt) => (hr - tt) * (hr - tt)))
 
-  /** Scored pos/neg pairs: (sid, pid, oid, nid, s_pos, s_neg). */
+  /** Scored pos/neg pairs: (sid, pid, oid, nid, s_pos, s_neg).
+    * Embeddings join from the materialized id-keyed tables — see the
+    * perf warning on [[Embeddings.emb]]; the folds run over attribute
+    * columns only.
+    */
+  private val scoredCache =
+    new graft.core.DfCache[(SparkSession, String)]
+
   private def scored(spark: SparkSession, dir: String): DataFrame =
+    scoredCache.getOrElseUpdate((spark, dir))(scoredBuild(spark, dir))
+
+  private def scoredBuild(spark: SparkSession, dir: String): DataFrame = {
+    val e = entityEmb(spark, dir)
     withNeg(spark, dir)
-      .withColumn("s_pos", transe(emb("E", col("oid"))))
-      .withColumn("s_neg", transe(emb("E", col("nid"))))
+      .join(e.select(col("id").as("sid"), col("v").as("h")), "sid")
+      .join(e.select(col("id").as("oid"), col("v").as("t")), "oid")
+      .join(e.select(col("id").as("nid"), col("v").as("tn")), "nid")
+      .join(broadcast(relationEmb(spark, dir)
+        .select(col("id").as("pid"), col("v").as("r"))), "pid")
+      .withColumn("s_pos", transeFold(col("t")))
+      .withColumn("s_neg", transeFold(col("tn")))
+  }
 
   /** #41: max-margin ranking loss summary (n pairs, total, mean). */
   def rankingLoss(spark: SparkSession, dir: String): DataFrame =

@@ -42,17 +42,22 @@ object RankingEval {
     * The embedding tables are dictionary-sized → AQE broadcasts them;
     * at 1e9 entities they become shuffle joins on id, same plan shape.
     */
-  def ranks(spark: SparkSession, dir: String): DataFrame = {
-    val entEmb = Dict.entities(spark, dir)
-      .select(col("id"), emb("E", col("id")).as("v"))
-    val relEmb = Dict.relations(spark, dir)
-      .select(col("rid"), emb("R", col("rid")).as("v"))
+  private val ranksCache =
+    new graft.core.DfCache[(SparkSession, String)]
+
+  /** Cached per session: hits@k and MRR both aggregate this frame. */
+  def ranks(spark: SparkSession, dir: String): DataFrame =
+    ranksCache.getOrElseUpdate((spark, dir))(ranksBuild(spark, dir))
+
+  private def ranksBuild(spark: SparkSession, dir: String): DataFrame = {
+    val entEmb = entityEmb(spark, dir)
+    val relEmb = relationEmb(spark, dir)
     def score(h: String, r: String, t: String) =
       dFold(zip_with(zip_with(col(h), col(r), _ * _), col(t), _ * _))
     val test = encodedSample(spark, dir, EvalMod)
       .join(entEmb.select(col("id").as("sid"), col("v").as("h")), "sid")
       .join(entEmb.select(col("id").as("oid"), col("v").as("t")), "oid")
-      .join(broadcast(relEmb.select(col("rid").as("pid"), col("v").as("r"))), "pid")
+      .join(broadcast(relEmb.select(col("id").as("pid"), col("v").as("r"))), "pid")
       .withColumn("score_t", score("h", "r", "t"))
     val cands = Dict.encodedTriples(spark, dir)
       .select(col("pid"), col("oid").as("cand")).distinct()

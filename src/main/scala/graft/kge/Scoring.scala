@@ -3,7 +3,6 @@ package graft.kge
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.TpchGraph
 import graft.functions.CircularCorrelation.ccorr
 import graft.rdf.Dict
 
@@ -17,10 +16,15 @@ import graft.rdf.Dict
   *    score = hᵀ W_r t; DistMult is the diagonal special case).
   *  - HolE: score = rᵀ ccorr(h, t), python/sansa/ml/kbc/keras/holek.py:135-151.
   *
-  * All scores are per-row array math inside whole-stage codegen: the only
-  * shuffles are the dictionary joins that produce the encoded slice. At
-  * 100 TB the slice filter pushes into the scan and the scoring stage is
-  * map-only.
+  * Plan shape (round 3): the slice JOINS the materialized id-keyed
+  * embedding tables ([[Embeddings.entityEmb]] — built once per session,
+  * O(N_entities·D) hash work) and the score is pure array math over
+  * attribute columns inside one projection. Generating embeddings inline
+  * in the score tree was measured 100× slower at sf0.1 (interpreted HOFs
+  * re-evaluate the md5 generator per element — see the warning on
+  * [[Embeddings.emb]]), and the join formulation is the learned-embedding
+  * plan anyway: at 100 TB the entity table is bucketed by id and these
+  * become co-located shuffle joins; the relation table always broadcasts.
   */
 object Scoring {
   import Embeddings._
@@ -28,47 +32,52 @@ object Scoring {
   private def sliced(spark: SparkSession, dir: String): DataFrame =
     encodedSample(spark, dir, ScoreMod)
 
-  private def h: Column = emb("E", col("sid"))
-  private def r: Column = emb("R", col("pid"))
-  private def t: Column = emb("E", col("oid"))
+  /** Slice ⋈ h ⋈ t ⋈ (broadcast) r. */
+  private def slicedEmb(spark: SparkSession, dir: String): DataFrame = {
+    val e = entityEmb(spark, dir)
+    sliced(spark, dir)
+      .join(e.select(col("id").as("sid"), col("v").as("h")), "sid")
+      .join(e.select(col("id").as("oid"), col("v").as("t")), "oid")
+      .join(broadcast(relationEmb(spark, dir)
+        .select(col("id").as("pid"), col("v").as("r"))), "pid")
+  }
 
   /** #13: TransE  score = −Σ_i (h_i + r_i − t_i)². */
   def transeScore(spark: SparkSession, dir: String): DataFrame =
-    sliced(spark, dir)
+    slicedEmb(spark, dir)
       .withColumn("score",
-        -dFold(zip_with(zip_with(h, r, _ + _), t,
+        -dFold(zip_with(zip_with(col("h"), col("r"), _ + _), col("t"),
           (hr, tt) => (hr - tt) * (hr - tt))))
       .select("sid", "pid", "oid", "score")
 
   /** #14: DistMult  score = Σ_i h_i · r_i · t_i. */
   def distmultScore(spark: SparkSession, dir: String): DataFrame =
-    sliced(spark, dir)
-      .withColumn("score", dFold(zip_with(zip_with(h, r, _ * _), t, _ * _)))
+    slicedEmb(spark, dir)
+      .withColumn("score",
+        dFold(zip_with(zip_with(col("h"), col("r"), _ * _), col("t"), _ * _)))
       .select("sid", "pid", "oid", "score")
 
-  /** DistMult score for arbitrary (sid, pid, candidate) columns — reused
-    * by [[RankingEval]].
-    */
-  def distmultCol(sid: Column, pid: Column, oid: Column): Column =
-    dFold(zip_with(zip_with(emb("E", sid), emb("R", pid), _ * _),
-      emb("E", oid), _ * _))
-
   /** #15: RESCAL  score = hᵀ W_p t, W_p an 8×8 dyadic matrix per relation
-    * (row-major flat index j = a·8 + b).
+    * (row-major flat index j = a·8 + b). W joins from the broadcast
+    * [[Embeddings.rescalW]] table; h/t are the first 8 dims of the
+    * entity table. Row-major flat contraction: h aligned as
+    * [h0×8, h1×8, …], t tiled ×8, one zip_with fold (array ops over
+    * attributes — cheap; the md5 work all happened in the tables).
     */
   def rescalScore(spark: SparkSession, dir: String): DataFrame = {
-    val w = emb("W", col("pid"), DRescal * DRescal)
-    val h8 = emb("E", col("sid"), DRescal)
-    val t8 = emb("E", col("oid"), DRescal)
-    // Row-major flat contraction WITHOUT indexing the generated arrays
-    // inside a lambda (element_at(w, j) in a fold lambda re-inlines the
-    // md5 transform per iteration — 64× the hash work): align h as
-    // [h0×8, h1×8, …] and t as t8 tiled ×8, then one zip_with fold.
-    val hRep = flatten(transform(h8, x => array_repeat(x, DRescal)))
-    val tTile = flatten(array_repeat(t8, DRescal))
-    sliced(spark, dir)
+    val e = entityEmb(spark, dir)
+    val withW = sliced(spark, dir)
+      .join(e.select(col("id").as("sid"), slice(col("v"), 1, DRescal).as("h8")), "sid")
+      .join(e.select(col("id").as("oid"), slice(col("v"), 1, DRescal).as("t8")), "oid")
+      .join(broadcast(rescalW(spark, dir)
+        .select(col("id").as("pid"), col("w"))), "pid")
+      .withColumn("h_rep", flatten(transform(col("h8"),
+        x => array_repeat(x, DRescal))))
+      .withColumn("t_tile", flatten(array_repeat(col("t8"), DRescal)))
+    withW
       .withColumn("score",
-        dFold(zip_with(zip_with(w, hRep, _ * _), tTile, _ * _)))
+        dFold(zip_with(zip_with(col("w"), col("h_rep"), _ * _),
+          col("t_tile"), _ * _)))
       .select("sid", "pid", "oid", "score")
   }
 
@@ -76,8 +85,9 @@ object Scoring {
     * [[graft.functions.CircularCorrelation]] expression (codegen'd O(d²)).
     */
   def holeScore(spark: SparkSession, dir: String): DataFrame =
-    sliced(spark, dir)
-      .withColumn("score", dFold(zip_with(r, ccorr(h, t), _ * _)))
+    slicedEmb(spark, dir)
+      .withColumn("cc", ccorr(col("h"), col("t")))
+      .withColumn("score", dFold(zip_with(col("r"), col("cc"), _ * _)))
       .select("sid", "pid", "oid", "score")
 
   // ---------------------------------------------------------------- oracle

@@ -151,12 +151,23 @@ object TextAnalysis {
   /** Winnowing fingerprints: min pHash over each 5-window of word 4-gram
     * hashes; output the distinct selected hashes per document. Robust
     * near-dup fingerprint (shared substrings → shared fingerprints).
+    *
+    * The window-min is FIVE shifted slices of `grams` zipped with
+    * elementwise `least` — NOT `array_min(slice(grams, j, 5))` inside a
+    * transform lambda: `grams` (an md5-per-gram generator) referenced
+    * once from a lambda body gets collapsed INTO the lambda and
+    * re-hashed per window (the [[graft.kge.Embeddings.emb]] trap).
+    * Five references also stop CollapseProject from inlining the
+    * generator.
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     val grams = transform(sequence(lit(0), size(col("ws")) - 4),
       j => PortableHash.pHash(concat_ws(" ", slice(col("ws"), j + 1, lit(4)))))
-    val wins = transform(sequence(lit(0), size(col("grams")) - 5),
-      j => array_min(slice(col("grams"), j + 1, lit(5))))
+    val winLen = size(col("grams")) - 4
+    def sh(k: Int) = slice(col("grams"), lit(k + 1), winLen)
+    val wins = zip_with(
+      zip_with(zip_with(sh(0), sh(1), least(_, _)), sh(2), least(_, _)),
+      zip_with(sh(3), sh(4), least(_, _)), least(_, _))
     Tables.documents(spark, dir)
       .select(col("doc_id"), words.as("ws"))
       .filter(size(col("ws")) >= 8)

@@ -23,9 +23,18 @@ object TpchGraph {
     */
   private val cache = new graft.core.DfCache[(SparkSession, String)]
 
-  /** (s, p, o) string triples derived from the TPC-H foreign keys. */
+  /** (s, p, o) string triples derived from the TPC-H foreign keys.
+    *
+    * Persisted with an EXPLICIT partition count: AQE coalesces the small
+    * distinct output to 1-2 partitions at test SFs, and every downstream
+    * md5-heavy map stage (dictionary encode, slicing, N-Triples format)
+    * would inherit that serialization. An explicit repartition is
+    * AQE-exempt; at 100 TB the count is executor-cores-proportional
+    * config, same idea.
+    */
   def triples(spark: SparkSession, dir: String): DataFrame =
-    cache.getOrElseUpdate((spark, dir))(build(spark, dir))
+    cache.getOrElseUpdate((spark, dir))(build(spark, dir).repartition(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt))
 
   private def build(spark: SparkSession, dir: String): DataFrame = {
     def t(df: DataFrame, s: (String, String), p: String, o: (String, String)) =

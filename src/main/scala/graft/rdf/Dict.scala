@@ -102,7 +102,14 @@ object Dict {
     */
   def encodedTriples(spark: SparkSession, dir: String): DataFrame =
     cached(spark, dir, "encoded") {
+      // Explicit partition count before persist: AQE would coalesce the
+      // small joined output to ~1 partition at test SFs, serializing
+      // every downstream map-heavy consumer (MTTKRP's per-rank explode
+      // was 60 s single-core vs ~4 s spread at sf0.1). Keyed by sid so
+      // trainer/MTTKRP groupBys start from subject-co-located input.
       mapTriples(TpchGraph.triples(spark, dir), spark, dir)
+        .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("sid"))
     }
 
   /** Map an (s, p, o) triple DataFrame to ids using the FULL graph's

@@ -9,7 +9,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class SmokeSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private val slow = Set("cp_als", "rescal_als", "kge_transe_train")
+  private val slow = Set("cp_als", "rescal_als", "kge_transe_train",
+    "kge_transe_train_adagrad", "kge_distmult_train")
 
   SparkEntry.queries.keys.toSeq.sorted.filterNot(slow).foreach { name =>
     test(s"$name runs on sf0.001 and returns rows") {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ann.Ann
 import graft.dedup.Dedup
-import graft.kge.{DistMultTrainer, Kernels, Losses, RankingEval, Scoring}
+import graft.kge.{DistMultTrainer, HolETrainer, Kernels, Losses, RankingEval, Scoring}
 import graft.media.Media
 import graft.streaming.EventStreams
 import graft.kge.TransETrainer
@@ -86,6 +86,7 @@ object SparkEntry {
     "kge_distmult_train" -> ((s, d) => DistMultTrainer.train(configured(s), d)),
     "streaming_dedup" -> ((s, d) => EventStreams.dedup(configured(s), d)),
     "kge_transe_train_adagrad" -> ((s, d) => TransETrainer.trainAdagrad(configured(s), d)),
+    "kge_hole_train" -> ((s, d) => HolETrainer.train(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */

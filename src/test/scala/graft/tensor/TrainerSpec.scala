@@ -40,6 +40,13 @@ class TrainerSpec extends AnyFunSuite {
     losses.sliding(2).foreach { case Array(a, b) => assert(b < a) }
   }
 
+  test("HolE training decreases the margin loss") {
+    val losses = graft.kge.HolETrainer.train(spark, TestSpark.sf)
+      .orderBy("epoch").as[(Int, Double)].collect().map(_._2)
+    assert(losses.length == graft.kge.HolETrainer.Epochs + 1)
+    losses.sliding(2).foreach { case Array(a, b) => assert(b < a) }
+  }
+
   test("MTTKRP output covers every subject id with R rows each") {
     val m = Mttkrp.cpMttkrp(spark, TestSpark.sf)
     val bad = m.groupBy("sid").count()

@@ -26,11 +26,13 @@ object Bench {
     "q1_agg", "q3_join", "q5_join_region",
     "events_windowed_agg", "events_sessionize",
     "dict_encode_entities", "triples_encode", "cp_mttkrp",
-    "kge_transe_score", "kge_hole_score",
+    "tensor_block_partition", "neg_sample_lcwa",
+    "kge_transe_score", "kge_distmult_score", "kge_rescal_score",
+    "kge_hole_score", "kge_loss_ranking",
     "dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
     "text_quality_score", "text_token_count", "text_fingerprint",
-    "media_metadata", "streaming_windowed_agg")
+    "media_metadata", "streaming_windowed_agg", "streaming_dedup")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

@@ -87,6 +87,7 @@ object SparkEntry {
     "streaming_dedup" -> ((s, d) => EventStreams.dedup(configured(s), d)),
     "kge_transe_train_adagrad" -> ((s, d) => TransETrainer.trainAdagrad(configured(s), d)),
     "kge_hole_train" -> ((s, d) => HolETrainer.train(configured(s), d)),
+    "dedup_components" -> ((s, d) => Dedup.components(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -136,5 +137,6 @@ object SparkEntry {
     "kge_loss_logistic" -> Losses.logisticLossSql,
     "kge_activations" -> Losses.activationsSql,
     "streaming_dedup" -> EventStreams.dedupSql,
+    "dedup_components" -> Dedup.componentsSql,
   )
 }

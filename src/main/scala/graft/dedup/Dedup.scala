@@ -134,9 +134,13 @@ object Dedup {
       .select("d1", "d2", "jaccard")
   }
 
-  val minhashPairsSql: String = {
+  /** CTE prelude shared by the pairs query and the components query:
+    * shingles → signatures → bands → capped buckets → candidate pairs →
+    * `vpairs` (exact-Jaccard-verified pairs).
+    */
+  private val minhashCtes: String = {
     val bandSeed = "b || ',' || sig[b*4+1] || ',' || sig[b*4+2] || ',' || sig[b*4+3] || ',' || sig[b*4+4]"
-    s"""WITH $duckShingles,
+    s"""$duckShingles,
        |hx AS MATERIALIZED (
        |  SELECT doc_id, ${PortableHash.duck("s")} % $HashMod AS h
        |  FROM (SELECT doc_id, unnest(sh) AS s FROM shd)
@@ -165,14 +169,73 @@ object Dedup {
        |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
        |  FROM capped x JOIN capped y
        |    ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
-       |)
-       |SELECT d1, d2,
-       |  CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) /
-       |    (len(s1.sh) + len(s2.sh) - CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)) AS jaccard
-       |FROM pairs JOIN shd s1 ON s1.doc_id = d1 JOIN shd s2 ON s2.doc_id = d2
-       |WHERE CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) /
-       |    (len(s1.sh) + len(s2.sh) - CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)) >= $JaccardTau""".stripMargin
+       |),
+       |vpairs AS MATERIALIZED (
+       |  SELECT d1, d2, jaccard FROM (
+       |    SELECT d1, d2,
+       |      CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) /
+       |        (len(s1.sh) + len(s2.sh) - CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)) AS jaccard
+       |    FROM pairs JOIN shd s1 ON s1.doc_id = d1 JOIN shd s2 ON s2.doc_id = d2
+       |  ) WHERE jaccard >= $JaccardTau
+       |)""".stripMargin
   }
+
+  val minhashPairsSql: String =
+    s"WITH $minhashCtes\nSELECT d1, d2, jaccard FROM vpairs"
+
+  // ------------------------------------------------- #48 dedup components
+
+  /** #48: near-duplicate CLUSTERS — connected components over the
+    * verified MinHash pair graph, plus the canonical representative
+    * (component = min doc_id): the step that turns pair detection into
+    * "keep one copy" in a real training-data pipeline.
+    *
+    * Spark-first: min-label propagation to fixpoint — per iteration one
+    * join (labels ⋈ edges) + one groupBy(min), both keyed on doc —
+    * O(diameter) rounds; near-dup graphs are overwhelmingly tiny cliques
+    * so 2-3 rounds converge. `localCheckpoint` truncates the iterative
+    * lineage. At 100 TB this is the standard alternating join/agg CC
+    * (large-star/small-star has the same plan shape with fewer rounds
+    * on adversarial chains).
+    */
+  def components(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(spark, dir)
+      .select("d1", "d2").localCheckpoint()
+    val edges = pairs
+      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint()
+    var labels = edges.select(col("d1").as("doc")).distinct()
+      .withColumn("lab", col("doc")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val prop = edges.join(labels.withColumnRenamed("doc", "d1"), "d1")
+        .select(col("d2").as("doc"), col("lab"))
+      val next = labels.union(prop)
+        .groupBy("doc").agg(min("lab").as("lab")).localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("lab", "old"), "doc")
+        .filter(col("lab") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("doc").as("doc_id"), col("lab").as("component"))
+  }
+
+  /** Oracle: recursive min-label reachability (undirected edges), same
+    * component = min reachable doc_id.
+    */
+  val componentsSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |edges AS (
+       |  SELECT d1, d2 FROM vpairs UNION ALL SELECT d2, d1 FROM vpairs
+       |),
+       |reach AS (
+       |  SELECT d1 AS doc, d1 AS lab FROM edges
+       |  UNION
+       |  SELECT e.d2 AS doc, r.lab FROM reach r JOIN edges e ON e.d1 = r.doc
+       |)
+       |SELECT doc AS doc_id, MIN(lab) AS component
+       |FROM reach GROUP BY doc""".stripMargin
 
   // --------------------------------------------------------- #26 SimHash
 

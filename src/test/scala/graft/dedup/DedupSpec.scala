@@ -5,6 +5,27 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
 class DedupSpec extends AnyFunSuite {
+
+  test("components: every pair endpoint gets a label, pairs share a " +
+    "component, and the component is a member doc_id") {
+    val spark = graft.TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val pairs = Dedup.minhashPairs(spark, graft.TestSpark.sf)
+    val comp = Dedup.components(spark, graft.TestSpark.sf)
+    val n = pairs.select(explode(array(col("d1"), col("d2"))).as("doc_id"))
+      .distinct()
+    assert(comp.count() == n.count())
+    // both endpoints of every pair map to the same component
+    val c1 = comp.withColumnRenamed("doc_id", "d1")
+      .withColumnRenamed("component", "comp1")
+    val c2 = comp.withColumnRenamed("doc_id", "d2")
+      .withColumnRenamed("component", "comp2")
+    assert(pairs.join(c1, "d1").join(c2, "d2")
+      .filter(col("comp1") =!= col("comp2")).isEmpty)
+    // component id is itself a doc in the component (the canonical rep)
+    assert(comp.filter(col("component") === col("doc_id")).count() ==
+      comp.select("component").distinct().count())
+  }
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 

@@ -88,6 +88,7 @@ object SparkEntry {
     "kge_transe_train_adagrad" -> ((s, d) => TransETrainer.trainAdagrad(configured(s), d)),
     "kge_hole_train" -> ((s, d) => HolETrainer.train(configured(s), d)),
     "dedup_components" -> ((s, d) => Dedup.components(configured(s), d)),
+    "media_frame_sample" -> ((s, d) => Media.frameSample(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -138,5 +139,6 @@ object SparkEntry {
     "kge_activations" -> Losses.activationsSql,
     "streaming_dedup" -> EventStreams.dedupSql,
     "dedup_components" -> Dedup.componentsSql,
+    "media_frame_sample" -> Media.frameSampleSql,
   )
 }

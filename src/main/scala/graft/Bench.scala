@@ -31,8 +31,10 @@ object Bench {
     "kge_hole_score", "kge_loss_ranking",
     "dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "dedup_components",
     "text_quality_score", "text_token_count", "text_fingerprint",
-    "media_metadata", "streaming_windowed_agg", "streaming_dedup")
+    "media_metadata", "media_frame_sample",
+    "streaming_windowed_agg", "streaming_dedup")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =
@@ -59,6 +61,12 @@ object Bench {
 
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
+      // GC boundary: after the warmup pass the heap is full of cached
+      // blocks + codegen classes, and collector pauses were landing
+      // INSIDE whichever query ran next (bimodal 1.6 s vs 90 s for the
+      // same query, run-to-run). Collecting between queries charges GC
+      // to the harness, not to an arbitrary victim query.
+      System.gc()
       val t0 = System.nanoTime()
       val err: Option[String] =
         try { run(fn(spark, sfDir)); None }

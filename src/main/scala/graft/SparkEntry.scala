@@ -89,6 +89,7 @@ object SparkEntry {
     "kge_hole_train" -> ((s, d) => HolETrainer.train(configured(s), d)),
     "dedup_components" -> ((s, d) => Dedup.components(configured(s), d)),
     "media_frame_sample" -> ((s, d) => Media.frameSample(configured(s), d)),
+    "kge_transe_train_adam" -> ((s, d) => TransETrainer.trainAdam(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */

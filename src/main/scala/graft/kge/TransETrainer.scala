@@ -41,17 +41,18 @@ object TransETrainer {
     array((0 until D).map(i => PortableHash.dyadic(
       concat_ws("|", lit(kind), id.cast("string"), lit(i.toString)))): _*)
 
-  /** Adagrad ε (the reference's optimizer zoo — TransE.scala:47-149 —
-    * selects SGD/Adagrad/Adam by name; Adam's bias-corrected moments add
-    * two more state arrays but the same join shape).
+  /** Optimizer constants (the reference's optimizer zoo —
+    * TransE.scala:47-149 — selects SGD/Adagrad/Adam by name).
     */
   val Eps = 1e-8
+  val Beta1 = 0.9
+  val Beta2 = 0.999
 
   /** #20: plain full-batch SGD. Returns (epoch, loss) rows, loss
     * strictly decreasing for sane lr.
     */
   def train(spark: SparkSession, dir: String): DataFrame =
-    trainImpl(spark, dir, adagrad = false)
+    trainImpl(spark, dir, "sgd")
 
   /** #46: Adagrad — per-parameter adaptive steps. The accumulated
     * squared gradient is one more array column CARRIED ON the embedding
@@ -60,9 +61,17 @@ object TransETrainer {
     * join, no driver state).
     */
   def trainAdagrad(spark: SparkSession, dir: String): DataFrame =
-    trainImpl(spark, dir, adagrad = true)
+    trainImpl(spark, dir, "adagrad")
 
-  private def trainImpl(spark: SparkSession, dir: String, adagrad: Boolean): DataFrame = {
+  /** #50: Adam — bias-corrected first/second moments, two slot arrays
+    * on the embedding frames (same co-partitioned-state shape as
+    * Adagrad; the bias-correction scalar depends only on the epoch, a
+    * driver-side constant folded into the update expression).
+    */
+  def trainAdam(spark: SparkSession, dir: String): DataFrame =
+    trainImpl(spark, dir, "adam")
+
+  private def trainImpl(spark: SparkSession, dir: String, optimizer: String): DataFrame = {
     import spark.implicits._
     val enc = Dict.encodedTriples(spark, dir)
     val nEnt = Dict.entities(spark, dir).count()
@@ -73,13 +82,15 @@ object TransETrainer {
       when(raw === col("oid"), (raw + 1) % nEnt).otherwise(raw))
       .localCheckpoint()
 
+    // optimizer slot arrays: s1 = Adagrad accumulator / Adam 1st moment,
+    // s2 = Adam 2nd moment (unused by sgd/adagrad)
     val zeros = array((0 until D).map(_ => lit(0.0)): _*)
     var ent = x.select(explode(array(col("sid"), col("oid"), col("nid"))).as("id"))
       .distinct().withColumn("vec", initVec("TE", col("id")))
-      .withColumn("g2", zeros).localCheckpoint()
+      .withColumn("s1", zeros).withColumn("s2", zeros).localCheckpoint()
     var rel = x.select(col("pid").as("id")).distinct()
       .withColumn("vec", initVec("TR", col("id")))
-      .withColumn("g2", zeros).localCheckpoint()
+      .withColumn("s1", zeros).withColumn("s2", zeros).localCheckpoint()
 
     def joined: DataFrame =
       x.join(ent.select(col("id").as("sid"), col("vec").as("h")), "sid")
@@ -138,22 +149,44 @@ object TransETrainer {
         val joinedF = f.join(
           grads.filter(col("kind") === kind).select(col("id"), col("gvec")),
           Seq("id"), "left")
-        if (!adagrad)
-          joinedF.select(col("id"), when(col("gvec").isNull, col("vec"))
-            .otherwise(zip_with(col("vec"), col("gvec"),
-              (v, g) => v - lit(Lr) * g)).as("vec"), col("g2"))
-        else
-          joinedF
-            .withColumn("g2n", when(col("gvec").isNull, col("g2"))
-              .otherwise(zip_with(col("g2"), col("gvec"),
-                (a, g) => a + g * g)))
-            .select(col("id"),
-              when(col("gvec").isNull, col("vec")).otherwise(
-                // step_i = g_i / √(G'_i + ε); vec_i ← vec_i − lr·step_i
-                zip_with(zip_with(col("gvec"), col("g2n"),
-                  (g, a) => g / sqrt(a + lit(Eps))), col("vec"),
-                  (step, v) => v - lit(Lr) * step)).as("vec"),
-              col("g2n").as("g2"))
+        optimizer match {
+          case "sgd" =>
+            joinedF.select(col("id"), when(col("gvec").isNull, col("vec"))
+              .otherwise(zip_with(col("vec"), col("gvec"),
+                (v, g) => v - lit(Lr) * g)).as("vec"),
+              col("s1"), col("s2"))
+          case "adagrad" =>
+            joinedF
+              .withColumn("s1n", when(col("gvec").isNull, col("s1"))
+                .otherwise(zip_with(col("s1"), col("gvec"),
+                  (a, g) => a + g * g)))
+              .select(col("id"),
+                when(col("gvec").isNull, col("vec")).otherwise(
+                  // step_i = g_i / √(G'_i + ε); vec_i ← vec_i − lr·step_i
+                  zip_with(zip_with(col("gvec"), col("s1n"),
+                    (g, a) => g / sqrt(a + lit(Eps))), col("vec"),
+                    (step, v) => v - lit(Lr) * step)).as("vec"),
+                col("s1n").as("s1"), col("s2"))
+          case "adam" =>
+            // bias corrections depend only on the epoch → driver scalars
+            val bc1 = 1.0 - math.pow(Beta1, epoch)
+            val bc2 = 1.0 - math.pow(Beta2, epoch)
+            joinedF
+              .withColumn("s1n", when(col("gvec").isNull, col("s1"))
+                .otherwise(zip_with(col("s1"), col("gvec"),
+                  (m, g) => lit(Beta1) * m + lit(1 - Beta1) * g)))
+              .withColumn("s2n", when(col("gvec").isNull, col("s2"))
+                .otherwise(zip_with(col("s2"), col("gvec"),
+                  (v, g) => lit(Beta2) * v + lit(1 - Beta2) * (g * g))))
+              .select(col("id"),
+                when(col("gvec").isNull, col("vec")).otherwise(
+                  // step_i = m̂/(√v̂ + ε), m̂ = s1'/bc1, v̂ = s2'/bc2
+                  zip_with(zip_with(col("s1n"), col("s2n"),
+                    (m, v) => (m / lit(bc1)) /
+                      (sqrt(v / lit(bc2)) + lit(Eps))), col("vec"),
+                    (step, vv) => vv - lit(Lr) * step)).as("vec"),
+                col("s1n").as("s1"), col("s2n").as("s2"))
+        }
       }
 
       ent = applyGrad(ent, "e").localCheckpoint()

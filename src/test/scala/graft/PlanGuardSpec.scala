@@ -22,8 +22,8 @@ class PlanGuardSpec extends AnyFunSuite {
   private val skip = Set(
     "streaming_windowed_agg", "streaming_sessionize", "streaming_dedup",
     // trainers execute eagerly (multi-job loops), not a single plan
-    "kge_transe_train", "kge_transe_train_adagrad", "kge_distmult_train",
-    "kge_hole_train", "cp_als", "rescal_als")
+    "kge_transe_train", "kge_transe_train_adagrad", "kge_transe_train_adam",
+    "kge_distmult_train", "kge_hole_train", "cp_als", "rescal_als")
 
   test("no registered query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

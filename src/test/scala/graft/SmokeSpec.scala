@@ -10,7 +10,8 @@ class SmokeSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   private val slow = Set("cp_als", "rescal_als", "kge_transe_train",
-    "kge_transe_train_adagrad", "kge_distmult_train", "kge_hole_train")
+    "kge_transe_train_adagrad", "kge_transe_train_adam",
+    "kge_distmult_train", "kge_hole_train")
 
   SparkEntry.queries.keys.toSeq.sorted.filterNot(slow).foreach { name =>
     test(s"$name runs on sf0.001 and returns rows") {

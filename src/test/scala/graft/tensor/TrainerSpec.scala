@@ -40,6 +40,13 @@ class TrainerSpec extends AnyFunSuite {
     losses.sliding(2).foreach { case Array(a, b) => assert(b < a) }
   }
 
+  test("TransE Adam training decreases the margin loss") {
+    val losses = graft.kge.TransETrainer.trainAdam(spark, TestSpark.sf)
+      .orderBy("epoch").as[(Int, Double)].collect().map(_._2)
+    assert(losses.length == graft.kge.TransETrainer.Epochs + 1)
+    losses.sliding(2).foreach { case Array(a, b) => assert(b < a) }
+  }
+
   test("HolE training decreases the margin loss") {
     val losses = graft.kge.HolETrainer.train(spark, TestSpark.sf)
       .orderBy("epoch").as[(Int, Double)].collect().map(_._2)

@@ -13,15 +13,29 @@ import org.apache.spark.storage.StorageLevel
   * teardown.
   */
 final class DfCache[K] {
-  private val m = scala.collection.concurrent.TrieMap.empty[K, DataFrame]
+  // Lazy holder: putIfAbsent races on the (cheap, unevaluated) holder,
+  // then everyone forces the ONE winner — concurrent callers (Verify
+  // runs queries on a pool) share a single build+persist instead of
+  // each materializing a losing duplicate (ADVICE r3).
+  private final class Holder(build: () => DataFrame) {
+    @volatile var built = false
+    lazy val df: DataFrame = {
+      val d = build().persist(StorageLevel.MEMORY_AND_DISK)
+      built = true
+      d
+    }
+  }
+  private val m = scala.collection.concurrent.TrieMap.empty[K, Holder]
   Caches.register(this)
 
-  def getOrElseUpdate(k: K)(build: => DataFrame): DataFrame =
-    m.getOrElseUpdate(k, build.persist(StorageLevel.MEMORY_AND_DISK))
+  def getOrElseUpdate(k: K)(build: => DataFrame): DataFrame = {
+    val holder = new Holder(() => build)
+    m.putIfAbsent(k, holder).getOrElse(holder).df
+  }
 
   def clear(): Unit = {
-    m.values.foreach { df =>
-      try df.unpersist(blocking = false)
+    m.values.foreach { h =>
+      try { if (h.built) h.df.unpersist(blocking = false) }
       catch { case _: Throwable => () } // session may already be stopped
     }
     m.clear()

@@ -218,6 +218,13 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // A chain-shaped near-dup graph with diameter > the iteration cap
+    // would exit unconverged with WRONG labels — fail loudly rather than
+    // return them (ADVICE r3); near-dup graphs are tiny cliques, so
+    // hitting this means the input is adversarial and needs the
+    // large-star/small-star O(log n) variant.
+    if (!converged) throw new IllegalStateException(
+      s"dedup_components: min-label propagation not converged after $iter rounds")
     labels.select(col("doc").as("doc_id"), col("lab").as("component"))
   }
 

@@ -47,13 +47,9 @@ object HolETrainer {
   /** Returns (epoch, loss) rows; loss decreases over the first epochs. */
   def train(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val enc = Dict.encodedTriples(spark, dir)
-    val nEnt = Dict.entities(spark, dir).count()
-    val raw = PortableHash.pHash(
-      concat_ws("|", lit("neg"), col("sid"), col("pid"), col("oid"))) % nEnt
-    val x = enc.withColumn("nid",
-      when(raw === col("oid"), (raw + 1) % nEnt).otherwise(raw))
-      .localCheckpoint()
+    // shared deterministic minibatch (TrainData): reference-shaped
+    // minibatch training, one build for all trainer entries
+    val x = TrainData.minibatch(spark, dir)
 
     var ent = x.select(explode(array(col("sid"), col("oid"), col("nid"))).as("id"))
       .distinct().withColumn("vec", initVec("HE", col("id"))).localCheckpoint()

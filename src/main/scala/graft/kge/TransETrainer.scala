@@ -12,8 +12,9 @@ import graft.rdf.Dict
   * (minibatch SGD over MXNet NDArrays, margin ranking loss at
   * Functions.scala:14-18, object corruption at TransE.scala:92-93).
   *
-  * Spark-first reformulation: full-batch (deterministic) gradient descent
-  * on the margin ranking loss
+  * Spark-first reformulation: deterministic-minibatch gradient descent
+  * (the reference's minibatch shape with a pHash-fixed batch, see
+  * [[TrainData]]) on the margin ranking loss
   *   L = Σ max(0, γ + ‖h+r−t‖² − ‖h+r−t'‖²)
   * with one pHash-derived corrupted object t' per triple. Per epoch:
   *  - join triples to the current embedding DataFrames on id (the only
@@ -25,10 +26,10 @@ import graft.rdf.Dict
   * `localCheckpoint` after each epoch truncates the lineage (the
   * iterative-DataFrame pattern).
   *
-  * The reference's minibatch SGD samples random batches; full-batch GD
-  * keeps the loss-descent property the spec asserts while staying
-  * reproducible run-to-run (no RNG, no partition-order dependence —
-  * gradient sums go through decimal terms).
+  * The reference's minibatch SGD samples random batches; the fixed
+  * deterministic batch keeps the loss-descent property the spec asserts
+  * while staying reproducible run-to-run (no RNG, no partition-order
+  * dependence — gradient sums go through decimal terms).
   */
 object TransETrainer {
 
@@ -73,14 +74,10 @@ object TransETrainer {
 
   private def trainImpl(spark: SparkSession, dir: String, optimizer: String): DataFrame = {
     import spark.implicits._
-    val enc = Dict.encodedTriples(spark, dir)
-    val nEnt = Dict.entities(spark, dir).count()
-    // deterministic corrupted object (the negSampleCorrupt rule)
-    val raw = PortableHash.pHash(
-      concat_ws("|", lit("neg"), col("sid"), col("pid"), col("oid"))) % nEnt
-    val x = enc.withColumn("nid",
-      when(raw === col("oid"), (raw + 1) % nEnt).otherwise(raw))
-      .localCheckpoint()
+    // deterministic minibatch + corrupted objects, shared across all
+    // trainer entries (see TrainData — the reference's minibatch-SGD
+    // shape with a pHash-fixed batch)
+    val x = TrainData.minibatch(spark, dir)
 
     // optimizer slot arrays: s1 = Adagrad accumulator / Adam 1st moment,
     // s2 = Adam 2nd moment (unused by sgd/adagrad)

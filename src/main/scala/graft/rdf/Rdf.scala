@@ -138,6 +138,12 @@ object Rdf {
       .select("sid", "pid", "oid", "neg_sid")
     val observedHeads = enc.select(col("sid").as("neg_sid"), col("pid")).distinct()
     corrupted.join(observedHeads, Seq("neg_sid", "pid"), "left_semi")
+      // the reference sampler (sample.py LCWASampler) also rejects any
+      // corruption that IS an observed positive (`tuple(nex) not in
+      // self.xs`) — without this, known-true triples leak out as
+      // negatives (ADVICE r3)
+      .join(enc.select(col("sid").as("neg_sid"), col("pid"), col("oid")),
+        Seq("neg_sid", "pid", "oid"), "left_anti")
       .select("sid", "pid", "oid", "neg_sid")
   }
 
@@ -153,6 +159,9 @@ object Rdf {
        |SELECT c.sid, c.pid, c.oid, c.neg_sid
        |FROM corrupted c
        |WHERE EXISTS (SELECT 1 FROM encoded e
-       |              WHERE e.sid = c.neg_sid AND e.pid = c.pid)""".stripMargin
+       |              WHERE e.sid = c.neg_sid AND e.pid = c.pid)
+       |  AND NOT EXISTS (SELECT 1 FROM encoded e
+       |                  WHERE e.sid = c.neg_sid AND e.pid = c.pid
+       |                    AND e.oid = c.oid)""".stripMargin
   }
 }

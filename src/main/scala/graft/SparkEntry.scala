@@ -90,6 +90,7 @@ object SparkEntry {
     "dedup_components" -> ((s, d) => Dedup.components(configured(s), d)),
     "media_frame_sample" -> ((s, d) => Media.frameSample(configured(s), d)),
     "kge_transe_train_adam" -> ((s, d) => TransETrainer.trainAdam(configured(s), d)),
+    "corpus_clean" -> ((s, d) => graft.pipeline.CorpusClean.corpusClean(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -141,5 +142,6 @@ object SparkEntry {
     "streaming_dedup" -> EventStreams.dedupSql,
     "dedup_components" -> Dedup.componentsSql,
     "media_frame_sample" -> Media.frameSampleSql,
+    "corpus_clean" -> graft.pipeline.CorpusClean.corpusCleanSql,
   )
 }

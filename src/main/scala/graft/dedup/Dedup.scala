@@ -138,7 +138,7 @@ object Dedup {
     * shingles → signatures → bands → capped buckets → candidate pairs →
     * `vpairs` (exact-Jaccard-verified pairs).
     */
-  private val minhashCtes: String = {
+  val minhashCtes: String = {
     val bandSeed = "b || ',' || sig[b*4+1] || ',' || sig[b*4+2] || ',' || sig[b*4+3] || ',' || sig[b*4+4]"
     s"""$duckShingles,
        |hx AS MATERIALIZED (
@@ -201,21 +201,30 @@ object Dedup {
   def components(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashPairs(spark, dir)
       .select("d1", "d2").localCheckpoint()
+    // symmetric closure of the cheap checkpointed pair set — no second
+    // checkpoint job needed
     val edges = pairs
       .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      .localCheckpoint()
     var labels = edges.select(col("d1").as("doc")).distinct()
       .withColumn("lab", col("doc")).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
+      // min over propagated neighbor labels; every edge endpoint already
+      // carries a label, so labels ∪ prop → groupBy(min) is equivalent to
+      // a left join + least(). Carrying a `changed` flag INSIDE the
+      // checkpointed frame makes the convergence test a cheap scan of
+      // local blocks instead of a second join job per iteration.
       val prop = edges.join(labels.withColumnRenamed("doc", "d1"), "d1")
         .select(col("d2").as("doc"), col("lab"))
-      val next = labels.union(prop)
-        .groupBy("doc").agg(min("lab").as("lab")).localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("lab", "old"), "doc")
-        .filter(col("lab") =!= col("old")).isEmpty
-      labels = next
+        .groupBy("doc").agg(min("lab").as("plab"))
+      val next = labels.join(prop, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("lab"), coalesce(col("plab"), col("lab"))).as("lab"),
+          (coalesce(col("plab"), col("lab")) < col("lab")).as("changed"))
+        .localCheckpoint()
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select("doc", "lab")
       iter += 1
     }
     // A chain-shaped near-dup graph with diameter > the iteration cap

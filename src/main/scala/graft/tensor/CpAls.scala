@@ -83,8 +83,12 @@ object CpAls {
       }
     }
 
+    // Gram cache: each factor changes ONCE per sweep, so its R×R Gram is
+    // computed once right after the update and reused by the other two
+    // half-steps and the fit — 3 gram jobs per sweep instead of 9.
+    var ga = gram(a); var gb = gram(b); var gc = gram(c)
+
     def fit(): Double = {
-      val ga = gram(a); val gb = gram(b); val gc = gram(c)
       val af = a.select(col("id").as("sid"), col("vec").as("av"))
       val bf = b.select(col("id").as("pid"), col("vec").as("bv"))
       val cf = c.select(col("id").as("oid"), col("vec").as("cv"))
@@ -100,11 +104,14 @@ object CpAls {
     fits += ((0, fit()))
     for (it <- 1 to Iters) {
       a = applyRight(sumVec(joinFactors("sid"), "sid", "t"),
-        SmallLinalg.inv(SmallLinalg.hadamard(gram(b), gram(c)))).localCheckpoint()
+        SmallLinalg.inv(SmallLinalg.hadamard(gb, gc))).localCheckpoint()
+      ga = gram(a)
       b = applyRight(sumVec(joinFactors("pid"), "pid", "t"),
-        SmallLinalg.inv(SmallLinalg.hadamard(gram(a), gram(c)))).localCheckpoint()
+        SmallLinalg.inv(SmallLinalg.hadamard(ga, gc))).localCheckpoint()
+      gb = gram(b)
       c = applyRight(sumVec(joinFactors("oid"), "oid", "t"),
-        SmallLinalg.inv(SmallLinalg.hadamard(gram(a), gram(b)))).localCheckpoint()
+        SmallLinalg.inv(SmallLinalg.hadamard(ga, gb))).localCheckpoint()
+      gc = gram(c)
       fits += ((it, fit()))
     }
     import spark.implicits._

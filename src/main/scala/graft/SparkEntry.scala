@@ -91,6 +91,13 @@ object SparkEntry {
     "media_frame_sample" -> ((s, d) => Media.frameSample(configured(s), d)),
     "kge_transe_train_adam" -> ((s, d) => TransETrainer.trainAdam(configured(s), d)),
     "corpus_clean" -> ((s, d) => graft.pipeline.CorpusClean.corpusClean(configured(s), d)),
+    "sample_stratified" -> ((s, d) => graft.pipeline.Sampling.sampleStratified(configured(s), d)),
+    "corpus_mix_report" -> ((s, d) => graft.pipeline.Sampling.corpusMixReport(configured(s), d)),
+    "text_tfidf" -> ((s, d) => graft.text.Relevance.tfidfKeywords(configured(s), d)),
+    "text_bm25" -> ((s, d) => graft.text.Relevance.bm25Search(configured(s), d)),
+    "text_ngram_lm" -> ((s, d) => graft.text.Relevance.ngramLmScore(configured(s), d)),
+    "doc_length_stats" -> ((s, d) => TextAnalysis.docLengthStats(configured(s), d)),
+    "source_jsonl_roundtrip" -> ((s, d) => graft.sources.Jsonl.roundtrip(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -143,5 +150,12 @@ object SparkEntry {
     "dedup_components" -> Dedup.componentsSql,
     "media_frame_sample" -> Media.frameSampleSql,
     "corpus_clean" -> graft.pipeline.CorpusClean.corpusCleanSql,
+    "sample_stratified" -> graft.pipeline.Sampling.sampleStratifiedSql,
+    "corpus_mix_report" -> graft.pipeline.Sampling.corpusMixReportSql,
+    "text_tfidf" -> graft.text.Relevance.tfidfKeywordsSql,
+    "text_bm25" -> graft.text.Relevance.bm25SearchSql,
+    "text_ngram_lm" -> graft.text.Relevance.ngramLmScoreSql,
+    "doc_length_stats" -> TextAnalysis.docLengthStatsSql,
+    "source_jsonl_roundtrip" -> graft.sources.Jsonl.roundtripSql,
   )
 }

@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{PortableHash, Tables}
+
+/** Deterministic sampling operators for training-data curation: stratified
+  * subsampling and token-budget corpus mixing.
+  *
+  * Beyond the reference's surface (per the build brief); semantics follow
+  * standard pre-training data practice (per-language mixture weights, a
+  * per-source token budget — the "data mixing" stage that follows the
+  * cleaning funnel in [[CorpusClean]]).
+  *
+  * Both operators select rows by `pHash(doc_id) % 1000 < rate_mille`: a
+  * pure map-side filter, no shuffle, no RNG state, and the SAME rows are
+  * selected regardless of partitioning or cluster size — re-running a
+  * 100 TB sample job is reproducible by construction, and adding data
+  * never changes the verdict on existing rows (hash-based sampling is
+  * append-stable, unlike reservoir/limit sampling).
+  */
+object Sampling {
+
+  /** Selection hash in thousandths: uniform in [0, 1000). */
+  private def mille(salt: String): Column =
+    PortableHash.pHash(concat(lit(salt), col("doc_id"))) % 1000
+
+  private def duckMille(salt: String): String =
+    s"(${PortableHash.duck(s"'$salt' || doc_id")} % 1000)"
+
+  // -------------------------------------------------- stratified sampling
+
+  /** Per-language mixture weights in thousandths (an "upsample English,
+    * downsample the tail" mixture, the usual pre-training shape).
+    */
+  private val langRate: Seq[(String, Int)] =
+    Seq("en" -> 800, "de" -> 600, "fr" -> 500, "es" -> 400, "zh" -> 250)
+
+  /** #52: stratified sample — keep each document with its language's
+    * mixture rate. Map-only (filter on a hash of the row's own key);
+    * zero shuffles; scales linearly and never moves the text payload.
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val rate = langRate.foldLeft(lit(0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .filter(mille("strat") < rate)
+  }
+
+  val sampleStratifiedSql: String = {
+    val rate = langRate.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+    s"""SELECT doc_id, source, lang, n_chars
+       |FROM documents
+       |WHERE ${duckMille("strat")} < ($rate)""".stripMargin
+  }
+
+  // -------------------------------------------------- token-budget mixing
+
+  /** Per-source token budget (whitespace tokens) for the mix report. */
+  private val budgetTokens = 2000L
+
+  /** #53: corpus mix report — given a per-source token budget, derive the
+    * acceptance rate `min(1000, 1000·budget/available)` per source, take
+    * the hash-stable sample, and report per-source attrition:
+    * (n_docs, avail_tokens, rate_mille, sampled_docs, sampled_tokens).
+    *
+    * Plan shape: one groupBy(source) to size each source, the 20-row rate
+    * table broadcast back onto the documents, the same map-side hash
+    * filter, one final groupBy(source). All arithmetic is integer (floor
+    * division), so the report is engine-exact. At 100 TB the rate table
+    * is still #sources rows — the broadcast never grows with data.
+    */
+  def corpusMixReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+    val rates = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("avail_tokens"))
+      // floor(double-division) in BOTH engines (Spark `/` on longs is
+      // double division; DuckDB `//` would be true integer division)
+      .withColumn("rate_mille",
+        least(lit(1000L),
+          floor(lit(1000.0 * budgetTokens) / col("avail_tokens")).cast("long")))
+    docs.join(broadcast(rates), "source")
+      .withColumn("keep", mille("mix") < col("rate_mille"))
+      .groupBy("source", "n_docs", "avail_tokens", "rate_mille")
+      .agg(
+        sum(col("keep").cast("long")).as("sampled_docs"),
+        sum(when(col("keep"), col("toks")).otherwise(0L)).as("sampled_tokens"))
+  }
+
+  val corpusMixReportSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS toks
+       |  FROM documents
+       |), rates AS (
+       |  SELECT source, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS avail_tokens,
+       |    least(1000, CAST(floor(CAST(1000 * $budgetTokens AS DOUBLE) / SUM(toks)) AS BIGINT)) AS rate_mille
+       |  FROM d GROUP BY source
+       |)
+       |SELECT d.source, n_docs, avail_tokens, rate_mille,
+       |  CAST(SUM(CASE WHEN ${duckMille("mix")} < rate_mille THEN 1 ELSE 0 END) AS BIGINT) AS sampled_docs,
+       |  CAST(SUM(CASE WHEN ${duckMille("mix")} < rate_mille THEN toks ELSE 0 END) AS BIGINT) AS sampled_tokens
+       |FROM d JOIN rates USING (source)
+       |GROUP BY d.source, n_docs, avail_tokens, rate_mille""".stripMargin
+}

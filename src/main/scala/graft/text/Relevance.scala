@@ -1,0 +1,213 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Exact, Tables}
+
+/** Term-relevance operators over the `documents` table: TF-IDF keyword
+  * extraction, BM25 keyword search, and an n-gram language-model quality
+  * score. These are the retrieval/quality stage of a training-data
+  * pipeline (keyword extraction for tagging, search for targeted curation,
+  * LM frequency scores for fluency filtering).
+  *
+  * Cross-engine exactness: the usual `ln`-based IDF is replaced by the
+  * rational ratios `N/df` (TF-IDF) and `(N-df+0.5)/(df+0.5)` (BM25).
+  * `ln` is a transcendental whose last ulp is libm-dependent, while a
+  * single IEEE division is correctly rounded in every engine; the
+  * monotone-equivalent rational form keeps rankings identical and makes
+  * the scores oracle-exact. BM25's free constants are chosen dyadic
+  * (k1 = 1.25, b = 0.75) so intermediate products stay exact, and the
+  * per-term score sum runs through [[Exact.decSum]] (order-independent).
+  */
+object Relevance {
+
+  private val words: Column = split(trim(col("text")), "\\s+")
+  private val duckWords = "regexp_split_to_array(trim(text), '\\s+')"
+
+  /** (doc_id, term, tf) — one explode, one groupBy(doc_id, term). */
+  private def termFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+
+  private val termFreqCte: String =
+    s"""tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest($duckWords) AS term FROM documents)
+       |  GROUP BY doc_id, term
+       |)""".stripMargin
+
+  // ------------------------------------------------------------- TF-IDF
+
+  /** #54: top-3 TF-IDF keywords per document. Score = tf · N / df with
+    * the rational IDF (see class doc). Plan: the (term → df) table is
+    * vocabulary-sized, aggregated once and broadcast back onto the
+    * per-(doc, term) frame; the only data-scale shuffles are the
+    * groupBy(doc_id, term) and the per-doc top-k window — both keyed by
+    * doc_id, and the window input is already cut to ≤|vocab| rows/doc.
+    */
+  def tfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val tf = termFreq(spark, dir)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val byDoc = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rnk", row_number().over(byDoc))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "term", "tf", "df", "score", "rnk")
+  }
+
+  val tfidfKeywordsSql: String =
+    s"""WITH $termFreqCte,
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, term, tf, df,
+       |    CAST(tf * n_docs AS DOUBLE) / df AS score
+       |  FROM tf JOIN df USING (term), n
+       |)
+       |SELECT doc_id, term, tf, df, score,
+       |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+       |FROM scored
+       |QUALIFY rnk <= 3""".stripMargin
+
+  // --------------------------------------------------------------- BM25
+
+  private val k1 = 1.25 // dyadic on purpose: products with it stay exact
+  private val b = 0.75
+
+  /** The fixed keyword query set (id → space-separated terms). */
+  private val queries: Seq[(String, String)] = Seq(
+    "q_compute" -> "spark query join",
+    "q_storage" -> "table scan filter",
+    "q_stream" -> "stream window agg")
+
+  /** #55: BM25 top-5 documents per keyword query.
+    * score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    * with the rational idf (N − df + 0.5)/(df + 0.5).
+    *
+    * Plan: the query-term table (a handful of rows) and the df table
+    * (vocabulary-sized) are both broadcast; the inner join against the
+    * per-(doc, term) frame prunes to docs containing a query term BEFORE
+    * any scoring work; the per-(query, doc) sum is a decimal sum (order-
+    * independent) keyed by doc — one data-scale shuffle. At 100 TB this
+    * is the standard "search a corpus by inverted-index semantics without
+    * building the index" shape; with a materialized tf table it becomes a
+    * partition-pruned scan.
+    */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val qterms = queries.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+    val tf = termFreq(spark, dir)
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val docLen = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(words).cast("long").as("dl"))
+    val stats = docLen.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val idf = (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)
+    val tfNorm = (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / col("avgdl"))))
+    val byQuery = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    tf.join(broadcast(qterms), "term")
+      .join(broadcast(df), "term")
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("s_term", idf * tfNorm)
+      .groupBy("query_id", "doc_id")
+      .agg(Exact.decSum(col("s_term"), 12).as("score"))
+      .withColumn("rnk", row_number().over(byQuery))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "doc_id", "score", "rnk")
+  }
+
+  val bm25SearchSql: String = {
+    val qrows = queries.map { case (id, t) => s"('$id', '$t')" }.mkString(", ")
+    s"""WITH $termFreqCte,
+       |qt AS (
+       |  SELECT query_id, unnest(string_split(qtext, ' ')) AS term
+       |  FROM (VALUES $qrows) AS q(query_id, qtext)
+       |),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |dl AS (SELECT doc_id, CAST(len($duckWords) AS BIGINT) AS dl FROM documents),
+       |stats AS (SELECT COUNT(*) AS n_docs,
+       |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+       |scored AS (
+       |  SELECT query_id, tf.doc_id,
+       |    ((n_docs - df + 0.5) / (df + 0.5)) *
+       |    ((tf * ${k1 + 1}) / (tf + $k1 * ((${1 - b}) + $b * (dl / avgdl)))) AS s_term
+       |  FROM tf JOIN qt USING (term) JOIN df USING (term)
+       |       JOIN dl ON dl.doc_id = tf.doc_id, stats
+       |),
+       |agg AS (
+       |  SELECT query_id, doc_id, ${Exact.duckSum("s_term", 12)} AS score
+       |  FROM scored GROUP BY query_id, doc_id
+       |)
+       |SELECT query_id, doc_id, score,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+       |FROM agg
+       |QUALIFY rnk <= 5""".stripMargin
+  }
+
+  // ------------------------------------------------------- n-gram LM score
+
+  /** #56: word-bigram language-model fluency score. The corpus LM is the
+    * bigram count table; each document scores the mean corpus frequency
+    * of its own bigrams (`lm_score`) plus the fraction of bigrams seen
+    * nowhere else (`rare_ratio` — a hallucination/garbage signal; 1.0
+    * means every transition is unique to this doc).
+    *
+    * Plan: bigrams via two shifted `slice`s of the token array zipped
+    * with concat (NOT a lambda over the split generator — the
+    * CollapseProject re-evaluation trap documented at
+    * [[TextAnalysis.fingerprint]]); one groupBy(bigram) builds the LM;
+    * the doc→LM join is keyed on bigram (broadcast when the vocabulary
+    * is small, shuffle join at corpus scale — both orders of magnitude
+    * cheaper than scoring with a driver-side dict); one final
+    * groupBy(doc_id) with integer sums (exact).
+    */
+  def ngramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = zip_with(
+      slice(col("ws"), lit(1), size(col("ws")) - 1),
+      slice(col("ws"), lit(2), size(col("ws")) - 1),
+      (x, y) => concat_ws(" ", x, y))
+    val docBg = Tables.documents(spark, dir)
+      .select(col("doc_id"), words.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+    val lm = docBg.groupBy("bg").agg(count(lit(1)).as("cnt"))
+    docBg.join(lm, "bg")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum("cnt").as("hits"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("hits").cast("double") / col("n_bigrams")).as("lm_score"),
+        (col("n_rare").cast("double") / col("n_bigrams")).as("rare_ratio"))
+  }
+
+  val ngramLmScoreSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, $duckWords AS ws FROM documents
+       |), bg AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(ws)), j -> ws[j] || ' ' || ws[j+1])) AS bg
+       |  FROM d WHERE len(ws) >= 2
+       |), lm AS (
+       |  SELECT bg, COUNT(*) AS cnt FROM bg GROUP BY bg
+       |)
+       |SELECT doc_id, COUNT(*) AS n_bigrams,
+       |  CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS lm_score,
+       |  CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rare_ratio
+       |FROM bg JOIN lm USING (bg)
+       |GROUP BY doc_id""".stripMargin
+}

@@ -190,4 +190,40 @@ object TextAnalysis {
        |    j -> list_min(grams[j:j+4])))) AS fp
        |FROM g""".stripMargin
   }
+
+  // ------------------------------------------------- length distribution
+
+  /** #57: per-source document-length distribution: count, min/max, exact
+    * mean and exact interpolated quartiles of `n_chars`. Spark's exact
+    * `percentile` and DuckDB's `quantile_cont` share R-7 semantics
+    * (position (n−1)·p, linear interpolation); with integer inputs and
+    * dyadic p the interpolation is IEEE-exact in both engines. One
+    * groupBy(source) shuffle; exact percentile holds per-group values,
+    * so at 100 TB the grouping key must bound group size (per-source is
+    * fine; per-corpus would switch to `approx_percentile`, the
+    * documented scale path).
+    */
+  def docLengthStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        (sum("n_chars").cast("double") / count(lit(1))).as("mean_chars"),
+        expr("percentile(n_chars, array(0.25D, 0.5D, 0.75D))").as("q"))
+      .select(col("source"), col("n_docs"), col("min_chars"), col("max_chars"),
+        col("mean_chars"),
+        element_at(col("q"), 1).as("p25"),
+        element_at(col("q"), 2).as("p50"),
+        element_at(col("q"), 3).as("p75"))
+
+  val docLengthStatsSql: String =
+    s"""SELECT source, COUNT(*) AS n_docs,
+       |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+       |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
+       |  quantile_cont(n_chars, 0.25) AS p25,
+       |  quantile_cont(n_chars, 0.5)  AS p50,
+       |  quantile_cont(n_chars, 0.75) AS p75
+       |FROM documents GROUP BY source""".stripMargin
 }

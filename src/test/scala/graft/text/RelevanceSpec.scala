@@ -1,0 +1,63 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class RelevanceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tfidf: exactly rank 1..3 per doc, scores non-increasing") {
+    val rows = Relevance.tfidfKeywords(spark, TestSpark.sf)
+      .select("doc_id", "score", "rnk")
+      .as[(Long, Double, Int)].collect()
+      .groupBy(_._1)
+    rows.values.foreach { perDoc =>
+      val byRank = perDoc.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq == (1 to byRank.length))
+      assert(byRank.sliding(2).forall {
+        case Array(a, b) => a._2 >= b._2
+        case _           => true
+      })
+    }
+  }
+
+  test("tfidf: rarer term outranks commoner term at equal tf") {
+    // score = tf·N/df is strictly decreasing in df
+    val scored = Relevance.tfidfKeywords(spark, TestSpark.sf)
+      .select("tf", "df", "score").as[(Long, Long, Double)].collect()
+    scored.groupBy(_._1).values.foreach { sameTf =>
+      sameTf.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => if (a._2 < b._2) assert(a._3 > b._3)
+        case _           => ()
+      }
+    }
+  }
+
+  test("bm25: top-5 per query, every hit contains a query term") {
+    val hits = Relevance.bm25Search(spark, TestSpark.sf)
+    val perQuery = hits.groupBy("query_id").count().as[(String, Long)].collect()
+    assert(perQuery.length == 3)
+    perQuery.foreach { case (_, n) => assert(n == 5) }
+    val qterms = Set("spark", "query", "join", "table", "scan", "filter",
+      "stream", "window", "agg")
+    val docsWithTerm = graft.core.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(col("w").isInCollection(qterms))
+      .select("doc_id").distinct().as[Long].collect().toSet
+    hits.select("doc_id").as[Long].collect()
+      .foreach(d => assert(docsWithTerm(d), s"doc $d has no query term"))
+  }
+
+  test("ngram lm score: lm_score ≥ 1, rare_ratio in [0,1], planted dups are fluent") {
+    val rows = Relevance.ngramLmScore(spark, TestSpark.sf)
+      .select("lm_score", "rare_ratio").as[(Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (lm, rr) =>
+      assert(lm >= 1.0) // every bigram at least matches itself
+      assert(rr >= 0.0 && rr <= 1.0)
+    }
+  }
+}

@@ -37,6 +37,17 @@ class TextSpec extends AnyFunSuite {
     preds.foreach(p => assert(langs(p)))
   }
 
+  test("doc length stats: quartiles ordered and bounded by min/max") {
+    val rows = TextAnalysis.docLengthStats(spark, TestSpark.sf)
+      .select("min_chars", "max_chars", "mean_chars", "p25", "p50", "p75")
+      .as[(Long, Long, Double, Double, Double, Double)].collect()
+    assert(rows.length == 20)
+    rows.foreach { case (mn, mx, mean, p25, p50, p75) =>
+      assert(mn <= p25 && p25 <= p50 && p50 <= p75 && p75 <= mx)
+      assert(mean >= mn && mean <= mx)
+    }
+  }
+
   test("winnowing fingerprint: shared text prefix ⇒ shared fingerprints") {
     // the planted near-dup docs must share at least one fingerprint
     val fps = TextAnalysis.fingerprint(spark, TestSpark.sf)

@@ -31,7 +31,7 @@ object Bench {
     "kge_hole_score", "kge_loss_ranking",
     "dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
     "corpus_clean",
-    "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
     "dedup_components",
     "text_quality_score", "text_token_count", "text_fingerprint",
     "text_tfidf", "text_bm25", "text_ngram_lm",

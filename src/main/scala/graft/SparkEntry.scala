@@ -71,6 +71,7 @@ object SparkEntry {
     "ann_brute_topk" -> ((s, d) => Ann.bruteTopK(configured(s), d)),
     "ann_lsh_topk" -> ((s, d) => Ann.lshTopK(configured(s), d)),
     "ann_ivf_topk" -> ((s, d) => Ann.ivfTopK(configured(s), d)),
+    "ann_pq_topk" -> ((s, d) => Ann.pqTopK(configured(s), d)),
     "media_metadata" -> ((s, d) => Media.metadata(configured(s), d)),
     "streaming_windowed_agg" -> ((s, d) => EventStreams.windowedAgg(configured(s), d)),
     "streaming_sessionize" -> ((s, d) => EventStreams.sessionize(configured(s), d)),
@@ -85,6 +86,7 @@ object SparkEntry {
     "kge_activations" -> ((s, d) => Losses.activations(configured(s), d)),
     "kge_distmult_train" -> ((s, d) => DistMultTrainer.train(configured(s), d)),
     "streaming_dedup" -> ((s, d) => EventStreams.dedup(configured(s), d)),
+    "streaming_quality_filter" -> ((s, d) => graft.streaming.DocStreams.qualityFilter(configured(s), d)),
     "kge_transe_train_adagrad" -> ((s, d) => TransETrainer.trainAdagrad(configured(s), d)),
     "kge_hole_train" -> ((s, d) => HolETrainer.train(configured(s), d)),
     "dedup_components" -> ((s, d) => Dedup.components(configured(s), d)),
@@ -133,6 +135,7 @@ object SparkEntry {
     "ann_brute_topk" -> Ann.bruteTopKSql,
     "ann_lsh_topk" -> Ann.lshTopKSql,
     "ann_ivf_topk" -> Ann.ivfTopKSql,
+    "ann_pq_topk" -> Ann.pqTopKSql,
     "media_metadata" -> Media.metadataSql,
     "streaming_windowed_agg" -> EventStreams.windowedAggSql,
     "streaming_sessionize" -> EventStreams.sessionizeSql,
@@ -147,6 +150,7 @@ object SparkEntry {
     "kge_loss_logistic" -> Losses.logisticLossSql,
     "kge_activations" -> Losses.activationsSql,
     "streaming_dedup" -> EventStreams.dedupSql,
+    "streaming_quality_filter" -> graft.streaming.DocStreams.qualityFilterSql,
     "dedup_components" -> Dedup.componentsSql,
     "media_frame_sample" -> Media.frameSampleSql,
     "corpus_clean" -> graft.pipeline.CorpusClean.corpusCleanSql,

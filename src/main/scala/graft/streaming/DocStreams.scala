@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.core.Exact
+import graft.pipeline.CorpusClean
+import graft.text.TextAnalysis
+
+/** Structured Streaming over the documents table: the streaming shape of
+  * the curation pipeline's quality gate (batch analogs: #32
+  * `text_quality_score` + the gate inside #51 `corpus_clean`).
+  *
+  * The quality score is a stateless per-row expression, so the filter
+  * stage needs NO streaming state at all — at 100 TB/day of ingest it is
+  * a pure map over each micro-batch; only the per-source running counts
+  * keep (tiny, #sources-bounded) state. Verification runs complete-mode +
+  * AvailableNow over a finite file stream (deterministic, oracle-equal);
+  * production is append mode writing kept documents to a sink with the
+  * counts as a side aggregation.
+  */
+object DocStreams {
+
+  private def docStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+  }
+
+  private def runToMemory(df: DataFrame, name: String): DataFrame = {
+    val spark = df.sparkSession
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** The stateless transform under test, exposed for the MemoryStream
+    * spec: tokenize → score → gate at [[CorpusClean.QualityTau]].
+    */
+  def qualityGate(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws", split(trim(col("text")), "\\s+"))
+      .withColumn("quality", TextAnalysis.quality)
+      .filter(col("quality") >= CorpusClean.QualityTau)
+
+  /** #60: streaming quality filter — per-source running count and summed
+    * quality of the documents that pass the gate.
+    */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(
+      qualityGate(docStream(spark, dir))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          Exact.decSum(col("quality")).as("sum_quality")),
+      "graft_stream_qfilter")
+
+  val qualityFilterSql: String = {
+    val stopList = TextAnalysis.duckStopList
+    s"""WITH d AS (
+       |  SELECT source, n_chars, regexp_split_to_array(trim(text), '\\s+') AS ws
+       |  FROM documents
+       |), q AS (
+       |  SELECT source,
+       |    CAST(0.3 AS DOUBLE) * least(CAST(len(ws) AS DOUBLE) / 50.0, 1.0)
+       |      + CAST(0.3 AS DOUBLE) * (1.0 - CAST(len(list_filter(ws, w -> w IN $stopList)) AS DOUBLE) / CAST(len(ws) AS DOUBLE))
+       |      + CAST(0.2 AS DOUBLE) * least(((CAST(n_chars AS DOUBLE) - (CAST(len(ws) AS DOUBLE) - 1.0)) / CAST(len(ws) AS DOUBLE)) / 8.0, 1.0)
+       |      + CAST(0.2 AS DOUBLE) * (CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)) AS quality
+       |  FROM d
+       |)
+       |SELECT source, COUNT(*) AS n_kept,
+       |  ${Exact.duckSum("quality")} AS sum_quality
+       |FROM q WHERE quality >= ${CorpusClean.QualityTau}
+       |GROUP BY source""".stripMargin
+  }
+}

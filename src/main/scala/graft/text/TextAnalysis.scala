@@ -71,16 +71,31 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
 
+  /** The stop list as a DuckDB IN-list (shared with streaming oracle). */
+  private[graft] val duckStopList: String =
+    stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Quality-score building blocks over a frame carrying `ws` (token
+    * array) and `n_chars` — shared with the streaming quality filter
+    * ([[graft.streaming.DocStreams]]), where the same codegen'd
+    * expressions run per micro-batch.
+    */
+  private[graft] val nWords = size(col("ws")).cast("double")
+  private[graft] val stopRatio = size(filter(col("ws"),
+    w => w.isInCollection(stopwords))).cast("double") / nWords
+  private[graft] val uniqRatio = size(array_distinct(col("ws"))).cast("double") / nWords
+  private[graft] val avgWordLen =
+    (col("n_chars").cast("double") - (nWords - lit(1.0))) / nWords
+  private[graft] val quality =
+    lit(0.3) * least(nWords / 50.0, lit(1.0)) +
+      lit(0.3) * (lit(1.0) - stopRatio) +
+      lit(0.2) * least(avgWordLen / 8.0, lit(1.0)) +
+      lit(0.2) * uniqRatio
+
   /** Length / stopword-ratio / vocabulary-diversity quality score in
     * [0, 1] (the usual pre-training heuristic filter shape).
     */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
-    val nWords = size(col("ws")).cast("double")
-    val stopRatio = size(filter(col("ws"),
-      w => w.isInCollection(stopwords))).cast("double") / nWords
-    val uniqRatio = size(array_distinct(col("ws"))).cast("double") / nWords
-    val avgWordLen =
-      (col("n_chars").cast("double") - (nWords - lit(1.0))) / nWords
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("n_chars"), words.as("ws"))
       .select(
@@ -93,11 +108,7 @@ object TextAnalysis {
         // round half-even in Spark but half-up in DuckDB.
         stopRatio.as("stop_ratio"),
         uniqRatio.as("uniq_ratio"),
-        (lit(0.3) * least(nWords / 50.0, lit(1.0))
-          + lit(0.3) * (lit(1.0) - stopRatio)
-          + lit(0.2) * least(avgWordLen / 8.0, lit(1.0))
-          + lit(0.2) * uniqRatio).as("quality"))
-  }
+        quality.as("quality"))
 
   val qualityScoreSql: String = {
     val stopList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")

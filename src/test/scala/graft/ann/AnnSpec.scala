@@ -44,6 +44,25 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("pq top-k: K coded neighbors per query, ADC distance ordered, deterministic") {
+    val out = Ann.pqTopK(spark, TestSpark.sf)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length == Ann.K)
+      assert(!rows.exists(_._2 == q))
+      val sorted = rows.sortBy(_._4)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 < b._3 || (a._3 == b._3 && a._2 < b._2))
+        case _ => ()
+      }
+    }
+    val again = Ann.pqTopK(spark, TestSpark.sf)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(again == out.toSet, "fixed codebook ⇒ bit-identical reruns")
+  }
+
   test("two-phase brute top-k equals single-phase (salting loses nothing)") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._

@@ -65,6 +65,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(sWagg.exceptAll(bWagg).isEmpty && bWagg.exceptAll(sWagg).isEmpty)
   }
 
+  private case class Doc(doc_id: Long, source: String, text: String, n_chars: Long)
+
+  test("streaming quality gate is stateless per-row and cross-batch stable") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = Array.tabulate(60)(i => s"w$i").mkString(" ") // long, diverse
+    val bad = "the the the the the"                         // short, stopwordy
+    val stream = MemoryStream[Doc]
+    val gated = DocStreams.qualityGate(stream.toDF())
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    val q = gated.writeStream.format("memory").queryName("spec_qgate")
+      .outputMode("complete").start()
+    stream.addData(Doc(1, "a", good, good.length), Doc(2, "a", bad, bad.length))
+    q.processAllAvailable()
+    stream.addData(Doc(3, "b", good, good.length), Doc(4, "a", good, good.length))
+    q.processAllAvailable()
+    val got = spark.table("spec_qgate").as[(String, Long)].collect().toSet
+    q.stop()
+    assert(got == Set(("a", 2L), ("b", 1L)))
+  }
+
+  test("streaming quality filter equals the batch gate on sf0.001") {
+    import spark.implicits._
+    val streamed = DocStreams.qualityFilter(spark, TestSpark.sf)
+    val batch = DocStreams.qualityGate(
+        graft.core.Tables.documents(spark, TestSpark.sf))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        graft.core.Exact.decSum(col("quality")).as("sum_quality"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming dedup drops cross-batch duplicates from state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -40,29 +40,41 @@ object CorpusClean {
   /** Minimum heuristic quality score. */
   val QualityTau = 0.7
 
+  // `staged` feeds both the near-dup drop list and the final report; it
+  // is persisted per (session, dir) — a slim flags frame (no text), and
+  // exactly the intermediate a 100 TB pipeline materializes between the
+  // per-doc stages and the pair-graph stage. Without it the whole
+  // lang-ID + quality + exact-dedup subtree computes twice.
+  private val stagedCache = new graft.core.DfCache[(SparkSession, String)]
+
+  private def stagedFlags(spark: SparkSession, dir: String): DataFrame =
+    stagedCache.getOrElseUpdate((spark, dir)) {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          md5(lower(trim(col("text")))).as("text_hash"))
+
+      // stage flags from the component operators (each already oracle-checked)
+      val pred = TextAnalysis.langId(spark, dir).select("doc_id", "pred_lang")
+      val qual = TextAnalysis.qualityScore(spark, dir)
+        .select(col("doc_id"), col("n_words"), col("quality"))
+
+      val flags = docs
+        .join(pred, Seq("doc_id"), "left")
+        .join(qual, Seq("doc_id"), "left")
+        .withColumn("lang_ok",
+          coalesce(col("pred_lang").isInCollection(KeepLangs), lit(false)))
+        .withColumn("qual_ok",
+          col("lang_ok") && coalesce(col("quality") >= QualityTau, lit(false)))
+
+      // exact dedup among quality survivors: keep min doc_id per hash
+      val keepIds = flags.filter(col("qual_ok"))
+        .groupBy("text_hash").agg(min("doc_id").as("keep_id"))
+      flags.join(keepIds, Seq("text_hash"), "left")
+        .withColumn("uniq_ok", col("qual_ok") && col("doc_id") === col("keep_id"))
+    }
+
   def corpusClean(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        md5(lower(trim(col("text")))).as("text_hash"))
-
-    // stage flags from the component operators (each already oracle-checked)
-    val pred = TextAnalysis.langId(spark, dir).select("doc_id", "pred_lang")
-    val qual = TextAnalysis.qualityScore(spark, dir)
-      .select(col("doc_id"), col("n_words"), col("quality"))
-
-    val flags = docs
-      .join(pred, Seq("doc_id"), "left")
-      .join(qual, Seq("doc_id"), "left")
-      .withColumn("lang_ok",
-        coalesce(col("pred_lang").isInCollection(KeepLangs), lit(false)))
-      .withColumn("qual_ok",
-        col("lang_ok") && coalesce(col("quality") >= QualityTau, lit(false)))
-
-    // exact dedup among quality survivors: keep min doc_id per hash
-    val keepIds = flags.filter(col("qual_ok"))
-      .groupBy("text_hash").agg(min("doc_id").as("keep_id"))
-    val staged = flags.join(keepIds, Seq("text_hash"), "left")
-      .withColumn("uniq_ok", col("qual_ok") && col("doc_id") === col("keep_id"))
+    val staged = stagedFlags(spark, dir)
 
     // near-dup removal: drop a doc when a verified pair partner with a
     // SMALLER id survived stages 1-3 (vpairs always has d1 < d2)

@@ -106,7 +106,7 @@ object Ann {
     */
   private def centDist(v: org.apache.spark.sql.Column, c: Int) = {
     val cent = array(centroids(c).map(lit).toSeq: _*)
-    VectorLsh.fold(zip_with(v, cent, (x, y) => (x - y) * (x - y)))
+    graft.functions.VectorFolds.sqDiffSum(v, cent)
   }
 
   /** Cell assignment = argmin_c dist (ties → smaller c). */
@@ -187,12 +187,15 @@ object Ann {
     Array.tabulate(PqM, PqNCent, PqSubDim)((m, c, i) =>
       graft.core.PortableHash.dyadicJvm(s"PQ|$m|$c|$i"))
 
-  /** Squared L2 of v's m-th subvector to codebook entry (m, c). */
-  private def pqSubDist(v: org.apache.spark.sql.Column, m: Int, c: Int) = {
-    val cent = array(pqCent(m)(c).map(lit).toSeq: _*)
-    VectorLsh.fold(zip_with(
-      slice(v, m * PqSubDim + 1, PqSubDim), cent, (x, y) => (x - y) * (x - y)))
-  }
+  /** Codebook as ONE flat [m][c][i] array literal: a single constant
+    * reference in codegen. The first formulation — 64 per-(m,c) fold
+    * expressions — generated an 8 KB+ processNext that HotSpot refused
+    * to JIT (whole stage ran interpreted, 2× slower than the HOF form);
+    * the compact [[graft.functions.VectorFolds.pqEncode]]/`pqLut` loops
+    * JIT fine.
+    */
+  private lazy val pqFlatCodebook: Array[Double] =
+    pqCent.flatten.flatten
 
   /** #59: product-quantization top-k with asymmetric distance (ADC).
     * Data vectors are compressed to PqM 3-bit codes (argmin centroid per
@@ -208,21 +211,16 @@ object Ann {
     * billion-scale layout.
     */
   def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val vf = graft.functions.VectorFolds
+    val cb = lit(pqFlatCodebook)
     val e = vecs(spark, dir)
-      .withColumn("codes", array((0 until PqM).map(m =>
-        array_min(array((0 until PqNCent).map(c =>
-          struct(pqSubDist(col("v"), m, c).as("d"), lit(c).as("c"))): _*))
-          .getField("c")): _*))
+      .withColumn("codes", vf.pqEncode(col("v"), cb, PqNCent, PqSubDim))
       .select("vec_id", "codes")
     val q = vecs(spark, dir).filter(col("vec_id") % QueryMod === 0)
-      .withColumn("lut", array((0 until PqM).map(m =>
-        array((0 until PqNCent).map(c => pqSubDist(col("v"), m, c)): _*)): _*))
+      .withColumn("lut", vf.pqLut(col("v"), cb, PqNCent, PqSubDim))
       .select(col("vec_id").as("q_id"), col("lut"))
-    val adc = (0 until PqM).map(m =>
-      element_at(element_at(col("lut"), m + 1),
-        element_at(col("codes"), m + 1) + 1)).reduce(_ + _)
     e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("approx_d", adc)
+      .withColumn("approx_d", vf.pqAdc(col("lut"), col("codes"), PqNCent))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id")
           .orderBy(col("approx_d").asc, col("vec_id").asc)))

@@ -17,17 +17,26 @@ object VectorLsh {
   def fold(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
-  def dot(a: Column, b: Column): Column = fold(zip_with(a, b, _ * _))
+  // dot/norm run through the native codegen'd folds — bit-identical to
+  // the aggregate/zip_with formulation (same sequential IEEE sequence,
+  // see org.apache.spark.sql.graft.VectorFolds) without the interpreted
+  // HOF lambda calls and intermediate arrays.
+  def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.VectorFolds.dotp(a, b)
 
-  def norm(a: Column): Column = sqrt(fold(transform(a, x => x * x)))
+  def norm(a: Column): Column =
+    sqrt(org.apache.spark.sql.graft.VectorFolds.sumSq(a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Signed projection of `v` onto dyadic hyperplane `p`. */
+  /** Signed projection of `v` onto dyadic hyperplane `p`. The plane is a
+    * driver-side literal array (the hyperplanes are constants — hashing
+    * them per row would be pure waste).
+    */
   def planeDot(v: Column, p: Int): Column = {
-    val plane = transform(sequence(lit(0), lit(EmbDim - 1)),
-      i => PortableHash.dyadic(concat(lit(s"P|$p|"), i.cast("string"))))
-    fold(zip_with(v, plane, _ * _))
+    val plane = array((0 until EmbDim).map(i =>
+      lit(PortableHash.dyadicJvm(s"P|$p|$i"))): _*)
+    dot(v, plane)
   }
 
   /** LSH bucket id in [0, 2^NPlanes): bit p = sign(v · plane_p). */

@@ -7,4 +7,7 @@ package graft
 package object functions {
   val CircularCorrelation: org.apache.spark.sql.graft.CircularCorrelation.type =
     org.apache.spark.sql.graft.CircularCorrelation
+
+  val VectorFolds: org.apache.spark.sql.graft.VectorFolds.type =
+    org.apache.spark.sql.graft.VectorFolds
 }

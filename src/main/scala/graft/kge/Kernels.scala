@@ -33,12 +33,14 @@ object Kernels {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val nxt = e.select((col("vec_id") - 1).as("vec_id"), col("v").as("w"))
-    val dot = Embeddings.dFold(zip_with(col("v"), col("w"), _ * _))
-    val na = Embeddings.dFold(transform(col("v"), x => x * x))
-    val nb = Embeddings.dFold(transform(col("w"), x => x * x))
-    val l2sq = Embeddings.dFold(
-      zip_with(col("v"), col("w"), (x, y) => (x - y) * (x - y)))
-    val l1 = Embeddings.dFold(zip_with(col("v"), col("w"), (x, y) => abs(x - y)))
+    // native codegen folds — same sequential IEEE sequence as the
+    // aggregate/zip_with forms (and the DuckDB list_reduce oracle)
+    val vf = graft.functions.VectorFolds
+    val dot = vf.dotp(col("v"), col("w"))
+    val na = vf.sumSq(col("v"))
+    val nb = vf.sumSq(col("w"))
+    val l2sq = vf.sqDiffSum(col("v"), col("w"))
+    val l1 = vf.absDiffSum(col("v"), col("w"))
     val polyT = lit(0.5) * col("dot") + lit(1.0)
     val sigArg = lit(1.0) + exp(-(lit(0.5) * col("dot") + lit(1.0)))
     e.join(nxt, "vec_id")

@@ -43,8 +43,7 @@ object Losses {
   }
 
   private def transeFold(tCol: Column): Column =
-    -dFold(zip_with(zip_with(col("h"), col("r"), _ + _),
-      tCol, (hr, tt) => (hr - tt) * (hr - tt)))
+    -graft.functions.VectorFolds.transeSqSum(col("h"), col("r"), tCol)
 
   /** Scored pos/neg pairs: (sid, pid, oid, nid, s_pos, s_neg).
     * Embeddings join from the materialized id-keyed tables — see the

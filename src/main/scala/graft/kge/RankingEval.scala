@@ -53,7 +53,7 @@ object RankingEval {
     val entEmb = entityEmb(spark, dir)
     val relEmb = relationEmb(spark, dir)
     def score(h: String, r: String, t: String) =
-      dFold(zip_with(zip_with(col(h), col(r), _ * _), col(t), _ * _))
+      graft.functions.VectorFolds.dot3(col(h), col(r), col(t))
     val test = encodedSample(spark, dir, EvalMod)
       .join(entEmb.select(col("id").as("sid"), col("v").as("h")), "sid")
       .join(entEmb.select(col("id").as("oid"), col("v").as("t")), "oid")

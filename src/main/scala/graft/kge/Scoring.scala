@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.CircularCorrelation.ccorr
+import graft.functions.VectorFolds
 import graft.rdf.Dict
 
 /** KGE triple-scoring operators — TransE, DistMult, RESCAL, HolE — over a
@@ -42,42 +43,36 @@ object Scoring {
         .select(col("id").as("pid"), col("v").as("r"))), "pid")
   }
 
-  /** #13: TransE  score = −Σ_i (h_i + r_i − t_i)². */
+  /** #13: TransE  score = −Σ_i (h_i + r_i − t_i)² (fused codegen fold). */
   def transeScore(spark: SparkSession, dir: String): DataFrame =
     slicedEmb(spark, dir)
       .withColumn("score",
-        -dFold(zip_with(zip_with(col("h"), col("r"), _ + _), col("t"),
-          (hr, tt) => (hr - tt) * (hr - tt))))
+        -VectorFolds.transeSqSum(col("h"), col("r"), col("t")))
       .select("sid", "pid", "oid", "score")
 
-  /** #14: DistMult  score = Σ_i h_i · r_i · t_i. */
+  /** #14: DistMult  score = Σ_i h_i · r_i · t_i (fused codegen fold). */
   def distmultScore(spark: SparkSession, dir: String): DataFrame =
     slicedEmb(spark, dir)
-      .withColumn("score",
-        dFold(zip_with(zip_with(col("h"), col("r"), _ * _), col("t"), _ * _)))
+      .withColumn("score", VectorFolds.dot3(col("h"), col("r"), col("t")))
       .select("sid", "pid", "oid", "score")
 
   /** #15: RESCAL  score = hᵀ W_p t, W_p an 8×8 dyadic matrix per relation
     * (row-major flat index j = a·8 + b). W joins from the broadcast
     * [[Embeddings.rescalW]] table; h/t are the first 8 dims of the
-    * entity table. Row-major flat contraction: h aligned as
-    * [h0×8, h1×8, …], t tiled ×8, one zip_with fold (array ops over
-    * attributes — cheap; the md5 work all happened in the tables).
+    * entity table. The contraction is the native [[VectorFolds.bilinear]]
+    * codegen loop — the same ascending flat-index IEEE sequence the
+    * earlier flatten/array_repeat + zip_with formulation produced, with
+    * no intermediate 64-element arrays per row.
     */
   def rescalScore(spark: SparkSession, dir: String): DataFrame = {
     val e = entityEmb(spark, dir)
-    val withW = sliced(spark, dir)
+    sliced(spark, dir)
       .join(e.select(col("id").as("sid"), slice(col("v"), 1, DRescal).as("h8")), "sid")
       .join(e.select(col("id").as("oid"), slice(col("v"), 1, DRescal).as("t8")), "oid")
       .join(broadcast(rescalW(spark, dir)
         .select(col("id").as("pid"), col("w"))), "pid")
-      .withColumn("h_rep", flatten(transform(col("h8"),
-        x => array_repeat(x, DRescal))))
-      .withColumn("t_tile", flatten(array_repeat(col("t8"), DRescal)))
-    withW
       .withColumn("score",
-        dFold(zip_with(zip_with(col("w"), col("h_rep"), _ * _),
-          col("t_tile"), _ * _)))
+        VectorFolds.bilinear(col("w"), col("h8"), col("t8")))
       .select("sid", "pid", "oid", "score")
   }
 
@@ -87,7 +82,7 @@ object Scoring {
   def holeScore(spark: SparkSession, dir: String): DataFrame =
     slicedEmb(spark, dir)
       .withColumn("cc", ccorr(col("h"), col("t")))
-      .withColumn("score", dFold(zip_with(col("r"), col("cc"), _ * _)))
+      .withColumn("score", VectorFolds.dotp(col("r"), col("cc")))
       .select("sid", "pid", "oid", "score")
 
   // ---------------------------------------------------------------- oracle

@@ -16,27 +16,51 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * `spark.sql("SELECT ccorr(h, t) FROM embeddings_pairs")`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("ccorr"),
-      new ExpressionInfo(classOf[CircularCorrelation].getName, "ccorr"),
-      GraftExtensions.ccorrBuilder))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, cls, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name), new ExpressionInfo(cls, name), builder))
+    }
 }
 
 object GraftExtensions {
-  private val ccorrBuilder
-      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
-        org.apache.spark.sql.catalyst.expressions.Expression = { children =>
-    require(children.length == 2,
-      "ccorr(h, t) takes exactly 2 array<double> arguments")
-    CircularCorrelation(children(0), children(1))
+  private type Builder =
+    Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression
+
+  private def b2(name: String)(
+      f: (org.apache.spark.sql.catalyst.expressions.Expression,
+          org.apache.spark.sql.catalyst.expressions.Expression) =>
+        org.apache.spark.sql.catalyst.expressions.Expression): Builder = { ch =>
+    require(ch.length == 2, s"$name takes exactly 2 array<double> arguments")
+    f(ch(0), ch(1))
   }
+
+  private def b3(name: String)(
+      f: (org.apache.spark.sql.catalyst.expressions.Expression,
+          org.apache.spark.sql.catalyst.expressions.Expression,
+          org.apache.spark.sql.catalyst.expressions.Expression) =>
+        org.apache.spark.sql.catalyst.expressions.Expression): Builder = { ch =>
+    require(ch.length == 3, s"$name takes exactly 3 array<double> arguments")
+    f(ch(0), ch(1), ch(2))
+  }
+
+  private val builders: Seq[(String, String, Builder)] = Seq(
+    ("ccorr", classOf[CircularCorrelation].getName,
+      b2("ccorr")(CircularCorrelation.apply)),
+    ("dotp", classOf[DotProduct].getName, b2("dotp")(DotProduct.apply)),
+    ("sqdiff_sum", classOf[SqDiffSum].getName, b2("sqdiff_sum")(SqDiffSum.apply)),
+    ("absdiff_sum", classOf[AbsDiffSum].getName, b2("absdiff_sum")(AbsDiffSum.apply)),
+    ("dot3", classOf[Dot3].getName, b3("dot3")(Dot3.apply)),
+    ("transe_sq", classOf[TranseSqSum].getName, b3("transe_sq")(TranseSqSum.apply)),
+    ("bilinear", classOf[Bilinear].getName, b3("bilinear")(Bilinear.apply)))
 
   /** Runtime registration on an already-built session (the extensions
     * class covers the `spark.sql.extensions` config path).
     */
   def register(spark: org.apache.spark.sql.classic.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "ccorr", ccorrBuilder, "built-in")
+    builders.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 }

@@ -56,6 +56,7 @@ object SparkEntry {
     "kge_distmult_score" -> ((s, d) => Scoring.distmultScore(configured(s), d)),
     "kge_rescal_score" -> ((s, d) => Scoring.rescalScore(configured(s), d)),
     "kge_hole_score" -> ((s, d) => Scoring.holeScore(configured(s), d)),
+    "kge_embed_normalize" -> ((s, d) => Scoring.embedNormalize(configured(s), d)),
     "kge_hits_at_k" -> ((s, d) => RankingEval.hitsAtK(configured(s), d)),
     "kge_mrr" -> ((s, d) => RankingEval.mrr(configured(s), d)),
     "sim_kernels" -> ((s, d) => Kernels.simKernels(configured(s), d)),
@@ -120,6 +121,7 @@ object SparkEntry {
     "kge_distmult_score" -> Scoring.distmultScoreSql,
     "kge_rescal_score" -> Scoring.rescalScoreSql,
     "kge_hole_score" -> Scoring.holeScoreSql,
+    "kge_embed_normalize" -> Scoring.embedNormalizeSql,
     "kge_hits_at_k" -> RankingEval.hitsAtKSql,
     "kge_mrr" -> RankingEval.mrrSql,
     "sim_kernels" -> Kernels.simKernelsSql,

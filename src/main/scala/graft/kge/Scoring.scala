@@ -85,6 +85,45 @@ object Scoring {
       .withColumn("score", VectorFolds.dotp(col("r"), col("cc")))
       .select("sid", "pid", "oid", "score")
 
+  /** #61: embedding normalization — the reference's `normalize` (unit-L2
+    * row projection, applied to entity embeddings between TransE epochs)
+    * and `normless1` (divide by the SQUARED norm only when it exceeds 1 —
+    * projection into the unit ball), python/sansa/ml/kbc/keras/param.py:108-121.
+    * One row per (entity, dimension): the id-keyed embedding table shape,
+    * exploded so the oracle compares scalars. Map-only over the table; at
+    * 100 TB this is the between-epochs projection pass, co-partitioned
+    * with the embedding table it rewrites.
+    *
+    * Exactness: dyadic squares sum exactly in any order; sqrt and the
+    * divisions are single correctly-rounded IEEE ops.
+    */
+  def embedNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val vf = VectorFolds
+    entityEmb(spark, dir)
+      .withColumn("nsq", vf.sumSq(col("v")))
+      .withColumn("norm", sqrt(col("nsq")))
+      .select(col("id"), col("norm"), col("nsq"), posexplode(col("v")).as(Seq("i", "x")))
+      .select(col("id"), col("i"), col("norm"),
+        (col("x") / col("norm")).as("x_unit"),
+        (col("x") / greatest(col("nsq"), lit(1.0))).as("x_ball"))
+  }
+
+  val embedNormalizeSql: String = {
+    val el = duckEl("E", "id", "i")
+    s"""${Dict.preludeCtes},
+       |comps AS (
+       |  SELECT id, i, $el AS x
+       |  FROM entities, (SELECT unnest(range(0, ${D})) AS i)
+       |), norms AS (
+       |  SELECT id, sqrt(SUM(x * x)) AS norm, SUM(x * x) AS nsq
+       |  FROM comps GROUP BY id
+       |)
+       |SELECT c.id, c.i, n.norm,
+       |  c.x / n.norm AS x_unit,
+       |  c.x / greatest(n.nsq, 1.0) AS x_ball
+       |FROM comps c JOIN norms n USING (id)""".stripMargin
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private def prelude(mod: Int): String =

@@ -48,6 +48,8 @@ object GraftExtensions {
   private val builders: Seq[(String, String, Builder)] = Seq(
     ("ccorr", classOf[CircularCorrelation].getName,
       b2("ccorr")(CircularCorrelation.apply)),
+    ("cconv", classOf[CircularConvolution].getName,
+      b2("cconv")(CircularConvolution.apply)),
     ("dotp", classOf[DotProduct].getName, b2("dotp")(DotProduct.apply)),
     ("sqdiff_sum", classOf[SqDiffSum].getName, b2("sqdiff_sum")(SqDiffSum.apply)),
     ("absdiff_sum", classOf[AbsDiffSum].getName, b2("absdiff_sum")(AbsDiffSum.apply)),

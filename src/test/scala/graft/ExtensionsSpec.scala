@@ -14,6 +14,36 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == Seq(1 * 4.0 + 2 * 5 + 3 * 6, 1 * 5.0 + 2 * 6 + 3 * 4, 1 * 6.0 + 2 * 4 + 3 * 5))
   }
 
+  test("cconv is callable from SQL and matches the O(d²) definition") {
+    val spark = TestSpark.spark
+    org.apache.spark.sql.graft.GraftExtensions.register(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+    val got = spark.sql(
+      "SELECT cconv(array(1d, 2d, 3d), array(4d, 5d, 6d)) AS c")
+      .head().getSeq[Double](0)
+    // cconv(a,b)[k] = Σ_i a[i]·b[(k−i) mod 3]
+    assert(got == Seq(1 * 4.0 + 2 * 6 + 3 * 5, 1 * 5.0 + 2 * 4 + 3 * 6, 1 * 6.0 + 2 * 5 + 3 * 4))
+  }
+
+  test("embed normalize: unit rows, ball rows bounded, normless1 semantics") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = graft.kge.Scoring.embedNormalize(spark, TestSpark.sf)
+      .groupBy("id").agg(
+        sum(col("x_unit") * col("x_unit")).as("unit_nsq"),
+        sum(col("x_ball") * col("x_ball")).as("ball_nsq"),
+        first("norm").as("norm"))
+      .as[(Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, unitNsq, ballNsq, norm) =>
+      assert(math.abs(unitNsq - 1.0) < 1e-9, s"unit norm² $unitNsq")
+      assert(ballNsq <= 1.0 + 1e-9, s"ball norm² $ballNsq")
+      // normless1 leaves rows with norm² < 1 untouched ⇒ ball norm² = norm²
+      if (norm * norm < 1.0) assert(math.abs(ballNsq - norm * norm) < 1e-9)
+    }
+  }
+
   test("native vector folds are bit-identical to the HOF formulations") {
     // The exactness contract (SURVEY §4): VectorFolds must produce the
     // same sequential IEEE sequence as aggregate/zip_with, on adversarial

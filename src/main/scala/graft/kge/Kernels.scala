@@ -2,7 +2,6 @@ package graft.kge
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.core.Tables
 
@@ -26,8 +25,9 @@ import graft.core.Tables
   */
 object Kernels {
 
-  private def round6(c: Column): Column =
-    c.cast(DecimalType(28, 6)).cast("double")
+  // scaled-double half-up rounding — engine-identical by construction
+  // (see graft.core.Exact for why decimal casts are not)
+  private def round6(c: Column): Column = graft.core.Exact.roundS(c, 6)
 
   def simKernels(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -67,7 +67,7 @@ object Kernels {
     // IEEE sequence Spark's `aggregate(arr, 0.0, _+_)` produces.
     def fold(term: String) =
       s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> ($term))), (acc, x) -> acc + x)"
-    def r6(expr: String) = s"CAST(CAST(($expr) AS DECIMAL(28,6)) AS DOUBLE)"
+    def r6(expr: String) = graft.core.Exact.duckRoundS(expr, 6)
     val sigArg = "(1.0 + exp(-(0.5 * dot + 1.0)))"
     s"""WITH p AS (
        |  SELECT a.vec_id AS vec_id,

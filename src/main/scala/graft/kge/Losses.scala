@@ -28,9 +28,19 @@ object Losses {
 
   val Margin = 1.0
 
-  private def round6(c: Column): Column =
-    c.cast(org.apache.spark.sql.types.DecimalType(28, 6)).cast("double")
-  private def r6(e: String) = s"CAST(CAST(($e) AS DECIMAL(28,6)) AS DOUBLE)"
+  // Scaled-double half-up rounding — engine-identical by construction
+  // (see graft.core.Exact). For AGGREGATED transcendental terms use 4
+  // decimals, not 6: libm vs JVM ln/exp differ by ~1 ulp, and a term
+  // whose TRUE value sits within an ulp of a rounding boundary can
+  // still be quantized differently by the two libms before rounding
+  // (observed once in 136k logistic terms at sf0.1 with scale 6); a
+  // coarser grid puts the per-term hazard at ~1e-12. Per-ROW outputs
+  // keep 6 decimals: a flip there would fail one row, not poison an
+  // aggregate.
+  private def round6(c: Column): Column = graft.core.Exact.roundS(c, 6)
+  private def r6(e: String) = graft.core.Exact.duckRoundS(e, 6)
+  private def round4(c: Column): Column = graft.core.Exact.roundS(c, 4)
+  private def r4(e: String) = graft.core.Exact.duckRoundS(e, 4)
 
   /** Test slice with the corrupted object id attached: (sid,pid,oid,nid). */
   private def withNeg(spark: SparkSession, dir: String): DataFrame = {
@@ -84,7 +94,7 @@ object Losses {
     scored(spark, dir)
       .select(explode(array(
         col("s_pos").as("ys"), (-col("s_neg")).as("ys"))).as("ys"))
-      .select(round6(log(lit(1.0) + exp(-col("ys")))).as("l"))
+      .select(round4(log(lit(1.0) + exp(-col("ys")))).as("l"))
       .agg(count(lit(1)).as("n_scored"), Exact.decAvg(col("l")).as("loss_mean"))
 
   /** #43: sigmoid/tanh activations of the TransE score per test triple
@@ -139,7 +149,7 @@ object Losses {
        |  UNION ALL SELECT -s_neg FROM scored
        |)
        |SELECT COUNT(*) AS n_scored,
-       |  ${Exact.duckAvg(r6("ln(1.0 + exp(-ys))"))} AS loss_mean
+       |  ${Exact.duckAvg(r4("ln(1.0 + exp(-ys))"))} AS loss_mean
        |FROM labeled""".stripMargin
 
   val activationsSql: String =

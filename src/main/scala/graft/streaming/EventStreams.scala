@@ -96,10 +96,13 @@ object EventStreams {
     """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
       |FROM events GROUP BY event_type""".stripMargin
 
-  /** Oracle: gaps-and-islands with `>= gap` boundary — session_window
-    * treats an event landing exactly at prev_ts + gap as OUTSIDE the
-    * half-open window [prev_ts, prev_ts + gap), unlike the batch
-    * sessionize's `> gap` rule.
+  /** Oracle: gaps-and-islands with the `> gap` boundary — IDENTICAL to
+    * the batch sessionize rule. Verified empirically (sf0.1 exposed a
+    * user with two events exactly gap seconds apart): `session_window`
+    * MERGES an event landing exactly at prev_ts + gap — its window end
+    * is inclusive for the merge test — and only a strictly larger gap
+    * starts a new session. (Round 3 shipped `>=` here based on the
+    * half-open-window doc; no sf0.01 pair ever hit the boundary.)
     */
   val sessionizeSql: String = {
     val g = graft.relational.Events.GapS
@@ -107,7 +110,7 @@ object EventStreams {
     s"""WITH e AS (
        |  SELECT user_id, event_id, value, $tsS AS ts_s FROM events
        |), flagged AS (
-       |  SELECT *, CASE WHEN prev_ts IS NULL OR ts_s - prev_ts >= $g
+       |  SELECT *, CASE WHEN prev_ts IS NULL OR ts_s - prev_ts > $g
        |                 THEN 1 ELSE 0 END AS new_session
        |  FROM (SELECT *, LAG(ts_s) OVER w AS prev_ts FROM e
        |        WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id))

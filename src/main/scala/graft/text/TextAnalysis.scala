@@ -3,7 +3,6 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.core.{PortableHash, Tables}
 
@@ -23,9 +22,6 @@ object TextAnalysis {
 
   /** Whitespace tokenization shared by all four operators. */
   private val words: Column = split(trim(col("text")), "\\s+")
-
-  private def round6(c: Column): Column =
-    c.cast(DecimalType(28, 6)).cast("double")
 
   private val duckWords = "regexp_split_to_array(trim(text), '\\s+')"
 

@@ -52,11 +52,16 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable()
     // 5000 is > 1800 after 1000 → second session; 5100 merges into it
     stream.addData(Ev(5000, 1, 0), Ev(5100, 1, 0))
+    // boundary (caught at sf0.1): an event EXACTLY gap seconds after the
+    // previous one MERGES — session_window's merge test is inclusive of
+    // the window end, so only a strictly larger gap starts a session
+    stream.addData(Ev(1000, 2, 0), Ev(1000 + 1800, 2, 0), Ev(1000 + 3601, 2, 0))
     q.processAllAvailable()
     val got = spark.table("spec_sess").as[(Long, Long, Long, Long)]
       .collect().toSet
     q.stop()
-    assert(got == Set((1L, 100L, 1000L, 2L), (1L, 5000L, 5100L, 2L)))
+    assert(got == Set((1L, 100L, 1000L, 2L), (1L, 5000L, 5100L, 2L),
+      (2L, 1000L, 2800L, 2L), (2L, 4601L, 4601L, 1L)))
   }
 
   test("file-stream operators equal their batch analogs on sf0.001") {

@@ -101,6 +101,7 @@ object SparkEntry {
     "text_ngram_lm" -> ((s, d) => graft.text.Relevance.ngramLmScore(configured(s), d)),
     "doc_length_stats" -> ((s, d) => TextAnalysis.docLengthStats(configured(s), d)),
     "source_jsonl_roundtrip" -> ((s, d) => graft.sources.Jsonl.roundtrip(configured(s), d)),
+    "decontaminate_ngrams" -> ((s, d) => graft.pipeline.Decontaminate.decontaminate(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -163,5 +164,6 @@ object SparkEntry {
     "text_ngram_lm" -> graft.text.Relevance.ngramLmScoreSql,
     "doc_length_stats" -> TextAnalysis.docLengthStatsSql,
     "source_jsonl_roundtrip" -> graft.sources.Jsonl.roundtripSql,
+    "decontaminate_ngrams" -> graft.pipeline.Decontaminate.decontaminateSql,
   )
 }

@@ -30,7 +30,7 @@ object Bench {
     "kge_transe_score", "kge_distmult_score", "kge_rescal_score",
     "kge_hole_score", "kge_loss_ranking",
     "dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
-    "corpus_clean",
+    "corpus_clean", "decontaminate_ngrams",
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
     "dedup_components",
     "text_quality_score", "text_token_count", "text_fingerprint",

@@ -102,6 +102,7 @@ object SparkEntry {
     "doc_length_stats" -> ((s, d) => TextAnalysis.docLengthStats(configured(s), d)),
     "source_jsonl_roundtrip" -> ((s, d) => graft.sources.Jsonl.roundtrip(configured(s), d)),
     "decontaminate_ngrams" -> ((s, d) => graft.pipeline.Decontaminate.decontaminate(configured(s), d)),
+    "vocab_pair_merges" -> ((s, d) => graft.text.Vocab.pairMerges(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -165,5 +166,6 @@ object SparkEntry {
     "doc_length_stats" -> TextAnalysis.docLengthStatsSql,
     "source_jsonl_roundtrip" -> graft.sources.Jsonl.roundtripSql,
     "decontaminate_ngrams" -> graft.pipeline.Decontaminate.decontaminateSql,
+    "vocab_pair_merges" -> graft.text.Vocab.pairMergesSql,
   )
 }

@@ -48,6 +48,19 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE pair merges: top-k ranked by frequency, deterministic ties") {
+    val rows = Vocab.pairMerges(spark, TestSpark.sf)
+      .select("pair", "n", "rnk").as[(String, Long, Int)].collect()
+      .sortBy(_._3)
+    assert(rows.length == Vocab.TopK)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.sliding(2).foreach { case Array((pa, na, ra), (pb, nb, rb)) =>
+      assert(rb == ra + 1)
+      assert(na > nb || (na == nb && pa < pb)) // (n desc, pair asc) total order
+    }
+    rows.foreach { case (p, n, _) => assert(p.length == 2 && n > 0) }
+  }
+
   test("winnowing fingerprint: shared text prefix ⇒ shared fingerprints") {
     // the planted near-dup docs must share at least one fingerprint
     val fps = TextAnalysis.fingerprint(spark, TestSpark.sf)

@@ -34,6 +34,7 @@ object Bench {
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
     "dedup_components",
     "text_quality_score", "text_token_count", "text_fingerprint",
+    "text_repetition",
     "text_tfidf", "text_bm25", "text_ngram_lm", "vocab_pair_merges",
     "sample_stratified", "corpus_mix_report", "doc_length_stats",
     "media_metadata", "media_frame_sample",

@@ -103,6 +103,7 @@ object SparkEntry {
     "source_jsonl_roundtrip" -> ((s, d) => graft.sources.Jsonl.roundtrip(configured(s), d)),
     "decontaminate_ngrams" -> ((s, d) => graft.pipeline.Decontaminate.decontaminate(configured(s), d)),
     "vocab_pair_merges" -> ((s, d) => graft.text.Vocab.pairMerges(configured(s), d)),
+    "text_repetition" -> ((s, d) => TextAnalysis.repetition(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -167,5 +168,6 @@ object SparkEntry {
     "source_jsonl_roundtrip" -> graft.sources.Jsonl.roundtripSql,
     "decontaminate_ngrams" -> graft.pipeline.Decontaminate.decontaminateSql,
     "vocab_pair_merges" -> graft.text.Vocab.pairMergesSql,
+    "text_repetition" -> TextAnalysis.repetitionSql,
   )
 }

@@ -233,4 +233,67 @@ object TextAnalysis {
        |  quantile_cont(n_chars, 0.5)  AS p50,
        |  quantile_cont(n_chars, 0.75) AS p75
        |FROM documents GROUP BY source""".stripMargin
+
+  // ------------------------------------------------- repetition signals
+
+  /** #64: Gopher-style repetition signals (Rae et al. 2021 §A1.1) per
+    * document: unique-word ratio, fraction of tokens in the most
+    * frequent word, fraction of bigrams in the most frequent bigram.
+    * High repetition = boilerplate/spam/generation loops — a standard
+    * pre-training quality gate alongside [[qualityScore]].
+    *
+    * Plan: explode → groupBy(doc_id, token) → groupBy(doc_id), the
+    * [[Relevance.ngramLmScore]] shape. Partial aggregation collapses
+    * each partition's token stream before the shuffle, so shuffle bytes
+    * are per-doc VOCABULARY, not token count; no row-local O(n·u)
+    * frequency lambda (which would stall codegen on million-word docs).
+    * All counts are integers; the ratios are single exact divisions.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), words.as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val bigrams = zip_with(
+      slice(col("ws"), lit(1), size(col("ws")) - 1),
+      slice(col("ws"), lit(2), size(col("ws")) - 1),
+      (x, y) => concat_ws(" ", x, y))
+    val wordStats = d.select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_words"),
+        count(lit(1)).as("n_uniq"),
+        max("c").as("top_w"))
+    val bgStats = d.select(col("doc_id"), explode(bigrams).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n_bg"), max("c").as("top_g"))
+    wordStats.join(bgStats, "doc_id")
+      .select(col("doc_id"), col("n_words"),
+        (col("n_uniq").cast("double") / col("n_words")).as("uniq_ratio"),
+        (col("top_w").cast("double") / col("n_words")).as("top_word_frac"),
+        (col("top_g").cast("double") / col("n_bg")).as("top_bigram_frac"))
+  }
+
+  val repetitionSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, $duckWords AS ws FROM documents
+       |  WHERE len($duckWords) >= 2
+       |), wc AS (
+       |  SELECT doc_id, w, COUNT(*) AS c
+       |  FROM (SELECT doc_id, unnest(ws) AS w FROM d) GROUP BY 1, 2
+       |), wstat AS (
+       |  SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_uniq, MAX(c) AS top_w
+       |  FROM wc GROUP BY 1
+       |), bc AS (
+       |  SELECT doc_id, g, COUNT(*) AS c
+       |  FROM (SELECT doc_id,
+       |          unnest(list_transform(range(1, len(ws)), j -> ws[j] || ' ' || ws[j+1])) AS g
+       |        FROM d) GROUP BY 1, 2
+       |), bstat AS (
+       |  SELECT doc_id, SUM(c) AS n_bg, MAX(c) AS top_g FROM bc GROUP BY 1
+       |)
+       |SELECT wstat.doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(n_uniq AS DOUBLE) / CAST(n_words AS DOUBLE) AS uniq_ratio,
+       |  CAST(top_w AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac,
+       |  CAST(top_g AS DOUBLE) / CAST(n_bg AS DOUBLE) AS top_bigram_frac
+       |FROM wstat JOIN bstat ON wstat.doc_id = bstat.doc_id""".stripMargin
 }

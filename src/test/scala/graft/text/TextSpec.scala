@@ -48,6 +48,21 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition signals: ratios bounded and mutually consistent") {
+    val rows = TextAnalysis.repetition(spark, TestSpark.sf)
+      .select("n_words", "uniq_ratio", "top_word_frac", "top_bigram_frac")
+      .as[(Long, Double, Double, Double)].collect()
+    assert(rows.length == 500)
+    rows.foreach { case (n, ur, twf, tbf) =>
+      assert(n >= 2)
+      assert(ur > 0 && ur <= 1)
+      assert(twf >= 1.0 / n && twf <= 1)
+      assert(tbf >= 1.0 / (n - 1) && tbf <= 1)
+      // max word count ≥ mean word count n/n_uniq ⇒ twf ≥ 1/(ur·n)
+      assert(twf * n >= 1.0 / ur - 1e-9)
+    }
+  }
+
   test("BPE pair merges: top-k ranked by frequency, deterministic ties") {
     val rows = Vocab.pairMerges(spark, TestSpark.sf)
       .select("pair", "n", "rnk").as[(String, Long, Int)].collect()

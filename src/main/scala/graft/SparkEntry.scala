@@ -104,6 +104,7 @@ object SparkEntry {
     "decontaminate_ngrams" -> ((s, d) => graft.pipeline.Decontaminate.decontaminate(configured(s), d)),
     "vocab_pair_merges" -> ((s, d) => graft.text.Vocab.pairMerges(configured(s), d)),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(configured(s), d)),
+    "cluster_kmeans" -> ((s, d) => graft.ann.KMeans.kmeans(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -169,5 +170,6 @@ object SparkEntry {
     "decontaminate_ngrams" -> graft.pipeline.Decontaminate.decontaminateSql,
     "vocab_pair_merges" -> graft.text.Vocab.pairMergesSql,
     "text_repetition" -> TextAnalysis.repetitionSql,
+    "cluster_kmeans" -> graft.ann.KMeans.kmeansSql,
   )
 }

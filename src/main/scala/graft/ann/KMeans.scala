@@ -1,0 +1,108 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Exact, PortableHash, Tables, VectorLsh}
+
+/** Distributed k-means (Lloyd's) over the embedding table — the
+  * clustering step behind IVF codebook training ([[Ann.ivfTopK]]'s
+  * "train the codebook with distributed k-means" scale path), semantic
+  * data mixing, and cluster-balanced sampling.
+  *
+  * Two unrolled Lloyd iterations, fully LAZY (one Catalyst plan, no
+  * driver loop): assign → mean → re-assign → mean. Per iteration the
+  * plan is the canonical distributed shape — points never move, the
+  * K×D centroid table does: a broadcast nested-loop join scores each
+  * point against all K centroids (K·D doubles, trivially broadcast at
+  * any corpus size), and the update is posexplode → partial-aggregated
+  * groupBy(cluster, dim), so shuffle bytes are O(partitions·K·D), not
+  * O(points). More iterations = repeat the same two stages; production
+  * k-means (MLlib) adds a driver-side convergence check between them,
+  * exactly like [[graft.dedup.Dedup.components]] does for its fixpoint.
+  *
+  * Oracle-exactness: per-dim means quantize through [[Exact.decSum]]
+  * (order-independent integer sums); distances fold through the
+  * codegen'd [[graft.functions.VectorFolds.sqDiffSum]] whose sequential
+  * IEEE order DuckDB's `list_reduce` mirrors ([[VectorLsh.duckFold]]).
+  * Argmin ties break on cluster id in both engines. Empty clusters are
+  * dropped by the groupBy (standard Lloyd's degeneracy; k-means++ init
+  * is the production mitigation).
+  */
+object KMeans {
+
+  val K = 8
+  val D: Int = VectorLsh.EmbDim
+
+  private def pts(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** Deterministic dyadic seed codebook (same recipe as IVF's). */
+  private def seed(c: Int): Column =
+    array(Array.tabulate(D)(i =>
+      lit(PortableHash.dyadicJvm(s"KM|$c|$i"))).toSeq: _*)
+
+  /** #65: two Lloyd iterations; one row per (cluster, dim). */
+  def kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val p = pts(spark, dir)
+    val vf = graft.functions.VectorFolds
+    // iteration 1: assign to nearest seed centroid (argmin via struct min)
+    val a1 = p.withColumn("cluster",
+      array_min(array((0 until K).map(c =>
+        struct(vf.sqDiffSum(col("v"), seed(c)).as("d"), lit(c).as("c"))): _*))
+        .getField("c"))
+    // iteration 1: quantized per-dimension means
+    val cents1 = a1
+      .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cluster", "dim").agg(Exact.decAvg(col("x")).as("cx"))
+      .groupBy("cluster").agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("cx")))),
+          s => s.getField("cx")).as("cv"))
+    // iteration 2: re-assign against the updated centroids
+    val a2 = p.crossJoin(broadcast(cents1))
+      .withColumn("d", vf.sqDiffSum(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("d"), col("cluster"))))
+      .filter(col("rn") === 1)
+    // iteration 2: final centroids + cluster sizes
+    a2.select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cluster", "dim")
+      .agg(Exact.decAvg(col("x")).as("c_val"), count(lit(1)).as("n_points"))
+      .select("cluster", "dim", "c_val", "n_points")
+  }
+
+  val kmeansSql: String = {
+    val seedEl = PortableHash.duckDyadic("'KM|' || c || '|' || (i - 1)")
+    val fold = VectorLsh.duckFold("(v[i] - cv[i]) * (v[i] - cv[i])")
+    s"""WITH ve AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), cents0 AS MATERIALIZED (
+       |  SELECT c, list($seedEl ORDER BY i) AS cv
+       |  FROM (SELECT unnest(range(0, $K)) AS c),
+       |       (SELECT unnest(range(1, ${D + 1})) AS i)
+       |  GROUP BY c
+       |), d0 AS MATERIALIZED (
+       |  SELECT vec_id, v, c, $fold AS d FROM ve, cents0
+       |), a1 AS (
+       |  SELECT vec_id, v, c AS cluster FROM d0
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) = 1
+       |), m1 AS (
+       |  SELECT cluster, dim, ${Exact.duckAvg("x")} AS cx
+       |  FROM (SELECT cluster, unnest(v) AS x, unnest(range(0, $D)) AS dim FROM a1)
+       |  GROUP BY cluster, dim
+       |), cents1 AS MATERIALIZED (
+       |  SELECT cluster, list(cx ORDER BY dim) AS cv FROM m1 GROUP BY cluster
+       |), d1 AS MATERIALIZED (
+       |  SELECT ve.vec_id, ve.v, cents1.cluster, $fold AS d FROM ve, cents1
+       |), a2 AS (
+       |  SELECT vec_id, v, cluster FROM d1
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1
+       |)
+       |SELECT cluster, dim, ${Exact.duckAvg("x")} AS c_val, COUNT(*) AS n_points
+       |FROM (SELECT cluster, unnest(v) AS x, unnest(range(0, $D)) AS dim FROM a2)
+       |GROUP BY cluster, dim""".stripMargin
+  }
+}

@@ -81,4 +81,20 @@ class AnnSpec extends AnyFunSuite {
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(twoPhase == single)
   }
+
+  test("kmeans: full partition, per-cluster dims complete, means bounded") {
+    val out = KMeans.kmeans(spark, TestSpark.sf)
+      .as[(Int, Int, Double, Long)].collect()
+    val nVecs = graft.core.Tables.embeddings(spark, TestSpark.sf).count()
+    val byCluster = out.groupBy(_._1)
+    assert(byCluster.nonEmpty && byCluster.size <= KMeans.K)
+    byCluster.foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (0 until KMeans.D)) // every dim
+      assert(rows.map(_._4).distinct.length == 1)               // one size
+    }
+    // every vector assigned to exactly one cluster
+    assert(byCluster.values.map(_.head._4).sum == nVecs)
+    // a mean of unit-ish embeddings stays within the data's value range
+    out.foreach { case (_, _, c, _) => assert(math.abs(c) <= 1.0) }
+  }
 }

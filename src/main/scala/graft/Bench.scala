@@ -37,6 +37,7 @@ object Bench {
     "text_quality_score", "text_token_count", "text_fingerprint",
     "text_repetition",
     "text_tfidf", "text_bm25", "text_ngram_lm", "vocab_pair_merges",
+    "vocab_bpe_learn",
     "sample_stratified", "corpus_mix_report", "doc_length_stats",
     "media_metadata", "media_frame_sample",
     "streaming_windowed_agg", "streaming_dedup")

@@ -105,6 +105,7 @@ object SparkEntry {
     "vocab_pair_merges" -> ((s, d) => graft.text.Vocab.pairMerges(configured(s), d)),
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(configured(s), d)),
     "cluster_kmeans" -> ((s, d) => graft.ann.KMeans.kmeans(configured(s), d)),
+    "vocab_bpe_learn" -> ((s, d) => graft.text.Vocab.bpeLearn(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -171,5 +172,6 @@ object SparkEntry {
     "vocab_pair_merges" -> graft.text.Vocab.pairMergesSql,
     "text_repetition" -> TextAnalysis.repetitionSql,
     "cluster_kmeans" -> graft.ann.KMeans.kmeansSql,
+    "vocab_bpe_learn" -> graft.text.Vocab.bpeLearnSql,
   )
 }

@@ -56,4 +56,91 @@ object Vocab {
        |  ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair ASC) AS rnk
        |FROM p GROUP BY pair
        |QUALIFY rnk <= $TopK""".stripMargin
+
+  // --------------------------------------------------------- iterated BPE
+
+  val Rounds = 3
+
+  /** #66: BPE vocabulary LEARNING — [[Rounds]] full merge rounds: pick
+    * the most frequent adjacent token pair, apply it greedily
+    * left-to-right across the corpus, recount. Output is the learned
+    * merge table (step, l, r, merged, n), i.e. the artifact a tokenizer
+    * trainer ships.
+    *
+    * This is the production BPE shape: the corpus stays distributed as
+    * token arrays; only the ONE winning (l, r) pair crosses to the
+    * driver per round (the merge table lives driver-side in every real
+    * trainer), then re-tokenization is a map-only pass — a per-word
+    * sequential fold, O(len²) array copies bounded by max word length.
+    * Per round: one |vocab|²-keyed count shuffle + one 1-row collect.
+    * Iteration is eager by necessity (like the KGE trainers), so the
+    * returned frame is built from the collected merge table.
+    */
+  def bpeLearn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    var toks = Tables.documents(spark, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .select(split(col("w"), "").as("cs"))
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (step <- 1 to Rounds) {
+      val pairs = zip_with(
+        slice(col("cs"), lit(1), size(col("cs")) - 1),
+        slice(col("cs"), lit(2), size(col("cs")) - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))
+      val top = toks.filter(size(col("cs")) >= 2)
+        .select(explode(pairs).as("p"))
+        .groupBy(col("p.l"), col("p.r")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1).as[(String, String, Long)].head()
+      val (l, r, n) = top
+      merges += ((step, l, r, l + r, n))
+      toks = toks.select(aggregate(
+        col("cs"),
+        array().cast("array<string>"),
+        (acc, x) => when(
+          size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(x)))).as("cs"))
+      // each round's fold stacks another lambda onto the plan; keep the
+      // lineage flat so round R doesn't re-run rounds 1..R-1 per pass
+      if (step < Rounds) toks = toks.localCheckpoint()
+    }
+    merges.result().toDF("step", "l", "r", "merged", "n")
+  }
+
+  /** One DuckDB merge round: count pairs of `src`, pick the winner into
+    * `top`, re-tokenize into `dst`. The winning (l, r) join in as
+    * columns (1-row cross join) so the re-tokenize lambda can reference
+    * them — scalar subqueries are not allowed inside lambdas.
+    */
+  private def duckRound(src: String, top: String, dst: String): String =
+    s"""$top AS MATERIALIZED (
+       |  SELECT l, r, COUNT(*) AS n
+       |  FROM (SELECT unnest(cs[1:len(cs)-1]) AS l, unnest(cs[2:len(cs)]) AS r
+       |        FROM $src WHERE len(cs) >= 2)
+       |  GROUP BY 1, 2 ORDER BY n DESC, l ASC, r ASC LIMIT 1
+       |), $dst AS MATERIALIZED (
+       |  SELECT list_reduce(
+       |    list_prepend(CAST([] AS VARCHAR[]), list_transform(cs, c -> [c])),
+       |    (acc, x) -> CASE
+       |      WHEN len(acc) > 0 AND acc[-1] = l AND x[1] = r
+       |        THEN list_append(acc[1:len(acc)-1], l || r)
+       |      ELSE list_append(acc, x[1]) END) AS cs
+       |  FROM $src, $top
+       |)""".stripMargin
+
+  val bpeLearnSql: String =
+    s"""WITH t0 AS MATERIALIZED (
+       |  SELECT string_split(w, '') AS cs
+       |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |        FROM documents)
+       |),
+       |${duckRound("t0", "top1", "t1")},
+       |${duckRound("t1", "top2", "t2")},
+       |${duckRound("t2", "top3", "t3")}
+       |SELECT CAST(1 AS INT) AS step, l, r, l || r AS merged, CAST(n AS BIGINT) AS n FROM top1
+       |UNION ALL
+       |SELECT CAST(2 AS INT), l, r, l || r, CAST(n AS BIGINT) FROM top2
+       |UNION ALL
+       |SELECT CAST(3 AS INT), l, r, l || r, CAST(n AS BIGINT) FROM top3""".stripMargin
 }

@@ -28,7 +28,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // executes eagerly too (label-propagation loop of localCheckpoints);
     // the final labels frame's plan is trivial, so inspecting it here
     // would be vacuous while silently running ~20 Spark jobs (ADVICE r3)
-    "dedup_components")
+    "dedup_components",
+    // eager merge-round loop (1-row collect per round); the returned
+    // frame is a local merge table with a trivial plan
+    "vocab_bpe_learn")
 
   test("no registered query plans a CartesianProduct") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

@@ -76,6 +76,20 @@ class TextSpec extends AnyFunSuite {
     rows.foreach { case (p, n, _) => assert(p.length == 2 && n > 0) }
   }
 
+  test("BPE learn: 3 merge rounds, counts non-increasing, round 1 = top pair") {
+    val ms = Vocab.bpeLearn(spark, TestSpark.sf)
+      .select("step", "l", "r", "merged", "n")
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+    assert(ms.map(_._1).toSeq == Seq(1, 2, 3))
+    ms.foreach { case (_, l, r, m, n) => assert(m == l + r && n > 0) }
+    // a merged pair can only get rarer as earlier merges consume chars
+    ms.sliding(2).foreach { case Array(a, b) => assert(a._5 >= b._5) }
+    // round 1 must agree with the single-round pair count operator
+    val top1 = Vocab.pairMerges(spark, TestSpark.sf)
+      .filter($"rnk" === 1).select("pair", "n").as[(String, Long)].head()
+    assert(ms.head._4 == top1._1 && ms.head._5 == top1._2)
+  }
+
   test("winnowing fingerprint: shared text prefix ⇒ shared fingerprints") {
     // the planted near-dup docs must share at least one fingerprint
     val fps = TextAnalysis.fingerprint(spark, TestSpark.sf)

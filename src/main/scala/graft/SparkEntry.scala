@@ -106,6 +106,7 @@ object SparkEntry {
     "text_repetition" -> ((s, d) => TextAnalysis.repetition(configured(s), d)),
     "cluster_kmeans" -> ((s, d) => graft.ann.KMeans.kmeans(configured(s), d)),
     "vocab_bpe_learn" -> ((s, d) => graft.text.Vocab.bpeLearn(configured(s), d)),
+    "events_json_extract" -> ((s, d) => Events.jsonExtract(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -173,5 +174,6 @@ object SparkEntry {
     "text_repetition" -> TextAnalysis.repetitionSql,
     "cluster_kmeans" -> graft.ann.KMeans.kmeansSql,
     "vocab_bpe_learn" -> graft.text.Vocab.bpeLearnSql,
+    "events_json_extract" -> Events.jsonExtractSql,
   )
 }

@@ -84,4 +84,35 @@ object Events {
        |  MAX(ts_s) AS session_end, COUNT(*) AS n_events,
        |  ${Exact.duckSum("value")} AS sum_value
        |FROM numbered GROUP BY user_id, session_seq""".stripMargin
+
+  // --------------------------------------------------- JSON props extract
+
+  /** #67: semi-structured extraction over the JSON `props` column:
+    * `from_json` with a PROJECTED schema (`k INT`) — Spark parses only
+    * the requested field path inside whole-stage codegen, never
+    * materializing a generic JSON tree — then one integer aggregate per
+    * event type. Malformed/missing JSON yields NULL, surfaced by the
+    * `n ≠ n_k` gap (the standard dirty-data signal). One shuffle on the
+    * tiny event_type key space; all outputs are exact integers.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        count("k").as("n_k"),
+        sum("k").as("sum_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"))
+
+  val jsonExtractSql: String =
+    s"""SELECT event_type, COUNT(*) AS n, COUNT(k) AS n_k,
+       |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+       |FROM (SELECT event_type, CAST(json_extract(props, '$$.k') AS INT) AS k
+       |      FROM events)
+       |GROUP BY event_type""".stripMargin
 }

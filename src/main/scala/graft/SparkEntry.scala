@@ -107,6 +107,7 @@ object SparkEntry {
     "cluster_kmeans" -> ((s, d) => graft.ann.KMeans.kmeans(configured(s), d)),
     "vocab_bpe_learn" -> ((s, d) => graft.text.Vocab.bpeLearn(configured(s), d)),
     "events_json_extract" -> ((s, d) => Events.jsonExtract(configured(s), d)),
+    "sample_temperature" -> ((s, d) => graft.pipeline.Sampling.sampleTemperature(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -175,5 +176,6 @@ object SparkEntry {
     "cluster_kmeans" -> graft.ann.KMeans.kmeansSql,
     "vocab_bpe_learn" -> graft.text.Vocab.bpeLearnSql,
     "events_json_extract" -> Events.jsonExtractSql,
+    "sample_temperature" -> graft.pipeline.Sampling.sampleTemperatureSql,
   )
 }

@@ -108,4 +108,69 @@ object Sampling {
        |  CAST(SUM(CASE WHEN ${duckMille("mix")} < rate_mille THEN toks ELSE 0 END) AS BIGINT) AS sampled_tokens
        |FROM d JOIN rates USING (source)
        |GROUP BY d.source, n_docs, avail_tokens, rate_mille""".stripMargin
+
+  // ----------------------------------------------- temperature resampling
+
+  /** Global document budget for the temperature mix. */
+  private val tempBudgetDocs = 300L
+
+  /** #68: temperature-based language rebalancing — sampling weights
+    * `w_l = n_l^(1/τ) / Σ_m n_m^(1/τ)` with τ = 2, the standard
+    * multilingual pre-training mix (upsamples the tail, downsamples the
+    * head; τ→1 is proportional, τ→∞ uniform). Per-language acceptance
+    * rate to hit a [[tempBudgetDocs]] budget:
+    * `min(1000, ⌊1000·B·w_l / n_l⌋)`, then the same hash-stable
+    * map-side filter as [[sampleStratified]].
+    *
+    * τ = 2 makes `n^(1/τ)` = `sqrt` — correctly rounded IEEE in every
+    * engine, so the weights are engine-exact without quantizing a
+    * transcendental (`pow` is NOT correctly rounded; an arbitrary-τ
+    * variant would quantize through [[graft.core.Exact.roundS]]). The
+    * Σ over languages runs through [[graft.core.Exact.decSum]]
+    * (order-independent). The rate table is #languages rows — broadcast,
+    * never grows with data.
+    */
+  def sampleTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+    val rates = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("qs", graft.core.Exact.roundS(sqrt(col("n_docs"))))
+    val total = rates.agg(graft.core.Exact.decSum(col("qs")).as("s"))
+    val rated = rates.crossJoin(broadcast(total))
+      .withColumn("rate_mille",
+        least(lit(1000L),
+          floor(lit(1000.0 * tempBudgetDocs) * col("qs")
+            / (col("s") * col("n_docs"))).cast("long")))
+    docs.join(broadcast(rated), "lang")
+      .withColumn("keep", mille("temp") < col("rate_mille"))
+      .groupBy("lang", "n_docs", "rate_mille")
+      .agg(
+        sum(col("keep").cast("long")).as("sampled_docs"),
+        sum(when(col("keep"), col("toks")).otherwise(0L)).as("sampled_tokens"))
+  }
+
+  val sampleTemperatureSql: String = {
+    import graft.core.Exact
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS toks
+       |  FROM documents
+       |), rates AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |    ${Exact.duckRoundS("sqrt(COUNT(*))")} AS qs
+       |  FROM d GROUP BY lang
+       |), rated AS (
+       |  SELECT lang, n_docs,
+       |    least(1000, CAST(floor((CAST(${1000.0 * tempBudgetDocs} AS DOUBLE) * qs)
+       |      / ((SELECT ${Exact.duckSum("qs")} FROM rates) * n_docs)) AS BIGINT)) AS rate_mille
+       |  FROM rates
+       |)
+       |SELECT d.lang, n_docs, rate_mille,
+       |  CAST(SUM(CASE WHEN ${duckMille("temp")} < rate_mille THEN 1 ELSE 0 END) AS BIGINT) AS sampled_docs,
+       |  CAST(SUM(CASE WHEN ${duckMille("temp")} < rate_mille THEN toks ELSE 0 END) AS BIGINT) AS sampled_tokens
+       |FROM d JOIN rated USING (lang)
+       |GROUP BY d.lang, n_docs, rate_mille""".stripMargin
+  }
 }

@@ -30,6 +30,23 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature mix: tail upsampled relative to head, rates valid") {
+    val rows = Sampling.sampleTemperature(spark, TestSpark.sf)
+      .select("lang", "n_docs", "rate_mille", "sampled_docs")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.map(_._1).sorted.toSeq == Seq("de", "en", "es", "fr", "zh"))
+    rows.foreach { case (_, n, rate, got) =>
+      assert(rate >= 0 && rate <= 1000)
+      assert(got <= n)
+    }
+    // τ=2 flattens the distribution: a smaller language must get an
+    // acceptance rate >= any larger language's (rate ∝ 1/sqrt(n))
+    rows.sortBy(_._2).sliding(2).foreach { case Array(small, big) =>
+      assert(small._3 >= big._3,
+        s"${small._1} (n=${small._2}) rate ${small._3} < ${big._1} rate ${big._3}")
+    }
+  }
+
   test("mix report: budget respected in expectation, full-keep sources exact") {
     val rows = Sampling.corpusMixReport(spark, TestSpark.sf)
       .select("n_docs", "avail_tokens", "rate_mille", "sampled_docs", "sampled_tokens")

@@ -108,6 +108,7 @@ object SparkEntry {
     "vocab_bpe_learn" -> ((s, d) => graft.text.Vocab.bpeLearn(configured(s), d)),
     "events_json_extract" -> ((s, d) => Events.jsonExtract(configured(s), d)),
     "sample_temperature" -> ((s, d) => graft.pipeline.Sampling.sampleTemperature(configured(s), d)),
+    "streaming_enrich" -> ((s, d) => EventStreams.enrich(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -177,5 +178,6 @@ object SparkEntry {
     "vocab_bpe_learn" -> graft.text.Vocab.bpeLearnSql,
     "events_json_extract" -> Events.jsonExtractSql,
     "sample_temperature" -> graft.pipeline.Sampling.sampleTemperatureSql,
+    "streaming_enrich" -> EventStreams.enrichSql,
   )
 }

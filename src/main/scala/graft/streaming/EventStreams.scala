@@ -125,4 +125,36 @@ object EventStreams {
        |  ${Exact.duckSum("value")} AS sum_value
        |FROM numbered GROUP BY user_id, session_seq""".stripMargin
   }
+
+  /** #69: stream-static enrichment join — the events stream joins a
+    * static customer→nation dimension, then aggregates per (nation,
+    * event_type). The canonical streaming-ETL shape: the static side is
+    * planned as a broadcast into every micro-batch (no stream-side
+    * shuffle for the join; state exists only in the downstream agg). At
+    * 100 TB/day the dimension is re-broadcast per batch, so dimension
+    * updates flow without restarting the query; a dimension too big to
+    * broadcast becomes a stream-static shuffle join keyed on user_id.
+    */
+  def enrich(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Tables
+    val dim = Tables.customer(spark, dir)
+      .join(Tables.nation(spark, dir),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("user_id"), col("n_name").as("nation"))
+    runToMemory(
+      eventStream(spark, dir)
+        .join(broadcast(dim), "user_id")
+        .groupBy("nation", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          Exact.decSum(col("value")).as("sum_value")),
+      "graft_stream_enrich")
+  }
+
+  val enrichSql: String =
+    s"""SELECT n_name AS nation, event_type, COUNT(*) AS n_events,
+       |  ${Exact.duckSum("value")} AS sum_value
+       |FROM events
+       |JOIN customer ON user_id = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY 1, 2""".stripMargin
 }

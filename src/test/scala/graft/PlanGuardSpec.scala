@@ -21,7 +21,7 @@ class PlanGuardSpec extends AnyFunSuite {
   // be vacuous (their semantics are covered by StreamingSpec + oracle).
   private val skip = Set(
     "streaming_windowed_agg", "streaming_sessionize", "streaming_dedup",
-    "streaming_quality_filter",
+    "streaming_quality_filter", "streaming_enrich",
     // trainers execute eagerly (multi-job loops), not a single plan
     "kge_transe_train", "kge_transe_train_adagrad", "kge_transe_train_adam",
     "kge_distmult_train", "kge_hole_train", "cp_als", "rescal_als",

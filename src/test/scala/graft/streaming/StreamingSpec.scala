@@ -70,6 +70,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(sWagg.exceptAll(bWagg).isEmpty && bWagg.exceptAll(sWagg).isEmpty)
   }
 
+  test("stream-static enrich equals the batch join on sf0.001") {
+    import org.apache.spark.sql.functions._
+    val s = EventStreams.enrich(spark, TestSpark.sf)
+    val dim = graft.core.Tables.customer(spark, TestSpark.sf)
+      .join(graft.core.Tables.nation(spark, TestSpark.sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("user_id"), col("n_name").as("nation"))
+    val b = graft.relational.Events.eventsS(spark, TestSpark.sf)
+      .join(dim, "user_id")
+      .groupBy("nation", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        graft.core.Exact.decSum(col("value")).as("sum_value"))
+    assert(s.exceptAll(b).isEmpty && b.exceptAll(s).isEmpty)
+    // every event has a matching customer row (no silent inner-join loss)
+    val nEvents = s.agg(sum("n_events")).head().getLong(0)
+    assert(nEvents == graft.core.Tables.events(spark, TestSpark.sf).count())
+  }
+
   private case class Doc(doc_id: Long, source: String, text: String, n_chars: Long)
 
   test("streaming quality gate is stateless per-row and cross-batch stable") {

@@ -109,6 +109,7 @@ object SparkEntry {
     "events_json_extract" -> ((s, d) => Events.jsonExtract(configured(s), d)),
     "sample_temperature" -> ((s, d) => graft.pipeline.Sampling.sampleTemperature(configured(s), d)),
     "streaming_enrich" -> ((s, d) => EventStreams.enrich(configured(s), d)),
+    "events_asof_join" -> ((s, d) => Events.asofJoin(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -179,5 +180,6 @@ object SparkEntry {
     "events_json_extract" -> Events.jsonExtractSql,
     "sample_temperature" -> graft.pipeline.Sampling.sampleTemperatureSql,
     "streaming_enrich" -> EventStreams.enrichSql,
+    "events_asof_join" -> Events.asofJoinSql,
   )
 }

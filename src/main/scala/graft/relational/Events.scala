@@ -115,4 +115,56 @@ object Events {
        |FROM (SELECT event_type, CAST(json_extract(props, '$$.k') AS INT) AS k
        |      FROM events)
        |GROUP BY event_type""".stripMargin
+
+  // ------------------------------------------------------------ as-of join
+
+  /** #70: as-of join — each `click` event picks up the user's most
+    * recent `purchase` at or before it (attribution; the time-series
+    * join Spark has no native operator for). NOT a range join (which
+    * explodes to |clicks|·|purchases| candidates before filtering):
+    * both sides union with a side tag, shuffle ONCE on user_id, and a
+    * running `last(…, ignoreNulls)` over (ts, tag, id) carries the
+    * latest purchase forward — O(n log n) in the partition sort, zero
+    * row amplification. Tie rule: a purchase at the same second sorts
+    * before the click (tag 0 < 1), so "at or before" includes ties;
+    * equal-time purchases break on event_id. At 100 TB: pre-partition
+    * the log by (user, day) and this is a sort within partitions, same
+    * as sessionize.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = eventsS(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts_s"),
+        when(col("event_type") === "purchase", 0).otherwise(1).as("tag"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_s"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("purchase_id",
+        last(when(col("tag") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("purchase_ts",
+        last(when(col("tag") === 0, col("ts_s")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts_s").as("click_ts"), col("purchase_id"), col("purchase_ts"),
+        (col("ts_s") - col("purchase_ts")).as("lag_s"))
+  }
+
+  val asofJoinSql: String =
+    s"""WITH u AS (
+       |  SELECT event_id, user_id, $duckTsS AS ts_s,
+       |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS tag
+       |  FROM events WHERE event_type IN ('click', 'purchase')
+       |), w AS (
+       |  SELECT *,
+       |    LAST_VALUE(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+       |      OVER win AS purchase_id,
+       |    LAST_VALUE(CASE WHEN tag = 0 THEN ts_s END IGNORE NULLS)
+       |      OVER win AS purchase_ts
+       |  FROM u
+       |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_s, tag, event_id
+       |                 ROWS UNBOUNDED PRECEDING)
+       |)
+       |SELECT event_id AS click_id, user_id, ts_s AS click_ts,
+       |  purchase_id, purchase_ts, ts_s - purchase_ts AS lag_s
+       |FROM w WHERE tag = 1""".stripMargin
 }

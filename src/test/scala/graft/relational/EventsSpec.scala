@@ -19,7 +19,26 @@ class EventsSpec extends AnyFunSuite {
       assert(sum >= n * mn && sum <= n * mx)
     }
     val total = Events.jsonExtract(spark, TestSpark.sf)
-      .agg(org.apache.spark.sql.functions.sum("n")).as[Long].head()
+      .agg(org.apache.spark.sql.functions.sum("n")).head().getLong(0)
     assert(total == graft.core.Tables.events(spark, TestSpark.sf).count())
+  }
+
+  test("as-of join matches a brute-force per-user scan") {
+    val raw = Events.eventsS(spark, TestSpark.sf)
+      .select("event_id", "user_id", "ts_s", "event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val purchasesByUser = raw.filter(_._4 == "purchase")
+      .groupBy(_._2).view.mapValues(_.sortBy(e => (e._3, e._1))).toMap
+    val expected = raw.filter(_._4 == "click").map { case (id, u, ts, _) =>
+      val p = purchasesByUser.getOrElse(u, Array.empty[(Long, Long, Long, String)])
+        .filter(_._3 <= ts).lastOption
+      (id, p.map(_._1), p.map(_._3))
+    }.toSet
+    val got = Events.asofJoin(spark, TestSpark.sf)
+      .select("click_id", "purchase_id", "purchase_ts")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map { case (c, pid, pts) => (c, pid, pts) }.toSet
+    assert(got == expected)
+    assert(got.nonEmpty && got.exists(_._2.isDefined))
   }
 }

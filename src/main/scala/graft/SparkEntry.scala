@@ -110,6 +110,7 @@ object SparkEntry {
     "sample_temperature" -> ((s, d) => graft.pipeline.Sampling.sampleTemperature(configured(s), d)),
     "streaming_enrich" -> ((s, d) => EventStreams.enrich(configured(s), d)),
     "events_asof_join" -> ((s, d) => Events.asofJoin(configured(s), d)),
+    "q1_rollup" -> ((s, d) => Relational.q1Rollup(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -181,5 +182,6 @@ object SparkEntry {
     "sample_temperature" -> graft.pipeline.Sampling.sampleTemperatureSql,
     "streaming_enrich" -> EventStreams.enrichSql,
     "events_asof_join" -> Events.asofJoinSql,
+    "q1_rollup" -> Relational.q1RollupSql,
   )
 }

@@ -122,4 +122,45 @@ object Relational {
        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
        |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
        |GROUP BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- rollup
+
+  /** #71: multi-level aggregation — `ROLLUP(l_returnflag, l_linestatus)`
+    * emits the detail rows, per-returnflag subtotals, and a grand total
+    * in ONE pass with the `grouping()` marker distinguishing levels
+    * (0 = real value, 1 = rolled up). Spark plans this as a single
+    * Expand + hash aggregate — 3× the map-side rows but still one
+    * shuffle, vs three separate scans+aggregations; the grouping-key
+    * space stays tiny so the shuffle never grows with data. NULL group
+    * values are replaced by 'ALL' sentinels in the output so the oracle
+    * compare never relies on cross-engine NULL-sorting conventions.
+    */
+  def q1Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        Exact.decSum(col("l_extendedprice")).as("sum_base_price"),
+        count(lit(1)).as("count_order"),
+        grouping("l_returnflag").as("g_rf"),
+        grouping("l_linestatus").as("g_ls"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("sum_qty"), col("sum_base_price"), col("count_order"),
+        col("g_rf"), col("g_ls"))
+
+  val q1RollupSql: String =
+    s"""SELECT
+       |  COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       |  SUM(l_quantity) AS sum_qty,
+       |  ${Exact.duckSum("l_extendedprice")} AS sum_base_price,
+       |  COUNT(*) AS count_order,
+       |  CAST(GROUPING(l_returnflag) AS TINYINT) AS g_rf,
+       |  CAST(GROUPING(l_linestatus) AS TINYINT) AS g_ls
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
 }

@@ -41,4 +41,21 @@ class EventsSpec extends AnyFunSuite {
     assert(got == expected)
     assert(got.nonEmpty && got.exists(_._2.isDefined))
   }
+
+  test("rollup: subtotal levels are consistent with the detail rows") {
+    val rows = Relational.q1Rollup(spark, TestSpark.sf)
+      .select("l_returnflag", "l_linestatus", "sum_qty", "count_order", "g_rf", "g_ls")
+      .as[(String, String, Double, Long, Byte, Byte)].collect()
+    val detail = rows.filter(r => r._5 == 0 && r._6 == 0)
+    val byFlag = rows.filter(r => r._5 == 0 && r._6 == 1)
+    val grand = rows.filter(r => r._5 == 1 && r._6 == 1)
+    assert(grand.length == 1)
+    assert(grand.head._4 == detail.map(_._4).sum)
+    byFlag.foreach { sub =>
+      val kids = detail.filter(_._1 == sub._1)
+      assert(sub._4 == kids.map(_._4).sum)
+      assert(sub._3 == kids.map(_._3).sum) // integral doubles: exact sums
+      assert(sub._2 == "ALL")
+    }
+  }
 }

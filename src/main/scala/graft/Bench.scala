@@ -23,8 +23,9 @@ object Bench {
 
   /** Headline subset: representative per block, bounded at sf0.1. */
   val headline: Seq[String] = Seq(
-    "q1_agg", "q3_join", "q5_join_region",
+    "q1_agg", "q3_join", "q5_join_region", "q1_rollup",
     "events_windowed_agg", "events_sessionize",
+    "events_json_extract", "events_asof_join",
     "dict_encode_entities", "triples_encode", "cp_mttkrp",
     "tensor_block_partition", "neg_sample_lcwa",
     "kge_transe_score", "kge_distmult_score", "kge_rescal_score",
@@ -38,7 +39,8 @@ object Bench {
     "text_repetition",
     "text_tfidf", "text_bm25", "text_ngram_lm", "vocab_pair_merges",
     "vocab_bpe_learn",
-    "sample_stratified", "corpus_mix_report", "doc_length_stats",
+    "sample_stratified", "sample_temperature", "corpus_mix_report",
+    "doc_length_stats",
     "media_metadata", "media_frame_sample",
     "streaming_windowed_agg", "streaming_dedup")
 

@@ -111,6 +111,7 @@ object SparkEntry {
     "streaming_enrich" -> ((s, d) => EventStreams.enrich(configured(s), d)),
     "events_asof_join" -> ((s, d) => Events.asofJoin(configured(s), d)),
     "q1_rollup" -> ((s, d) => Relational.q1Rollup(configured(s), d)),
+    "source_csv_roundtrip" -> ((s, d) => graft.sources.Csv.roundtrip(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -183,5 +184,6 @@ object SparkEntry {
     "streaming_enrich" -> EventStreams.enrichSql,
     "events_asof_join" -> Events.asofJoinSql,
     "q1_rollup" -> Relational.q1RollupSql,
+    "source_csv_roundtrip" -> graft.sources.Csv.roundtripSql,
   )
 }

@@ -29,7 +29,7 @@ object Bench {
     "dict_encode_entities", "triples_encode", "cp_mttkrp",
     "tensor_block_partition", "neg_sample_lcwa",
     "kge_transe_score", "kge_distmult_score", "kge_rescal_score",
-    "kge_hole_score", "kge_loss_ranking",
+    "kge_hole_score", "kge_complex_score", "kge_loss_ranking",
     "dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
     "corpus_clean", "decontaminate_ngrams",
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",

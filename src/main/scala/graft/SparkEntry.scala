@@ -112,6 +112,7 @@ object SparkEntry {
     "events_asof_join" -> ((s, d) => Events.asofJoin(configured(s), d)),
     "q1_rollup" -> ((s, d) => Relational.q1Rollup(configured(s), d)),
     "source_csv_roundtrip" -> ((s, d) => graft.sources.Csv.roundtrip(configured(s), d)),
+    "kge_complex_score" -> ((s, d) => Scoring.complexScore(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -185,5 +186,6 @@ object SparkEntry {
     "events_asof_join" -> Events.asofJoinSql,
     "q1_rollup" -> Relational.q1RollupSql,
     "source_csv_roundtrip" -> graft.sources.Csv.roundtripSql,
+    "kge_complex_score" -> Scoring.complexScoreSql,
   )
 }

@@ -75,6 +75,17 @@ object Embeddings {
       Dict.relations(spark, dir)
         .select(col("rid").as("id"), emb("R", col("rid")).as("v")))
 
+  /** Imaginary-part entity table for ComplEx (family EI). */
+  def entityEmbIm(spark: SparkSession, dir: String): DataFrame =
+    tableCache.getOrElseUpdate((spark, dir, "EI"))(
+      Dict.entities(spark, dir).select(col("id"), emb("EI", col("id")).as("v")))
+
+  /** Imaginary-part relation table for ComplEx (family RI). */
+  def relationEmbIm(spark: SparkSession, dir: String): DataFrame =
+    tableCache.getOrElseUpdate((spark, dir, "RI"))(
+      Dict.relations(spark, dir)
+        .select(col("rid").as("id"), emb("RI", col("rid")).as("v")))
+
   /** Materialized RESCAL relation-matrix table (id, w: d² row-major). */
   def rescalW(spark: SparkSession, dir: String): DataFrame =
     tableCache.getOrElseUpdate((spark, dir, "W"))(

@@ -133,6 +133,36 @@ object Scoring {
        |FROM comps c JOIN norms n USING (id)""".stripMargin
   }
 
+  /** #73: ComplEx (Trouillon et al. ICML'16)
+    * score = Re⟨h, r, t̄⟩ = Σ_i hr·rr·tr + hi·rr·ti + hr·ri·ti − hi·ri·tr
+    * with complex d=16 embeddings (real parts = the E/R families,
+    * imaginary parts = the EI/RI families). Completes the bilinear
+    * model family: DistMult is ComplEx with zero imaginary parts, and
+    * unlike DistMult the score is ASYMMETRIC in (h, t), so it can model
+    * directed relations. Same plan as the other scores: slice ⋈ four
+    * entity-part joins ⋈ two broadcast relation parts, then four fused
+    * codegen folds in one projection. All terms are dyadic products —
+    * exact in any summation order.
+    */
+  def complexScore(spark: SparkSession, dir: String): DataFrame = {
+    val er = entityEmb(spark, dir); val ei = entityEmbIm(spark, dir)
+    sliced(spark, dir)
+      .join(er.select(col("id").as("sid"), col("v").as("hr")), "sid")
+      .join(ei.select(col("id").as("sid"), col("v").as("hi")), "sid")
+      .join(er.select(col("id").as("oid"), col("v").as("tr")), "oid")
+      .join(ei.select(col("id").as("oid"), col("v").as("ti")), "oid")
+      .join(broadcast(relationEmb(spark, dir)
+        .select(col("id").as("pid"), col("v").as("rr"))), "pid")
+      .join(broadcast(relationEmbIm(spark, dir)
+        .select(col("id").as("pid"), col("v").as("ri"))), "pid")
+      .withColumn("score",
+        VectorFolds.dot3(col("hr"), col("rr"), col("tr"))
+          + VectorFolds.dot3(col("hi"), col("rr"), col("ti"))
+          + VectorFolds.dot3(col("hr"), col("ri"), col("ti"))
+          - VectorFolds.dot3(col("hi"), col("ri"), col("tr")))
+      .select("sid", "pid", "oid", "score")
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private def prelude(mod: Int): String =
@@ -176,6 +206,18 @@ object Scoring {
        |FROM test_enc,
        |  (SELECT unnest(range(0, ${D})) AS k),
        |  (SELECT unnest(range(0, ${D})) AS i)
+       |GROUP BY sid, pid, oid""".stripMargin
+  }
+
+  val complexScoreSql: String = {
+    val hr = duckEl("E", "sid", "i"); val hi = duckEl("EI", "sid", "i")
+    val tr = duckEl("E", "oid", "i"); val ti = duckEl("EI", "oid", "i")
+    val rr = duckEl("R", "pid", "i"); val ri = duckEl("RI", "pid", "i")
+    s"""${prelude(ScoreMod)}
+       |SELECT sid, pid, oid,
+       |  SUM((($hr * $rr) * $tr) + (($hi * $rr) * $ti)
+       |    + (($hr * $ri) * $ti) - (($hi * $ri) * $tr)) AS score
+       |FROM test_enc, (SELECT unnest(range(0, ${D})) AS i)
        |GROUP BY sid, pid, oid""".stripMargin
   }
 }

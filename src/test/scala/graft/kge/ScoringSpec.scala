@@ -49,6 +49,25 @@ class ScoringSpec extends AnyFunSuite {
     assert(row.getDouble(3) == expected)
   }
 
+  test("ComplEx score matches the hand-computed Re<h,r,conj(t)>") {
+    val row = Scoring.complexScore(spark, TestSpark.sf)
+      .orderBy("sid", "pid", "oid").limit(1)
+      .select($"sid", $"pid", $"oid", $"score").head()
+    val (sid, pid, oid) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    def dyad(seed: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(seed.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      ((java.lang.Long.parseLong(hex.substring(0, 15), 16) % 201) - 100).toDouble / 128.0
+    }
+    val expected = (0 until Embeddings.D).map { i =>
+      val (hr, hi) = (dyad(s"E|$sid|$i"), dyad(s"EI|$sid|$i"))
+      val (tr, ti) = (dyad(s"E|$oid|$i"), dyad(s"EI|$oid|$i"))
+      val (rr, ri) = (dyad(s"R|$pid|$i"), dyad(s"RI|$pid|$i"))
+      hr * rr * tr + hi * rr * ti + hr * ri * ti - hi * ri * tr
+    }.sum
+    assert(row.getDouble(3) == expected) // dyadic products: exact equality
+  }
+
   test("ranking: every rank is within [1, candidate-set size]") {
     val ranks = RankingEval.ranks(spark, TestSpark.sf)
     val n = ranks.count()

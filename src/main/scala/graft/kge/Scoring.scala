@@ -145,16 +145,14 @@ object Scoring {
     * exact in any summation order.
     */
   def complexScore(spark: SparkSession, dir: String): DataFrame = {
-    val er = entityEmb(spark, dir); val ei = entityEmbIm(spark, dir)
+    val ce = complexEnt(spark, dir)
     sliced(spark, dir)
-      .join(er.select(col("id").as("sid"), col("v").as("hr")), "sid")
-      .join(ei.select(col("id").as("sid"), col("v").as("hi")), "sid")
-      .join(er.select(col("id").as("oid"), col("v").as("tr")), "oid")
-      .join(ei.select(col("id").as("oid"), col("v").as("ti")), "oid")
-      .join(broadcast(relationEmb(spark, dir)
-        .select(col("id").as("pid"), col("v").as("rr"))), "pid")
-      .join(broadcast(relationEmbIm(spark, dir)
-        .select(col("id").as("pid"), col("v").as("ri"))), "pid")
+      .join(ce.select(col("id").as("sid"),
+        col("vr").as("hr"), col("vi").as("hi")), "sid")
+      .join(ce.select(col("id").as("oid"),
+        col("vr").as("tr"), col("vi").as("ti")), "oid")
+      .join(broadcast(complexRel(spark, dir).select(col("id").as("pid"),
+        col("vr").as("rr"), col("vi").as("ri"))), "pid")
       .withColumn("score",
         VectorFolds.dot3(col("hr"), col("rr"), col("tr"))
           + VectorFolds.dot3(col("hi"), col("rr"), col("ti"))

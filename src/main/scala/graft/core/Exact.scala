@@ -29,7 +29,11 @@ import org.apache.spark.sql.functions._
   * formulation has exactly one convention, defined by IEEE 754.
   *
   * Domain: |x|·10^s must stay below 2^53 (exact integral doubles) and
-  * group sums below 2^63. All graft quantities are O(1e5) at s ≤ 12.
+  * group sums below 2^63 — i.e. |x| < ~9e3 at s = 12 and |x| < ~9e9 at
+  * s = 6. Callers must bound their inputs accordingly: quantities that
+  * grow with corpus size (counts, raw idf) are normalized to O(1)
+  * before a scale-12 sum (see [[graft.text.Relevance.bm25Search]]) or
+  * summed at scale ≤ 6.
   */
 object Exact {
 

@@ -103,8 +103,6 @@ object CorpusClean {
     // lang-ID + quality fragments mirror TextAnalysis SQL; the MinHash
     // CTE chain is shared verbatim with the dedup oracles.
     val duckWords = "regexp_split_to_array(trim(text), '\\s+')"
-    val stopList = Seq("the", "a", "of", "and", "to", "in", "is", "on")
-      .map(w => s"'$w'").mkString("(", ", ", ")")
     val keepList = KeepLangs.map(l => s"'$l'").mkString("(", ", ", ")")
     s"""WITH ${Dedup.minhashCtes},
        |lw AS (
@@ -119,10 +117,7 @@ object CorpusClean {
        |), q AS (
        |  SELECT doc_id,
        |    CAST(len(ws) AS BIGINT) AS n_words,
-       |    CAST(0.3 AS DOUBLE) * least(CAST(len(ws) AS DOUBLE) / 50.0, 1.0)
-       |      + CAST(0.3 AS DOUBLE) * (1.0 - CAST(len(list_filter(ws, w -> w IN $stopList)) AS DOUBLE) / CAST(len(ws) AS DOUBLE))
-       |      + CAST(0.2 AS DOUBLE) * least(((CAST(n_chars AS DOUBLE) - (CAST(len(ws) AS DOUBLE) - 1.0)) / CAST(len(ws) AS DOUBLE)) / 8.0, 1.0)
-       |      + CAST(0.2 AS DOUBLE) * (CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)) AS quality
+       |    ${graft.text.TextAnalysis.duckQuality} AS quality
        |  FROM (SELECT doc_id, n_chars, $duckWords AS ws FROM documents)
        |), flags AS (
        |  SELECT d.doc_id, d.source, md5(lower(trim(d.text))) AS text_hash,

@@ -109,10 +109,21 @@ object Events {
         min("k").as("min_k"),
         max("k").as("max_k"))
 
+  /** Oracle note: the naive `CAST(json_extract(...) AS INT)` coerces
+    * quoted numeric strings (`"5"` → 5) where Spark's `from_json` with
+    * schema `k INT` yields NULL, so the oracle extracts ONLY when the
+    * JSON value is an integer (`json_type` ∈ BIGINT/UBIGINT) — matching
+    * Spark's strict typed parse on strings, doubles, booleans, nulls,
+    * malformed JSON, and int overflow (TRY_CAST) alike.
+    */
   val jsonExtractSql: String =
     s"""SELECT event_type, COUNT(*) AS n, COUNT(k) AS n_k,
        |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
-       |FROM (SELECT event_type, CAST(json_extract(props, '$$.k') AS INT) AS k
+       |FROM (SELECT event_type,
+       |        CASE WHEN json_valid(props)
+       |              AND json_type(props, '$$.k') IN ('BIGINT', 'UBIGINT')
+       |             THEN TRY_CAST(json_extract_string(props, '$$.k') AS INT)
+       |        END AS k
        |      FROM events)
        |GROUP BY event_type""".stripMargin
 

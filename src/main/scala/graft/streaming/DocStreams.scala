@@ -57,22 +57,17 @@ object DocStreams {
           Exact.decSum(col("quality")).as("sum_quality")),
       "graft_stream_qfilter")
 
-  val qualityFilterSql: String = {
-    val stopList = TextAnalysis.duckStopList
+  val qualityFilterSql: String =
     s"""WITH d AS (
        |  SELECT source, n_chars, regexp_split_to_array(trim(text), '\\s+') AS ws
        |  FROM documents
        |), q AS (
        |  SELECT source,
-       |    CAST(0.3 AS DOUBLE) * least(CAST(len(ws) AS DOUBLE) / 50.0, 1.0)
-       |      + CAST(0.3 AS DOUBLE) * (1.0 - CAST(len(list_filter(ws, w -> w IN $stopList)) AS DOUBLE) / CAST(len(ws) AS DOUBLE))
-       |      + CAST(0.2 AS DOUBLE) * least(((CAST(n_chars AS DOUBLE) - (CAST(len(ws) AS DOUBLE) - 1.0)) / CAST(len(ws) AS DOUBLE)) / 8.0, 1.0)
-       |      + CAST(0.2 AS DOUBLE) * (CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)) AS quality
+       |    ${TextAnalysis.duckQuality} AS quality
        |  FROM d
        |)
        |SELECT source, COUNT(*) AS n_kept,
        |  ${Exact.duckSum("quality")} AS sum_quality
        |FROM q WHERE quality >= ${CorpusClean.QualityTau}
        |GROUP BY source""".stripMargin
-  }
 }

@@ -90,7 +90,13 @@ object Relevance {
 
   /** #55: BM25 top-5 documents per keyword query.
     * score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
-    * with the rational idf (N − df + 0.5)/(df + 0.5).
+    * with the rational idf (N − df + 0.5)/((df + 0.5)·N) — the classic
+    * (N − df + 0.5)/(df + 0.5) divided by N. Per-query rankings are
+    * identical (every term score scales by the same 1/N) and the
+    * normalization bounds |idf| < 1 and |s_term| < k1+1 at ANY corpus
+    * size, so the scale-12 quantized sum stays inside the 2^53
+    * exact-integral-double domain ([[graft.core.Exact]]) — the raw idf
+    * is ~2N, which leaves that domain past a few thousand docs.
     *
     * Plan: the query-term table (a handful of rows) and the df table
     * (vocabulary-sized) are both broadcast; the inner join against the
@@ -112,7 +118,7 @@ object Relevance {
       .select(col("doc_id"), size(words).cast("long").as("dl"))
     val stats = docLen.agg(count(lit(1)).as("n_docs"),
       (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-    val idf = (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)
+    val idf = (col("n_docs") - col("df") + 0.5) / ((col("df") + 0.5) * col("n_docs"))
     val tfNorm = (col("tf") * (k1 + 1)) /
       (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / col("avgdl"))))
     val byQuery = Window.partitionBy("query_id")
@@ -142,7 +148,7 @@ object Relevance {
        |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
        |scored AS (
        |  SELECT query_id, tf.doc_id,
-       |    ((n_docs - df + 0.5) / (df + 0.5)) *
+       |    ((n_docs - df + 0.5) / ((df + 0.5) * n_docs)) *
        |    ((tf * ${k1 + 1}) / (tf + $k1 * ((${1 - b}) + $b * (dl / avgdl)))) AS s_term
        |  FROM tf JOIN qt USING (term) JOIN df USING (term)
        |       JOIN dl ON dl.doc_id = tf.doc_id, stats

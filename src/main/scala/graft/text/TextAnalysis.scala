@@ -88,6 +88,18 @@ object TextAnalysis {
       lit(0.2) * least(avgWordLen / 8.0, lit(1.0)) +
       lit(0.2) * uniqRatio
 
+  /** DuckDB fragment mirroring [[quality]] over columns `ws` (token
+    * array) and `n_chars` — the SINGLE oracle-side copy of the formula.
+    * Used by the batch oracle below, the streaming quality-filter oracle
+    * ([[graft.streaming.DocStreams]]) and the corpus-clean funnel oracle
+    * ([[graft.pipeline.CorpusClean]]), so the three cannot drift.
+    */
+  private[graft] val duckQuality: String =
+    s"""CAST(0.3 AS DOUBLE) * least(CAST(len(ws) AS DOUBLE) / 50.0, 1.0)
+       |      + CAST(0.3 AS DOUBLE) * (1.0 - CAST(len(list_filter(ws, w -> w IN $duckStopList)) AS DOUBLE) / CAST(len(ws) AS DOUBLE))
+       |      + CAST(0.2 AS DOUBLE) * least(((CAST(n_chars AS DOUBLE) - (CAST(len(ws) AS DOUBLE) - 1.0)) / CAST(len(ws) AS DOUBLE)) / 8.0, 1.0)
+       |      + CAST(0.2 AS DOUBLE) * (CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE))""".stripMargin
+
   /** Length / stopword-ratio / vocabulary-diversity quality score in
     * [0, 1] (the usual pre-training heuristic filter shape).
     */
@@ -106,24 +118,15 @@ object TextAnalysis {
         uniqRatio.as("uniq_ratio"),
         quality.as("quality"))
 
-  val qualityScoreSql: String = {
-    val stopList = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+  val qualityScoreSql: String =
     s"""WITH d AS (
        |  SELECT doc_id, n_chars, $duckWords AS ws FROM documents
-       |), m AS (
-       |  SELECT doc_id, n_chars,
-       |    CAST(len(ws) AS DOUBLE) AS n_words,
-       |    CAST(len(list_filter(ws, w -> w IN $stopList)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS stop_ratio,
-       |    CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS uniq_ratio,
-       |    (CAST(n_chars AS DOUBLE) - (CAST(len(ws) AS DOUBLE) - 1.0)) / CAST(len(ws) AS DOUBLE) AS avg_word_len
-       |  FROM d
        |)
-       |SELECT doc_id, n_chars, CAST(n_words AS BIGINT) AS n_words,
-       |  stop_ratio, uniq_ratio,
-       |  CAST(0.3 AS DOUBLE) * least(n_words / 50.0, 1.0) + CAST(0.3 AS DOUBLE) * (1.0 - stop_ratio)
-       |    + CAST(0.2 AS DOUBLE) * least(avg_word_len / 8.0, 1.0) + CAST(0.2 AS DOUBLE) * uniq_ratio AS quality
-       |FROM m""".stripMargin
-  }
+       |SELECT doc_id, n_chars, CAST(len(ws) AS BIGINT) AS n_words,
+       |  CAST(len(list_filter(ws, w -> w IN $duckStopList)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS stop_ratio,
+       |  CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS uniq_ratio,
+       |  $duckQuality AS quality
+       |FROM d""".stripMargin
 
   // -------------------------------------------------------- token counts
 

@@ -97,9 +97,14 @@ object Losses {
       .select(round4(log(lit(1.0) + exp(-col("ys")))).as("l"))
       .agg(count(lit(1)).as("n_scored"), Exact.decAvg(col("l")).as("loss_mean"))
 
-  /** #43: sigmoid/tanh activations of the TransE score per test triple
+  /** #43: the reference's activation family (actfun.py:13-55 —
+    * Sigmoid/Tanh/ReLU/Linear; Softplus is exercised by
+    * [[logisticLoss]]) applied to the TransE score per test triple
     * (scores scaled by 1/D into tanh's active region first — raw
     * distances saturate both activations to ±1 immediately).
+    *
+    * relu/linear are pure rational ops over the dyadic-exact score, so
+    * they carry NO grid rounding — only the two transcendentals do.
     */
   def activations(spark: SparkSession, dir: String): DataFrame =
     scored(spark, dir)
@@ -107,7 +112,9 @@ object Losses {
       .select(col("sid"), col("pid"), col("oid"),
         round6(lit(1.0) / (lit(1.0) + exp(-col("x")))).as("sigmoid"),
         round6(lit(1.0) - lit(2.0) / (exp(lit(2.0) * col("x")) + lit(1.0)))
-          .as("tanh"))
+          .as("tanh"),
+        greatest(lit(0.0), col("x")).as("relu"),
+        col("x").as("linear"))
 
   // ---------------------------------------------------------------- oracle
 
@@ -156,6 +163,8 @@ object Losses {
     s"""$scoredCtes
        |SELECT sid, pid, oid,
        |  ${r6(s"1.0 / (1.0 + exp(-(s_pos / ${D})))")} AS sigmoid,
-       |  ${r6(s"1.0 - 2.0 / (exp(2.0 * (s_pos / ${D})) + 1.0)")} AS tanh
+       |  ${r6(s"1.0 - 2.0 / (exp(2.0 * (s_pos / ${D})) + 1.0)")} AS tanh,
+       |  GREATEST(0.0, s_pos / ${D}) AS relu,
+       |  s_pos / ${D} AS linear
        |FROM scored""".stripMargin
 }

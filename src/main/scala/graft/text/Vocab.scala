@@ -37,9 +37,13 @@ object Vocab {
       .select(explode(pairs).as("pair"))
       .groupBy("pair")
       .agg(count(lit(1)).as("n"))
+      // top-k FIRST (TakeOrderedAndProject — per-partition heaps, no
+      // single-partition sort of the pair frame), then rank the TopK
+      // survivors; the only unpartitioned window runs over ≤ TopK rows.
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(TopK)
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("n").desc, col("pair").asc)))
-      .filter(col("rnk") <= TopK)
       .select("pair", "n", "rnk")
   }
 

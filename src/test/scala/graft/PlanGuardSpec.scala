@@ -45,6 +45,46 @@ class PlanGuardSpec extends AnyFunSuite {
       s"cartesian product in: ${offenders.mkString(", ")}")
   }
 
+  test("no unpartitioned WindowExec over an unbounded frame") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec}
+
+    // Flatten including the plan inside an AQE wrapper (a leaf node to
+    // `collect`); cached relations stay opaque — their one window is the
+    // documented 64-row dictionary-offset frame.
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.inputPlan)
+      case other => other.children.flatMap(nodes)
+    })
+    // A window whose child subtree top-k-limits first runs over a
+    // bounded frame (Vocab.pairMerges ranks the TopK survivors).
+    def bounded(p: SparkPlan): Boolean = nodes(p).exists {
+      case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
+      case _ => false
+    }
+    // Documented exceptions (SURVEY §5): the 64-row bucket-offset
+    // cumulative sum and the ~1e3-row relation dictionary.
+    val allowedOrderCols = Set("bucket", "rel")
+
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(skip)
+      .flatMap { name =>
+        val plan = SparkEntry.queries(name)(spark, TestSpark.sf)
+          .queryExecution.executedPlan
+        nodes(plan).collect {
+          case w: WindowExec if w.partitionSpec.isEmpty &&
+              !bounded(w.child) &&
+              !w.orderSpec.flatMap(_.references.map(_.name))
+                .forall(allowedOrderCols) =>
+            s"$name [${w.orderSpec.map(_.sql).mkString(", ")}]"
+        }
+      }
+    assert(offenders.isEmpty,
+      s"unpartitioned window over unbounded frame in: ${offenders.mkString("; ")}")
+  }
+
   test("q1_agg keeps filter pushdown and column pruning at the scan") {
     val plan = SparkEntry.queries("q1_agg")(spark, TestSpark.sf)
       .queryExecution.executedPlan.toString

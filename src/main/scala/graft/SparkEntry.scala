@@ -7,7 +7,7 @@ import graft.dedup.Dedup
 import graft.kge.{DistMultTrainer, HolETrainer, Kernels, Losses, RankingEval, Scoring}
 import graft.media.Media
 import graft.streaming.EventStreams
-import graft.kge.TransETrainer
+import graft.kge.{TrainEval, TransETrainer}
 import graft.rdf.{Dict, Rdf}
 import graft.relational.{Events, Relational}
 import graft.tensor.{BlockPartition, CpAls, Mttkrp, RescalAls}
@@ -113,6 +113,9 @@ object SparkEntry {
     "q1_rollup" -> ((s, d) => Relational.q1Rollup(configured(s), d)),
     "source_csv_roundtrip" -> ((s, d) => graft.sources.Csv.roundtrip(configured(s), d)),
     "kge_complex_score" -> ((s, d) => Scoring.complexScore(configured(s), d)),
+    // train→eval composition: iterative (shares the #20 training run),
+    // rows-only like the trainers; improvement asserted by TrainEvalSpec
+    "kge_train_eval" -> ((s, d) => TrainEval.trainEval(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */

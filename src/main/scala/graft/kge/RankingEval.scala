@@ -49,17 +49,26 @@ object RankingEval {
   def ranks(spark: SparkSession, dir: String): DataFrame =
     ranksCache.getOrElseUpdate((spark, dir))(ranksBuild(spark, dir))
 
-  private def ranksBuild(spark: SparkSession, dir: String): DataFrame = {
-    val entEmb = entityEmb(spark, dir)
-    val relEmb = relationEmb(spark, dir)
-    def score(h: String, r: String, t: String) =
-      graft.functions.VectorFolds.dot3(col(h), col(r), col(t))
-    val test = encodedSample(spark, dir, EvalMod)
+  /** Rank frame over ARBITRARY (id, v) embedding tables and score
+    * function — shared by the hash-embedding eval below (#17/#18) and
+    * the trained-model composition ([[TrainEval]], the reference's
+    * train-then-`get_mrr` journey). `graph` supplies both the
+    * type-constrained candidate sets and the filtered-protocol truth;
+    * test triples whose entities are absent from `entEmb` drop out via
+    * the inner joins (the standard unseen-entity filter when evaluating
+    * a model trained on a subset).
+    */
+  private[kge] def ranksFrom(
+      test: DataFrame, entEmb: DataFrame, relEmb: DataFrame,
+      graph: DataFrame,
+      score: (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column) => org.apache.spark.sql.Column): DataFrame = {
+    val testE = test
       .join(entEmb.select(col("id").as("sid"), col("v").as("h")), "sid")
       .join(entEmb.select(col("id").as("oid"), col("v").as("t")), "oid")
       .join(broadcast(relEmb.select(col("id").as("pid"), col("v").as("r"))), "pid")
-      .withColumn("score_t", score("h", "r", "t"))
-    val cands = Dict.encodedTriples(spark, dir)
+      .withColumn("score_t", score(col("h"), col("r"), col("t")))
+    val cands = graph
       .select(col("pid"), col("oid").as("cand")).distinct()
       .join(entEmb.select(col("id").as("cand"), col("v").as("tc")), "cand")
     // Filtered protocol: flag candidates that are OTHER known-true
@@ -67,11 +76,11 @@ object RankingEval {
     // (sid, pid, oid) is unique in encoded, so the left join can't
     // fan out. At 100 TB this is a shuffle join keyed like the groupBy
     // that follows — no extra exchange shape.
-    val known = Dict.encodedTriples(spark, dir)
+    val known = graph
       .select(col("sid"), col("pid"), col("oid").as("cand"),
         lit(1).as("istrue"))
-    test.join(broadcast(cands), "pid")
-      .withColumn("score_c", score("h", "r", "tc"))
+    testE.join(broadcast(cands), "pid")
+      .withColumn("score_c", score(col("h"), col("r"), col("tc")))
       .join(known, Seq("sid", "pid", "cand"), "left")
       .groupBy("sid", "pid", "oid")
       .agg((lit(1) + sum(when(
@@ -80,6 +89,14 @@ object RankingEval {
           (col("istrue").isNull || col("cand") === col("oid")),
         1).otherwise(0))).cast("long").as("rank"))
   }
+
+  private def ranksBuild(spark: SparkSession, dir: String): DataFrame =
+    ranksFrom(
+      encodedSample(spark, dir, EvalMod),
+      entityEmb(spark, dir),
+      relationEmb(spark, dir),
+      Dict.encodedTriples(spark, dir),
+      graft.functions.VectorFolds.dot3)
 
   /** #17: Hits@1/3/10 over the test slice (single summary row). */
   def hitsAtK(spark: SparkSession, dir: String): DataFrame =

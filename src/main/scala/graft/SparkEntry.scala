@@ -116,6 +116,7 @@ object SparkEntry {
     // train→eval composition: iterative (shares the #20 training run),
     // rows-only like the trainers; improvement asserted by TrainEvalSpec
     "kge_train_eval" -> ((s, d) => TrainEval.trainEval(configured(s), d)),
+    "kge_transe_train_step" -> ((s, d) => TransETrainer.trainStep(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -190,5 +191,8 @@ object SparkEntry {
     "q1_rollup" -> Relational.q1RollupSql,
     "source_csv_roundtrip" -> graft.sources.Csv.roundtripSql,
     "kge_complex_score" -> Scoring.complexScoreSql,
+    // the one SQL-expressible trainer surface: epoch-1 embeddings in
+    // closed form — gives the iterative family a hash-matched row
+    "kge_transe_train_step" -> TransETrainer.trainStepSql,
   )
 }

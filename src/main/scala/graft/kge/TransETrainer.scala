@@ -80,6 +80,87 @@ object TransETrainer {
     trainFrames(spark, dir, optimizer)._3.toDF("epoch", "loss")
   }
 
+  /** #75: ONE closed-form full-batch SGD step — the epoch-1 ENTITY
+    * embedding table of #20 in long (id, i, v) form. The single trainer
+    * surface that IS SQL-expressible (reference `_process_batch`,
+    * base.py:180: score → hinge → gradient → update is one algebraic
+    * pass), which gives the iterative family a hash-matched DuckDB
+    * CORRECTNESS row: the other trainers share this exact
+    * gradient/update machinery and differ only in the optimizer state
+    * they thread through it.
+    *
+    * Exact by construction: init embeddings and every gradient term are
+    * dyadic rationals (all sums/products exact in double, any order);
+    * the per-id mean runs through the scale-9 quantized sum; the only
+    * non-dyadic arithmetic — `lr·g` and the final subtraction — is a
+    * pair of correctly-rounded IEEE ops mirrored verbatim in the
+    * oracle.
+    */
+  def trainStep(spark: SparkSession, dir: String): DataFrame = {
+    val (ent, _, _) = trainFrames(spark, dir, "sgd", 1, Lr)
+    ent.select(col("id"), posexplode(col("vec")).as(Seq("i", "v")))
+  }
+
+  val trainStepSql: String = {
+    val mbHash = PortableHash.duck("'mb|' || sid || '|' || pid || '|' || oid")
+    val negHash = PortableHash.duck("'neg|' || sid || '|' || pid || '|' || oid")
+    s"""${Dict.preludeCtes},
+       |n AS (SELECT COUNT(*) AS n_ent FROM entities),
+       |mb AS MATERIALIZED (
+       |  SELECT sid, pid, oid,
+       |    CASE WHEN ($negHash % n_ent) = oid
+       |         THEN (($negHash % n_ent) + 1) % n_ent
+       |         ELSE $negHash % n_ent END AS nid
+       |  FROM encoded, n
+       |  WHERE $mbHash % ${TrainData.Mod} = 0
+       |),
+       |dims AS (SELECT unnest(range(0, $D)) AS i),
+       |eids AS (SELECT DISTINCT id FROM (
+       |  SELECT sid AS id FROM mb
+       |  UNION ALL SELECT oid FROM mb
+       |  UNION ALL SELECT nid FROM mb)),
+       |e0 AS MATERIALIZED (
+       |  SELECT id, i, ${PortableHash.duckDyadic("'TE|' || id || '|' || i")} AS v
+       |  FROM eids, dims
+       |),
+       |r0 AS MATERIALIZED (
+       |  SELECT id, i, ${PortableHash.duckDyadic("'TR|' || id || '|' || i")} AS v
+       |  FROM (SELECT DISTINCT pid AS id FROM mb), dims
+       |),
+       |trip AS MATERIALIZED (
+       |  SELECT mb.sid, mb.pid, mb.oid, mb.nid, eh.i,
+       |    eh.v AS h, r0.v AS r, et.v AS t, en.v AS tn
+       |  FROM mb
+       |  JOIN e0 eh ON eh.id = mb.sid
+       |  JOIN r0 ON r0.id = mb.pid AND r0.i = eh.i
+       |  JOIN e0 et ON et.id = mb.oid AND et.i = eh.i
+       |  JOIN e0 en ON en.id = mb.nid AND en.i = eh.i
+       |),
+       |act AS (
+       |  SELECT sid, pid, oid, nid FROM trip
+       |  GROUP BY 1, 2, 3, 4
+       |  HAVING $Margin + SUM((h + r - t) * (h + r - t))
+       |                 - SUM((h + r - tn) * (h + r - tn)) > 0
+       |),
+       |gc AS (
+       |  SELECT tr.sid AS id, tr.i, 2.0 * (tr.tn - tr.t) AS g
+       |  FROM trip tr JOIN act USING (sid, pid, oid, nid)
+       |  UNION ALL
+       |  SELECT tr.oid, tr.i, -2.0 * (tr.h + tr.r - tr.t)
+       |  FROM trip tr JOIN act USING (sid, pid, oid, nid)
+       |  UNION ALL
+       |  SELECT tr.nid, tr.i, 2.0 * (tr.h + tr.r - tr.tn)
+       |  FROM trip tr JOIN act USING (sid, pid, oid, nid)
+       |),
+       |gm AS (
+       |  SELECT id, i, ${Exact.duckAvg("g", 9)} AS g
+       |  FROM gc GROUP BY id, i
+       |)
+       |SELECT e0.id, CAST(e0.i AS INT) AS i,
+       |  COALESCE(e0.v - $Lr * gm.g, e0.v) AS v
+       |FROM e0 LEFT JOIN gm ON gm.id = e0.id AND gm.i = e0.i""".stripMargin
+  }
+
   /** One full training run, cached per (session, dir, optimizer):
     * returns the FINAL (entity, relation) embedding frames (id, vec) —
     * both localCheckpointed, so reuse is a cache scan — plus the

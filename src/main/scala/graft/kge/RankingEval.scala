@@ -118,37 +118,45 @@ object RankingEval {
 
   // ---------------------------------------------------------------- oracle
 
-  /** Shared rank CTE chain: embeddings materialized per (id, dim) so the
-    * candidate join does no md5 work.
+  /** Shared rank CTE chain. Round-5 restructure for the sf0.1 sweep:
+    * the previous per-(id, dim) embedding tables made score_c a 4-way
+    * join materializing |test|·|cands-of-relation|·D rows before its
+    * GROUP BY — DuckDB blew >60 GB at sf0.1. Embeddings are now
+    * LIST-valued per id (one row per entity, not D), the h·r product is
+    * precomputed once per test triple, and each (test, cand) pair is a
+    * single row whose score is one list fold — the dim factor leaves
+    * the join entirely. All values are dyadic, so the per-pair
+    * list_sum equals the old per-dim SUM exactly, in any order.
     */
   private val ranksCtes: String = {
     import graft.core.PortableHash.duckDyadic
+    val eVec = s"list_transform(range(0, ${D}), i -> ${duckDyadic("'E|' || id || '|' || i")})"
+    val rVec = s"list_transform(range(0, ${D}), i -> ${duckDyadic("'R|' || rid || '|' || i")})"
     s"""${Dict.preludeCtes},
        |${Dict.sampleEncodedCte(EvalMod)},
-       |dims AS (SELECT unnest(range(0, ${D})) AS i),
-       |ent_emb AS MATERIALIZED (
-       |  SELECT id, i, ${duckDyadic("'E|' || id || '|' || i")} AS v FROM entities, dims
-       |),
-       |rel_emb AS MATERIALIZED (
-       |  SELECT rid, i, ${duckDyadic("'R|' || rid || '|' || i")} AS v FROM relations, dims
-       |),
+       |ent_emb AS MATERIALIZED (SELECT id, $eVec AS vl FROM entities),
+       |rel_emb AS MATERIALIZED (SELECT rid, $rVec AS vl FROM relations),
        |cands AS MATERIALIZED (SELECT DISTINCT pid, oid AS cand FROM encoded),
-       |score_t AS MATERIALIZED (
-       |  SELECT t.sid, t.pid, t.oid, SUM((eh.v * er.v) * et.v) AS score_t
+       |hrt AS MATERIALIZED (
+       |  SELECT t.sid, t.pid, t.oid,
+       |    list_transform(range(1, ${D + 1}), i -> eh.vl[i] * er.vl[i]) AS hr,
+       |    et.vl AS tv
        |  FROM test_enc t
        |  JOIN ent_emb eh ON eh.id = t.sid
-       |  JOIN rel_emb er ON er.rid = t.pid AND er.i = eh.i
-       |  JOIN ent_emb et ON et.id = t.oid AND et.i = eh.i
-       |  GROUP BY 1, 2, 3
+       |  JOIN rel_emb er ON er.rid = t.pid
+       |  JOIN ent_emb et ON et.id = t.oid
        |),
-       |score_c AS MATERIALIZED (
-       |  SELECT t.sid, t.pid, t.oid, c.cand, SUM((eh.v * er.v) * et.v) AS score_c
-       |  FROM test_enc t
-       |  JOIN cands c ON c.pid = t.pid
-       |  JOIN ent_emb eh ON eh.id = t.sid
-       |  JOIN rel_emb er ON er.rid = t.pid AND er.i = eh.i
-       |  JOIN ent_emb et ON et.id = c.cand AND et.i = eh.i
-       |  GROUP BY 1, 2, 3, 4
+       |score_t AS MATERIALIZED (
+       |  SELECT sid, pid, oid,
+       |    list_sum(list_transform(range(1, ${D + 1}), i -> hr[i] * tv[i])) AS score_t
+       |  FROM hrt
+       |),
+       |score_c AS (
+       |  SELECT h.sid, h.pid, h.oid, c.cand,
+       |    list_sum(list_transform(range(1, ${D + 1}), i -> h.hr[i] * ec.vl[i])) AS score_c
+       |  FROM hrt h
+       |  JOIN cands c ON c.pid = h.pid
+       |  JOIN ent_emb ec ON ec.id = c.cand
        |),
        |ranks AS MATERIALIZED (
        |  SELECT s.sid, s.pid, s.oid,

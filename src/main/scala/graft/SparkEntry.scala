@@ -117,6 +117,7 @@ object SparkEntry {
     // rows-only like the trainers; improvement asserted by TrainEvalSpec
     "kge_train_eval" -> ((s, d) => TrainEval.trainEval(configured(s), d)),
     "kge_transe_train_step" -> ((s, d) => TransETrainer.trainStep(configured(s), d)),
+    "ann_ivfpq_topk" -> ((s, d) => Ann.ivfpqTopK(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -194,5 +195,6 @@ object SparkEntry {
     // the one SQL-expressible trainer surface: epoch-1 embeddings in
     // closed form — gives the iterative family a hash-matched row
     "kge_transe_train_step" -> TransETrainer.trainStepSql,
+    "ann_ivfpq_topk" -> Ann.ivfpqTopKSql,
   )
 }

@@ -265,6 +265,103 @@ object Ann {
        |) WHERE rank <= $K""".stripMargin
   }
 
+  // ------------------------------------------------------------- IVF-PQ
+
+  /** #76: IVF-PQ top-k — the composition of #38's coarse cells and
+    * #59's product codes, i.e. the standard billion-scale ANN serving
+    * layout (FAISS's IVFADC): queries probe their [[NProbe]] nearest
+    * cells and scan ONLY those short-lists, and the short-lists hold
+    * 3-byte PQ codes, not vectors — per candidate the cost is
+    * [[PqM]] LUT lookups over 3 bytes of IO.
+    *
+    * At 100 TB: the data side (vec_id, cell, codes) is computed once at
+    * ingest and partitioned BY cell, so a probe is a partition-pruned
+    * scan of compressed codes (NProbe/NCells of the data × 170× smaller
+    * rows); the query side broadcasts (q_id, lut, cell) probe rows. The
+    * plan here is exactly that: one broadcast-hash join on cell, zero
+    * data-side shuffles before the per-query k·heap.
+    */
+  def ivfpqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val vf = graft.functions.VectorFolds
+    val cb = lit(pqFlatCodebook)
+    val e = vecs(spark, dir)
+      .withColumn("cell", cellOf(col("v")))
+      .withColumn("codes", vf.pqEncode(col("v"), cb, PqNCent, PqSubDim))
+      .select("vec_id", "cell", "codes")
+    val probes = vecs(spark, dir).filter(col("vec_id") % QueryMod === 0)
+      .withColumn("lut", vf.pqLut(col("v"), cb, PqNCent, PqSubDim))
+      .select(col("vec_id").as("q_id"), col("lut"),
+        explode(slice(array_sort(array((0 until NCells).map(c =>
+          struct(centDist(col("v"), c).as("d"), lit(c).as("c"))): _*)),
+          1, NProbe)).as("p"))
+      .select(col("q_id"), col("lut"), col("p.c").as("cell"))
+    e.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("approx_d", vf.pqAdc(col("lut"), col("codes"), PqNCent))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("approx_d").asc, col("vec_id").asc)))
+      .filter(col("rank") <= K)
+      .select("q_id", "vec_id", "approx_d", "rank")
+  }
+
+  val ivfpqTopKSql: String = {
+    val icentEl = graft.core.PortableHash.duckDyadic("'IVF|' || c || '|' || (i - 1)")
+    val pcentEl = graft.core.PortableHash.duckDyadic("'PQ|' || m || '|' || c || '|' || (i - 1)")
+    val subFold = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, ${PqSubDim + 1}), i -> " +
+      s"(v[(m * $PqSubDim) + i] - cv[i]) * (v[(m * $PqSubDim) + i] - cv[i]))), (acc, x) -> acc + x)"
+    val adc = (1 to PqM).map(m => s"lut[$m][codes[$m] + 1]").mkString(" + ")
+    s"""WITH ve AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), icents AS MATERIALIZED (
+       |  SELECT c, list($icentEl ORDER BY i) AS cv
+       |  FROM (SELECT unnest(range(0, $NCells)) AS c),
+       |       (SELECT unnest(range(1, ${VectorLsh.EmbDim + 1})) AS i)
+       |  GROUP BY c
+       |), idists AS MATERIALIZED (
+       |  SELECT ve.vec_id, icents.c,
+       |    ${VectorLsh.duckFold("(v[i] - cv[i]) * (v[i] - cv[i])")} AS d
+       |  FROM ve, icents
+       |), cells AS MATERIALIZED (
+       |  SELECT vec_id, c AS cell FROM idists
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) = 1
+       |), probes AS MATERIALIZED (
+       |  SELECT vec_id AS q_id, c AS cell FROM idists
+       |  WHERE vec_id % $QueryMod = 0
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) <= $NProbe
+       |), pcents AS MATERIALIZED (
+       |  SELECT m, c, list($pcentEl ORDER BY i) AS cv
+       |  FROM (SELECT unnest(range(0, $PqM)) AS m),
+       |       (SELECT unnest(range(0, $PqNCent)) AS c),
+       |       (SELECT unnest(range(1, ${PqSubDim + 1})) AS i)
+       |  GROUP BY m, c
+       |), sd AS MATERIALIZED (
+       |  SELECT vec_id, m, c, $subFold AS d
+       |  FROM ve, pcents
+       |), codes AS (
+       |  SELECT vec_id, list(code ORDER BY m) AS codes FROM (
+       |    SELECT vec_id, m, c AS code FROM sd
+       |    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, c) = 1
+       |  ) GROUP BY vec_id
+       |), luts AS (
+       |  SELECT vec_id AS q_id, list(lc ORDER BY m) AS lut FROM (
+       |    SELECT vec_id, m, list(d ORDER BY c) AS lc FROM sd
+       |    WHERE vec_id % $QueryMod = 0 GROUP BY vec_id, m
+       |  ) GROUP BY vec_id
+       |)
+       |SELECT q_id, vec_id, approx_d, rank FROM (
+       |  SELECT p.q_id, e.vec_id, $adc AS approx_d,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY p.q_id
+       |      ORDER BY ($adc) ASC, e.vec_id ASC) AS INT) AS rank
+       |  FROM codes e
+       |  JOIN cells ce ON ce.vec_id = e.vec_id
+       |  JOIN probes p ON p.cell = ce.cell AND e.vec_id <> p.q_id
+       |  JOIN luts q ON q.q_id = p.q_id
+       |) WHERE rank <= $K""".stripMargin
+  }
+
   val lshTopKSql: String =
     s"""WITH ${VectorLsh.duckBucketed}
        |SELECT q_id, vec_id, cosine, rank FROM (

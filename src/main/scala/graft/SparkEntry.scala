@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ann.Ann
 import graft.dedup.Dedup
-import graft.kge.{DistMultTrainer, HolETrainer, Kernels, Losses, RankingEval, Scoring}
+import graft.kge.{ComplExTrainer, DistMultTrainer, HolETrainer, Kernels, Losses, RankingEval, Scoring}
 import graft.media.Media
 import graft.streaming.EventStreams
 import graft.kge.{TrainEval, TransETrainer}
@@ -118,6 +118,7 @@ object SparkEntry {
     "kge_train_eval" -> ((s, d) => TrainEval.trainEval(configured(s), d)),
     "kge_transe_train_step" -> ((s, d) => TransETrainer.trainStep(configured(s), d)),
     "ann_ivfpq_topk" -> ((s, d) => Ann.ivfpqTopK(configured(s), d)),
+    "kge_complex_train" -> ((s, d) => ComplExTrainer.train(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */

@@ -24,7 +24,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "streaming_quality_filter", "streaming_enrich",
     // trainers execute eagerly (multi-job loops), not a single plan
     "kge_transe_train", "kge_transe_train_adagrad", "kge_transe_train_adam",
-    "kge_distmult_train", "kge_hole_train", "cp_als", "rescal_als",
+    "kge_distmult_train", "kge_hole_train", "kge_complex_train",
+    "cp_als", "rescal_als",
     // runs the cached TransE training loop before the eval plan exists
     "kge_train_eval", "kge_transe_train_step",
     // executes eagerly too (label-propagation loop of localCheckpoints);

@@ -120,6 +120,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("append mode + watermark: windows emit once when the watermark " +
+    "passes them, late data is dropped, open windows stay unemitted") {
+    // The PRODUCTION path (EventStreams doc: append + withWatermark,
+    // state bounded by the delay) — complete-mode verification can't
+    // exercise emission timing, late-drop, or state eviction; this does.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val agg = stream.toDF()
+      .withColumn("ts", timestamp_seconds(col("ts_s")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), sum("value").as("v"))
+      .select(col("window.start").cast("long").as("ws"), col("n"), col("v"))
+    val q = agg.writeStream.format("memory").queryName("spec_append")
+      .outputMode("append").start()
+    stream.addData(Ev(100, 1, 1.0), Ev(3700, 1, 2.0))
+    q.processAllAvailable()
+    // watermark after batch 1 = 3700 − 600 = 3100 < any window end →
+    // nothing may have been emitted yet
+    assert(spark.table("spec_append").count() == 0)
+    stream.addData(Ev(8000, 1, 4.0))
+    q.processAllAvailable()
+    // watermark now 7400: one more batch lets it close [0,3600) and
+    // [3600,7200); the late event (50 « watermark) must be DROPPED, not
+    // re-emitted into the already-finalized first window
+    stream.addData(Ev(50, 9, 9.0))
+    q.processAllAvailable()
+    val got = spark.table("spec_append").as[(Long, Long, Double)]
+      .collect().toSet
+    q.stop()
+    // exactly the two watermark-closed windows, with the same rows the
+    // all-at-once batch aggregation yields for them — the late row
+    // absent, the open [7200,10800) window (t=8000) not emitted
+    assert(got == Set((0L, 1L, 1.0), (3600L, 1L, 2.0)))
+  }
+
   test("streaming dedup drops cross-batch duplicates from state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -119,6 +119,7 @@ object SparkEntry {
     "kge_transe_train_step" -> ((s, d) => TransETrainer.trainStep(configured(s), d)),
     "ann_ivfpq_topk" -> ((s, d) => Ann.ivfpqTopK(configured(s), d)),
     "kge_complex_train" -> ((s, d) => ComplExTrainer.train(configured(s), d)),
+    "kge_distmult_train_step" -> ((s, d) => DistMultTrainer.trainStep(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -197,5 +198,6 @@ object SparkEntry {
     // closed form — gives the iterative family a hash-matched row
     "kge_transe_train_step" -> TransETrainer.trainStepSql,
     "ann_ivfpq_topk" -> Ann.ivfpqTopKSql,
+    "kge_distmult_train_step" -> DistMultTrainer.trainStepSql,
   )
 }

@@ -120,6 +120,7 @@ object SparkEntry {
     "ann_ivfpq_topk" -> ((s, d) => Ann.ivfpqTopK(configured(s), d)),
     "kge_complex_train" -> ((s, d) => ComplExTrainer.train(configured(s), d)),
     "kge_distmult_train_step" -> ((s, d) => DistMultTrainer.trainStep(configured(s), d)),
+    "kge_hole_train_step" -> ((s, d) => HolETrainer.trainStep(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -199,5 +200,6 @@ object SparkEntry {
     "kge_transe_train_step" -> TransETrainer.trainStepSql,
     "ann_ivfpq_topk" -> Ann.ivfpqTopKSql,
     "kge_distmult_train_step" -> DistMultTrainer.trainStepSql,
+    "kge_hole_train_step" -> HolETrainer.trainStepSql,
   )
 }

@@ -44,6 +44,130 @@ object HolETrainer {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), (acc, v) => acc + v)
 
+  /** #79: ONE closed-form full-batch GD step — the epoch-1 entity table
+    * of #47 in long (id, i, v) form as a single LAZY plan, with a
+    * DuckDB oracle. Pins the HOLOGRAPHIC gradient family: every
+    * gradient is a circular correlation, so the oracle re-derives
+    * `ccorr(a,b)[k] = Σ_i a[i]·b[(i+k) mod d]` with explicit index
+    * arithmetic over list-valued embeddings and must match the codegen'd
+    * [[graft.functions.CircularCorrelation]] expression bit-for-bit
+    * (dyadic terms — exact in any summation order — then the scale-9
+    * quantized mean and the mirrored correctly-rounded update).
+    * With #75 (translational) and #78 (bilinear), all three gradient
+    * algebras behind the five rows-only trainers are oracle-pinned.
+    */
+  def trainStep(spark: SparkSession, dir: String): DataFrame = {
+    val x = TrainData.minibatch(spark, dir)
+    val ent0 = x.select(explode(array(col("sid"), col("oid"), col("nid"))).as("id"))
+      .distinct().withColumn("vec", initVec("HE", col("id")))
+    val rel0 = x.select(col("pid").as("id")).distinct()
+      .withColumn("vec", initVec("HR", col("id")))
+    val j = x
+      .join(ent0.select(col("id").as("sid"), col("vec").as("h")), "sid")
+      .join(ent0.select(col("id").as("oid"), col("vec").as("t")), "oid")
+      .join(ent0.select(col("id").as("nid"), col("vec").as("tn")), "nid")
+      .join(broadcast(rel0.select(col("id").as("pid"), col("vec").as("r"))), "pid")
+    val fPos = dot(col("r"), ccorr(col("h"), col("t")))
+    val fNeg = dot(col("r"), ccorr(col("h"), col("tn")))
+    val gradRows = j
+      .filter((lit(Margin) + fNeg - fPos) > 0)
+      .withColumn("rinv", inv(col("r")))
+      .select(
+        zip_with(ccorr(col("r"), col("tn")), ccorr(col("r"), col("t")),
+          _ - _).as("gh"),
+        transform(ccorr(col("rinv"), col("h")), v => -v).as("gt"),
+        ccorr(col("rinv"), col("h")).as("gn"),
+        col("sid"), col("oid"), col("nid"))
+      .select(explode(array(
+        struct(col("sid").as("id"), col("gh").as("g")),
+        struct(col("oid").as("id"), col("gt").as("g")),
+        struct(col("nid").as("id"), col("gn").as("g")))).as("c"))
+      .select(col("c.id").as("id"), col("c.g").as("g"))
+    val dimAggs = (0 until D).map(i =>
+      Exact.decAvg(element_at(col("g"), i + 1), 9).as(s"_g$i"))
+    val grads = gradRows.groupBy("id")
+      .agg(dimAggs.head, dimAggs.tail: _*)
+      .select(col("id"),
+        array((0 until D).map(i => col(s"_g$i")): _*).as("gvec"))
+    ent0.join(grads, Seq("id"), "left")
+      .select(col("id"), when(col("gvec").isNull, col("vec"))
+        .otherwise(zip_with(col("vec"), col("gvec"),
+          (v, g) => v - lit(Lr) * g)).as("vec"))
+      .select(col("id"), posexplode(col("vec")).as(Seq("i", "v")))
+  }
+
+  val trainStepSql: String = {
+    val mbHash = PortableHash.duck("'mb|' || sid || '|' || pid || '|' || oid")
+    val negHash = PortableHash.duck("'neg|' || sid || '|' || pid || '|' || oid")
+    // ccorr over 1-based DuckDB lists, 0-based math
+    def cc(a: String, b: String, k: String) =
+      s"list_sum(list_transform(range(0, $D), ci -> $a[ci + 1] * $b[((ci + $k) % $D) + 1]))"
+    val rinv = s"list_transform(range(0, $D), ri -> r[(($D - ri) % $D) + 1])"
+    val fOf = (tv: String) =>
+      s"list_sum(list_transform(range(0, $D), fk -> r[fk + 1] * ${cc("h", tv, "fk")}))"
+    s"""${Dict.preludeCtes},
+       |n AS (SELECT COUNT(*) AS n_ent FROM entities),
+       |mb AS MATERIALIZED (
+       |  SELECT sid, pid, oid,
+       |    CASE WHEN ($negHash % n_ent) = oid
+       |         THEN (($negHash % n_ent) + 1) % n_ent
+       |         ELSE $negHash % n_ent END AS nid
+       |  FROM encoded, n
+       |  WHERE $mbHash % ${TrainData.Mod} = 0
+       |),
+       |dims AS (SELECT unnest(range(0, $D)) AS i),
+       |eids AS (SELECT DISTINCT id FROM (
+       |  SELECT sid AS id FROM mb
+       |  UNION ALL SELECT oid FROM mb
+       |  UNION ALL SELECT nid FROM mb)),
+       |e0l AS MATERIALIZED (
+       |  SELECT id, list_transform(range(0, $D),
+       |    li -> ${PortableHash.duckDyadic("'HE|' || id || '|' || li")}) AS v
+       |  FROM eids
+       |),
+       |r0l AS MATERIALIZED (
+       |  SELECT id, list_transform(range(0, $D),
+       |    li -> ${PortableHash.duckDyadic("'HR|' || id || '|' || li")}) AS v
+       |  FROM (SELECT DISTINCT pid AS id FROM mb)
+       |),
+       |tripl AS MATERIALIZED (
+       |  SELECT mb.sid, mb.pid, mb.oid, mb.nid,
+       |    eh.v AS h, et.v AS t, en.v AS tn, r0l.v AS r,
+       |    $rinv AS rv
+       |  FROM mb
+       |  JOIN e0l eh ON eh.id = mb.sid
+       |  JOIN r0l ON r0l.id = mb.pid
+       |  JOIN e0l et ON et.id = mb.oid
+       |  JOIN e0l en ON en.id = mb.nid
+       |),
+       |act AS MATERIALIZED (
+       |  SELECT * FROM tripl
+       |  WHERE $Margin + ${fOf("tn")} - ${fOf("t")} > 0
+       |),
+       |gc AS (
+       |  SELECT tr.sid AS id, d.i,
+       |    ${cc("tr.r", "tr.tn", "d.i")} - ${cc("tr.r", "tr.t", "d.i")} AS g
+       |  FROM act tr, dims d
+       |  UNION ALL
+       |  SELECT tr.oid, d.i, -(${cc("tr.rv", "tr.h", "d.i")})
+       |  FROM act tr, dims d
+       |  UNION ALL
+       |  SELECT tr.nid, d.i, ${cc("tr.rv", "tr.h", "d.i")}
+       |  FROM act tr, dims d
+       |),
+       |gm AS (
+       |  SELECT id, i, ${Exact.duckAvg("g", 9)} AS g
+       |  FROM gc GROUP BY id, i
+       |),
+       |e0 AS (
+       |  SELECT id, i, ${PortableHash.duckDyadic("'HE|' || id || '|' || i")} AS v
+       |  FROM eids, dims
+       |)
+       |SELECT e0.id, CAST(e0.i AS INT) AS i,
+       |  COALESCE(e0.v - $Lr * gm.g, e0.v) AS v
+       |FROM e0 LEFT JOIN gm ON gm.id = e0.id AND gm.i = e0.i""".stripMargin
+  }
+
   /** Returns (epoch, loss) rows; loss decreases over the first epochs. */
   def train(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

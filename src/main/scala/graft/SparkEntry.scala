@@ -121,6 +121,8 @@ object SparkEntry {
     "kge_complex_train" -> ((s, d) => ComplExTrainer.train(configured(s), d)),
     "kge_distmult_train_step" -> ((s, d) => DistMultTrainer.trainStep(configured(s), d)),
     "kge_hole_train_step" -> ((s, d) => HolETrainer.trainStep(configured(s), d)),
+    "kge_transe_train_step_adagrad" -> ((s, d) => TransETrainer.trainStepAdagrad(configured(s), d)),
+    "kge_transe_train_step_adam" -> ((s, d) => TransETrainer.trainStepAdam(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -201,5 +203,7 @@ object SparkEntry {
     "ann_ivfpq_topk" -> Ann.ivfpqTopKSql,
     "kge_distmult_train_step" -> DistMultTrainer.trainStepSql,
     "kge_hole_train_step" -> HolETrainer.trainStepSql,
+    "kge_transe_train_step_adagrad" -> TransETrainer.trainStepAdagradSql,
+    "kge_transe_train_step_adam" -> TransETrainer.trainStepAdamSql,
   )
 }

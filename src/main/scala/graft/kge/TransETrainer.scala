@@ -96,12 +96,54 @@ object TransETrainer {
     * pair of correctly-rounded IEEE ops mirrored verbatim in the
     * oracle.
     */
-  def trainStep(spark: SparkSession, dir: String): DataFrame = {
-    val (ent, _, _) = trainFrames(spark, dir, "sgd", 1, Lr)
+  def trainStep(spark: SparkSession, dir: String): DataFrame =
+    trainStepFor(spark, dir, "sgd")
+
+  /** #80/#81: the same epoch-1 surface under Adagrad / Adam — from zero
+    * slot state the optimizer updates are closed-form too (Adagrad:
+    * v − lr·g/√(g²+ε); Adam: v − lr·(m̂/(√v̂+ε)) with first-step
+    * moments (1−β)·g), so the OPTIMIZER algebra gets oracle-pinned the
+    * way the gradient algebra is: every non-dyadic op in the chain
+    * (squares of the quantized mean, √, divisions, the β-scaled
+    * moments) is a correctly-rounded IEEE op mirrored in literal order,
+    * with the β/bias constants interpolated from the SAME Scala doubles
+    * the trainer folds into its update expressions.
+    */
+  def trainStepAdagrad(spark: SparkSession, dir: String): DataFrame =
+    trainStepFor(spark, dir, "adagrad")
+
+  def trainStepAdam(spark: SparkSession, dir: String): DataFrame =
+    trainStepFor(spark, dir, "adam")
+
+  private def trainStepFor(spark: SparkSession, dir: String,
+      optimizer: String): DataFrame = {
+    val (ent, _, _) = trainFrames(spark, dir, optimizer, 1, Lr)
     ent.select(col("id"), posexplode(col("vec")).as(Seq("i", "v")))
   }
 
-  val trainStepSql: String = {
+  /** Per-optimizer DuckDB update expression over the mean gradient
+    * `gm.g` — mirrors the trainer's update zip_with chains verbatim
+    * (zero slot state at epoch 1 folds to the closed forms below; the
+    * Spark side's `0.0 + g·g` / `β·0.0 + (1−β)·g` are exact
+    * identities, safe to simplify).
+    */
+  private def duckUpdate(optimizer: String): String = optimizer match {
+    case "sgd" => s"e0.v - $Lr * gm.g"
+    case "adagrad" =>
+      s"e0.v - $Lr * (gm.g / sqrt(gm.g * gm.g + $Eps))"
+    case "adam" =>
+      val c1 = 1 - Beta1; val c2 = 1 - Beta2
+      val bc1 = 1.0 - math.pow(Beta1, 1)
+      val bc2 = 1.0 - math.pow(Beta2, 1)
+      s"e0.v - $Lr * (((($c1) * gm.g) / $bc1) / " +
+        s"(sqrt((($c2) * (gm.g * gm.g)) / $bc2) + $Eps))"
+  }
+
+  val trainStepSql: String = trainStepSqlFor("sgd")
+  val trainStepAdagradSql: String = trainStepSqlFor("adagrad")
+  val trainStepAdamSql: String = trainStepSqlFor("adam")
+
+  private def trainStepSqlFor(optimizer: String): String = {
     val mbHash = PortableHash.duck("'mb|' || sid || '|' || pid || '|' || oid")
     val negHash = PortableHash.duck("'neg|' || sid || '|' || pid || '|' || oid")
     s"""${Dict.preludeCtes},
@@ -157,7 +199,7 @@ object TransETrainer {
        |  FROM gc GROUP BY id, i
        |)
        |SELECT e0.id, CAST(e0.i AS INT) AS i,
-       |  COALESCE(e0.v - $Lr * gm.g, e0.v) AS v
+       |  COALESCE(${duckUpdate(optimizer)}, e0.v) AS v
        |FROM e0 LEFT JOIN gm ON gm.id = e0.id AND gm.i = e0.i""".stripMargin
   }
 

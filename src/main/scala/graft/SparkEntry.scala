@@ -123,6 +123,7 @@ object SparkEntry {
     "kge_hole_train_step" -> ((s, d) => HolETrainer.trainStep(configured(s), d)),
     "kge_transe_train_step_adagrad" -> ((s, d) => TransETrainer.trainStepAdagrad(configured(s), d)),
     "kge_transe_train_step_adam" -> ((s, d) => TransETrainer.trainStepAdam(configured(s), d)),
+    "pack_sequences" -> ((s, d) => graft.pipeline.Packing.packSequences(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -205,5 +206,6 @@ object SparkEntry {
     "kge_hole_train_step" -> HolETrainer.trainStepSql,
     "kge_transe_train_step_adagrad" -> TransETrainer.trainStepAdagradSql,
     "kge_transe_train_step_adam" -> TransETrainer.trainStepAdamSql,
+    "pack_sequences" -> graft.pipeline.Packing.packSequencesSql,
   )
 }

@@ -13,10 +13,16 @@ import graft.TestSpark
   * batches and check the complete-mode results equal the all-at-once
   * batch computation — the streaming/batch unification contract.
   */
+// Top-level, not nested in the suite: Spark's encoder codegen cannot
+// construct an inner case class (the accessor needs the outer instance),
+// so nested ones silently fall back to interpreted projections and spam
+// the test logs with CompileExceptions.
+case class Ev(ts_s: Long, user_id: Long, value: Double)
+case class Doc(doc_id: Long, source: String, text: String, n_chars: Long)
+
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private case class Ev(ts_s: Long, user_id: Long, value: Double)
 
   test("windowed agg over MemoryStream equals batch after both batches") {
     import spark.implicits._
@@ -88,7 +94,6 @@ class StreamingSpec extends AnyFunSuite {
     assert(nEvents == graft.core.Tables.events(spark, TestSpark.sf).count())
   }
 
-  private case class Doc(doc_id: Long, source: String, text: String, n_chars: Long)
 
   test("streaming quality gate is stateless per-row and cross-batch stable") {
     import spark.implicits._

@@ -124,6 +124,7 @@ object SparkEntry {
     "kge_transe_train_step_adagrad" -> ((s, d) => TransETrainer.trainStepAdagrad(configured(s), d)),
     "kge_transe_train_step_adam" -> ((s, d) => TransETrainer.trainStepAdam(configured(s), d)),
     "pack_sequences" -> ((s, d) => graft.pipeline.Packing.packSequences(configured(s), d)),
+    "graph_pagerank" -> ((s, d) => graft.rdf.GraphAlgos.pagerank(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -207,5 +208,6 @@ object SparkEntry {
     "kge_transe_train_step_adagrad" -> TransETrainer.trainStepAdagradSql,
     "kge_transe_train_step_adam" -> TransETrainer.trainStepAdamSql,
     "pack_sequences" -> graft.pipeline.Packing.packSequencesSql,
+    "graph_pagerank" -> graft.rdf.GraphAlgos.pagerankSql,
   )
 }

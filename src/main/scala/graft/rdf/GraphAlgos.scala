@@ -1,0 +1,128 @@
+package graft.rdf
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Exact
+
+/** Graph-centrality algorithms over the encoded entity graph.
+  *
+  * The reference consumes RDF graphs (RDFDatasetReader.scala:20-33) but
+  * never ranks their nodes; a production corpus pipeline does — link-graph
+  * PageRank is the standard document/domain authority prior used as a
+  * quality signal when mixing web-scale training data (the Common-Crawl
+  * domain-rank idea), and on a knowledge graph it is the classic
+  * entity-importance score. So graft treats it as a first-class operator
+  * over the same (sid, oid) edge set every KGE operator consumes.
+  *
+  * Spark-first shape: PageRank is iterated sparse matrix-vector product,
+  * which in DataFrame terms is join(edges, ranks on src) → groupBy(dst).
+  * Three power iterations are unrolled into ONE lazy plan (each
+  * iteration's rank frame is session-cached so the plan tree does not
+  * recompute pr_k once per downstream reference):
+  *
+  *   contrib_v = Σ_{u→v} pr_k(u) / outdeg(u)     (quantized, exact)
+  *   pr_{k+1}(v) = (1−d)/N + d · (contrib_v + mass_k/N)
+  *
+  * where mass_k is the total rank held by dangling (no-out-edge) nodes —
+  * regions and parts here — redistributed uniformly, so Σ pr stays 1.
+  *
+  * Scale (100 TB): the edge list is partitioned by src once and reused by
+  * every iteration, so only the (id, pr) rank frame — the small side —
+  * shuffles per iteration; the groupBy(dst) contribution shuffle carries
+  * map-side partial sums, i.e. bytes ∝ distinct dsts per partition, not
+  * edges. The dangling mass is a one-row aggregate (tree-reduced scalar),
+  * broadcast back. At a real 1e11-edge graph you would checkpoint pr_k
+  * every few iterations to truncate lineage and iterate to an ε-delta
+  * driver-side; the unrolled-3 form keeps the whole thing oracle-checkable.
+  *
+  * Exactness: rank values are arbitrary doubles, so every per-dst sum and
+  * the dangling mass use [[Exact.decSum]] at scale 12 (order-independent
+  * integer sums; |pr|·1e12 ≤ 1e12 < 2^53), and the per-edge share
+  * pr/outdeg, the damping multiply, and the final add are correctly-rounded
+  * IEEE ops mirrored in identical literal order by the DuckDB oracle.
+  */
+object GraphAlgos {
+
+  val Damping = 0.85
+  val OneMinusDamping = 0.15 // literal, NOT 1.0-Damping (≠ 0.15 in double)
+  val Iters = 3
+  private val S = 12 // decSum scale for rank sums
+
+  private val cache = new graft.core.DfCache[(SparkSession, String, String)]
+
+  /** Distinct (sid, oid) edges, partitioned by src for iteration reuse. */
+  private def edges(spark: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate((spark, dir, "edges")) {
+      Dict.encodedTriples(spark, dir).select("sid", "oid").distinct()
+        .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("sid"))
+    }
+
+  /** #83: PageRank after 3 exact power iterations — (id, pr). */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val deg = e.groupBy("sid").agg(count(lit(1)).as("od"))
+    val nodes = Dict.entities(spark, dir).select("id")
+    val n = nodes.agg(count(lit(1)).as("n"))
+    val pr0 = nodes.crossJoin(broadcast(n))
+      .select(col("id"), (lit(1.0) / col("n")).as("pr"))
+    // localCheckpoint (lazy) per iteration: each step references pr_k
+    // TWICE (contribution join + dangling mass), so the unrolled logical
+    // plan otherwise holds 2^k copies of the pr0→dictionary chain —
+    // measured 13 s of DRIVER-SIDE re-canonicalization per action at
+    // sf0.001 with every cache block already warm. Truncating lineage to
+    // a LogicalRDD leaf per iteration is exactly the periodic-checkpoint
+    // discipline an iterative graph algorithm needs at 100 TB anyway.
+    (1 to Iters).foldLeft(pr0) { (pr, k) =>
+      cache.getOrElseUpdate((spark, dir, s"pr$k"))(
+        step(pr, e, deg, nodes, n).localCheckpoint(false))
+    }
+  }
+
+  private def step(pr: DataFrame, e: DataFrame, deg: DataFrame,
+      nodes: DataFrame, n: DataFrame): DataFrame = {
+    // rank mass sitting on dangling nodes (no out-edges) this iteration
+    val mass = pr.join(deg, pr("id") === deg("sid"), "left_anti")
+      .agg(coalesce(Exact.decSum(col("pr"), S), lit(0.0)).as("m"))
+    // per-dst contribution sums: join on src, exact-quantized sum on dst
+    val contrib = e
+      .join(pr, e("sid") === pr("id"))
+      .join(deg, "sid")
+      .groupBy(col("oid").as("id"))
+      .agg(Exact.decSum(col("pr") / col("od"), S).as("s"))
+    nodes.join(contrib, Seq("id"), "left")
+      .crossJoin(broadcast(n)).crossJoin(broadcast(mass))
+      .select(col("id"),
+        (lit(OneMinusDamping) / col("n") + lit(Damping) *
+          (coalesce(col("s"), lit(0.0)) + col("m") / col("n"))).as("pr"))
+  }
+
+  /** DuckDB oracle: the identical iteration chain as CTEs. */
+  val pagerankSql: String = {
+    def iter(k: Int): String = {
+      val prev = s"pr${k - 1}"
+      s"""m$k AS (
+         |  SELECT COALESCE(${Exact.duckSum("pr", S)}, 0.0) AS m FROM $prev
+         |  WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.sid = $prev.id)
+         |),
+         |s$k AS (
+         |  SELECT e.oid AS id, ${Exact.duckSum("p.pr / d.od", S)} AS s
+         |  FROM edges e JOIN $prev p ON p.id = e.sid JOIN deg d ON d.sid = e.sid
+         |  GROUP BY e.oid
+         |),
+         |pr$k AS MATERIALIZED (
+         |  SELECT ent.id,
+         |    $OneMinusDamping / n + $Damping * (COALESCE(s.s, 0.0) + m / n) AS pr
+         |  FROM entities ent LEFT JOIN s$k s ON s.id = ent.id, nn, m$k
+         |)""".stripMargin
+    }
+    s"""${Dict.preludeCtes},
+       |edges AS MATERIALIZED (SELECT DISTINCT sid, oid FROM encoded),
+       |deg AS MATERIALIZED (SELECT sid, COUNT(*) AS od FROM edges GROUP BY sid),
+       |nn AS (SELECT COUNT(*) AS n FROM entities),
+       |pr0 AS MATERIALIZED (SELECT id, 1.0 / n AS pr FROM entities, nn),
+       |${(1 to Iters).map(iter).mkString(",\n")}
+       |SELECT id, pr FROM pr$Iters""".stripMargin
+  }
+}

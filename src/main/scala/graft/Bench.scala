@@ -36,6 +36,7 @@ object Bench {
     "ann_ivfpq_topk", "cluster_kmeans",
     "dedup_components",
     "text_quality_score", "text_token_count", "text_fingerprint",
+    "quality_buckets",
     "text_repetition",
     "text_tfidf", "text_bm25", "text_ngram_lm", "vocab_pair_merges",
     "vocab_bpe_learn",

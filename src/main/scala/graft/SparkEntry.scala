@@ -125,6 +125,7 @@ object SparkEntry {
     "kge_transe_train_step_adam" -> ((s, d) => TransETrainer.trainStepAdam(configured(s), d)),
     "pack_sequences" -> ((s, d) => graft.pipeline.Packing.packSequences(configured(s), d)),
     "graph_pagerank" -> ((s, d) => graft.rdf.GraphAlgos.pagerank(configured(s), d)),
+    "quality_buckets" -> ((s, d) => TextAnalysis.qualityBuckets(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -209,5 +210,6 @@ object SparkEntry {
     "kge_transe_train_step_adam" -> TransETrainer.trainStepAdamSql,
     "pack_sequences" -> graft.pipeline.Packing.packSequencesSql,
     "graph_pagerank" -> graft.rdf.GraphAlgos.pagerankSql,
+    "quality_buckets" -> TextAnalysis.qualityBucketsSql,
   )
 }

@@ -128,6 +128,71 @@ object TextAnalysis {
        |  $duckQuality AS quality
        |FROM d""".stripMargin
 
+  // ------------------------------------------------------ quality buckets
+
+  /** #84: CC-Net-style per-language quality tiers (Wenzek et al. 2020
+    * bucket documents by per-language model score into head/middle/tail;
+    * here four quartile tiers of [[quality]]): exact R-7 quartile
+    * boundaries per language, then a map-side bucket assignment and a
+    * per-(lang, bucket) report.
+    *
+    * Exactness: the score is quantized to the 1e-6 integer grid FIRST
+    * (`qi = floor(q·1e6 + 0.5)`, an integral double), so the quartile
+    * interpolation runs over integers with dyadic p — every interpolated
+    * term is a denominator-4 dyadic, exact in both engines (the
+    * [[docLengthStats]] argument) — and the `qi ≤ boundary` compares are
+    * exact.
+    *
+    * Scale (100 TB): the boundary table is |langs|×3 — computed with one
+    * small-key groupBy and BROADCAST back, so the corpus-side pass is
+    * map-only plus one (lang, bucket)-keyed aggregate. Exact `percentile`
+    * holds per-group values; at real scale the same boundaries come from
+    * a (lang, qi) histogram groupBy — the grid is only 1e6 cells, so the
+    * cumulative-count walk is exact AND bounded — or `approx_percentile`
+    * when grid resolution can be sacrificed.
+    */
+  def qualityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), words.as("ws"))
+      .select(col("lang"), floor(quality * 1e6 + lit(0.5)).as("qi"))
+    val bounds = d.groupBy("lang")
+      .agg(expr("percentile(qi, array(0.25D, 0.5D, 0.75D))").as("b"))
+      .select(col("lang"), element_at(col("b"), 1).as("b25"),
+        element_at(col("b"), 2).as("b50"), element_at(col("b"), 3).as("b75"))
+    d.join(broadcast(bounds), "lang")
+      .withColumn("bucket",
+        when(col("qi") <= col("b25"), 0)
+          .when(col("qi") <= col("b50"), 1)
+          .when(col("qi") <= col("b75"), 2)
+          .otherwise(3))
+      .groupBy("lang", "bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("qi").cast("long")).cast("double") / count(lit(1)) / lit(1e6))
+          .as("mean_q"),
+        (min("qi") / lit(1e6)).as("min_q"),
+        (max("qi") / lit(1e6)).as("max_q"))
+  }
+
+  val qualityBucketsSql: String =
+    s"""WITH d AS (
+       |  SELECT lang, floor(($duckQuality) * 1000000.0 + 0.5) AS qi
+       |  FROM (SELECT doc_id, lang, n_chars, $duckWords AS ws FROM documents)
+       |), b AS (
+       |  SELECT lang, quantile_cont(qi, 0.25) AS b25,
+       |         quantile_cont(qi, 0.5) AS b50, quantile_cont(qi, 0.75) AS b75
+       |  FROM d GROUP BY lang
+       |)
+       |SELECT d.lang,
+       |  CASE WHEN qi <= b25 THEN 0 WHEN qi <= b50 THEN 1
+       |       WHEN qi <= b75 THEN 2 ELSE 3 END AS bucket,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(CAST(qi AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0 AS mean_q,
+       |  MIN(qi) / 1000000.0 AS min_q,
+       |  MAX(qi) / 1000000.0 AS max_q
+       |FROM d JOIN b ON b.lang = d.lang
+       |GROUP BY 1, 2""".stripMargin
+
   // -------------------------------------------------------- token counts
 
   /** Whitespace + BPE-ish regex token counts, aggregated per source. */

@@ -100,4 +100,19 @@ class TextSpec extends AnyFunSuite {
           org.apache.spark.sql.functions.col("b.doc_id"))
     assert(shared.count() > 0)
   }
+  test("quality buckets: tiers ordered, non-overlapping, covering all docs") {
+    val rows = TextAnalysis.qualityBuckets(spark, TestSpark.sf)
+      .select("lang", "bucket", "n_docs", "min_q", "max_q")
+      .as[(String, Int, Long, Double, Double)].collect()
+    val total = rows.map(_._3).sum
+    val nDocs = graft.core.Tables.documents(spark, TestSpark.sf).count()
+    assert(total == nDocs, "every document lands in exactly one bucket")
+    rows.groupBy(_._1).foreach { case (lang, bs) =>
+      assert(bs.map(_._2).sorted.toSeq == Seq(0, 1, 2, 3), s"$lang has 4 tiers")
+      val sorted = bs.sortBy(_._2)
+      sorted.sliding(2).foreach { case Array(lo, hi) =>
+        assert(lo._5 <= hi._4, s"$lang tier ${lo._2} max <= tier ${hi._2} min")
+      }
+    }
+  }
 }

@@ -126,6 +126,7 @@ object SparkEntry {
     "pack_sequences" -> ((s, d) => graft.pipeline.Packing.packSequences(configured(s), d)),
     "graph_pagerank" -> ((s, d) => graft.rdf.GraphAlgos.pagerank(configured(s), d)),
     "quality_buckets" -> ((s, d) => TextAnalysis.qualityBuckets(configured(s), d)),
+    "kge_eval_per_relation" -> ((s, d) => RankingEval.evalPerRelation(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -211,5 +212,6 @@ object SparkEntry {
     "pack_sequences" -> graft.pipeline.Packing.packSequencesSql,
     "graph_pagerank" -> graft.rdf.GraphAlgos.pagerankSql,
     "quality_buckets" -> TextAnalysis.qualityBucketsSql,
+    "kge_eval_per_relation" -> RankingEval.evalPerRelationSql,
   )
 }

@@ -116,6 +116,21 @@ object RankingEval {
       graft.core.Exact.decAvg(lit(1.0) / col("rank")).as("mrr"),
       (sum("rank").cast("double") / count(lit(1))).as("mean_rank"))
 
+  /** #85: per-relation evaluation breakdown — the per-relation results
+    * table KGE papers report (which relations the model ranks well is
+    * the first diagnostic after a global MRR; reference hole.py:372-425
+    * computes the same ranks, aggregated only globally). Reuses the
+    * session-cached rank frame; the breakdown itself is one
+    * dictionary-small groupBy(pid), so it costs nothing beyond #17/#18.
+    */
+  def evalPerRelation(spark: SparkSession, dir: String): DataFrame =
+    ranks(spark, dir).groupBy("pid").agg(
+      count(lit(1)).as("n_test"),
+      graft.core.Exact.decAvg(lit(1.0) / col("rank")).as("mrr"),
+      (sum(when(col("rank") <= 10, 1).otherwise(0)).cast("double") /
+        count(lit(1))).as("hits10"),
+      (sum("rank").cast("double") / count(lit(1))).as("mean_rank"))
+
   // ---------------------------------------------------------------- oracle
 
   /** Shared rank CTE chain. Round-5 restructure for the sf0.1 sweep:
@@ -185,4 +200,12 @@ object RankingEval {
        |  ${graft.core.Exact.duckAvg("CAST(1 AS DOUBLE) / rank")} AS mrr,
        |  CAST(SUM(rank) AS DOUBLE) / COUNT(*) AS mean_rank
        |FROM ranks""".stripMargin
+
+  val evalPerRelationSql: String =
+    s"""$ranksCtes
+       |SELECT pid, COUNT(*) AS n_test,
+       |  ${graft.core.Exact.duckAvg("CAST(1 AS DOUBLE) / rank")} AS mrr,
+       |  CAST(SUM(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS hits10,
+       |  CAST(SUM(rank) AS DOUBLE) / COUNT(*) AS mean_rank
+       |FROM ranks GROUP BY pid""".stripMargin
 }

@@ -78,4 +78,14 @@ class ScoringSpec extends AnyFunSuite {
       .agg(max("count")).head().getLong(0)
     assert(ranks.filter($"rank" > maxCand).count() == 0)
   }
+  test("per-relation eval: partitions the test slice, mrr bounded") {
+    val per = RankingEval.evalPerRelation(spark, TestSpark.sf)
+      .select("pid", "n_test", "mrr", "hits10")
+      .as[(Long, Long, Double, Double)].collect()
+    val total = RankingEval.ranks(spark, TestSpark.sf).count()
+    assert(per.map(_._2).sum == total, "per-relation rows partition the test slice")
+    per.foreach { case (_, n, mrr, h10) =>
+      assert(n > 0); assert(mrr > 0.0 && mrr <= 1.0); assert(h10 >= 0.0 && h10 <= 1.0)
+    }
+  }
 }

@@ -127,6 +127,7 @@ object SparkEntry {
     "graph_pagerank" -> ((s, d) => graft.rdf.GraphAlgos.pagerank(configured(s), d)),
     "quality_buckets" -> ((s, d) => TextAnalysis.qualityBuckets(configured(s), d)),
     "kge_eval_per_relation" -> ((s, d) => RankingEval.evalPerRelation(configured(s), d)),
+    "embed_quantize_int8" -> ((s, d) => graft.ann.Quantize.int8(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -213,5 +214,6 @@ object SparkEntry {
     "graph_pagerank" -> graft.rdf.GraphAlgos.pagerankSql,
     "quality_buckets" -> TextAnalysis.qualityBucketsSql,
     "kge_eval_per_relation" -> RankingEval.evalPerRelationSql,
+    "embed_quantize_int8" -> graft.ann.Quantize.int8Sql,
   )
 }

@@ -97,4 +97,17 @@ class AnnSpec extends AnyFunSuite {
     // a mean of unit-ish embeddings stays within the data's value range
     out.foreach { case (_, _, c, _) => assert(math.abs(c) <= 1.0) }
   }
+  test("int8 quantization: codes bounded, error within the absmax bound") {
+    val rows = Quantize.int8(spark, TestSpark.sf)
+      .select("qscale", "code_min", "code_max", "sse")
+      .as[(Double, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (s, lo, hi, sse) =>
+      assert(lo >= -127 && hi <= 127, "codes stay in the int8 symmetric range")
+      assert(hi > 0 || lo < 0, "some dimension reaches a nonzero code")
+      // each dim's error is <= qscale/2 (round-to-nearest), plus the
+      // 1e-12 quantization grid of the error sum itself
+      assert(sse <= Quantize.D * (s / 2) * (s / 2) + 1e-9)
+    }
+  }
 }

@@ -27,7 +27,7 @@ object Bench {
     "events_windowed_agg", "events_sessionize",
     "events_json_extract", "events_asof_join",
     "dict_encode_entities", "triples_encode", "cp_mttkrp", "graph_pagerank",
-    "tensor_block_partition", "neg_sample_lcwa",
+    "tensor_block_partition", "tensor_ttm", "neg_sample_lcwa",
     "kge_transe_score", "kge_distmult_score", "kge_rescal_score",
     "kge_hole_score", "kge_complex_score", "kge_loss_ranking",
     "dedup_exact", "dedup_minhash_pairs", "dedup_simhash",

@@ -128,6 +128,7 @@ object SparkEntry {
     "quality_buckets" -> ((s, d) => TextAnalysis.qualityBuckets(configured(s), d)),
     "kge_eval_per_relation" -> ((s, d) => RankingEval.evalPerRelation(configured(s), d)),
     "embed_quantize_int8" -> ((s, d) => graft.ann.Quantize.int8(configured(s), d)),
+    "tensor_ttm" -> ((s, d) => graft.tensor.Ttm.ttm(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -215,5 +216,6 @@ object SparkEntry {
     "quality_buckets" -> TextAnalysis.qualityBucketsSql,
     "kge_eval_per_relation" -> RankingEval.evalPerRelationSql,
     "embed_quantize_int8" -> graft.ann.Quantize.int8Sql,
+    "tensor_ttm" -> graft.tensor.Ttm.ttmSql,
   )
 }

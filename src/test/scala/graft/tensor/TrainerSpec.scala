@@ -60,4 +60,19 @@ class TrainerSpec extends AnyFunSuite {
       .filter($"count" =!= Mttkrp.R).count()
     assert(bad == 0)
   }
+  test("TTM emits C values per nonzero (i,j) fiber, reproducible by hand") {
+    val out = Ttm.ttm(spark, TestSpark.sf).cache()
+    val fibers = graft.rdf.Dict.encodedTriples(spark, TestSpark.sf)
+      .select("sid", "oid").distinct().count()
+    assert(out.count() == fibers * Ttm.C)
+    // hand-check one fiber: sum of dyadic M entries over its relations
+    val (sid, oid) = out.select("sid", "oid").as[(Long, Long)].head()
+    val pids = graft.rdf.Dict.encodedTriples(spark, TestSpark.sf)
+      .filter($"sid" === sid && $"oid" === oid).select("pid").as[Long].collect()
+    val expected = pids.map(p =>
+      graft.core.PortableHash.dyadicJvm(s"TTM|$p|0")).sum
+    val got = out.filter($"sid" === sid && $"oid" === oid && $"c" === 0)
+      .select("y").as[Double].head()
+    assert(got == expected) // dyadic sums: exact equality
+  }
 }

@@ -41,6 +41,7 @@ object Bench {
     "text_tfidf", "text_bm25", "text_ngram_lm", "vocab_pair_merges",
     "vocab_bpe_learn",
     "sample_stratified", "sample_temperature", "corpus_mix_report",
+    "shard_assign",
     "doc_length_stats",
     "media_metadata", "media_frame_sample",
     "streaming_windowed_agg", "streaming_dedup")

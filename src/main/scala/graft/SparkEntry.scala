@@ -129,6 +129,7 @@ object SparkEntry {
     "kge_eval_per_relation" -> ((s, d) => RankingEval.evalPerRelation(configured(s), d)),
     "embed_quantize_int8" -> ((s, d) => graft.ann.Quantize.int8(configured(s), d)),
     "tensor_ttm" -> ((s, d) => graft.tensor.Ttm.ttm(configured(s), d)),
+    "shard_assign" -> ((s, d) => graft.pipeline.Packing.shardAssign(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -217,5 +218,6 @@ object SparkEntry {
     "kge_eval_per_relation" -> RankingEval.evalPerRelationSql,
     "embed_quantize_int8" -> graft.ann.Quantize.int8Sql,
     "tensor_ttm" -> graft.tensor.Ttm.ttmSql,
+    "shard_assign" -> graft.pipeline.Packing.shardAssignSql,
   )
 }

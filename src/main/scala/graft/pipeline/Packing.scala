@@ -69,4 +69,62 @@ object Packing {
        |  CAST(cum_before % $SeqLen AS BIGINT) AS offset,
        |  CAST(((cum_before + tok - 1) // $SeqLen) - (cum_before // $SeqLen) + 1 AS BIGINT) AS blocks_spanned
        |FROM c""".stripMargin
+
+  // ------------------------------------------------------ shard manifest
+
+  /** Output shard count (a dataloader-parallelism config constant; ids
+    * are only stable for equal N, like the dictionary's bucket count).
+    */
+  val NShards = 16L
+
+  /** #88: deterministic output sharding + per-shard manifest — the step
+    * that turns a curated corpus into the N-file layout a distributed
+    * trainer reads (each worker streams its shard independently). The
+    * assignment `shard = pHash(doc) % N` is map-only, append-stable
+    * (adding documents never moves an existing one, unlike round-robin
+    * or size-balanced greedy packing) and co-keys with nothing — so at
+    * 100 TB it is a pure write-partitioning: `partitionBy(shard)` on
+    * the sink, no extra shuffle beyond the manifest's small-key agg.
+    * The manifest row per shard carries doc/token/char totals and a
+    * token share vs the corpus (hash uniformity makes shards
+    * size-balanced in expectation; the spec bounds the observed skew).
+    */
+  def shardAssign(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(
+        graft.core.PortableHash.pHash(
+          concat_ws("|", lit("shard"), col("doc_id"))).%(NShards)
+          .cast("int").as("shard"),
+        size(words).cast("long").as("tok"),
+        col("n_chars"), col("source"), col("lang"))
+    val perShard = d.groupBy("shard").agg(
+      count(lit(1)).as("n_docs"),
+      sum("tok").as("tok_total"),
+      sum("n_chars").as("char_total"),
+      countDistinct("source").as("n_sources"),
+      countDistinct("lang").as("n_langs"))
+    val total = d.agg(sum("tok").as("tok_corpus"))
+    perShard.crossJoin(broadcast(total))
+      .withColumn("tok_share",
+        col("tok_total").cast("double") / col("tok_corpus").cast("double"))
+      .drop("tok_corpus")
+  }
+
+  val shardAssignSql: String =
+    s"""WITH d AS (
+       |  SELECT CAST(${graft.core.PortableHash.duck("'shard|' || doc_id")} % $NShards AS INT) AS shard,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tok,
+       |    n_chars, source, lang
+       |  FROM documents
+       |), s AS (
+       |  SELECT shard, COUNT(*) AS n_docs,
+       |    CAST(SUM(tok) AS BIGINT) AS tok_total,
+       |    CAST(SUM(n_chars) AS BIGINT) AS char_total,
+       |    COUNT(DISTINCT source) AS n_sources,
+       |    COUNT(DISTINCT lang) AS n_langs
+       |  FROM d GROUP BY shard
+       |), t AS (SELECT CAST(SUM(tok) AS BIGINT) AS tok_corpus FROM d)
+       |SELECT shard, n_docs, tok_total, char_total, n_sources, n_langs,
+       |  CAST(tok_total AS DOUBLE) / CAST(tok_corpus AS DOUBLE) AS tok_share
+       |FROM s, t""".stripMargin
 }

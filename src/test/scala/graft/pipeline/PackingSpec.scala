@@ -8,6 +8,7 @@ import graft.TestSpark
 /** Packing invariants the oracle's row-compare doesn't state explicitly. */
 class PackingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
+  import spark.implicits._
 
   private lazy val packed = Packing.packSequences(spark, TestSpark.sf).cache()
 
@@ -30,5 +31,20 @@ class PackingSpec extends AnyFunSuite {
         coalesce(sum("tok").over(w.rowsBetween(Long.MinValue, -1)), lit(0L)))
       .filter(col("block") * Packing.SeqLen + col("offset") =!= col("cum_before"))
     assert(bad.count() == 0)
+  }
+  test("shard manifest: 16 shards cover the corpus, shares sum to 1, " +
+    "skew bounded") {
+    val rows = Packing.shardAssign(spark, TestSpark.sf)
+      .select("shard", "n_docs", "tok_share")
+      .as[(Int, Long, Double)].collect()
+    assert(rows.map(_._1).sorted.toSeq == (0 until Packing.NShards.toInt))
+    val nDocs = graft.core.Tables.documents(spark, TestSpark.sf).count()
+    assert(rows.map(_._2).sum == nDocs)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-12)
+    // hash-uniform shards: no shard above 3x or below 1/5 of fair share
+    val fair = 1.0 / Packing.NShards
+    rows.foreach { case (sh, _, share) =>
+      assert(share < 3 * fair && share > fair / 5, s"shard $sh share=$share")
+    }
   }
 }

@@ -130,6 +130,8 @@ object SparkEntry {
     "embed_quantize_int8" -> ((s, d) => graft.ann.Quantize.int8(configured(s), d)),
     "tensor_ttm" -> ((s, d) => graft.tensor.Ttm.ttm(configured(s), d)),
     "shard_assign" -> ((s, d) => graft.pipeline.Packing.shardAssign(configured(s), d)),
+    "events_funnel" -> ((s, d) => Events.funnel(configured(s), d)),
+    "events_retention" -> ((s, d) => Events.retention(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -219,5 +221,7 @@ object SparkEntry {
     "embed_quantize_int8" -> graft.ann.Quantize.int8Sql,
     "tensor_ttm" -> graft.tensor.Ttm.ttmSql,
     "shard_assign" -> graft.pipeline.Packing.shardAssignSql,
+    "events_funnel" -> Events.funnelSql,
+    "events_retention" -> Events.retentionSql,
   )
 }

@@ -178,4 +178,108 @@ object Events {
        |SELECT event_id AS click_id, user_id, ts_s AS click_ts,
        |  purchase_id, purchase_ts, ts_s - purchase_ts AS lag_s
        |FROM w WHERE tag = 1""".stripMargin
+
+  // --------------------------------------------------------------- funnel
+
+  /** #89: ordered funnel analysis (view → click → purchase): how many
+    * users complete each stage IN ORDER — the product-analytics staple.
+    * Per user: earliest view t1, earliest click strictly after t1,
+    * earliest purchase strictly after that; raw nanosecond timestamps
+    * keep every compare exact-integer. Stage k is a conditional min
+    * AFTER a user-keyed join against stage k−1, so all three aggregates
+    * and both joins share the ONE user_id partitioning (AQE reuses the
+    * exchange; at 100 TB a user-bucketed event log makes the whole
+    * funnel shuffle-free). Output is one summary row: stage counts +
+    * conversion rates (single exact divisions).
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    def stage(tpe: String, prev: DataFrame, prevTs: String, out: String) =
+      e.filter(col("event_type") === tpe)
+        .join(prev, "user_id")
+        .filter(col("ts") > col(prevTs))
+        .groupBy("user_id").agg(min("ts").as(out))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = stage("click", s1, "t1", "t2")
+    val s3 = stage("purchase", s2, "t2", "t3")
+    val counts = Seq(
+      e.select(countDistinct("user_id").as("n_users")),
+      s1.select(countDistinct("user_id").as("n_view")),
+      s2.select(countDistinct("user_id").as("n_click")),
+      s3.select(countDistinct("user_id").as("n_purchase")))
+      .reduce((a, b) => a.crossJoin(broadcast(b)))
+    counts.select(col("n_users"), col("n_view"), col("n_click"),
+      col("n_purchase"),
+      (col("n_click").cast("double") / col("n_view").cast("double"))
+        .as("view_to_click"),
+      (col("n_purchase").cast("double") / col("n_click").cast("double"))
+        .as("click_to_purchase"))
+  }
+
+  val funnelSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events
+       |), s1 AS (
+       |  SELECT user_id, MIN(ts) AS t1 FROM e WHERE event_type = 'view'
+       |  GROUP BY user_id
+       |), s2 AS (
+       |  SELECT e.user_id, MIN(ts) AS t2 FROM e JOIN s1 USING (user_id)
+       |  WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id
+       |), s3 AS (
+       |  SELECT e.user_id, MIN(ts) AS t3 FROM e JOIN s2 USING (user_id)
+       |  WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id
+       |)
+       |SELECT (SELECT COUNT(DISTINCT user_id) FROM e) AS n_users,
+       |  (SELECT COUNT(DISTINCT user_id) FROM s1) AS n_view,
+       |  (SELECT COUNT(DISTINCT user_id) FROM s2) AS n_click,
+       |  (SELECT COUNT(DISTINCT user_id) FROM s3) AS n_purchase,
+       |  CAST((SELECT COUNT(DISTINCT user_id) FROM s2) AS DOUBLE)
+       |    / CAST((SELECT COUNT(DISTINCT user_id) FROM s1) AS DOUBLE) AS view_to_click,
+       |  CAST((SELECT COUNT(DISTINCT user_id) FROM s3) AS DOUBLE)
+       |    / CAST((SELECT COUNT(DISTINCT user_id) FROM s2) AS DOUBLE) AS click_to_purchase""".stripMargin
+
+  // ------------------------------------------------------------ retention
+
+  private val NsPerDay = 86400L * 1000000000L
+
+  /** #90: cohort retention — users grouped by first-seen day, counted on
+    * each later active day; the (cohort_day, day_offset) matrix every
+    * growth dashboard plots. Two aggregates and one join, ALL keyed on
+    * user_id except the final dictionary-small (cohort, offset) rollup;
+    * the distinct (user, day) pass collapses map-side, so shuffle bytes
+    * are bounded by active-user-days. Integer day arithmetic (epoch-ns
+    * DIV ns/day) keeps everything exact; the rate is one division
+    * against the broadcast cohort size.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"ts DIV $NsPerDay").as("day")).distinct()
+    val cohorts = byDay.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val sizes = cohorts.groupBy("cohort_day").agg(count(lit(1)).as("cohort_size"))
+    byDay.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_day")
+      .withColumn("retention",
+        col("n_active").cast("double") / col("cohort_size").cast("double"))
+  }
+
+  val retentionSql: String =
+    s"""WITH byday AS (
+       |  SELECT DISTINCT user_id, epoch_ns(ts) // $NsPerDay AS day FROM events
+       |), cohorts AS (
+       |  SELECT user_id, MIN(day) AS cohort_day FROM byday GROUP BY user_id
+       |), sizes AS (
+       |  SELECT cohort_day, COUNT(*) AS cohort_size FROM cohorts GROUP BY cohort_day
+       |)
+       |SELECT b.cohort_day, b.day_offset, b.n_active, s.cohort_size,
+       |  CAST(b.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+       |FROM (
+       |  SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+       |    COUNT(*) AS n_active
+       |  FROM byday d JOIN cohorts c USING (user_id)
+       |  GROUP BY 1, 2
+       |) b JOIN sizes s USING (cohort_day)""".stripMargin
 }

@@ -58,4 +58,32 @@ class EventsSpec extends AnyFunSuite {
       assert(sub._2 == "ALL")
     }
   }
+  test("funnel: stage counts monotone non-increasing, rates consistent") {
+    val r = Events.funnel(spark, TestSpark.sf)
+      .select("n_users", "n_view", "n_click", "n_purchase",
+        "view_to_click", "click_to_purchase").head()
+    val (nu, nv, nc, np) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nu >= nv && nv >= nc && nc >= np, "an ordered funnel only narrows")
+    assert(np > 0, "test data has complete view->click->purchase journeys")
+    assert(r.getDouble(4) == nc.toDouble / nv)
+    assert(r.getDouble(5) == np.toDouble / nc)
+  }
+
+  test("retention: offset 0 is complete, rates bounded, cohorts partition users") {
+    val rows = Events.retention(spark, TestSpark.sf)
+      .select("cohort_day", "day_offset", "n_active", "cohort_size", "retention")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, off, n, size, rate) =>
+      assert(off >= 0); assert(n <= size); assert(rate > 0.0 && rate <= 1.0)
+    }
+    // day 0: every cohort member is active on their first-seen day
+    rows.filter(_._2 == 0).foreach { case (_, _, n, size, rate) =>
+      assert(n == size && rate == 1.0)
+    }
+    val users = graft.core.Tables.events(spark, TestSpark.sf)
+      .select("user_id").distinct().count()
+    assert(rows.filter(_._2 == 0).map(_._4).sum == users)
+  }
 }

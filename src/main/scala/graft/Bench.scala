@@ -27,6 +27,7 @@ object Bench {
     "events_windowed_agg", "events_sessionize",
     "events_json_extract", "events_asof_join",
     "events_funnel", "events_retention",
+    "sketch_hll", "sketch_countmin", "basket_part_pairs",
     "dict_encode_entities", "triples_encode", "cp_mttkrp", "graph_pagerank",
     "tensor_block_partition", "tensor_ttm", "neg_sample_lcwa",
     "kge_transe_score", "kge_distmult_score", "kge_rescal_score",

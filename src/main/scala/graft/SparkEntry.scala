@@ -132,6 +132,9 @@ object SparkEntry {
     "shard_assign" -> ((s, d) => graft.pipeline.Packing.shardAssign(configured(s), d)),
     "events_funnel" -> ((s, d) => Events.funnel(configured(s), d)),
     "events_retention" -> ((s, d) => Events.retention(configured(s), d)),
+    "sketch_hll" -> ((s, d) => graft.relational.Sketches.hll(configured(s), d)),
+    "sketch_countmin" -> ((s, d) => graft.relational.Sketches.countMin(configured(s), d)),
+    "basket_part_pairs" -> ((s, d) => Relational.basketPairs(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -223,5 +226,8 @@ object SparkEntry {
     "shard_assign" -> graft.pipeline.Packing.shardAssignSql,
     "events_funnel" -> Events.funnelSql,
     "events_retention" -> Events.retentionSql,
+    "sketch_hll" -> graft.relational.Sketches.hllSql,
+    "sketch_countmin" -> graft.relational.Sketches.countMinSql,
+    "basket_part_pairs" -> Relational.basketPairsSql,
   )
 }

@@ -163,4 +163,33 @@ object Relational {
        |FROM lineitem
        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
+  /** #93: market-basket part affinity — the top-20 part pairs most often
+    * bought in the same order (the classic co-occurrence/association
+    * mining step). One distinct (order, part) pass, then a SELF-JOIN on
+    * the order key with `p1 < p2` so each unordered pair appears once:
+    * pair fan-out is Σ k_o·(k_o−1)/2, bounded by the largest basket
+    * (TPC-H orders hold ≤ 7 parts), never by catalog size — at 100 TB
+    * the self-join is co-partitioned on the already-bucketed order key,
+    * one shuffle total, and the top-20 is a TakeOrdered per-partition
+    * heap (no global sort). Deterministic ties: (count desc, p1, p2).
+    */
+  def basketPairs(spark: SparkSession, dir: String): DataFrame = {
+    val lp = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    lp.as("a").join(lp.as("b"), "l_orderkey")
+      .filter(col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+      .limit(20)
+  }
+
+  val basketPairsSql: String =
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+       |SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_orders
+       |FROM lp a JOIN lp b
+       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |GROUP BY 1, 2
+       |ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin
 }

@@ -1,0 +1,51 @@
+package graft.relational
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Sketch guarantees the oracle's bit-compare doesn't state: estimation
+  * accuracy (HLL) and the one-sided error bound (Count-Min).
+  */
+class SketchesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("HLL: raw estimate lands within the m=256 error regime") {
+    val r = Sketches.hll(spark, TestSpark.sf)
+      .select("zsum", "v_empty", "hll_est", "n_users").head()
+    val (zsum, vEmpty, est, truth) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))
+    assert(zsum > 0 && vEmpty < Sketches.HllM)
+    // standard error 1.04/sqrt(256) ≈ 6.5%; allow 3σ
+    assert(math.abs(est - truth) / truth < 0.20,
+      s"estimate $est vs true $truth")
+  }
+
+  test("Count-Min: estimates only ever overestimate the true count") {
+    val cells = Sketches.countMin(spark, TestSpark.sf)
+      .as[(Int, Long, Long)].collect()
+      .map { case (d, b, c) => (d, b) -> c }.toMap
+    val top = graft.core.Tables.events(spark, TestSpark.sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id")).limit(5)
+      .as[(Long, Long)].collect()
+    top.foreach { case (user, truth) =>
+      val est = (0 until Sketches.CmDepth).map { d =>
+        val b = graft.core.PortableHash.pHashJvm(s"cm$d|$user") % Sketches.CmWidth
+        cells((d, b))
+      }.min
+      assert(est >= truth, s"CM must never underestimate (user $user)")
+    }
+  }
+
+  test("basket pairs: 20 ordered pairs, p1 < p2, counts consistent") {
+    val rows = Relational.basketPairs(spark, TestSpark.sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == 20)
+    rows.foreach { case (p1, p2, n) => assert(p1 < p2 && n >= 1) }
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sortBy(-_).toSeq,
+      "descending by co-occurrence count")
+  }
+}

@@ -135,6 +135,7 @@ object SparkEntry {
     "sketch_hll" -> ((s, d) => graft.relational.Sketches.hll(configured(s), d)),
     "sketch_countmin" -> ((s, d) => graft.relational.Sketches.countMin(configured(s), d)),
     "basket_part_pairs" -> ((s, d) => Relational.basketPairs(configured(s), d)),
+    "streaming_countmin" -> ((s, d) => EventStreams.countMin(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -229,5 +230,6 @@ object SparkEntry {
     "sketch_hll" -> graft.relational.Sketches.hllSql,
     "sketch_countmin" -> graft.relational.Sketches.countMinSql,
     "basket_part_pairs" -> Relational.basketPairsSql,
+    "streaming_countmin" -> EventStreams.countMinSql,
   )
 }

@@ -157,4 +157,30 @@ object EventStreams {
        |JOIN customer ON user_id = c_custkey
        |JOIN nation ON c_nationkey = n_nationkey
        |GROUP BY 1, 2""".stripMargin
+
+  /** #94: streaming Count-Min sketch — the batch sketch (#92,
+    * [[graft.relational.Sketches.countMin]]) as continuously-maintained
+    * streaming state. Sketches are the canonical streaming aggregate:
+    * the state is the FIXED 4×256 cell matrix no matter how long the
+    * stream runs — no watermark needed to bound it, unlike per-key
+    * counts — and micro-batch partials merge into it by plain addition,
+    * which is exactly Spark's streaming-agg state update. Same oracle as
+    * the batch sketch; the incremental MemoryStream spec asserts
+    * cross-batch accumulation matches the batch matrix.
+    */
+  def countMin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.PortableHash
+    import graft.relational.Sketches
+    runToMemory(
+      eventStream(spark, dir)
+        .select(posexplode(array((0 until Sketches.CmDepth).map { d =>
+          PortableHash.pHash(
+            concat_ws("|", lit(s"cm$d"), col("user_id"))) % Sketches.CmWidth
+        }: _*)).as(Seq("depth", "bucket")))
+        .groupBy("depth", "bucket")
+        .agg(count(lit(1)).as("cnt")),
+      "graft_stream_cm")
+  }
+
+  val countMinSql: String = graft.relational.Sketches.countMinSql
 }

@@ -180,4 +180,34 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(got == Seq(3L))
   }
+  test("Count-Min state accumulates across batches to the exact matrix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    import graft.core.PortableHash
+    import graft.relational.Sketches
+    val cells = stream.toDF()
+      .select(posexplode(array((0 until Sketches.CmDepth).map { d =>
+        PortableHash.pHash(
+          concat_ws("|", lit(s"cm$d"), col("user_id"))) % Sketches.CmWidth
+      }: _*)).as(Seq("depth", "bucket")))
+      .groupBy("depth", "bucket").agg(count(lit(1)).as("cnt"))
+    val q = cells.writeStream.format("memory").queryName("spec_cm")
+      .outputMode("complete").start()
+    stream.addData(Ev(1, 7, 0), Ev(2, 7, 0), Ev(3, 9, 0))
+    q.processAllAvailable()
+    stream.addData(Ev(4, 7, 0), Ev(5, 11, 0))
+    q.processAllAvailable()
+    val got = spark.table("spec_cm").as[(Int, Long, Long)].collect().toSet
+    q.stop()
+    // expected: per depth, user 7 cell = 3, users 9/11 cells = 1 each
+    // (colliding cells sum) — build it driver-side from the same hash
+    val expected = (0 until Sketches.CmDepth).flatMap { d =>
+      Seq(7L -> 3L, 9L -> 1L, 11L -> 1L)
+        .groupBy { case (u, _) =>
+          PortableHash.pHashJvm(s"cm$d|$u") % Sketches.CmWidth }
+        .map { case (b, us) => (d, b, us.map(_._2).sum) }
+    }.toSet
+    assert(got == expected)
+  }
 }

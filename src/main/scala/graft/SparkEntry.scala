@@ -136,6 +136,7 @@ object SparkEntry {
     "sketch_countmin" -> ((s, d) => graft.relational.Sketches.countMin(configured(s), d)),
     "basket_part_pairs" -> ((s, d) => Relational.basketPairs(configured(s), d)),
     "streaming_countmin" -> ((s, d) => EventStreams.countMin(configured(s), d)),
+    "streaming_hll" -> ((s, d) => EventStreams.hllRegisters(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -231,5 +232,6 @@ object SparkEntry {
     "sketch_countmin" -> graft.relational.Sketches.countMinSql,
     "basket_part_pairs" -> Relational.basketPairsSql,
     "streaming_countmin" -> EventStreams.countMinSql,
+    "streaming_hll" -> EventStreams.hllRegistersSql,
   )
 }

@@ -50,15 +50,21 @@ object Sketches {
     * grid-quantized per the house rule; the branch condition compares
     * engine-identical values), and the true count beside it.
     */
-  def hll(spark: SparkSession, dir: String): DataFrame = {
-    val perBucket = Tables.events(spark, dir)
-      .select(PortableHash.pHash(
+  /** Per-bucket max-rank registers from any frame carrying `user_id` —
+    * shared by the batch estimator below and the streaming register
+    * state ([[graft.streaming.EventStreams.hllRegisters]]).
+    */
+  private[graft] def hllPerBucket(events: DataFrame): DataFrame =
+    events.select(PortableHash.pHash(
         concat_ws("|", lit("hll"), col("user_id"))).as("h"))
       .select(expr("h DIV 4503599627370496").as("bucket"),
         expr("h % 4503599627370496").as("w"))
       .withColumn("r",
         when(col("w") === 0, lit(53)).otherwise(lit(53) - length(bin(col("w")))))
       .groupBy("bucket").agg(max("r").as("r"))
+
+  def hll(spark: SparkSession, dir: String): DataFrame = {
+    val perBucket = hllPerBucket(Tables.events(spark, dir))
     val regs = spark.range(HllM).toDF("bucket")
       .join(perBucket, Seq("bucket"), "left")
       .select(coalesce(col("r"), lit(0)).as("r"))
@@ -79,8 +85,11 @@ object Sketches {
         col("n_users"))
   }
 
-  val hllSql: String =
-    s"""WITH h AS (
+  /** Register-build CTE chain (alias `pb`) — shared with the streaming
+    * register oracle.
+    */
+  private[graft] val hllPbCtes: String =
+    s"""h AS (
        |  SELECT ${PortableHash.duck("'hll|' || user_id")} AS h FROM events
        |), e AS (
        |  SELECT h // 4503599627370496 AS bucket, h % 4503599627370496 AS w FROM h
@@ -88,7 +97,10 @@ object Sketches {
        |  SELECT bucket,
        |    MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS r
        |  FROM e GROUP BY bucket
-       |), regs AS (
+       |)""".stripMargin
+
+  val hllSql: String =
+    s"""WITH $hllPbCtes, regs AS (
        |  SELECT COALESCE(pb.r, 0) AS r
        |  FROM (SELECT unnest(range(0, $HllM)) AS bucket) b LEFT JOIN pb USING (bucket)
        |), s AS (

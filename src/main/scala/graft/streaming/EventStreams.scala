@@ -183,4 +183,21 @@ object EventStreams {
   }
 
   val countMinSql: String = graft.relational.Sketches.countMinSql
+
+  /** #95: streaming HyperLogLog registers — the max-merge counterpart of
+    * [[countMin]]'s sum-merge: per-bucket max rank is the OTHER way
+    * sketch state combines, and `max` is idempotent, so replayed or
+    * duplicated events cannot corrupt the registers (the property that
+    * makes HLL safe under at-least-once delivery). State is ≤ 256 rows
+    * forever. Output is the observed-bucket register table; the batch
+    * estimator head ([[graft.relational.Sketches.hll]]) reads the same
+    * registers.
+    */
+  def hllRegisters(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(
+      graft.relational.Sketches.hllPerBucket(eventStream(spark, dir)),
+      "graft_stream_hll")
+
+  val hllRegistersSql: String =
+    s"WITH ${graft.relational.Sketches.hllPbCtes}\nSELECT bucket, r FROM pb"
 }

@@ -210,4 +210,30 @@ class StreamingSpec extends AnyFunSuite {
     }.toSet
     assert(got == expected)
   }
+  test("HLL registers are idempotent max-state: replays cannot corrupt") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val regs = graft.relational.Sketches.hllPerBucket(
+      stream.toDF().selectExpr("user_id"))
+    val q = regs.writeStream.format("memory").queryName("spec_hll")
+      .outputMode("complete").start()
+    stream.addData(Ev(1, 7, 0), Ev(2, 9, 0))
+    q.processAllAvailable()
+    val afterFirst = spark.table("spec_hll").as[(Long, Int)].collect().toSet
+    // batch 2 REPLAYS user 7 (at-least-once delivery) and adds user 11
+    stream.addData(Ev(3, 7, 0), Ev(4, 11, 0))
+    q.processAllAvailable()
+    val got = spark.table("spec_hll").as[(Long, Int)].collect().toSet
+    q.stop()
+    def reg(u: Long): (Long, Int) = {
+      val h = graft.core.PortableHash.pHashJvm(s"hll|$u")
+      val (b, w) = (h / 4503599627370496L, h % 4503599627370496L)
+      (b, if (w == 0) 53 else 53 - java.lang.Long.toBinaryString(w).length)
+    }
+    val expected = Seq(7L, 9L, 11L).map(reg)
+      .groupBy(_._1).map { case (b, rs) => (b, rs.map(_._2).max) }.toSet
+    assert(got == expected)
+    assert(afterFirst.subsetOf(got), "max-merge state only grows")
+  }
 }

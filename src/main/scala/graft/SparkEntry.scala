@@ -137,6 +137,7 @@ object SparkEntry {
     "basket_part_pairs" -> ((s, d) => Relational.basketPairs(configured(s), d)),
     "streaming_countmin" -> ((s, d) => EventStreams.countMin(configured(s), d)),
     "streaming_hll" -> ((s, d) => EventStreams.hllRegisters(configured(s), d)),
+    "embed_pca_power" -> ((s, d) => graft.ann.Pca.pcaPower(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -233,5 +234,6 @@ object SparkEntry {
     "basket_part_pairs" -> Relational.basketPairsSql,
     "streaming_countmin" -> EventStreams.countMinSql,
     "streaming_hll" -> EventStreams.hllRegistersSql,
+    "embed_pca_power" -> graft.ann.Pca.pcaPowerSql,
   )
 }

@@ -110,4 +110,25 @@ class AnnSpec extends AnyFunSuite {
       assert(sse <= Quantize.D * (s / 2) * (s / 2) + 1e-9)
     }
   }
+  test("PCA power iteration: unit direction, captures more variance than v0") {
+    import org.apache.spark.sql.functions._
+    val out = Pca.pcaPower(spark, TestSpark.sf).cache()
+    val norm2 = out.agg(sum(col("pc") * col("pc"))).head().getDouble(0)
+    // unit up to the scale-4 norm quantization (u² summed on the 1e-4 grid)
+    assert(math.abs(norm2 - 1.0) < 1e-5, "principal direction is unit-norm")
+    assert(out.select("lam").head().getDouble(0) > 0)
+    val pc = out.orderBy("i").select("pc").as[Double].collect()
+    val v0n = {
+      val n = math.sqrt(Pca.V0.map(x => x * x).sum)
+      Pca.V0.map(_ / n)
+    }
+    // variance captured along the iterated direction must beat the start
+    val emb = graft.core.Tables.embeddings(spark, TestSpark.sf)
+      .select(transform(col("embedding"), _.cast("double")).as("vd"))
+    def captured(v: Seq[Double]): Double = emb
+      .select(graft.functions.VectorFolds.dotp(col("vd"),
+        array(v.map(lit): _*)).as("s"))
+      .agg(sum(col("s") * col("s"))).head().getDouble(0)
+    assert(captured(pc.toSeq) > captured(v0n))
+  }
 }

@@ -26,7 +26,7 @@ object Bench {
     "q1_agg", "q3_join", "q5_join_region", "q1_rollup",
     "events_windowed_agg", "events_sessionize",
     "events_json_extract", "events_asof_join",
-    "events_funnel", "events_retention",
+    "events_funnel", "events_retention", "events_anomaly",
     "sketch_hll", "sketch_countmin", "basket_part_pairs",
     "dict_encode_entities", "triples_encode", "cp_mttkrp", "graph_pagerank",
     "tensor_block_partition", "tensor_ttm", "neg_sample_lcwa",

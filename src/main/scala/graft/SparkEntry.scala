@@ -138,6 +138,7 @@ object SparkEntry {
     "streaming_countmin" -> ((s, d) => EventStreams.countMin(configured(s), d)),
     "streaming_hll" -> ((s, d) => EventStreams.hllRegisters(configured(s), d)),
     "embed_pca_power" -> ((s, d) => graft.ann.Pca.pcaPower(configured(s), d)),
+    "events_anomaly" -> ((s, d) => Events.anomaly(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -235,5 +236,6 @@ object SparkEntry {
     "streaming_countmin" -> EventStreams.countMinSql,
     "streaming_hll" -> EventStreams.hllRegistersSql,
     "embed_pca_power" -> graft.ann.Pca.pcaPowerSql,
+    "events_anomaly" -> Events.anomalySql,
   )
 }

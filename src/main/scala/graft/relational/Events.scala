@@ -266,6 +266,51 @@ object Events {
         col("n_active").cast("double") / col("cohort_size").cast("double"))
   }
 
+  /** #97: value-anomaly detection per event type — the monitoring query
+    * every event pipeline runs: per-type mean/std over `value`, then
+    * flag events beyond 3σ. Two passes sharing one partitioning: a
+    * 5-key moment aggregate (Σv, Σv² on the exact quantized grid —
+    * population variance in the textbook E[v²]−E[v]² form, every term
+    * mirrored in literal order), broadcast back, then a map-side flag +
+    * per-type outlier count with min/max of the flagged values. At
+    * 100 TB both passes are map-side-combining aggregates onto the
+    * event-type key space; nothing shuffles but partials.
+    */
+  def anomaly(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val stats = e.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      (Exact.decSum(col("value"), 6) / count(lit(1))).as("mean"),
+      (Exact.decSum(col("value") * col("value"), 6) / count(lit(1))).as("m2"))
+      .withColumn("std", sqrt(col("m2") - col("mean") * col("mean")))
+    e.join(broadcast(stats), "event_type")
+      .withColumn("is_out",
+        when(abs(col("value") - col("mean")) > lit(3.0) * col("std"), 1L)
+          .otherwise(0L))
+      .groupBy("event_type")
+      .agg(
+        max(col("n")).as("n"),
+        sum("is_out").as("n_outliers"),
+        min(when(col("is_out") === 1, col("value"))).as("out_min"),
+        max(when(col("is_out") === 1, col("value"))).as("out_max"))
+  }
+
+  val anomalySql: String =
+    s"""WITH stats AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |    ${Exact.duckSum("value", 6)} / COUNT(*) AS mean,
+       |    ${Exact.duckSum("value * value", 6)} / COUNT(*) AS m2
+       |  FROM events GROUP BY event_type
+       |), s2 AS (
+       |  SELECT event_type, n, mean, sqrt(m2 - mean * mean) AS std FROM stats
+       |)
+       |SELECT e.event_type, MAX(s2.n) AS n,
+       |  CAST(SUM(CASE WHEN abs(value - mean) > 3.0 * std THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       |  MIN(CASE WHEN abs(value - mean) > 3.0 * std THEN value END) AS out_min,
+       |  MAX(CASE WHEN abs(value - mean) > 3.0 * std THEN value END) AS out_max
+       |FROM events e JOIN s2 USING (event_type)
+       |GROUP BY e.event_type""".stripMargin
+
   val retentionSql: String =
     s"""WITH byday AS (
        |  SELECT DISTINCT user_id, epoch_ns(ts) // $NsPerDay AS day FROM events

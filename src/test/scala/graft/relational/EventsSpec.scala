@@ -86,4 +86,24 @@ class EventsSpec extends AnyFunSuite {
       .select("user_id").distinct().count()
     assert(rows.filter(_._2 == 0).map(_._4).sum == users)
   }
+  test("anomaly: outliers are a small tail and actually beyond 3 sigma") {
+    val rows = Events.anomaly(spark, TestSpark.sf)
+      .select("event_type", "n", "n_outliers")
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, out) =>
+      // Chebyshev: beyond 3 sigma holds at most 1/9 of any distribution
+      assert(out <= n / 9 + 1)
+    }
+    // cross-check one type against a driver-side computation
+    val vals = graft.core.Tables.events(spark, TestSpark.sf)
+      .filter($"event_type" === "click").select("value").as[Double].collect()
+    val mean = vals.sum / vals.length
+    val std = math.sqrt(vals.map(v => v * v).sum / vals.length - mean * mean)
+    val brute = vals.count(v => math.abs(v - mean) > 3 * std)
+    val got = rows.find(_._1 == "click").get._3
+    // quantized moments vs naive double moments can differ only at the
+    // exact 3-sigma boundary; identical here
+    assert(got == brute)
+  }
 }

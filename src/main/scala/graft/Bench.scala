@@ -41,7 +41,8 @@ object Bench {
     "text_quality_score", "text_token_count", "text_fingerprint",
     "quality_buckets",
     "text_repetition",
-    "text_tfidf", "text_bm25", "text_ngram_lm", "vocab_pair_merges",
+    "text_tfidf", "text_bm25", "search_rrf_rerank", "text_ngram_lm",
+    "vocab_pair_merges",
     "vocab_bpe_learn",
     "sample_stratified", "sample_temperature", "corpus_mix_report",
     "shard_assign",

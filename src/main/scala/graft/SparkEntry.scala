@@ -139,6 +139,7 @@ object SparkEntry {
     "streaming_hll" -> ((s, d) => EventStreams.hllRegisters(configured(s), d)),
     "embed_pca_power" -> ((s, d) => graft.ann.Pca.pcaPower(configured(s), d)),
     "events_anomaly" -> ((s, d) => Events.anomaly(configured(s), d)),
+    "search_rrf_rerank" -> ((s, d) => graft.text.Relevance.rrfRerank(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -237,5 +238,6 @@ object SparkEntry {
     "streaming_hll" -> EventStreams.hllRegistersSql,
     "embed_pca_power" -> graft.ann.Pca.pcaPowerSql,
     "events_anomaly" -> Events.anomalySql,
+    "search_rrf_rerank" -> graft.text.Relevance.rrfRerankSql,
   )
 }

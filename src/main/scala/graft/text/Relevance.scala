@@ -135,9 +135,12 @@ object Relevance {
       .select("query_id", "doc_id", "score", "rnk")
   }
 
-  val bm25SearchSql: String = {
+  /** BM25 CTE chain ending in the ranked top-5 (`bm`) — shared with the
+    * RRF rerank oracle below.
+    */
+  private val bm25Ctes: String = {
     val qrows = queries.map { case (id, t) => s"('$id', '$t')" }.mkString(", ")
-    s"""WITH $termFreqCte,
+    s"""$termFreqCte,
        |qt AS (
        |  SELECT query_id, unnest(string_split(qtext, ' ')) AS term
        |  FROM (VALUES $qrows) AS q(query_id, qtext)
@@ -156,12 +159,74 @@ object Relevance {
        |agg AS (
        |  SELECT query_id, doc_id, ${Exact.duckSum("s_term", 12)} AS score
        |  FROM scored GROUP BY query_id, doc_id
-       |)
-       |SELECT query_id, doc_id, score,
-       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
-       |FROM agg
-       |QUALIFY rnk <= 5""".stripMargin
+       |),
+       |bm AS (
+       |  SELECT query_id, doc_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rnk
+       |  FROM agg
+       |  QUALIFY rnk <= 5
+       |)""".stripMargin
   }
+
+  val bm25SearchSql: String =
+    s"WITH $bm25Ctes\nSELECT query_id, doc_id, score, rnk FROM bm"
+
+  // ------------------------------------------------------ RRF hybrid rerank
+
+  /** #98: reciprocal-rank-fusion rerank of the BM25 candidates against
+    * the corpus quality prior — the standard hybrid-retrieval move
+    * (fuse a relevance ranking with a second signal without score
+    * calibration; RRF k = 60 per Cormack et al.). Each BM25 top-5
+    * candidate gets a quality rank within its candidate set, and
+    *
+    *   rrf = 1/(60 + r_bm25) + 1/(60 + r_quality)
+    *
+    * re-ranks the list. Fusion over INTEGER ranks is what makes hybrid
+    * retrieval oracle-exact: the two reciprocals are correctly-rounded
+    * divisions summed in fixed order — no score normalization, no
+    * tolerance. The candidate frame is rows(queries)·5, so both windows
+    * are per-query heaps over ≤ 5 rows; the only data-scale work is the
+    * quality lookup, a broadcast-candidate semi-join into documents.
+    */
+  def rrfRerank(spark: SparkSession, dir: String): DataFrame = {
+    val bm = bm25Search(spark, dir)
+    val q = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), TextAnalysis.words.as("ws"))
+      .select(col("doc_id"), TextAnalysis.quality.as("q"))
+    val byQuality = Window.partitionBy("query_id")
+      .orderBy(col("q").desc, col("doc_id").asc)
+    val byRrf = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    q.join(broadcast(bm), "doc_id")
+      .withColumn("q_rnk", row_number().over(byQuality))
+      .withColumn("rrf",
+        lit(1.0) / (lit(60.0) + col("rnk")) +
+          lit(1.0) / (lit(60.0) + col("q_rnk")))
+      .withColumn("fused_rnk", row_number().over(byRrf))
+      .select(col("query_id"), col("doc_id"), col("rnk").as("bm25_rnk"),
+        col("q_rnk"), col("rrf"), col("fused_rnk"))
+  }
+
+  val rrfRerankSql: String =
+    s"""WITH $bm25Ctes,
+       |qual AS (
+       |  SELECT doc_id, ${TextAnalysis.duckQuality} AS q
+       |  FROM (SELECT doc_id, n_chars, $duckWords AS ws FROM documents)
+       |),
+       |j AS (
+       |  SELECT b.query_id, b.doc_id, b.rnk, qual.q
+       |  FROM bm b JOIN qual USING (doc_id)
+       |),
+       |r AS (
+       |  SELECT query_id, doc_id, rnk,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY q DESC, doc_id ASC) AS q_rnk
+       |  FROM j
+       |)
+       |SELECT query_id, doc_id, rnk AS bm25_rnk, q_rnk,
+       |  1.0 / (60.0 + rnk) + 1.0 / (60.0 + q_rnk) AS rrf,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY (1.0 / (60.0 + rnk) + 1.0 / (60.0 + q_rnk)) DESC, doc_id ASC) AS fused_rnk
+       |FROM r""".stripMargin
 
   // ------------------------------------------------------- n-gram LM score
 

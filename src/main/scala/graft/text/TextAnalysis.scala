@@ -21,9 +21,9 @@ import graft.core.{PortableHash, Tables}
 object TextAnalysis {
 
   /** Whitespace tokenization shared by all four operators. */
-  private val words: Column = split(trim(col("text")), "\\s+")
+  private[graft] val words: Column = split(trim(col("text")), "\\s+")
 
-  private val duckWords = "regexp_split_to_array(trim(text), '\\s+')"
+  private[graft] val duckWords = "regexp_split_to_array(trim(text), '\\s+')"
 
   // ------------------------------------------------------------- lang id
 

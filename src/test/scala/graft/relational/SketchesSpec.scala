@@ -48,4 +48,32 @@ class SketchesSpec extends AnyFunSuite {
     assert(rows.map(_._3).toSeq == rows.map(_._3).sortBy(-_).toSeq,
       "descending by co-occurrence count")
   }
+  test("sketches merge: two shards' states union to the monolithic state") {
+    import graft.core.Tables
+    val e = Tables.events(spark, TestSpark.sf)
+    val shard = graft.core.PortableHash.pHash(
+      concat_ws("|", lit("ms"), col("event_id"))) % 2
+    val a = e.filter(shard === 0)
+    val b = e.filter(shard === 1)
+    // HLL: per-bucket MAX of the shard registers == monolithic registers
+    val mergedHll = Sketches.hllPerBucket(a)
+      .unionByName(Sketches.hllPerBucket(b))
+      .groupBy("bucket").agg(max("r").as("r"))
+      .as[(Long, Int)].collect().toSet
+    val monoHll = Sketches.hllPerBucket(e).as[(Long, Int)].collect().toSet
+    assert(mergedHll == monoHll)
+    // CM: per-cell SUM of the shard matrices == monolithic matrix
+    def cm(df: org.apache.spark.sql.DataFrame) = df
+      .select(posexplode(array((0 until Sketches.CmDepth).map { d =>
+        graft.core.PortableHash.pHash(
+          concat_ws("|", lit(s"cm$d"), col("user_id"))) % Sketches.CmWidth
+      }: _*)).as(Seq("depth", "bucket")))
+      .groupBy("depth", "bucket").agg(count(lit(1)).as("cnt"))
+    val mergedCm = cm(a).unionByName(cm(b))
+      .groupBy("depth", "bucket").agg(sum("cnt").as("cnt"))
+      .as[(Int, Long, Long)].collect().toSet
+    val monoCm = Sketches.countMin(spark, TestSpark.sf)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(mergedCm == monoCm)
+  }
 }

@@ -60,4 +60,17 @@ class RelevanceSpec extends AnyFunSuite {
       assert(rr >= 0.0 && rr <= 1.0)
     }
   }
+  test("RRF rerank: permutation of the BM25 top-5, fusion score exact") {
+    val rows = Relevance.rrfRerank(spark, TestSpark.sf)
+      .select("query_id", "bm25_rnk", "q_rnk", "rrf", "fused_rnk")
+      .as[(String, Int, Int, Double, Int)].collect()
+    rows.groupBy(_._1).foreach { case (q, g) =>
+      assert(g.map(_._2).sorted.toSeq == (1 to 5), s"$q keeps all 5 candidates")
+      assert(g.map(_._3).sorted.toSeq == (1 to 5))
+      assert(g.map(_._5).sorted.toSeq == (1 to 5))
+    }
+    rows.foreach { case (_, b, qr, rrf, _) =>
+      assert(rrf == 1.0 / (60.0 + b) + 1.0 / (60.0 + qr))
+    }
+  }
 }

@@ -140,6 +140,7 @@ object SparkEntry {
     "embed_pca_power" -> ((s, d) => graft.ann.Pca.pcaPower(configured(s), d)),
     "events_anomaly" -> ((s, d) => Events.anomaly(configured(s), d)),
     "search_rrf_rerank" -> ((s, d) => graft.text.Relevance.rrfRerank(configured(s), d)),
+    "graph_ppr" -> ((s, d) => graft.rdf.GraphAlgos.ppr(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -239,5 +240,6 @@ object SparkEntry {
     "embed_pca_power" -> graft.ann.Pca.pcaPowerSql,
     "events_anomaly" -> Events.anomalySql,
     "search_rrf_rerank" -> graft.text.Relevance.rrfRerankSql,
+    "graph_ppr" -> graft.rdf.GraphAlgos.pprSql,
   )
 }

@@ -98,6 +98,85 @@ object GraphAlgos {
           (coalesce(col("s"), lit(0.0)) + col("m") / col("n"))).as("pr"))
   }
 
+  /** #99: PERSONALIZED PageRank from the nation seed set — relevance of
+    * every entity to a topic anchor (the "importance relative to X"
+    * query behind related-entity ranking and topical corpus slicing).
+    * Same iteration machinery and cached edge/degree frames as
+    * [[pagerank]], different fixed point:
+    *
+    *   pr_{k+1}(v) = (1−d)·t(v) + d·(contrib_v + mass_k·t(v))
+    *
+    * where t is the teleport distribution — uniform over the seeds,
+    * zero elsewhere — so random walks restart AT the seeds and dangling
+    * mass returns to them (the standard PPR convention). Mass still
+    * sums to 1; entities unreachable from the seeds correctly converge
+    * to 0. Teleport is a column, not a scalar, so the plan shape (and
+    * the 100 TB story) is identical to global PageRank.
+    */
+  def ppr(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val deg = e.groupBy("sid").agg(count(lit(1)).as("od"))
+    val ns = Dict.entities(spark, dir)
+      .filter(col("uri").startsWith("n:"))
+      .agg(count(lit(1)).as("ns"))
+    val tele = Dict.entities(spark, dir).crossJoin(broadcast(ns))
+      .select(col("id"),
+        when(col("uri").startsWith("n:"), lit(1.0) / col("ns"))
+          .otherwise(lit(0.0)).as("t"))
+    val pr0 = tele.select(col("id"), col("t").as("pr"))
+    (1 to Iters).foldLeft(pr0) { (pr, k) =>
+      cache.getOrElseUpdate((spark, dir, s"ppr$k"))(
+        pprStep(pr, e, deg, tele).localCheckpoint(false))
+    }
+  }
+
+  private def pprStep(pr: DataFrame, e: DataFrame, deg: DataFrame,
+      tele: DataFrame): DataFrame = {
+    val mass = pr.join(deg, pr("id") === deg("sid"), "left_anti")
+      .agg(coalesce(Exact.decSum(col("pr"), S), lit(0.0)).as("m"))
+    val contrib = e
+      .join(pr, e("sid") === pr("id"))
+      .join(deg, "sid")
+      .groupBy(col("oid").as("id"))
+      .agg(Exact.decSum(col("pr") / col("od"), S).as("s"))
+    tele.join(contrib, Seq("id"), "left")
+      .crossJoin(broadcast(mass))
+      .select(col("id"),
+        (lit(OneMinusDamping) * col("t") + lit(Damping) *
+          (coalesce(col("s"), lit(0.0)) + col("m") * col("t"))).as("pr"))
+  }
+
+  val pprSql: String = {
+    def iter(k: Int): String = {
+      val prev = s"ppr${k - 1}"
+      s"""m$k AS (
+         |  SELECT COALESCE(${Exact.duckSum("pr", S)}, 0.0) AS m FROM $prev
+         |  WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.sid = $prev.id)
+         |),
+         |s$k AS (
+         |  SELECT e.oid AS id, ${Exact.duckSum("p.pr / d.od", S)} AS s
+         |  FROM edges e JOIN $prev p ON p.id = e.sid JOIN deg d ON d.sid = e.sid
+         |  GROUP BY e.oid
+         |),
+         |ppr$k AS MATERIALIZED (
+         |  SELECT tele.id,
+         |    $OneMinusDamping * t + $Damping * (COALESCE(s.s, 0.0) + m * t) AS pr
+         |  FROM tele LEFT JOIN s$k s ON s.id = tele.id, m$k
+         |)""".stripMargin
+    }
+    s"""${Dict.preludeCtes},
+       |edges AS MATERIALIZED (SELECT DISTINCT sid, oid FROM encoded),
+       |deg AS MATERIALIZED (SELECT sid, COUNT(*) AS od FROM edges GROUP BY sid),
+       |ns AS (SELECT COUNT(*) AS ns FROM entities WHERE uri LIKE 'n:%'),
+       |tele AS MATERIALIZED (
+       |  SELECT id, CASE WHEN uri LIKE 'n:%' THEN 1.0 / ns ELSE 0.0 END AS t
+       |  FROM entities, ns
+       |),
+       |ppr0 AS MATERIALIZED (SELECT id, t AS pr FROM tele),
+       |${(1 to Iters).map(iter).mkString(",\n")}
+       |SELECT id, pr FROM ppr$Iters""".stripMargin
+  }
+
   /** DuckDB oracle: the identical iteration chain as CTEs. */
   val pagerankSql: String = {
     def iter(k: Int): String = {

@@ -29,4 +29,20 @@ class GraphAlgosSpec extends AnyFunSuite {
       .join(pr, "id")
     assert(nations.filter(col("pr") <= uniform).count() == 0)
   }
+  test("personalized PageRank: mass conserved, concentrated on the " +
+    "seed-reachable subgraph") {
+    val ppr = GraphAlgos.ppr(spark, TestSpark.sf).cache()
+    val total = ppr.agg(sum("pr")).head().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-6)
+    val ent = Dict.entities(spark, TestSpark.sf)
+    // seeds (nations) and their only out-neighbors (regions) hold ALL
+    // the mass: nothing else is reachable from the seed set
+    val reach = ent.filter(col("uri").startsWith("n:") ||
+        col("uri").startsWith("r:"))
+      .join(ppr, "id").agg(sum("pr")).head().getDouble(0)
+    assert(math.abs(reach - total) < 1e-12)
+    val unreachable = ent.filter(col("uri").startsWith("o:"))
+      .join(ppr, "id").filter(col("pr") =!= 0.0).count()
+    assert(unreachable == 0, "orders are unreachable from nation seeds")
+  }
 }

@@ -141,6 +141,7 @@ object SparkEntry {
     "events_anomaly" -> ((s, d) => Events.anomaly(configured(s), d)),
     "search_rrf_rerank" -> ((s, d) => graft.text.Relevance.rrfRerank(configured(s), d)),
     "graph_ppr" -> ((s, d) => graft.rdf.GraphAlgos.ppr(configured(s), d)),
+    "kge_eval_both" -> ((s, d) => RankingEval.evalBoth(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -241,5 +242,6 @@ object SparkEntry {
     "events_anomaly" -> Events.anomalySql,
     "search_rrf_rerank" -> graft.text.Relevance.rrfRerankSql,
     "graph_ppr" -> graft.rdf.GraphAlgos.pprSql,
+    "kge_eval_both" -> RankingEval.evalBothSql,
   )
 }

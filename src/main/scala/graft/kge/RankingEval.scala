@@ -116,6 +116,72 @@ object RankingEval {
       graft.core.Exact.decAvg(lit(1.0) / col("rank")).as("mrr"),
       (sum("rank").cast("double") / count(lit(1))).as("mean_rank"))
 
+  /** Head-side sample modulus: head corruption ranks against the
+    * SUBJECTS of a relation, and subject sets run ~10× larger than
+    * object sets on this graph (orders subtend three relations), so the
+    * head slice is proportionally thinner to keep the |test|·|cands|
+    * pair space — and the DuckDB oracle's memory — at the tail chain's
+    * scale. Same machinery, same filtered protocol.
+    */
+  val EvalModHead = 997
+
+  private val ranksHeadCache = new graft.core.DfCache[(SparkSession, String)]
+
+  /** Head-direction rank frame: corrupt the SUBJECT slot; candidates
+    * are the relation's observed subjects, the filtered protocol
+    * excludes candidates forming OTHER known-true triples (cand, p, o),
+    * ties break on cand < sid. (hole.py ranks the object slot only;
+    * the standard reported protocol — Bordes et al. — averages both
+    * directions, which is what [[evalBoth]] restores.)
+    */
+  def ranksHead(spark: SparkSession, dir: String): DataFrame =
+    ranksHeadCache.getOrElseUpdate((spark, dir)) {
+      val graph = Dict.encodedTriples(spark, dir)
+      val entEmb = entityEmb(spark, dir)
+      val relEmb = relationEmb(spark, dir)
+      val score = graft.functions.VectorFolds.dot3 _
+      val testE = encodedSample(spark, dir, EvalModHead)
+        .join(entEmb.select(col("id").as("sid"), col("v").as("h")), "sid")
+        .join(entEmb.select(col("id").as("oid"), col("v").as("t")), "oid")
+        .join(broadcast(relEmb.select(col("id").as("pid"), col("v").as("r"))), "pid")
+        .withColumn("score_t", score(col("h"), col("r"), col("t")))
+      // subject candidate sets are NOT broadcast (10× the object sets);
+      // this is a plain shuffle join keyed like the groupBy below — the
+      // same plan the tail side grows into at 1e9 entities
+      val cands = graph
+        .select(col("pid"), col("sid").as("cand")).distinct()
+        .join(entEmb.select(col("id").as("cand"), col("v").as("hc")), "cand")
+      val known = graph
+        .select(col("sid").as("cand"), col("pid"), col("oid"), lit(1).as("istrue"))
+      testE.join(cands, "pid")
+        .withColumn("score_c", score(col("hc"), col("r"), col("t")))
+        .join(known, Seq("cand", "pid", "oid"), "left")
+        .groupBy("sid", "pid", "oid")
+        .agg((lit(1) + sum(when(
+          (col("score_c") > col("score_t") ||
+            (col("score_c") === col("score_t") && col("cand") < col("sid"))) &&
+            (col("istrue").isNull || col("cand") === col("sid")),
+          1).otherwise(0))).cast("long").as("rank"))
+    }
+
+  /** #100: the standard BOTH-SIDES evaluation — tail-corruption and
+    * head-corruption summary rows side by side (papers report their
+    * average; emitting both directions keeps each hash-pinned).
+    */
+  def evalBoth(spark: SparkSession, dir: String): DataFrame = {
+    def summarize(r: DataFrame, direction: String): DataFrame =
+      r.agg(
+        count(lit(1)).as("n_test"),
+        graft.core.Exact.decAvg(lit(1.0) / col("rank")).as("mrr"),
+        (sum(when(col("rank") <= 10, 1).otherwise(0)).cast("double") /
+          count(lit(1))).as("hits10"),
+        (sum("rank").cast("double") / count(lit(1))).as("mean_rank"))
+        .select(lit(direction).as("direction"), col("n_test"), col("mrr"),
+          col("hits10"), col("mean_rank"))
+    summarize(ranks(spark, dir), "tail")
+      .unionByName(summarize(ranksHead(spark, dir), "head"))
+  }
+
   /** #85: per-relation evaluation breakdown — the per-relation results
     * table KGE papers report (which relations the model ranks well is
     * the first diagnostic after a global MRR; reference hole.py:372-425
@@ -208,4 +274,60 @@ object RankingEval {
        |  CAST(SUM(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS hits10,
        |  CAST(SUM(rank) AS DOUBLE) / COUNT(*) AS mean_rank
        |FROM ranks GROUP BY pid""".stripMargin
+
+  /** Head-direction chain appended after [[ranksCtes]] (shares
+    * triples/dictionaries/ent_emb/rel_emb): the rt = r∘t product is
+    * precomputed per test triple and each subject candidate is one row
+    * scored by one list fold — the same dimension-factor-free shape the
+    * round-5 tail rewrite established. All values dyadic ⇒ exact.
+    */
+  private val headCtes: String =
+    s"""${Dict.sampleEncodedCte(EvalModHead, "test_h")},
+       |hrt_h AS MATERIALIZED (
+       |  SELECT t.sid, t.pid, t.oid,
+       |    list_transform(range(1, ${D + 1}), i -> er.vl[i] * et.vl[i]) AS rt,
+       |    eh.vl AS hv
+       |  FROM test_h t
+       |  JOIN ent_emb eh ON eh.id = t.sid
+       |  JOIN rel_emb er ON er.rid = t.pid
+       |  JOIN ent_emb et ON et.id = t.oid
+       |),
+       |score_t_h AS MATERIALIZED (
+       |  SELECT sid, pid, oid,
+       |    list_sum(list_transform(range(1, ${D + 1}), i -> hv[i] * rt[i])) AS score_t
+       |  FROM hrt_h
+       |),
+       |cands_h AS MATERIALIZED (SELECT DISTINCT pid, sid AS cand FROM encoded),
+       |score_c_h AS (
+       |  SELECT h.sid, h.pid, h.oid, c.cand,
+       |    list_sum(list_transform(range(1, ${D + 1}), i -> ec.vl[i] * h.rt[i])) AS score_c
+       |  FROM hrt_h h
+       |  JOIN cands_h c ON c.pid = h.pid
+       |  JOIN ent_emb ec ON ec.id = c.cand
+       |),
+       |ranks_h AS MATERIALIZED (
+       |  SELECT s.sid, s.pid, s.oid,
+       |    CAST(1 + SUM(CASE WHEN (c.score_c > s.score_t
+       |      OR (c.score_c = s.score_t AND c.cand < s.sid))
+       |      AND (k.sid IS NULL OR c.cand = s.sid) THEN 1 ELSE 0 END) AS BIGINT) AS rank
+       |  FROM score_c_h c
+       |  JOIN score_t_h s ON c.sid = s.sid AND c.pid = s.pid AND c.oid = s.oid
+       |  LEFT JOIN encoded k
+       |    ON k.sid = c.cand AND k.pid = c.pid AND k.oid = c.oid
+       |  GROUP BY 1, 2, 3
+       |)""".stripMargin
+
+  val evalBothSql: String = {
+    def row(src: String, direction: String) =
+      s"""SELECT '$direction' AS direction, COUNT(*) AS n_test,
+         |  ${graft.core.Exact.duckAvg("CAST(1 AS DOUBLE) / rank")} AS mrr,
+         |  CAST(SUM(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS hits10,
+         |  CAST(SUM(rank) AS DOUBLE) / COUNT(*) AS mean_rank
+         |FROM $src""".stripMargin
+    s"""$ranksCtes,
+       |$headCtes
+       |${row("ranks", "tail")}
+       |UNION ALL
+       |${row("ranks_h", "head")}""".stripMargin
+  }
 }

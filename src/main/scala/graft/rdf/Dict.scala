@@ -172,8 +172,8 @@ object Dict {
     * (sampled on the STRING triple so Spark and the oracle agree before
     * any id assignment).
     */
-  def sampleEncodedCte(mod: Int): String =
-    s"""test_enc AS MATERIALIZED (
+  def sampleEncodedCte(mod: Int, alias: String = "test_enc"): String =
+    s"""$alias AS MATERIALIZED (
        |  SELECT es.id AS sid, r.rid AS pid, eo.id AS oid
        |  FROM triples t
        |  JOIN entities es ON t.s = es.uri

@@ -88,4 +88,19 @@ class ScoringSpec extends AnyFunSuite {
       assert(n > 0); assert(mrr > 0.0 && mrr <= 1.0); assert(h10 >= 0.0 && h10 <= 1.0)
     }
   }
+  test("both-sides eval: two directions, bounded metrics, head ranks valid") {
+    val rows = RankingEval.evalBoth(spark, TestSpark.sf)
+      .select("direction", "n_test", "mrr", "hits10", "mean_rank")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(rows.map(_._1).sorted.toSeq == Seq("head", "tail"))
+    rows.foreach { case (_, n, mrr, h10, mr) =>
+      assert(n > 0); assert(mrr > 0 && mrr <= 1)
+      assert(h10 >= 0 && h10 <= 1); assert(mr >= 1)
+    }
+    val hr = RankingEval.ranksHead(spark, TestSpark.sf)
+    val maxCand = graft.rdf.Dict.encodedTriples(spark, TestSpark.sf)
+      .select("pid", "sid").distinct().groupBy("pid").count()
+      .agg(max("count")).head().getLong(0)
+    assert(hr.filter($"rank" < 1 || $"rank" > maxCand).count() == 0)
+  }
 }

@@ -107,7 +107,16 @@ object Relevance {
     * building the index" shape; with a materialized tf table it becomes a
     * partition-pruned scan.
     */
-  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+  /** Session cache: the ranked top-5 frame is consumed both as the #55
+    * search result and as the #98 rerank's candidate set — 15 rows, one
+    * build.
+    */
+  private val bm25Cache = new graft.core.DfCache[(SparkSession, String)]
+
+  def bm25Search(spark: SparkSession, dir: String): DataFrame =
+    bm25Cache.getOrElseUpdate((spark, dir))(bm25Build(spark, dir))
+
+  private def bm25Build(spark: SparkSession, dir: String): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
     val qterms = queries.toDF("query_id", "qtext")

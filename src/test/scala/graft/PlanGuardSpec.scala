@@ -22,6 +22,7 @@ class PlanGuardSpec extends AnyFunSuite {
   private val skip = Set(
     "streaming_windowed_agg", "streaming_sessionize", "streaming_dedup",
     "streaming_quality_filter", "streaming_enrich",
+    "streaming_countmin", "streaming_hll",
     // trainers execute eagerly (multi-job loops), not a single plan
     "kge_transe_train", "kge_transe_train_adagrad", "kge_transe_train_adam",
     "kge_distmult_train", "kge_hole_train", "kge_complex_train",
@@ -62,11 +63,23 @@ class PlanGuardSpec extends AnyFunSuite {
       case a: AdaptiveSparkPlanExec => nodes(a.inputPlan)
       case other => other.children.flatMap(nodes)
     })
-    // A window whose child subtree top-k-limits first runs over a
-    // bounded frame (Vocab.pairMerges ranks the TopK survivors).
-    def bounded(p: SparkPlan): Boolean = nodes(p).exists {
-      case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
-      case _ => false
+    // A window whose child top-k-limits first runs over a bounded frame
+    // (Vocab.pairMerges ranks the TopK survivors). Only limits on the
+    // window's DIRECT input path count: descending past a join or an
+    // aggregation could credit a limit on an unrelated branch (e.g. a
+    // limited dimension side of a join) whose output cardinality the
+    // join/agg re-expands (ADVICE r5).
+    def bounded(p: SparkPlan): Boolean = {
+      import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec}
+      import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+      def walk(n: SparkPlan): Boolean = n match {
+        case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
+        case _: BaseJoinExec | _: BroadcastNestedLoopJoinExec |
+             _: BaseAggregateExec => false // cardinality re-expansion point
+        case a: AdaptiveSparkPlanExec => walk(a.inputPlan)
+        case other => other.children.exists(walk)
+      }
+      walk(p)
     }
     // Documented exceptions (SURVEY §5): the 64-row bucket-offset
     // cumulative sum and the ~1e3-row relation dictionary.

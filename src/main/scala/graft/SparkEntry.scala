@@ -142,6 +142,10 @@ object SparkEntry {
     "search_rrf_rerank" -> ((s, d) => graft.text.Relevance.rrfRerank(configured(s), d)),
     "graph_ppr" -> ((s, d) => graft.rdf.GraphAlgos.ppr(configured(s), d)),
     "kge_eval_both" -> ((s, d) => RankingEval.evalBoth(configured(s), d)),
+    // the ALS family's hash-exact algebra pins (round 6): the first CP
+    // half-sweep and the solved RESCAL core slices in closed form
+    "cp_als_sweep" -> ((s, d) => CpAls.halfSweepA(configured(s), d)),
+    "rescal_als_core" -> ((s, d) => RescalAls.coreSolve(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -243,5 +247,7 @@ object SparkEntry {
     "search_rrf_rerank" -> graft.text.Relevance.rrfRerankSql,
     "graph_ppr" -> graft.rdf.GraphAlgos.pprSql,
     "kge_eval_both" -> RankingEval.evalBothSql,
+    "cp_als_sweep" -> CpAls.halfSweepASql,
+    "rescal_als_core" -> RescalAls.coreSolveSql,
   )
 }

@@ -27,6 +27,11 @@ class PlanGuardSpec extends AnyFunSuite {
     "kge_transe_train", "kge_transe_train_adagrad", "kge_transe_train_adam",
     "kge_distmult_train", "kge_hole_train", "kge_complex_train",
     "cp_als", "rescal_als",
+    // fully driver-materialized (J×d² dictionary-sized collect); the
+    // returned frame is a local relation with a trivial plan. Its
+    // sibling cp_als_sweep stays CHECKED: the MTTKRP+solve plan it
+    // returns is the real distributed half-sweep shape.
+    "rescal_als_core",
     // runs the cached TransE training loop before the eval plan exists
     "kge_train_eval", "kge_transe_train_step",
     "kge_transe_train_step_adagrad", "kge_transe_train_step_adam",

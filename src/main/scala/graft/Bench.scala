@@ -17,7 +17,12 @@ import java.nio.file.{Files, Paths}
   *    Catalyst prune every column, so map-shaped queries (scores,
   *    quality, kernels) would benchmark only their scan+joins;
   *  - a failing query is recorded in "errors" and EXCLUDED from the
-  *    total, never silently counted as a fast run.
+  *    total, never silently counted as a fast run;
+  *  - per-query COLD timings ("queries_cold"/"total_cold", round 6):
+  *    derived-tier caches evicted before one timed run, so session-
+  *    cached ops report compute-inclusive numbers a regression gate can
+  *    bite on; "queries"/"value" keep the warm steady-state semantics
+  *    of earlier rounds (comparable across BENCH_r files).
   */
 object Bench {
 
@@ -28,7 +33,8 @@ object Bench {
     "events_json_extract", "events_asof_join",
     "events_funnel", "events_retention", "events_anomaly",
     "sketch_hll", "sketch_countmin", "basket_part_pairs",
-    "dict_encode_entities", "triples_encode", "cp_mttkrp", "graph_pagerank",
+    "dict_encode_entities", "triples_encode", "cp_mttkrp", "cp_als_sweep",
+    "rescal_als_core", "graph_pagerank",
     "tensor_block_partition", "tensor_ttm", "neg_sample_lcwa",
     "kge_transe_score", "kge_distmult_score", "kge_rescal_score",
     "kge_hole_score", "kge_complex_score", "kge_loss_ranking",
@@ -76,11 +82,27 @@ object Bench {
 
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      // Two timed runs, report the MIN: the host shows 2-5% CPU steal
-      // and round-3's driver run had two queries inflated 10-30× by a
-      // transient contention window (cp_mttkrp 46.8 s vs 1.5 s steady-
-      // state). The min of two runs is robust to a one-off stall while
-      // still charging real recompute to the query.
+      // COLD run first (ADVICE r5 / VERDICT item 2): evict the derived
+      // cache tier so session-cached ops (graph_pagerank's iteration
+      // frames, the shared BM25 ranked frame, embeddings, shingles)
+      // recompute — the compute-inclusive number a plan-regression gate
+      // can bite on. The infra tier (triple view, dictionaries) stays:
+      // at 100 TB those are materialized-once parquet, not per-query
+      // work, so charging them to whichever query runs first would only
+      // add noise. The cold run repopulates the query's own caches, so
+      // the warm pair that follows measures today's steady-state shape.
+      graft.core.Caches.clearDerived()
+      System.gc()
+      val tc0 = System.nanoTime()
+      val coldErr: Option[String] =
+        try { run(fn(spark, sfDir)); None }
+        catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+      val cold = (System.nanoTime() - tc0) / 1e9
+      // Two warm timed runs, report the MIN: the host shows 2-5% CPU
+      // steal and round-3's driver run had two queries inflated 10-30×
+      // by a transient contention window (cp_mttkrp 46.8 s vs 1.5 s
+      // steady-state). The min of two runs is robust to a one-off stall
+      // while still charging real recompute to the query.
       val timed = (1 to 2).map { _ =>
         // GC boundary: after the warmup pass the heap is full of cached
         // blocks + codegen classes, and collector pauses were landing
@@ -96,18 +118,23 @@ object Bench {
       }
       // err only when EVERY run failed; one good run is a valid timing
       val good = timed.filter(_._2.isEmpty)
-      if (good.nonEmpty) (name, good.map(_._1).min, None)
-      else (name, timed.map(_._1).min, timed.head._2)
+      val (warm, err) =
+        if (good.nonEmpty) (good.map(_._1).min, None)
+        else (timed.map(_._1).min, timed.head._2)
+      (name, warm, if (coldErr.isEmpty) Some(cold) else None, err)
     }
     def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val ok = results.filter(_._3.isEmpty)
-    val qs = ok.map { case (k, v, _) => jq(k) + ":" + v }
+    val ok = results.filter(_._4.isEmpty)
+    val qs = ok.map { case (k, v, _, _) => jq(k) + ":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => jq(k) + ":" + jq(e) }
+    val colds = results.collect { case (k, _, Some(c), _) => jq(k) + ":" + c }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) => jq(k) + ":" + jq(e) }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    val totalCold = results.flatMap(_._3).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$colds,"total_cold":$totalCold,"errors":$errs,"sf":"$sfDir"}"""
     println(json)
     Files.writeString(Paths.get(out), json + "\n")
     graft.core.Caches.clearAll()

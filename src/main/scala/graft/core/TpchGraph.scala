@@ -21,7 +21,7 @@ object TpchGraph {
     * the encoder, the samplers and the N-Triples ops — materialize the
     * union+distinct once per session (same rationale as Dict's cache).
     */
-  private val cache = new graft.core.DfCache[(SparkSession, String)]
+  private val cache = new graft.core.DfCache[(SparkSession, String)]("infra")
 
   /** (s, p, o) string triples derived from the TPC-H foreign keys.
     *

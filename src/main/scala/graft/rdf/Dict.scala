@@ -48,7 +48,7 @@ object Dict {
     * Bench do). `MEMORY_AND_DISK`: dictionaries are ~1e-3 of triple data,
     * and at 100 TB you'd materialize them once to parquet the same way.
     */
-  private val cache = new graft.core.DfCache[(SparkSession, String, String)]
+  private val cache = new graft.core.DfCache[(SparkSession, String, String)]("infra")
 
   private def cached(spark: SparkSession, dir: String, key: String)
       (build: => DataFrame): DataFrame =

@@ -80,6 +80,45 @@ object GraphAlgos {
     }
   }
 
+  /** Iterate-to-tolerance PageRank — the PRODUCTION entry point (the
+    * unrolled-[[Iters]] [[pagerank]] exists to stay oracle-checkable;
+    * a real 1e11-edge run iterates until the rank vector stops moving).
+    * Driver-side loop: per iteration one [[step]] (identical algebra,
+    * so k iterations here reproduce [[pagerank]]'s pr_k bit-for-bit —
+    * the quantized sums make each step a deterministic function of the
+    * previous vector, independent of partitioning) plus ONE scalar
+    * action computing the L1 delta Σ|pr_{k+1}−pr_k|; stop when
+    * delta < eps or at maxIters. The delta join is keyed like the
+    * contribution shuffle (id), adds no new exchange shape, and
+    * `localCheckpoint` truncates lineage each iteration so the plan
+    * stays O(1) deep no matter how many iterations convergence takes —
+    * the periodic-checkpoint discipline iterative graph algorithms need
+    * at scale. The delta itself is a plain double sum: it is a stopping
+    * heuristic compared against eps, not a result an oracle hashes.
+    *
+    * Returns (converged rank frame, iterations actually run).
+    */
+  def pagerankConverged(spark: SparkSession, dir: String,
+      eps: Double = 1e-10, maxIters: Int = 50): (DataFrame, Int) = {
+    val e = edges(spark, dir)
+    val deg = e.groupBy("sid").agg(count(lit(1)).as("od"))
+    val nodes = Dict.entities(spark, dir).select("id")
+    val n = nodes.agg(count(lit(1)).as("n"))
+    var pr = nodes.crossJoin(broadcast(n))
+      .select(col("id"), (lit(1.0) / col("n")).as("pr"))
+    var k = 0
+    var delta = Double.MaxValue
+    while (k < maxIters && delta >= eps) {
+      val next = step(pr, e, deg, nodes, n).localCheckpoint(false)
+      delta = next.join(pr.withColumnRenamed("pr", "prev"), "id")
+        .agg(sum(abs(col("pr") - col("prev"))))
+        .head.getDouble(0)
+      pr = next
+      k += 1
+    }
+    (pr, k)
+  }
+
   private def step(pr: DataFrame, e: DataFrame, deg: DataFrame,
       nodes: DataFrame, n: DataFrame): DataFrame = {
     // rank mass sitting on dangling nodes (no out-edges) this iteration

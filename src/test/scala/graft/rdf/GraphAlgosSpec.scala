@@ -29,6 +29,32 @@ class GraphAlgosSpec extends AnyFunSuite {
       .join(pr, "id")
     assert(nations.filter(col("pr") <= uniform).count() == 0)
   }
+  test("iterate-to-ε converged mode is fixed-point consistent with the " +
+    "unrolled form") {
+    // eps=0 forces exactly maxIters steps: 3 steps of the converged path
+    // must reproduce the unrolled-3 oracle query bit-for-bit (same
+    // quantized algebra, so each step is a deterministic function of the
+    // previous vector regardless of partitioning or lineage shape)
+    val (pr3, k3) = GraphAlgos.pagerankConverged(spark, TestSpark.sf,
+      eps = 0.0, maxIters = 3)
+    assert(k3 == 3)
+    assert(pr3.join(pr.withColumnRenamed("pr", "expect"), "id")
+      .filter(col("pr") =!= col("expect")).count() == 0,
+      "converged-mode pr_3 must equal the unrolled pr_3 exactly")
+    // real convergence: PageRank's L1 delta contracts like d^k = 0.85^k,
+    // so eps must be reachable in a test-sized iteration budget (1e-4 ≈
+    // 40-60 rounds; 1e-9 would need ~120 PLUS sit at the N·1e-12
+    // quantization-grid floor). The stop criterion itself asserts the
+    // last step moved the vector by < eps; mass must still sum to 1.
+    val eps = 1e-4
+    val (prC, kC) = GraphAlgos.pagerankConverged(spark, TestSpark.sf,
+      eps = eps, maxIters = 100)
+    assert(kC < 100, s"did not converge in 100 iterations")
+    assert(kC > 3, "test graph should need more than 3 iterations to " +
+      s"reach eps=$eps, else the unrolled form already converged")
+    assert(math.abs(prC.agg(sum("pr")).head.getDouble(0) - 1.0) < 1e-6)
+  }
+
   test("personalized PageRank: mass conserved, concentrated on the " +
     "seed-reachable subgraph") {
     val ppr = GraphAlgos.ppr(spark, TestSpark.sf).cache()

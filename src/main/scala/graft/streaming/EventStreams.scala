@@ -200,4 +200,56 @@ object EventStreams {
 
   val hllRegistersSql: String =
     s"WITH ${graft.relational.Sketches.hllPbCtes}\nSELECT bucket, r FROM pb"
+
+  /** Event-time-bucketed Count-Min: ONE fixed CM cell matrix PER
+    * tumbling hour, emitted append-mode when the watermark closes the
+    * window — the production shape for "frequencies per hour over an
+    * unbounded stream" (#94 keeps one global matrix in complete mode;
+    * a real deployment wants per-window matrices it can ship downstream
+    * exactly once and then forget). State is bounded by the watermark:
+    * (open windows within `delay`) × depth × width cells, CONSTANT in
+    * event count; a closed window's cells are emitted once and evicted.
+    * Caveat inherited from counting sketches: cnt is sum-merged, so
+    * at-least-once REPLAY within an open window inflates counts (unlike
+    * [[windowedHllRegisters]]' idempotent max) — deduplicate upstream
+    * or accept the overcount, exactly as with the batch sketch.
+    *
+    * Takes the source frame (needs `ts_s` seconds + `user_id`) rather
+    * than a path so the MemoryStream spec drives emission timing; wire
+    * [[eventStream]] in for the file-backed production path.
+    */
+  def windowedCountMin(src: DataFrame, delay: String = "10 minutes"): DataFrame = {
+    import graft.core.PortableHash
+    import graft.relational.Sketches
+    src.withColumn("ts", timestamp_seconds(col("ts_s")))
+      .withWatermark("ts", delay)
+      .select(col("ts"), posexplode(array((0 until Sketches.CmDepth).map { d =>
+        PortableHash.pHash(
+          concat_ws("|", lit(s"cm$d"), col("user_id"))) % Sketches.CmWidth
+      }: _*)).as(Seq("depth", "bucket")))
+      .groupBy(window(col("ts"), "1 hour"), col("depth"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").cast("long").as("ws"),
+        col("depth"), col("bucket"), col("cnt"))
+  }
+
+  /** Event-time-bucketed HLL registers: per-hour distinct-user register
+    * state, watermark-bounded like [[windowedCountMin]]. Register max
+    * is idempotent, so at-least-once replay within an open window is
+    * absorbed exactly (the property the global #95 spec proves, here
+    * scoped per window); a window's 256-row register block is emitted
+    * once at close and its state evicted.
+    */
+  def windowedHllRegisters(src: DataFrame, delay: String = "10 minutes"): DataFrame =
+    src.withColumn("ts", timestamp_seconds(col("ts_s")))
+      .withWatermark("ts", delay)
+      .select(col("ts"), graft.core.PortableHash.pHash(
+        concat_ws("|", lit("hll"), col("user_id"))).as("h"))
+      .select(col("ts"), expr("h DIV 4503599627370496").as("bucket"),
+        expr("h % 4503599627370496").as("w"))
+      .withColumn("r",
+        when(col("w") === 0, lit(53)).otherwise(lit(53) - length(bin(col("w")))))
+      .groupBy(window(col("ts"), "1 hour"), col("bucket"))
+      .agg(max("r").as("r"))
+      .select(col("window.start").cast("long").as("ws"), col("bucket"), col("r"))
 }

@@ -210,6 +210,68 @@ class StreamingSpec extends AnyFunSuite {
     }.toSet
     assert(got == expected)
   }
+  test("windowed Count-Min: per-window matrices emit once at watermark " +
+    "close, late events dropped, open windows withheld") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.core.PortableHash
+    import graft.relational.Sketches
+    val stream = MemoryStream[Ev]
+    val q = EventStreams.windowedCountMin(stream.toDF())
+      .writeStream.format("memory").queryName("spec_wcm")
+      .outputMode("append").start()
+    stream.addData(Ev(100, 7, 0), Ev(200, 7, 0), Ev(300, 9, 0), Ev(3700, 9, 0))
+    q.processAllAvailable()
+    // watermark 3700−600 = 3100 < 3600: no window may have emitted
+    assert(spark.table("spec_wcm").count() == 0)
+    stream.addData(Ev(8000, 11, 0))
+    q.processAllAvailable()
+    // watermark 7400 closes [0,3600) and [3600,7200); this late event
+    // belongs to the already-closed first window and must be DROPPED
+    stream.addData(Ev(50, 13, 0))
+    q.processAllAvailable()
+    val got = spark.table("spec_wcm").as[(Long, Int, Long, Long)]
+      .collect().toSet
+    q.stop()
+    def cells(ws: Long, users: Seq[Long]): Set[(Long, Int, Long, Long)] =
+      (0 until Sketches.CmDepth).flatMap { d =>
+        users.groupBy(u => PortableHash.pHashJvm(s"cm$d|$u") % Sketches.CmWidth)
+          .map { case (b, us) => (ws, d, b, us.size.toLong) }
+      }.toSet
+    // exactly the two closed windows' matrices, computed from on-time
+    // rows only — no window-7200 rows (open), no late user-13 cells
+    assert(got == cells(0L, Seq(7, 7, 9)) ++ cells(3600L, Seq(9)))
+  }
+
+  test("windowed HLL registers: replay within an open window absorbed " +
+    "by max, emission exactly once at close") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = EventStreams.windowedHllRegisters(stream.toDF())
+      .writeStream.format("memory").queryName("spec_whll")
+      .outputMode("append").start()
+    stream.addData(Ev(100, 7, 0), Ev(200, 9, 0))
+    q.processAllAvailable()
+    assert(spark.table("spec_whll").count() == 0, "window still open")
+    // batch 2 REPLAYS user 7 into the still-open window (at-least-once
+    // delivery) and advances the watermark past the window end
+    stream.addData(Ev(300, 7, 0), Ev(8000, 11, 0))
+    q.processAllAvailable()
+    val got = spark.table("spec_whll").as[(Long, Long, Int)].collect().toSet
+    q.stop()
+    def reg(u: Long): (Long, Int) = {
+      val h = graft.core.PortableHash.pHashJvm(s"hll|$u")
+      val (b, w) = (h / 4503599627370496L, h % 4503599627370496L)
+      (b, if (w == 0) 53 else 53 - java.lang.Long.toBinaryString(w).length)
+    }
+    // the closed [0,3600) block equals the register state over {7, 9} —
+    // the replayed 7 absorbed by max, window 7200 (user 11) withheld
+    val expected = Seq(7L, 9L).map(reg)
+      .groupBy(_._1).map { case (b, rs) => (0L, b, rs.map(_._2).max) }.toSet
+    assert(got == expected)
+  }
+
   test("HLL registers are idempotent max-state: replays cannot corrupt") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

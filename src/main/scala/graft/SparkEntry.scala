@@ -23,9 +23,16 @@ object SparkEntry {
     * driver may hand us one too — these are the settings graft needs.
     */
   val sessionConfigs: Map[String, String] = Map(
-    // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects;
-    // read it as epoch-nano longs instead (graft does integer-second math).
+    // events.parquet has carried TIMESTAMP(NANOS) in some rounds (which
+    // Spark 4 rejects unless read as epoch-nano longs) and plain
+    // TIMESTAMP(MICROS) in others; set both confs so either physical
+    // type arrives in a form graft's schema-adaptive tsNanos helper
+    // (relational/Events.scala) turns into exact integer epoch math.
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // micros timestamps: read as LTZ (not NTZ), so with the UTC session
+    // zone unix_micros() is exactly the stored integer — same value
+    // DuckDB's epoch_us/epoch_ns sees on its naive TIMESTAMP.
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true")
 
@@ -146,6 +153,7 @@ object SparkEntry {
     // half-sweep and the solved RESCAL core slices in closed form
     "cp_als_sweep" -> ((s, d) => CpAls.halfSweepA(configured(s), d)),
     "rescal_als_core" -> ((s, d) => RescalAls.coreSolve(configured(s), d)),
+    "kge_eval_per_relation_head" -> ((s, d) => RankingEval.evalPerRelationHead(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -249,5 +257,6 @@ object SparkEntry {
     "kge_eval_both" -> RankingEval.evalBothSql,
     "cp_als_sweep" -> CpAls.halfSweepASql,
     "rescal_als_core" -> RescalAls.coreSolveSql,
+    "kge_eval_per_relation_head" -> RankingEval.evalPerRelationHeadSql,
   )
 }

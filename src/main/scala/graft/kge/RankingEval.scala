@@ -116,15 +116,6 @@ object RankingEval {
       graft.core.Exact.decAvg(lit(1.0) / col("rank")).as("mrr"),
       (sum("rank").cast("double") / count(lit(1))).as("mean_rank"))
 
-  /** Head-side sample modulus: head corruption ranks against the
-    * SUBJECTS of a relation, and subject sets run ~10× larger than
-    * object sets on this graph (orders subtend three relations), so the
-    * head slice is proportionally thinner to keep the |test|·|cands|
-    * pair space — and the DuckDB oracle's memory — at the tail chain's
-    * scale. Same machinery, same filtered protocol.
-    */
-  val EvalModHead = 997
-
   private val ranksHeadCache = new graft.core.DfCache[(SparkSession, String)]
 
   /** Head-direction rank frame: corrupt the SUBJECT slot; candidates
@@ -133,6 +124,18 @@ object RankingEval {
     * ties break on cand < sid. (hole.py ranks the object slot only;
     * the standard reported protocol — Bordes et al. — averages both
     * directions, which is what [[evalBoth]] restores.)
+    *
+    * Both directions rank the SAME 1-in-[[Embeddings.EvalMod]] test
+    * slice (round 6; previously the head side thinned to 1-in-997 to
+    * bound the oracle's pair space — ADVICE r5 correctly noted that
+    * averaging two directions computed over different test populations
+    * is not the Bordes protocol). Subject candidate sets run ~10× the
+    * object sets on this graph, so the head pair space is ~13× the
+    * tail's (~1.0 G scored pairs at sf0.1) — each pair is ONE row with
+    * one fused-fold score (no per-dimension fan-out), the candidate
+    * join streams into the rank aggregate keyed the same way, and
+    * nothing data-scale is materialized, so the lift costs wall-clock
+    * only, not memory, in both engines.
     */
   def ranksHead(spark: SparkSession, dir: String): DataFrame =
     ranksHeadCache.getOrElseUpdate((spark, dir)) {
@@ -140,7 +143,7 @@ object RankingEval {
       val entEmb = entityEmb(spark, dir)
       val relEmb = relationEmb(spark, dir)
       val score = graft.functions.VectorFolds.dot3 _
-      val testE = encodedSample(spark, dir, EvalModHead)
+      val testE = encodedSample(spark, dir, EvalMod)
         .join(entEmb.select(col("id").as("sid"), col("v").as("h")), "sid")
         .join(entEmb.select(col("id").as("oid"), col("v").as("t")), "oid")
         .join(broadcast(relEmb.select(col("id").as("pid"), col("v").as("r"))), "pid")
@@ -197,6 +200,21 @@ object RankingEval {
         count(lit(1))).as("hits10"),
       (sum("rank").cast("double") / count(lit(1))).as("mean_rank"))
 
+  /** #103: per-relation breakdown of the HEAD direction (round-6
+    * VERDICT item 5) — which relations rank poorly when the SUBJECT is
+    * corrupted is the diagnostic the tail table (#85) cannot show
+    * (1-N relations are easy tail-side and hard head-side by
+    * construction). Reuses the session-cached [[ranksHead]] frame; the
+    * breakdown is one dictionary-small groupBy(pid) on top.
+    */
+  def evalPerRelationHead(spark: SparkSession, dir: String): DataFrame =
+    ranksHead(spark, dir).groupBy("pid").agg(
+      count(lit(1)).as("n_test"),
+      graft.core.Exact.decAvg(lit(1.0) / col("rank")).as("mrr"),
+      (sum(when(col("rank") <= 10, 1).otherwise(0)).cast("double") /
+        count(lit(1))).as("hits10"),
+      (sum("rank").cast("double") / count(lit(1))).as("mean_rank"))
+
   // ---------------------------------------------------------------- oracle
 
   /** Shared rank CTE chain. Round-5 restructure for the sf0.1 sweep:
@@ -209,15 +227,33 @@ object RankingEval {
     * the join entirely. All values are dyadic, so the per-pair
     * list_sum equals the old per-dim SUM exactly, in any order.
     */
-  private val ranksCtes: String = {
+  /** Embedding/dictionary prelude shared by both directions. A query
+    * must splice in ONLY the chains it reads: DuckDB does NOT prune an
+    * unreferenced `AS MATERIALIZED` CTE (measured: the head-only
+    * breakdown also executed the full 74M-pair tail chain when the two
+    * chains shared one WITH list), so tail and head are separate
+    * fragments appended after this base.
+    */
+  private val baseCtes: String = {
     import graft.core.PortableHash.duckDyadic
     val eVec = s"list_transform(range(0, ${D}), i -> ${duckDyadic("'E|' || id || '|' || i")})"
     val rVec = s"list_transform(range(0, ${D}), i -> ${duckDyadic("'R|' || rid || '|' || i")})"
     s"""${Dict.preludeCtes},
-       |${Dict.sampleEncodedCte(EvalMod)},
        |ent_emb AS MATERIALIZED (SELECT id, $eVec AS vl FROM entities),
-       |rel_emb AS MATERIALIZED (SELECT rid, $rVec AS vl FROM relations),
-       |cands AS MATERIALIZED (SELECT DISTINCT pid, oid AS cand FROM encoded),
+       |rel_emb AS MATERIALIZED (SELECT rid, $rVec AS vl FROM relations)""".stripMargin
+  }
+
+  /** Tail-direction (object-corruption) rank chain. Round-5
+    * restructure for the sf0.1 sweep: embeddings LIST-valued per id,
+    * h·r precomputed per test triple, each (test, cand) pair one row —
+    * the dim factor is out of the join. Round 6: candidate vectors are
+    * pre-joined ONCE into candv (dictionary-sized), so the pair space
+    * crosses exactly two hash joins (candv fan-out + the filtered-
+    * protocol LEFT JOIN) before its GROUP BY. All values dyadic ⇒
+    * exact in any order.
+    */
+  private val tailCtes: String =
+    s"""${Dict.sampleEncodedCte(EvalMod)},
        |hrt AS MATERIALIZED (
        |  SELECT t.sid, t.pid, t.oid,
        |    list_transform(range(1, ${D + 1}), i -> eh.vl[i] * er.vl[i]) AS hr,
@@ -232,28 +268,32 @@ object RankingEval {
        |    list_sum(list_transform(range(1, ${D + 1}), i -> hr[i] * tv[i])) AS score_t
        |  FROM hrt
        |),
-       |score_c AS (
-       |  SELECT h.sid, h.pid, h.oid, c.cand,
-       |    list_sum(list_transform(range(1, ${D + 1}), i -> h.hr[i] * ec.vl[i])) AS score_c
-       |  FROM hrt h
-       |  JOIN cands c ON c.pid = h.pid
+       |candv AS MATERIALIZED (
+       |  SELECT c.pid, c.cand, ec.vl
+       |  FROM (SELECT DISTINCT pid, oid AS cand FROM encoded) c
        |  JOIN ent_emb ec ON ec.id = c.cand
        |),
+       |score_c AS (
+       |  SELECT h.sid, h.pid, h.oid, c.cand, h.score_t,
+       |    list_sum(list_transform(range(1, ${D + 1}), i -> h.hr[i] * c.vl[i])) AS score_c
+       |  FROM (SELECT h0.*, s.score_t FROM hrt h0
+       |        JOIN score_t s ON s.sid = h0.sid AND s.pid = h0.pid AND s.oid = h0.oid) h
+       |  JOIN candv c ON c.pid = h.pid
+       |),
        |ranks AS MATERIALIZED (
-       |  SELECT s.sid, s.pid, s.oid,
-       |    CAST(1 + SUM(CASE WHEN (c.score_c > s.score_t
-       |      OR (c.score_c = s.score_t AND c.cand < s.oid))
-       |      AND (k.oid IS NULL OR c.cand = s.oid) THEN 1 ELSE 0 END) AS BIGINT) AS rank
+       |  SELECT c.sid, c.pid, c.oid,
+       |    CAST(1 + SUM(CASE WHEN (c.score_c > c.score_t
+       |      OR (c.score_c = c.score_t AND c.cand < c.oid))
+       |      AND (k.oid IS NULL OR c.cand = c.oid) THEN 1 ELSE 0 END) AS BIGINT) AS rank
        |  FROM score_c c
-       |  JOIN score_t s ON c.sid = s.sid AND c.pid = s.pid AND c.oid = s.oid
        |  LEFT JOIN encoded k
        |    ON k.sid = c.sid AND k.pid = c.pid AND k.oid = c.cand
        |  GROUP BY 1, 2, 3
        |)""".stripMargin
-  }
 
   val hitsAtKSql: String =
-    s"""$ranksCtes
+    s"""$baseCtes,
+       |$tailCtes
        |SELECT COUNT(*) AS n_test,
        |  CAST(SUM(CASE WHEN rank <= 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS hits1,
        |  CAST(SUM(CASE WHEN rank <= 3 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS hits3,
@@ -261,61 +301,102 @@ object RankingEval {
        |FROM ranks""".stripMargin
 
   val mrrSql: String =
-    s"""$ranksCtes
+    s"""$baseCtes,
+       |$tailCtes
        |SELECT COUNT(*) AS n_test,
        |  ${graft.core.Exact.duckAvg("CAST(1 AS DOUBLE) / rank")} AS mrr,
        |  CAST(SUM(rank) AS DOUBLE) / COUNT(*) AS mean_rank
        |FROM ranks""".stripMargin
 
   val evalPerRelationSql: String =
-    s"""$ranksCtes
+    s"""$baseCtes,
+       |$tailCtes
        |SELECT pid, COUNT(*) AS n_test,
        |  ${graft.core.Exact.duckAvg("CAST(1 AS DOUBLE) / rank")} AS mrr,
        |  CAST(SUM(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS hits10,
        |  CAST(SUM(rank) AS DOUBLE) / COUNT(*) AS mean_rank
        |FROM ranks GROUP BY pid""".stripMargin
 
-  /** Head-direction chain appended after [[ranksCtes]] (shares
-    * triples/dictionaries/ent_emb/rel_emb): the rt = r∘t product is
-    * precomputed per test triple and each subject candidate is one row
-    * scored by one list fold — the same dimension-factor-free shape the
-    * round-5 tail rewrite established. All values dyadic ⇒ exact.
+  /** Head-direction (subject-corruption) chain appended after
+    * [[baseCtes]]: the rt = r∘t product is precomputed per test
+    * triple and each subject candidate is one row — the same
+    * dimension-factor-free shape the round-5 tail rewrite established.
+    * All values dyadic ⇒ exact in any summation order, which licenses
+    * the memory moves the ~13×-the-tail pair space needs (the first
+    * head-lift attempt blew DuckDB past 124 GB RAM + 80 GB spill at
+    * sf0.1):
+    *  - `score_t` is computed INSIDE hrt_h (no join keyed on the
+    *    pair-space side anywhere for the optimizer to mis-pick as a
+    *    build table);
+    *  - candidate vectors pre-joined ONCE into candv_h (dictionary-
+    *    sized), so the ~0.9 G pair rows cross exactly two hash joins
+    *    (the pid fan-out, the filtered-protocol LEFT JOIN) and stream
+    *    into the rank GROUP BY;
+    *  - the aggregate's input is kept NARROW: the per-pair score is an
+    *    EXPANDED scalar sum projected in score_c_h, and the better-
+    *    than flag `b` is projected before the GROUP BY, so only
+    *    (sid, pid, oid, b) ever reaches the aggregate. DuckDB's
+    *    estimator treats the pair-space GROUP BY as high-cardinality
+    *    and picks a partitioned aggregate that MATERIALIZES its input;
+    *    when the SUM's CASE still referenced the two 16-element list
+    *    columns, that materialization was ~280 B × 0.9 G rows — the
+    *    observed 124 GB RAM + full-disk spill. Narrow, it is ~25 GB
+    *    spill worst-case, inside this host's budget, and exactly the
+    *    shape the (passing) tail chain always had.
+    * Samples the SAME [[Embeddings.EvalMod]] slice as the tail chain
+    * (round 6 — see [[ranksHead]]).
     */
-  private val headCtes: String =
-    s"""${Dict.sampleEncodedCte(EvalModHead, "test_h")},
+  private val headCtes: String = {
+    val scoreT = (1 to D).map(i => s"eh.vl[$i] * er.vl[$i] * et.vl[$i]").mkString(" + ")
+    val scoreC = (1 to D).map(i => s"c.vl[$i] * h.rt[$i]").mkString(" + ")
+    s"""${Dict.sampleEncodedCte(EvalMod, "test_h")},
        |hrt_h AS MATERIALIZED (
        |  SELECT t.sid, t.pid, t.oid,
        |    list_transform(range(1, ${D + 1}), i -> er.vl[i] * et.vl[i]) AS rt,
-       |    eh.vl AS hv
+       |    $scoreT AS score_t
        |  FROM test_h t
        |  JOIN ent_emb eh ON eh.id = t.sid
        |  JOIN rel_emb er ON er.rid = t.pid
        |  JOIN ent_emb et ON et.id = t.oid
        |),
-       |score_t_h AS MATERIALIZED (
-       |  SELECT sid, pid, oid,
-       |    list_sum(list_transform(range(1, ${D + 1}), i -> hv[i] * rt[i])) AS score_t
-       |  FROM hrt_h
-       |),
-       |cands_h AS MATERIALIZED (SELECT DISTINCT pid, sid AS cand FROM encoded),
-       |score_c_h AS (
-       |  SELECT h.sid, h.pid, h.oid, c.cand,
-       |    list_sum(list_transform(range(1, ${D + 1}), i -> ec.vl[i] * h.rt[i])) AS score_c
-       |  FROM hrt_h h
-       |  JOIN cands_h c ON c.pid = h.pid
+       |candv_h AS MATERIALIZED (
+       |  SELECT c.pid, c.cand, ec.vl
+       |  FROM (SELECT DISTINCT pid, sid AS cand FROM encoded) c
        |  JOIN ent_emb ec ON ec.id = c.cand
        |),
-       |ranks_h AS MATERIALIZED (
+       |score_c_h AS (
+       |  SELECT h.sid, h.pid, h.oid, h.score_t, c.cand,
+       |    $scoreC AS score_c
+       |  FROM hrt_h h
+       |  JOIN candv_h c ON c.pid = h.pid
+       |),
+       |flag_h AS (
        |  SELECT s.sid, s.pid, s.oid,
-       |    CAST(1 + SUM(CASE WHEN (c.score_c > s.score_t
-       |      OR (c.score_c = s.score_t AND c.cand < s.sid))
-       |      AND (k.sid IS NULL OR c.cand = s.sid) THEN 1 ELSE 0 END) AS BIGINT) AS rank
-       |  FROM score_c_h c
-       |  JOIN score_t_h s ON c.sid = s.sid AND c.pid = s.pid AND c.oid = s.oid
+       |    CASE WHEN (s.score_c > s.score_t
+       |      OR (s.score_c = s.score_t AND s.cand < s.sid))
+       |      AND (k.sid IS NULL OR s.cand = s.sid) THEN 1 ELSE 0 END AS b
+       |  FROM score_c_h s
        |  LEFT JOIN encoded k
-       |    ON k.sid = c.cand AND k.pid = c.pid AND k.oid = c.oid
+       |    ON k.sid = s.cand AND k.pid = s.pid AND k.oid = s.oid
+       |),
+       |ranks_h AS MATERIALIZED (
+       |  SELECT sid, pid, oid, CAST(1 + SUM(b) AS BIGINT) AS rank
+       |  FROM flag_h
        |  GROUP BY 1, 2, 3
        |)""".stripMargin
+  }
+
+  /** #103 oracle: splices base + head only — the tail chain must NOT
+    * appear (DuckDB executes unreferenced MATERIALIZED CTEs).
+    */
+  val evalPerRelationHeadSql: String =
+    s"""$baseCtes,
+       |$headCtes
+       |SELECT pid, COUNT(*) AS n_test,
+       |  ${graft.core.Exact.duckAvg("CAST(1 AS DOUBLE) / rank")} AS mrr,
+       |  CAST(SUM(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS hits10,
+       |  CAST(SUM(rank) AS DOUBLE) / COUNT(*) AS mean_rank
+       |FROM ranks_h GROUP BY pid""".stripMargin
 
   val evalBothSql: String = {
     def row(src: String, direction: String) =
@@ -324,7 +405,8 @@ object RankingEval {
          |  CAST(SUM(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS hits10,
          |  CAST(SUM(rank) AS DOUBLE) / COUNT(*) AS mean_rank
          |FROM $src""".stripMargin
-    s"""$ranksCtes,
+    s"""$baseCtes,
+       |$tailCtes,
        |$headCtes
        |${row("ranks", "tail")}
        |UNION ALL

@@ -88,9 +88,10 @@ object TrainEval {
       .filter(mbKey % TrainData.Mod === 1 && thinKey % TestThin === 0)
   }
 
-  def trainEval(spark: SparkSession, dir: String): DataFrame = {
+  def trainEval(spark: SparkSession, dir: String,
+      epochs: Int = EvalEpochs, lr: Double = EvalLr): DataFrame = {
     val (entT, relT, _) = TransETrainer.trainFrames(
-      spark, dir, "sgd", EvalEpochs, EvalLr, freshNegs = true)
+      spark, dir, "sgd", epochs, lr, freshNegs = true)
     // epoch-0 baseline: the SAME ids with the trainer's init expression
     // (deterministic in the id, so this is exactly the pre-training state)
     val ent0 = entT.select(col("id"),

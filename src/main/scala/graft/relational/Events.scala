@@ -11,11 +11,15 @@ import graft.core.{Exact, Tables}
   * [[graft.streaming.EventStreams]]).
   *
   * All event-time arithmetic happens on integer epoch SECONDS. The
-  * driver's `events.parquet` carries nanosecond timestamps (which Spark
-  * reads as a long of epoch-nanos under
-  * `spark.sql.legacy.parquet.nanosAsLong=true`), so `ts DIV 1e9` is exact
-  * integer math — engine-independent by construction, no float/timezone
-  * hazards in the oracle compare.
+  * driver's `events.parquet` has carried ts as TIMESTAMP(NANOS) in some
+  * rounds (read as epoch-nano longs under
+  * `spark.sql.legacy.parquet.nanosAsLong=true`) and TIMESTAMP(MICROS)
+  * in others (round 6; read as LTZ under the UTC session zone), so
+  * [[tsNanos]] adapts on schema: either the long itself or
+  * `unix_micros(ts)·1000`. Both are exact integer math —
+  * engine-independent by construction, no float/timezone hazards in the
+  * oracle compare (DuckDB's `epoch_ns` on its naive µs TIMESTAMP is the
+  * same integer).
   *
   * Scale notes: both operators shuffle exactly once on their natural key
   * (window bucket / user_id); the sessionize window sort is per-user, so
@@ -24,10 +28,24 @@ import graft.core.{Exact, Tables}
   */
 object Events {
 
-  /** events with `ts_s` (epoch seconds, long) replacing the ns timestamp. */
-  def eventsS(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .withColumn("ts_s", expr("ts DIV 1000000000"))
+  /** Epoch-nanos of the `ts` column as a LONG, whatever physical type
+    * the round's events.parquet carries: already a long of nanos under
+    * nanosAsLong, or a µs timestamp (µs·1000 stays well inside Int64
+    * until 2262). The CAST makes an NTZ column LTZ first (identity
+    * under the UTC session zone), so this also survives a session
+    * missing the inferTimestampNTZ conf.
+    */
+  def tsNanos(df: DataFrame): String =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => "ts"
+      case _ => "(unix_micros(CAST(ts AS TIMESTAMP)) * 1000L)"
+    }
+
+  /** events with `ts_s` (epoch seconds, long) replacing the raw ts. */
+  def eventsS(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.withColumn("ts_s", expr(s"${tsNanos(e)} DIV 1000000000"))
+  }
 
   val duckTsS = "(epoch_ns(ts) // 1000000000)"
 
@@ -254,8 +272,9 @@ object Events {
     * against the broadcast cohort size.
     */
   def retention(spark: SparkSession, dir: String): DataFrame = {
-    val byDay = Tables.events(spark, dir)
-      .select(col("user_id"), expr(s"ts DIV $NsPerDay").as("day")).distinct()
+    val e = Tables.events(spark, dir)
+    val byDay = e
+      .select(col("user_id"), expr(s"${tsNanos(e)} DIV $NsPerDay").as("day")).distinct()
     val cohorts = byDay.groupBy("user_id").agg(min("day").as("cohort_day"))
     val sizes = cohorts.groupBy("cohort_day").agg(count(lit(1)).as("cohort_size"))
     byDay.join(cohorts, "user_id")

@@ -28,13 +28,15 @@ object EventStreams {
   val Gap = "30 minutes"
 
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    // Schema comes from the batch read (ts arrives as epoch-nano long
-    // under the nanosAsLong conf set by SparkEntry.sessionConfigs).
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema)
+    // Schema comes from the batch read; ts arrives as an epoch-nano
+    // long (nanosAsLong rounds) or a µs LTZ timestamp (round 6+) — the
+    // schema-adaptive tsNanos helper handles both identically to batch.
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    spark.readStream.schema(batch.schema)
       .option("pathGlobFilter", "events.parquet") // only the events table
       .parquet(dir)
-      .withColumn("ts_s", expr("ts DIV 1000000000"))
+      .withColumn("ts_s",
+        expr(s"${graft.relational.Events.tsNanos(batch)} DIV 1000000000"))
   }
 
   private def runToMemory(df: DataFrame, name: String): DataFrame = {

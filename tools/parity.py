@@ -31,6 +31,16 @@ def main() -> int:
     sf_dir, out_dir = Path(sys.argv[1]), Path(sys.argv[2])
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # Bound DuckDB for the builder's sf0.1 sweeps: the default limit
+    # (80% of RAM = ~100 GB here) let the 0.9G-pair head-ranking chain
+    # balloon resident before spilling, and the spill then filled the
+    # disk. A firm limit + a dedicated temp dir keeps the big oracle
+    # queries in streaming/spill discipline. Overridable via env.
+    import os
+    con.execute(f"SET memory_limit='{os.environ.get('PARITY_MEM', '48GB')}'")
+    tmp = os.environ.get("PARITY_TMP", "/tmp/duck_parity_tmp")
+    Path(tmp).mkdir(parents=True, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         p = sf_dir / f"{t}.parquet"
         if p.is_dir():  # Spark-written table: a directory of part files

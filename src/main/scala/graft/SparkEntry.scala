@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ann.Ann
 import graft.dedup.Dedup
-import graft.kge.{ComplExTrainer, DistMultTrainer, HolETrainer, Kernels, Losses, RankingEval, Scoring}
+import graft.kge.{ComplExTrainer, DistMultTrainer, HolETrainer, Kernels, Losses, RankingEval, RescalTrainer, Scoring}
 import graft.media.Media
 import graft.streaming.EventStreams
 import graft.kge.{TrainEval, TransETrainer}
@@ -154,6 +154,10 @@ object SparkEntry {
     "cp_als_sweep" -> ((s, d) => CpAls.halfSweepA(configured(s), d)),
     "rescal_als_core" -> ((s, d) => RescalAls.coreSolve(configured(s), d)),
     "kge_eval_per_relation_head" -> ((s, d) => RankingEval.evalPerRelationHead(configured(s), d)),
+    // RESCAL trainer (round 6): the full-bilinear model was the last
+    // scored family without a training loop; loss↓ by RescalTrainerSpec
+    "kge_rescal_train" -> ((s, d) => RescalTrainer.train(configured(s), d)),
+    "kge_rescal_train_step" -> ((s, d) => RescalTrainer.trainStep(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -258,5 +262,6 @@ object SparkEntry {
     "cp_als_sweep" -> CpAls.halfSweepASql,
     "rescal_als_core" -> RescalAls.coreSolveSql,
     "kge_eval_per_relation_head" -> RankingEval.evalPerRelationHeadSql,
+    "kge_rescal_train_step" -> RescalTrainer.trainStepSql,
   )
 }

@@ -26,6 +26,7 @@ class PlanGuardSpec extends AnyFunSuite {
     // trainers execute eagerly (multi-job loops), not a single plan
     "kge_transe_train", "kge_transe_train_adagrad", "kge_transe_train_adam",
     "kge_distmult_train", "kge_hole_train", "kge_complex_train",
+    "kge_rescal_train",
     "cp_als", "rescal_als",
     // fully driver-materialized (J×d² dictionary-sized collect); the
     // returned frame is a local relation with a trivial plan. Its

@@ -54,6 +54,31 @@ class TrainerSpec extends AnyFunSuite {
     losses.sliding(2).foreach { case Array(a, b) => assert(b < a) }
   }
 
+  test("RESCAL training decreases the margin loss") {
+    val losses = graft.kge.RescalTrainer.train(spark, TestSpark.sf)
+      .orderBy("epoch").as[(Int, Double)].collect().map(_._2)
+    assert(losses.length == graft.kge.RescalTrainer.Epochs + 1)
+    losses.sliding(2).foreach { case Array(a, b) => assert(b < a) }
+  }
+
+  test("RESCAL train step emits d entity dims + d² matrix dims per id and moves them") {
+    import graft.kge.RescalTrainer
+    val step = RescalTrainer.trainStep(spark, TestSpark.sf).cache()
+    val badE = step.filter($"kind" === "e").groupBy("id").count()
+      .filter($"count" =!= RescalTrainer.D).count()
+    val badW = step.filter($"kind" === "w").groupBy("id").count()
+      .filter($"count" =!= RescalTrainer.DW).count()
+    assert(badE == 0 && badW == 0)
+    // the step must actually update: some entity AND some matrix entry
+    // departs from its dyadic init value (k/128 grid ⇒ exact compare)
+    val moved = step.filter(
+      ($"v" * 128.0) =!= org.apache.spark.sql.functions.floor($"v" * 128.0))
+      .groupBy("kind").count().as[(String, Long)].collect().toMap
+    assert(moved.getOrElse("e", 0L) > 0, "no entity embedding moved")
+    assert(moved.getOrElse("w", 0L) > 0, "no relation matrix entry moved")
+    step.unpersist()
+  }
+
   test("MTTKRP output covers every subject id with R rows each") {
     val m = Mttkrp.cpMttkrp(spark, TestSpark.sf)
     val bad = m.groupBy("sid").count()

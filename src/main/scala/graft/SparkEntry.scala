@@ -158,6 +158,7 @@ object SparkEntry {
     // scored family without a training loop; loss↓ by RescalTrainerSpec
     "kge_rescal_train" -> ((s, d) => RescalTrainer.train(configured(s), d)),
     "kge_rescal_train_step" -> ((s, d) => RescalTrainer.trainStep(configured(s), d)),
+    "kge_complex_train_step" -> ((s, d) => ComplExTrainer.trainStep(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -263,5 +264,6 @@ object SparkEntry {
     "rescal_als_core" -> RescalAls.coreSolveSql,
     "kge_eval_per_relation_head" -> RankingEval.evalPerRelationHeadSql,
     "kge_rescal_train_step" -> RescalTrainer.trainStepSql,
+    "kge_complex_train_step" -> ComplExTrainer.trainStepSql,
   )
 }

@@ -159,6 +159,7 @@ object SparkEntry {
     "kge_rescal_train" -> ((s, d) => RescalTrainer.train(configured(s), d)),
     "kge_rescal_train_step" -> ((s, d) => RescalTrainer.trainStep(configured(s), d)),
     "kge_complex_train_step" -> ((s, d) => ComplExTrainer.trainStep(configured(s), d)),
+    "text_perplexity" -> ((s, d) => graft.text.Relevance.perplexity(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -265,5 +266,6 @@ object SparkEntry {
     "kge_eval_per_relation_head" -> RankingEval.evalPerRelationHeadSql,
     "kge_rescal_train_step" -> RescalTrainer.trainStepSql,
     "kge_complex_train_step" -> ComplExTrainer.trainStepSql,
+    "text_perplexity" -> graft.text.Relevance.perplexitySql,
   )
 }

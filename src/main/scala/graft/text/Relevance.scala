@@ -275,6 +275,93 @@ object Relevance {
         (col("n_rare").cast("double") / col("n_bigrams")).as("rare_ratio"))
   }
 
+  // ------------------------------------------------------- LM perplexity
+
+  /** Documents with smoothed-bigram perplexity above this are flagged
+    * `keep = false` (the CC-Net discard convention: high perplexity
+    * under the reference LM ⇒ boilerplate/garbage). 2^5 sits just above
+    * this synthetic corpus's p75 (ppl runs ~26-37 over its small
+    * vocabulary), so the filter discards a real tail; at production
+    * scale the threshold is fit per language on a held-out slice, which
+    * changes a constant, not the plan.
+    */
+  val PplThreshold = 32.0
+
+  /** #107: CC-Net-style perplexity filtering — each document scored by
+    * its cross-entropy under the CORPUS bigram LM with Laplace
+    * smoothing: P(w2|w1) = (c(w1w2)+1) / (c_prefix(w1)+V), H = −(1/n)·Σ
+    * log2 P, ppl = 2^H, keep = ppl < [[PplThreshold]]. The missing
+    * piece between #56 (raw LM frequencies) and #84 (score-stratified
+    * buckets): a calibrated fluency filter with probability semantics.
+    *
+    * Plan: the LM is two keyed aggregates (bigram counts, prefix
+    * counts) joined back onto the per-(doc, bigram) frame — shuffle
+    * joins keyed on the n-gram, broadcastable when the vocabulary is
+    * small; V is a one-row broadcast scalar. One final groupBy(doc_id).
+    * No driver-side LM dictionary — at 100 TB the LM *is* a table.
+    *
+    * Exactness: the smoothed probability is one correctly-rounded
+    * integer-ratio division; log2 and the final 2^H are transcendental,
+    * so their outputs are grid-quantized (scale 6) per the house rule —
+    * between the two quantizations everything is exact integer sums and
+    * one correctly-rounded division, mirrored literally.
+    */
+  def perplexity(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = zip_with(
+      slice(col("ws"), lit(1), size(col("ws")) - 1),
+      slice(col("ws"), lit(2), size(col("ws")) - 1),
+      (x, y) => struct(x.as("w1"), concat_ws(" ", x, y).as("bg")))
+    val docBg = Tables.documents(spark, dir)
+      .select(col("doc_id"), words.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(bigrams).as("c"))
+      .select(col("doc_id"), col("c.w1").as("w1"), col("c.bg").as("bg"))
+    val lm = docBg.groupBy("bg").agg(count(lit(1)).as("cnt_bg"))
+    val pre = docBg.groupBy("w1").agg(count(lit(1)).as("cnt_w1"))
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(words).as("w")).agg(countDistinct("w").as("v"))
+    docBg.join(lm, "bg").join(pre, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lg", Exact.roundS(
+        log2((col("cnt_bg") + 1).cast("double") /
+          (col("cnt_w1") + col("v")).cast("double")), 6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (Exact.decSum(-col("lg"), 6) / count(lit(1))).as("h_bits"))
+      .select(col("doc_id"), col("n_bigrams"), col("h_bits"),
+        Exact.roundS(pow(lit(2.0), col("h_bits")), 6).as("ppl"))
+      .withColumn("keep", col("ppl") < PplThreshold)
+  }
+
+  val perplexitySql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, $duckWords AS ws FROM documents
+       |), bgt AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(ws)), j -> ws[j])) AS w1,
+       |    unnest(list_transform(range(1, len(ws)), j -> ws[j] || ' ' || ws[j+1])) AS bg
+       |  FROM d WHERE len(ws) >= 2
+       |), lm AS (
+       |  SELECT bg, COUNT(*) AS cnt_bg FROM bgt GROUP BY bg
+       |), pre AS (
+       |  SELECT w1, COUNT(*) AS cnt_w1 FROM bgt GROUP BY w1
+       |), voc AS (
+       |  SELECT COUNT(DISTINCT w) AS v
+       |  FROM (SELECT unnest(ws) AS w FROM d)
+       |), h AS (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams,
+       |    ${Exact.duckSum(
+            "-(" + Exact.duckRoundS(
+              "log2(CAST(cnt_bg + 1 AS DOUBLE) / CAST(cnt_w1 + v AS DOUBLE))",
+              6) + ")", 6)} / COUNT(*) AS h_bits
+       |  FROM bgt JOIN lm USING (bg) JOIN pre USING (w1) CROSS JOIN voc
+       |  GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_bigrams, h_bits,
+       |  ${Exact.duckRoundS("pow(2.0, h_bits)", 6)} AS ppl,
+       |  ${Exact.duckRoundS("pow(2.0, h_bits)", 6)} < $PplThreshold AS keep
+       |FROM h""".stripMargin
+
   val ngramLmScoreSql: String =
     s"""WITH d AS (
        |  SELECT doc_id, $duckWords AS ws FROM documents

@@ -60,6 +60,22 @@ class RelevanceSpec extends AnyFunSuite {
       assert(rr >= 0.0 && rr <= 1.0)
     }
   }
+  test("perplexity: H > 0, ppl reconstructs 2^H on the grid, keep matches threshold") {
+    val rows = Relevance.perplexity(spark, TestSpark.sf)
+      .select("h_bits", "ppl", "keep").as[(Double, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (h, ppl, keep) =>
+      // smoothing bounds P strictly below 1 ⇒ positive cross-entropy
+      assert(h > 0.0)
+      // ppl is 2^h quantized half-up on the 1e-6 grid
+      assert(ppl == math.floor(math.pow(2.0, h) * 1e6 + 0.5) / 1e6)
+      assert(keep == (ppl < Relevance.PplThreshold))
+    }
+    // the threshold must actually split the corpus (non-vacuous filter)
+    assert(rows.exists(_._3) && rows.exists(!_._3),
+      "PplThreshold keeps or discards EVERYTHING at this SF")
+  }
+
   test("RRF rerank: permutation of the BM25 top-5, fusion score exact") {
     val rows = Relevance.rrfRerank(spark, TestSpark.sf)
       .select("query_id", "bm25_rnk", "q_rnk", "rrf", "fused_rnk")

@@ -160,6 +160,7 @@ object SparkEntry {
     "kge_rescal_train_step" -> ((s, d) => RescalTrainer.trainStep(configured(s), d)),
     "kge_complex_train_step" -> ((s, d) => ComplExTrainer.trainStep(configured(s), d)),
     "text_perplexity" -> ((s, d) => graft.text.Relevance.perplexity(configured(s), d)),
+    "events_value_quantiles" -> ((s, d) => Events.valueQuantiles(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -267,5 +268,6 @@ object SparkEntry {
     "kge_rescal_train_step" -> RescalTrainer.trainStepSql,
     "kge_complex_train_step" -> ComplExTrainer.trainStepSql,
     "text_perplexity" -> graft.text.Relevance.perplexitySql,
+    "events_value_quantiles" -> Events.valueQuantilesSql,
   )
 }

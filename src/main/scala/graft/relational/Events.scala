@@ -346,4 +346,61 @@ object Events {
        |  FROM byday d JOIN cohorts c USING (user_id)
        |  GROUP BY 1, 2
        |) b JOIN sizes s USING (cohort_day)""".stripMargin
+
+  /** #108: exact per-type value percentiles (p50/p90/p99) — the standing
+    * latency/amount SLO report of any event pipeline — by the
+    * fixed-grid histogram method: quantize the value to the 0.01 grid
+    * (one map-side op), build the (type, grid-cell) histogram with a
+    * map-side-combining count, then take nearest-rank percentiles
+    * (k = ⌈p·n⌉ in INTEGER arithmetic — `(n·90 + 99) DIV 100`, never
+    * FP, whose ceil can flip an exact boundary) as the smallest cell
+    * whose cumulative count reaches k.
+    *
+    * Scale: this is the standard exact-quantile-at-scale trick — the
+    * shuffle carries the BOUNDED histogram (value-range / grid cells
+    * per type), not events, and the per-type cumulative window runs
+    * over that bounded frame. Contrast approxQuantile: same plan
+    * shape, but with a 0.01-grid guarantee instead of an ε-rank one.
+    * Every op (quantize, integer sums, integer DIV, one final /100.0)
+    * is exactly mirrored — no interpolation, no non-dyadic p problem
+    * (R-7 at p=0.9/0.99 would interpolate with non-dyadic fractions,
+    * whose op order engines disagree on; nearest-rank stays integral).
+    */
+  def valueQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") * 100.0 + lit(0.5)).cast("long").as("vi"))
+      .groupBy("event_type", "vi").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("event_type").orderBy("vi")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    hist
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wAll))
+      .groupBy("event_type")
+      .agg(
+        max("n").as("n_events"),
+        (min(when(col("cum") >= expr("(n * 50 + 99) DIV 100"), col("vi"))) / 100.0).as("p50"),
+        (min(when(col("cum") >= expr("(n * 90 + 99) DIV 100"), col("vi"))) / 100.0).as("p90"),
+        (min(when(col("cum") >= expr("(n * 99 + 99) DIV 100"), col("vi"))) / 100.0).as("p99"),
+        (max("vi") / 100.0).as("v_max"))
+  }
+
+  val valueQuantilesSql: String =
+    s"""WITH h AS (
+       |  SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vi,
+       |    COUNT(*) AS c
+       |  FROM events GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT event_type, vi, c,
+       |    SUM(c) OVER (PARTITION BY event_type ORDER BY vi) AS cum,
+       |    SUM(c) OVER (PARTITION BY event_type) AS n
+       |  FROM h
+       |)
+       |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+       |  MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN vi END) / 100.0 AS p50,
+       |  MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN vi END) / 100.0 AS p90,
+       |  MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN vi END) / 100.0 AS p99,
+       |  MAX(vi) / 100.0 AS v_max
+       |FROM cum GROUP BY event_type""".stripMargin
 }

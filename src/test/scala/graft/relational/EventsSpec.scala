@@ -106,4 +106,22 @@ class EventsSpec extends AnyFunSuite {
     // exact 3-sigma boundary; identical here
     assert(got == brute)
   }
+
+  test("value quantiles: ordered, and nearest-rank matches a driver-side sort") {
+    val rows = Events.valueQuantiles(spark, TestSpark.sf)
+      .select("event_type", "n_events", "p50", "p90", "p99", "v_max")
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+    assert(rows.length == 5)
+    rows.foreach { case (_, n, p50, p90, p99, vmax) =>
+      assert(n > 0 && p50 <= p90 && p90 <= p99 && p99 <= vmax)
+    }
+    // brute-force one type: nearest-rank over the 0.01-grid-quantized sort
+    val vis = graft.core.Tables.events(spark, TestSpark.sf)
+      .filter($"event_type" === "error").select("value").as[Double].collect()
+      .map(v => math.floor(v * 100.0 + 0.5).toLong).sorted
+    def nr(p: Int): Double = vis((vis.length * p + 99) / 100 - 1) / 100.0
+    val got = rows.find(_._1 == "error").get
+    assert(got._2 == vis.length && got._3 == nr(50) &&
+      got._4 == nr(90) && got._5 == nr(99))
+  }
 }

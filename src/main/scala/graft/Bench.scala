@@ -32,6 +32,7 @@ object Bench {
     "events_windowed_agg", "events_sessionize",
     "events_json_extract", "events_asof_join",
     "events_funnel", "events_retention", "events_anomaly",
+    "events_value_quantiles",
     "sketch_hll", "sketch_countmin", "basket_part_pairs",
     "dict_encode_entities", "triples_encode", "cp_mttkrp", "cp_als_sweep",
     "rescal_als_core", "graph_pagerank",
@@ -48,6 +49,7 @@ object Bench {
     "quality_buckets",
     "text_repetition",
     "text_tfidf", "text_bm25", "search_rrf_rerank", "text_ngram_lm",
+    "text_perplexity",
     "vocab_pair_merges",
     "vocab_bpe_learn",
     "sample_stratified", "sample_temperature", "corpus_mix_report",
@@ -62,10 +64,15 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      math.min(Runtime.getRuntime.availableProcessors, 32).toString)
     val out = args.headOption
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_OUT")).getOrElse("bench.json")
+    run(sfDir, out)
+  }
+
+  /** Callable form (tools/BenchScale drives it against synthetic SFs). */
+  def run(sfDir: String, out: String): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(Runtime.getRuntime.availableProcessors, 32).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -161,6 +161,7 @@ object SparkEntry {
     "kge_complex_train_step" -> ((s, d) => ComplExTrainer.trainStep(configured(s), d)),
     "text_perplexity" -> ((s, d) => graft.text.Relevance.perplexity(configured(s), d)),
     "events_value_quantiles" -> ((s, d) => Events.valueQuantiles(configured(s), d)),
+    "embed_abtt" -> ((s, d) => graft.ann.Pca.abtt(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -269,5 +270,6 @@ object SparkEntry {
     "kge_complex_train_step" -> ComplExTrainer.trainStepSql,
     "text_perplexity" -> graft.text.Relevance.perplexitySql,
     "events_value_quantiles" -> Events.valueQuantilesSql,
+    "embed_abtt" -> graft.ann.Pca.abttSql,
   )
 }

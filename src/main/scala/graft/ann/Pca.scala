@@ -73,11 +73,15 @@ object Pca {
       .select(col("i"), (col("u") / col("nrm")).as("pc"), col("nrm").as("lam"))
   }
 
-  val pcaPowerSql: String = {
+  private def fold(vl: String) =
+    s"list_reduce(list_transform(range(1, ${D + 1}), j -> vd[j] * $vl[j]), (a, b) -> a + b)"
+
+  /** The shared power-iteration CTE chain (through u2/n2) — reused by
+    * the ABTT oracle so the two queries cannot drift.
+    */
+  private val powerCtes: String = {
     val v0l = V0.mkString("[", ", ", "]")
-    def fold(vl: String) =
-      s"list_reduce(list_transform(range(1, ${D + 1}), j -> vd[j] * $vl[j]), (a, b) -> a + b)"
-    s"""WITH emb AS (
+    s"""emb AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
        |  FROM embeddings
        |), s1 AS (
@@ -93,8 +97,56 @@ object Pca {
        |), u2 AS (
        |  SELECT i, ${Exact.duckSum("vd[i + 1] * s", 6)} AS u
        |  FROM s2, (SELECT unnest(range(0, $D)) AS i) GROUP BY i
-       |), n2 AS (SELECT sqrt(${Exact.duckSum("u * u", 4)}) AS nrm FROM u2)
+       |), n2 AS (SELECT sqrt(${Exact.duckSum("u * u", 4)}) AS nrm FROM u2)""".stripMargin
+  }
+
+  val pcaPowerSql: String =
+    s"""WITH $powerCtes
        |SELECT CAST(i AS INT) AS i, u / nrm AS pc, nrm AS lam
        |FROM u2, n2""".stripMargin
-  }
+
+  /** The #96 direction packed into a one-row broadcastable array. */
+  private def pcPacked(spark: SparkSession, dir: String): DataFrame =
+    pcaPower(spark, dir)
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("pc")))),
+        s => s.getField("pc")).as("pcl"))
+
+  /** #109: all-but-the-top common-component removal (Mu & Viswanath,
+    * ICLR'18) — the standard embedding postprocess: learned spaces
+    * concentrate mass on a common direction that drowns cosine
+    * similarity, so each vector sheds its projection on the top PC:
+    * x' = x − (x·u)·u, with u from the #96 power iteration.
+    *
+    * Plan: the direction is a one-row broadcast; the removal is a
+    * MAP-ONLY pass over the embedding table (one fused dot fold + one
+    * fma-shaped projection per component) — scan-speed at any scale,
+    * zero shuffle beyond #96's own constant-size reductions.
+    *
+    * Exactness: u's doubles are bit-identical in both engines (#96 is
+    * hash-exact), the row fold follows the sequential [[VectorFolds]]
+    * contract, and x − (proj·u_i) is two correctly-rounded ops mirrored
+    * in literal order — no quantization needed anywhere in the removal.
+    */
+  def abtt(spark: SparkSession, dir: String): DataFrame =
+    embT(spark, dir)
+      .crossJoin(broadcast(pcPacked(spark, dir)))
+      .withColumn("proj", VectorFolds.dotp(col("vd"), col("pcl")))
+      .select(col("vec_id"), col("proj"), col("pcl"),
+        posexplode(col("vd")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"), col("proj"), col("x"),
+        (col("x") - col("proj") * element_at(col("pcl"), col("i") + 1)).as("x1"))
+
+  val abttSql: String =
+    s"""WITH $powerCtes,
+       |pc AS (SELECT list(u / nrm ORDER BY i) AS pcl FROM u2, n2),
+       |pr AS (
+       |  SELECT vec_id, vd,
+       |    list_reduce(list_transform(range(1, ${D + 1}),
+       |      j -> vd[j] * pcl[j]), (a, b) -> a + b) AS proj,
+       |    pcl
+       |  FROM emb, pc
+       |)
+       |SELECT vec_id, CAST(i AS INT) AS i, proj, vd[i + 1] AS x,
+       |  vd[i + 1] - (proj * pcl[i + 1]) AS x1
+       |FROM pr, (SELECT unnest(range(0, $D)) AS i)""".stripMargin
 }

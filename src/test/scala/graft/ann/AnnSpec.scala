@@ -131,4 +131,28 @@ class AnnSpec extends AnyFunSuite {
       .agg(sum(col("s") * col("s"))).head().getDouble(0)
     assert(captured(pc.toSeq) > captured(v0n))
   }
+
+  test("ABTT: removal reconstructs exactly and kills the common component") {
+    import org.apache.spark.sql.functions._
+    val out = Pca.abtt(spark, TestSpark.sf).cache()
+    val pc = Pca.pcaPower(spark, TestSpark.sf)
+      .orderBy("i").select("pc").as[Double].collect()
+    // x1 must BE x − proj·u_i (two correctly-rounded ops, bit-exact)
+    val badRecon = out.filter(
+      col("x1") =!= col("x") - col("proj") * element_at(
+        array(pc.toSeq.map(lit): _*), col("i") + 1)).count()
+    assert(badRecon == 0)
+    // after removal, every vector's projection on u collapses: the
+    // residual is proj·(1 − ‖u‖²), and ‖u‖ is unit up to the scale-4
+    // norm grid ⇒ |proj'| ≤ |proj|·1e-4-ish. Check the corpus-wide max.
+    val resid = out.groupBy("vec_id")
+      .agg(sum(col("x1") * element_at(array(pc.toSeq.map(lit): _*),
+        col("i") + 1)).as("p1"),
+        max(abs(col("proj"))).as("p0"))
+      .agg(max(abs(col("p1"))).as("mp1"), max(col("p0")).as("mp0"))
+      .head()
+    assert(resid.getDouble(0) < 1e-3 * math.max(1.0, resid.getDouble(1)),
+      s"common component survives: ${resid.getDouble(0)} vs proj ${resid.getDouble(1)}")
+    out.unpersist()
+  }
 }

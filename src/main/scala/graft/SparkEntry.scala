@@ -162,6 +162,7 @@ object SparkEntry {
     "text_perplexity" -> ((s, d) => graft.text.Relevance.perplexity(configured(s), d)),
     "events_value_quantiles" -> ((s, d) => Events.valueQuantiles(configured(s), d)),
     "embed_abtt" -> ((s, d) => graft.ann.Pca.abtt(configured(s), d)),
+    "tensor_tucker_core" -> ((s, d) => graft.tensor.Tucker.tuckerCore(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -271,5 +272,6 @@ object SparkEntry {
     "text_perplexity" -> graft.text.Relevance.perplexitySql,
     "events_value_quantiles" -> Events.valueQuantilesSql,
     "embed_abtt" -> graft.ann.Pca.abttSql,
+    "tensor_tucker_core" -> graft.tensor.Tucker.tuckerCoreSql,
   )
 }

@@ -85,6 +85,21 @@ class TrainerSpec extends AnyFunSuite {
       .filter($"count" =!= Mttkrp.R).count()
     assert(bad == 0)
   }
+  test("Tucker core: full R³ grid, one cell reproducible by driver-side dyadic sum") {
+    val out = Tucker.tuckerCore(spark, TestSpark.sf).cache()
+    assert(out.count() == Tucker.R * Tucker.R * Tucker.R)
+    val trips = graft.rdf.Dict.encodedTriples(spark, TestSpark.sf)
+      .select("sid", "pid", "oid").as[(Long, Long, Long)].collect()
+    val dy = graft.core.PortableHash.dyadicJvm _
+    val expected = trips.map { case (s, p, o) =>
+      (dy(s"TKA|$s|1") * dy(s"TKB|$p|2")) * dy(s"TKC|$o|3")
+    }.sum
+    val got = out.filter($"a" === 1 && $"b" === 2 && $"c" === 3)
+      .select("g").as[Double].head()
+    assert(got == expected) // dyadic sums: exact equality
+    out.unpersist()
+  }
+
   test("TTM emits C values per nonzero (i,j) fiber, reproducible by hand") {
     val out = Ttm.ttm(spark, TestSpark.sf).cache()
     val fibers = graft.rdf.Dict.encodedTriples(spark, TestSpark.sf)

@@ -73,6 +73,24 @@ object TrainEval {
   val EvalEpochs = 20
   val EvalLr = 0.1
 
+  /** sf0.1 budget, pinned by the round-6 sweep (deterministic — every
+    * config reproduces its metrics bit-for-bit):
+    *
+    *   epochs=20  lr=0.1 → MRR −6.2%   epochs=50  lr=0.2 → MRR +8.0%
+    *   epochs=50  lr=0.1 → MRR −5.2%     (h@10 +15%, mean rank 5546→5461)
+    *   epochs=100 lr=0.1 → MRR −4.0%   epochs=100 lr=0.2 → MRR +4.7%
+    *
+    * The finding: at sf0.1's 6.7k-query eval, lr 0.1 NEVER lifts the
+    * top of the ranking at any epoch budget (mean rank improves, MRR
+    * doesn't — steps too small to reorder rank-1 neighborhoods before
+    * the margin saturates), while lr 0.2 separates cleanly at 50
+    * epochs and overshoots by 100. Asserted by the env-gated sf0.1
+    * TrainEvalSpec test (a ~5 min run; the default suite stays on
+    * [[graft.TestSpark.sf]]).
+    */
+  val EvalEpochsSf01 = 50
+  val EvalLrSf01 = 0.2
+
   private def transe(h: Column, r: Column, t: Column): Column =
     -VectorFolds.transeSqSum(h, r, t)
 

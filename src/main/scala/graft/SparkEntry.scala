@@ -163,6 +163,8 @@ object SparkEntry {
     "events_value_quantiles" -> ((s, d) => Events.valueQuantiles(configured(s), d)),
     "embed_abtt" -> ((s, d) => graft.ann.Pca.abtt(configured(s), d)),
     "tensor_tucker_core" -> ((s, d) => graft.tensor.Tucker.tuckerCore(configured(s), d)),
+    "dedup_canonical" -> ((s, d) => Dedup.canonical(configured(s), d)),
+    "streaming_value_hist" -> ((s, d) => EventStreams.valueHist(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -273,5 +275,7 @@ object SparkEntry {
     "events_value_quantiles" -> Events.valueQuantilesSql,
     "embed_abtt" -> graft.ann.Pca.abttSql,
     "tensor_tucker_core" -> graft.tensor.Tucker.tuckerCoreSql,
+    "dedup_canonical" -> Dedup.canonicalSql,
+    "streaming_value_hist" -> EventStreams.valueHistSql,
   )
 }

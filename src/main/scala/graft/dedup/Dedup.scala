@@ -253,6 +253,40 @@ object Dedup {
        |SELECT doc AS doc_id, MIN(lab) AS component
        |FROM reach GROUP BY doc""".stripMargin
 
+  /** #111: the actionable end of the dedup chain — the full-corpus
+    * canonical mapping: every document resolves to its cluster's
+    * canonical representative (the component's min doc_id) or to itself
+    * when it has no near-duplicate. Downstream consumes this as
+    * `filter(is_canonical)` (the deduped corpus) or as the
+    * doc→canonical rewrite table. One left join of the corpus against
+    * the (tiny) component table — at 100 TB the component frame is
+    * dwarfed by the corpus and broadcasts.
+    */
+  def canonical(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(components(spark, dir), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("canonical_id"))
+      .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
+
+  val canonicalSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |edges AS (
+       |  SELECT d1, d2 FROM vpairs UNION ALL SELECT d2, d1 FROM vpairs
+       |),
+       |reach AS (
+       |  SELECT d1 AS doc, d1 AS lab FROM edges
+       |  UNION
+       |  SELECT e.d2 AS doc, r.lab FROM reach r JOIN edges e ON e.d1 = r.doc
+       |),
+       |comp AS (
+       |  SELECT doc AS doc_id, MIN(lab) AS component FROM reach GROUP BY doc
+       |)
+       |SELECT d.doc_id,
+       |  COALESCE(c.component, d.doc_id) AS canonical_id,
+       |  COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
+       |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin
+
   // --------------------------------------------------------- #26 SimHash
 
   val SimBits = 60

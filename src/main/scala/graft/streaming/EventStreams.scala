@@ -203,6 +203,32 @@ object EventStreams {
   val hllRegistersSql: String =
     s"WITH ${graft.relational.Sketches.hllPbCtes}\nSELECT bucket, r FROM pb"
 
+  /** #112: streaming value histogram — the stateful phase of the exact
+    * percentile report ([[graft.relational.Events.valueQuantiles]]) as
+    * continuously-maintained streaming state. Like the sketches, the
+    * histogram is unbounded-safe WITHOUT a watermark: state is one
+    * count per occupied 0.01-grid cell per type (bounded by value
+    * range / grid, not by event count), and micro-batch partials merge
+    * by plain addition — exactly Spark's streaming-agg state update.
+    * The nearest-rank percentile pick (#108's second phase) is a
+    * dashboard-side read over this state; streaming cannot stack a
+    * window on a complete-mode aggregate, and shouldn't — the
+    * histogram IS the live state, the pick is O(cells).
+    */
+  def valueHist(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(
+      eventStream(spark, dir)
+        .select(col("event_type"),
+          floor(col("value") * 100.0 + lit(0.5)).cast("long").as("vi"))
+        .groupBy("event_type", "vi")
+        .agg(count(lit(1)).as("cnt")),
+      "graft_stream_vhist")
+
+  val valueHistSql: String =
+    """SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vi,
+      |  COUNT(*) AS cnt
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   /** Event-time-bucketed Count-Min: ONE fixed CM cell matrix PER
     * tumbling hour, emitted append-mode when the watermark closes the
     * window — the production shape for "frequencies per hour over an

@@ -22,7 +22,7 @@ class PlanGuardSpec extends AnyFunSuite {
   private val skip = Set(
     "streaming_windowed_agg", "streaming_sessionize", "streaming_dedup",
     "streaming_quality_filter", "streaming_enrich",
-    "streaming_countmin", "streaming_hll",
+    "streaming_countmin", "streaming_hll", "streaming_value_hist",
     // trainers execute eagerly (multi-job loops), not a single plan
     "kge_transe_train", "kge_transe_train_adagrad", "kge_transe_train_adam",
     "kge_distmult_train", "kge_hole_train", "kge_complex_train",
@@ -40,6 +40,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // the final labels frame's plan is trivial, so inspecting it here
     // would be vacuous while silently running ~20 Spark jobs (ADVICE r3)
     "dedup_components",
+    // same eager label-propagation loop via components(); the canonical
+    // mapping's own plan is one trivial left join over its output
+    "dedup_canonical",
     // eager merge-round loop (1-row collect per round); the returned
     // frame is a local merge table with a trivial plan
     "vocab_bpe_learn")

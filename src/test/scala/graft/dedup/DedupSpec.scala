@@ -29,6 +29,23 @@ class DedupSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("canonical mapping: fixed point, covers the corpus, shrinks it") {
+    import org.apache.spark.sql.functions._
+    val can = Dedup.canonical(spark, TestSpark.sf).cache()
+    // total mapping over the whole corpus
+    assert(can.count() ==
+      graft.core.Tables.documents(spark, TestSpark.sf).count())
+    // canonical ids are a FIXED POINT: the canonical of a canonical is
+    // itself (they appear as doc_ids with is_canonical = true)
+    val canonSelf = can.filter(col("is_canonical"))
+      .select(col("doc_id").as("canonical_id"))
+    assert(can.select("canonical_id").distinct()
+      .join(canonSelf, Seq("canonical_id"), "left_anti").isEmpty)
+    // the corpus has planted near-dups ⇒ dedup actually shrinks it
+    assert(can.filter(!col("is_canonical")).count() > 0)
+    can.unpersist()
+  }
+
   test("minhash pairs all have jaccard >= tau and d1 < d2") {
     val pairs = Dedup.minhashPairs(spark, TestSpark.sf)
       .as[(Long, Long, Double)].collect()

@@ -18,6 +18,7 @@ import graft.TestSpark
 // so nested ones silently fall back to interpreted projections and spam
 // the test logs with CompileExceptions.
 case class Ev(ts_s: Long, user_id: Long, value: Double)
+case class EvT(ts_s: Long, event_type: String, value: Double)
 case class Doc(doc_id: Long, source: String, text: String, n_chars: Long)
 
 class StreamingSpec extends AnyFunSuite {
@@ -210,6 +211,49 @@ class StreamingSpec extends AnyFunSuite {
     }.toSet
     assert(got == expected)
   }
+  test("value-histogram state accumulates across batches to exact cell counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EvT]
+    val hist = stream.toDF()
+      .select(col("event_type"),
+        floor(col("value") * 100.0 + lit(0.5)).cast("long").as("vi"))
+      .groupBy("event_type", "vi").agg(count(lit(1)).as("cnt"))
+    val q = hist.writeStream.format("memory").queryName("spec_vhist")
+      .outputMode("complete").start()
+    stream.addData(EvT(1, "a", 1.234), EvT(2, "a", 1.235), EvT(3, "b", 2.0))
+    q.processAllAvailable()
+    stream.addData(EvT(4, "a", 1.234), EvT(5, "b", -0.006))
+    q.processAllAvailable()
+    val got = spark.table("spec_vhist")
+      .as[(String, Long, Long)].collect().toSet
+    q.stop()
+    // 1.234/1.235 → cells 123/124 (half-up); -0.006 → floor(-0.1) = -1
+    assert(got == Set(("a", 123L, 2L), ("a", 124L, 1L), ("b", 200L, 1L),
+      ("b", -1L, 1L)))
+  }
+
+  test("streamed histogram state yields the batch percentile report exactly") {
+    import spark.implicits._
+    // the live-state → dashboard-pick composition: nearest-rank over the
+    // streamed complete-mode histogram must reproduce #108 bit-for-bit
+    val state = EventStreams.valueHist(spark, TestSpark.sf)
+      .as[(String, Long, Long)].collect()
+    val picked = state.groupBy(_._1).map { case (t, cells) =>
+      val sorted = cells.map(c => (c._2, c._3)).sortBy(_._1)
+      val n = sorted.map(_._2).sum
+      def pick(p: Int): Double = {
+        val k = (n * p + 99) / 100
+        var cum = 0L
+        sorted.find { case (_, c) => cum += c; cum >= k }.get._1 / 100.0
+      }
+      (t, n, pick(50), pick(90), pick(99), sorted.last._1 / 100.0)
+    }.toSet
+    val batch = graft.relational.Events.valueQuantiles(spark, TestSpark.sf)
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSet
+    assert(picked == batch)
+  }
+
   test("windowed Count-Min: per-window matrices emit once at watermark " +
     "close, late events dropped, open windows withheld") {
     import spark.implicits._

@@ -165,6 +165,7 @@ object SparkEntry {
     "tensor_tucker_core" -> ((s, d) => graft.tensor.Tucker.tuckerCore(configured(s), d)),
     "dedup_canonical" -> ((s, d) => Dedup.canonical(configured(s), d)),
     "streaming_value_hist" -> ((s, d) => EventStreams.valueHist(configured(s), d)),
+    "source_partitioned_prune" -> ((s, d) => graft.sources.ParquetPartitioned.prunedRoundtrip(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -277,5 +278,6 @@ object SparkEntry {
     "tensor_tucker_core" -> graft.tensor.Tucker.tuckerCoreSql,
     "dedup_canonical" -> Dedup.canonicalSql,
     "streaming_value_hist" -> EventStreams.valueHistSql,
+    "source_partitioned_prune" -> graft.sources.ParquetPartitioned.prunedRoundtripSql,
   )
 }

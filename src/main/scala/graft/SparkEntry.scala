@@ -166,6 +166,7 @@ object SparkEntry {
     "dedup_canonical" -> ((s, d) => Dedup.canonical(configured(s), d)),
     "streaming_value_hist" -> ((s, d) => EventStreams.valueHist(configured(s), d)),
     "source_partitioned_prune" -> ((s, d) => graft.sources.ParquetPartitioned.prunedRoundtrip(configured(s), d)),
+    "join_bucketed" -> ((s, d) => graft.sources.Bucketed.bucketedJoin(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -279,5 +280,6 @@ object SparkEntry {
     "dedup_canonical" -> Dedup.canonicalSql,
     "streaming_value_hist" -> EventStreams.valueHistSql,
     "source_partitioned_prune" -> graft.sources.ParquetPartitioned.prunedRoundtripSql,
+    "join_bucketed" -> graft.sources.Bucketed.bucketedJoinSql,
   )
 }

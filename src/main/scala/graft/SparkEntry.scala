@@ -167,6 +167,7 @@ object SparkEntry {
     "streaming_value_hist" -> ((s, d) => EventStreams.valueHist(configured(s), d)),
     "source_partitioned_prune" -> ((s, d) => graft.sources.ParquetPartitioned.prunedRoundtrip(configured(s), d)),
     "join_bucketed" -> ((s, d) => graft.sources.Bucketed.bucketedJoin(configured(s), d)),
+    "graph_degree_dist" -> ((s, d) => graft.rdf.GraphAlgos.degreeDist(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -281,5 +282,6 @@ object SparkEntry {
     "streaming_value_hist" -> EventStreams.valueHistSql,
     "source_partitioned_prune" -> graft.sources.ParquetPartitioned.prunedRoundtripSql,
     "join_bucketed" -> graft.sources.Bucketed.bucketedJoinSql,
+    "graph_degree_dist" -> graft.rdf.GraphAlgos.degreeDistSql,
   )
 }

@@ -243,4 +243,50 @@ object GraphAlgos {
        |${(1 to Iters).map(iter).mkString(",\n")}
        |SELECT id, pr FROM pr$Iters""".stripMargin
   }
+
+  /** #115: degree distribution of the entity graph — the first
+    * diagnostic of any graph workload (skew here decides broadcast vs
+    * salt vs skew-join for every downstream operator; PageRank's
+    * dangling-mass term IS the out-degree-0 row of this table). Emits
+    * the (direction, degree, n_entities) histogram, including the
+    * degree-0 rows from the entity dictionary (an entity can appear
+    * only as subject, only as object, or in neither role in the
+    * distinct edge set).
+    *
+    * Scale: two map-side-combining aggregates onto the entity key, then
+    * two onto the (bounded) degree key — shuffle bytes ∝ distinct
+    * degrees after the first combine; the full per-entity degree frame
+    * never leaves the executors. All counts integer-exact.
+    */
+  def degreeDist(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val ents = Dict.entities(spark, dir).select("id")
+    def side(key: String, direction: String): DataFrame =
+      ents.join(e.groupBy(col(key).as("id")).agg(count(lit(1)).as("deg")),
+          Seq("id"), "left")
+        .select(coalesce(col("deg"), lit(0L)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_entities"))
+        .select(lit(direction).as("direction"), col("degree"), col("n_entities"))
+    side("sid", "out").unionByName(side("oid", "in"))
+  }
+
+  val degreeDistSql: String =
+    s"""${Dict.preludeCtes},
+       |edges AS MATERIALIZED (SELECT DISTINCT sid, oid FROM encoded),
+       |outd AS (
+       |  SELECT ent.id, COALESCE(d.deg, 0) AS degree
+       |  FROM entities ent LEFT JOIN (
+       |    SELECT sid AS id, COUNT(*) AS deg FROM edges GROUP BY sid) d
+       |    USING (id)
+       |),
+       |ind AS (
+       |  SELECT ent.id, COALESCE(d.deg, 0) AS degree
+       |  FROM entities ent LEFT JOIN (
+       |    SELECT oid AS id, COUNT(*) AS deg FROM edges GROUP BY oid) d
+       |    USING (id)
+       |)
+       |SELECT 'out' AS direction, CAST(degree AS BIGINT) AS degree,
+       |  COUNT(*) AS n_entities FROM outd GROUP BY degree
+       |UNION ALL
+       |SELECT 'in', CAST(degree AS BIGINT), COUNT(*) FROM ind GROUP BY degree""".stripMargin
 }

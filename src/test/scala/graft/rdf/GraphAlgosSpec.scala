@@ -71,4 +71,21 @@ class GraphAlgosSpec extends AnyFunSuite {
       .join(ppr, "id").filter(col("pr") =!= 0.0).count()
     assert(unreachable == 0, "orders are unreachable from nation seeds")
   }
+
+  test("degree distribution: each direction partitions the entity set, " +
+    "and degree mass equals the edge count") {
+    import org.apache.spark.sql.functions._
+    val dd = GraphAlgos.degreeDist(spark, TestSpark.sf).cache()
+    val nEnt = Dict.entities(spark, TestSpark.sf).count()
+    val nEdges = Dict.encodedTriples(spark, TestSpark.sf)
+      .select("sid", "oid").distinct().count()
+    Seq("out", "in").foreach { dir =>
+      val side = dd.filter(col("direction") === dir)
+      assert(side.agg(sum("n_entities")).head().getLong(0) == nEnt,
+        s"$dir histogram does not partition the entity set")
+      assert(side.agg(sum(col("degree") * col("n_entities"))).head()
+        .getLong(0) == nEdges, s"$dir degree mass ≠ edge count")
+    }
+    dd.unpersist()
+  }
 }

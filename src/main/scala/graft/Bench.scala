@@ -34,8 +34,9 @@ object Bench {
     "events_funnel", "events_retention", "events_anomaly",
     "events_value_quantiles",
     "sketch_hll", "sketch_countmin", "basket_part_pairs",
+    "join_salted",
     "dict_encode_entities", "triples_encode", "cp_mttkrp", "cp_als_sweep",
-    "rescal_als_core", "graph_pagerank",
+    "rescal_als_core", "graph_pagerank", "graph_wcc",
     "tensor_block_partition", "tensor_ttm", "neg_sample_lcwa",
     "kge_transe_score", "kge_distmult_score", "kge_rescal_score",
     "kge_hole_score", "kge_complex_score", "kge_loss_ranking",
@@ -51,7 +52,7 @@ object Bench {
     "text_tfidf", "text_bm25", "search_rrf_rerank", "text_ngram_lm",
     "text_perplexity",
     "vocab_pair_merges",
-    "vocab_bpe_learn",
+    "vocab_bpe_learn", "bpe_encode", "quality_lr_train_step",
     "sample_stratified", "sample_temperature", "corpus_mix_report",
     "shard_assign",
     "doc_length_stats",

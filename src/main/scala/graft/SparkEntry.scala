@@ -9,7 +9,7 @@ import graft.media.Media
 import graft.streaming.EventStreams
 import graft.kge.{TrainEval, TransETrainer}
 import graft.rdf.{Dict, Rdf}
-import graft.relational.{Events, Relational}
+import graft.relational.{Events, Relational, Salted}
 import graft.tensor.{BlockPartition, CpAls, Mttkrp, RescalAls}
 import graft.text.TextAnalysis
 
@@ -168,6 +168,10 @@ object SparkEntry {
     "source_partitioned_prune" -> ((s, d) => graft.sources.ParquetPartitioned.prunedRoundtrip(configured(s), d)),
     "join_bucketed" -> ((s, d) => graft.sources.Bucketed.bucketedJoin(configured(s), d)),
     "graph_degree_dist" -> ((s, d) => graft.rdf.GraphAlgos.degreeDist(configured(s), d)),
+    "graph_wcc" -> ((s, d) => graft.rdf.GraphAlgos.wcc(configured(s), d)),
+    "join_salted" -> ((s, d) => Salted.saltedJoin(configured(s), d)),
+    "bpe_encode" -> ((s, d) => graft.text.Vocab.bpeEncode(configured(s), d)),
+    "quality_lr_train_step" -> ((s, d) => graft.pipeline.QualityClassifier.trainStep(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -283,5 +287,9 @@ object SparkEntry {
     "source_partitioned_prune" -> graft.sources.ParquetPartitioned.prunedRoundtripSql,
     "join_bucketed" -> graft.sources.Bucketed.bucketedJoinSql,
     "graph_degree_dist" -> graft.rdf.GraphAlgos.degreeDistSql,
+    "graph_wcc" -> graft.rdf.GraphAlgos.wccSql,
+    "join_salted" -> Salted.saltedJoinSql,
+    "bpe_encode" -> graft.text.Vocab.bpeEncodeSql,
+    "quality_lr_train_step" -> graft.pipeline.QualityClassifier.trainStepSql,
   )
 }

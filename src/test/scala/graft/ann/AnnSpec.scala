@@ -82,6 +82,39 @@ class AnnSpec extends AnyFunSuite {
     assert(twoPhase == single)
   }
 
+  test("refine rerank: true cosines, and recall@K never below the " +
+    "unrefined IVF-PQ") {
+    val brute = Ann.bruteTopK(spark, TestSpark.sf)
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivfpq = Ann.ivfpqTopK(spark, TestSpark.sf)
+      .as[(Long, Long, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ref = Ann.refineRerank(spark, TestSpark.sf)
+      .as[(Long, Long, Double, Int)].collect()
+    val refSets = ref.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(got: Map[Long, Set[Long]]): Double = {
+      val hits = brute.toSeq.map { case (q, truth) =>
+        got.getOrElse(q, Set.empty).count(truth).toDouble / truth.size
+      }
+      hits.sum / hits.size
+    }
+    // reranking a 3K-deep shortlist by EXACT cosine can only reorder
+    // candidates toward the truth: on this fixed dataset the recall
+    // relation is deterministic and must hold
+    assert(recall(refSets) >= recall(ivfpq),
+      s"refine recall ${recall(refSets)} < ivfpq recall ${recall(ivfpq)}")
+    // every reranked list: K rows, ordered by true cosine
+    ref.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length == Ann.K)
+      assert(!rows.exists(_._2 == q))
+      val sorted = rows.sortBy(_._4)
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2))
+      }
+    }
+  }
+
   test("kmeans: full partition, per-cluster dims complete, means bounded") {
     val out = KMeans.kmeans(spark, TestSpark.sf)
       .as[(Int, Int, Double, Long)].collect()

@@ -173,6 +173,7 @@ object SparkEntry {
     "bpe_encode" -> ((s, d) => graft.text.Vocab.bpeEncode(configured(s), d)),
     "quality_lr_train_step" -> ((s, d) => graft.pipeline.QualityClassifier.trainStep(configured(s), d)),
     "ann_refine_rerank" -> ((s, d) => Ann.refineRerank(configured(s), d)),
+    "streaming_join" -> ((s, d) => EventStreams.streamJoin(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -293,5 +294,6 @@ object SparkEntry {
     "bpe_encode" -> graft.text.Vocab.bpeEncodeSql,
     "quality_lr_train_step" -> graft.pipeline.QualityClassifier.trainStepSql,
     "ann_refine_rerank" -> Ann.refineRerankSql,
+    "streaming_join" -> EventStreams.streamJoinSql,
   )
 }

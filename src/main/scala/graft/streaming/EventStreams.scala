@@ -47,6 +47,14 @@ object EventStreams {
     spark.table(name)
   }
 
+  private def runToMemoryAppend(df: DataFrame, name: String): DataFrame = {
+    val spark = df.sparkSession
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** #36: tumbling 1-hour windows × event_type over the stream. */
   def windowedAgg(spark: SparkSession, dir: String): DataFrame =
     runToMemory(
@@ -159,6 +167,61 @@ object EventStreams {
        |JOIN customer ON user_id = c_custkey
        |JOIN nation ON c_nationkey = n_nationkey
        |GROUP BY 1, 2""".stripMargin
+
+  /** #121: STREAM-STREAM join — click→purchase attribution within one
+    * hour, the canonical two-stream correlation (ad attribution, request/
+    * response pairing, order/shipment matching). Both sides carry a
+    * watermark and the join predicate carries a TIME-RANGE bound, which
+    * is what lets the engine BOUND the join state: a buffered click can
+    * be evicted once the purchase-side watermark passes click_ts + 1 h —
+    * without the range bound, stream-stream state grows forever. Inner
+    * join in append mode: each matched pair is emitted exactly once,
+    * when its second side arrives.
+    *
+    * Scale (100 TB/day): both streams shuffle once onto user_id (the
+    * equality key); state per partition is one hour of clicks+purchases
+    * for its users — watermark-bounded, independent of stream lifetime.
+    * The registered run replays the finite events file (AvailableNow, so
+    * nothing is late and the emitted set is exactly the batch interval
+    * join the oracle runs); StreamingSpec drives the cross-batch and
+    * state-eviction behaviors with MemoryStreams.
+    */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = eventStream(spark, dir)
+    val clicks = s.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        timestamp_seconds(col("ts_s")).as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = s.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"),
+        timestamp_seconds(col("ts_s")).as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    runToMemoryAppend(
+      clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          (unix_timestamp(col("purchase_ts")) -
+            unix_timestamp(col("click_ts"))).as("gap_s"),
+          col("value")),
+      "graft_stream_join")
+  }
+
+  /** Oracle: the batch interval join (inclusive [0, 3600] gap). */
+  val streamJoinSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, event_type, value,
+       |    ${graft.relational.Events.duckTsS} AS ts_s
+       |  FROM events
+       |)
+       |SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       |  c.user_id, p.ts_s - c.ts_s AS gap_s, p.value
+       |FROM e c JOIN e p
+       |  ON p.user_id = c.user_id
+       | AND c.event_type = 'click' AND p.event_type = 'purchase'
+       | AND p.ts_s >= c.ts_s AND p.ts_s <= c.ts_s + 3600""".stripMargin
 
   /** #94: streaming Count-Min sketch — the batch sketch (#92,
     * [[graft.relational.Sketches.countMin]]) as continuously-maintained

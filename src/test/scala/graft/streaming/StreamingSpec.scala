@@ -20,6 +20,7 @@ import graft.TestSpark
 case class Ev(ts_s: Long, user_id: Long, value: Double)
 case class EvT(ts_s: Long, event_type: String, value: Double)
 case class Doc(doc_id: Long, source: String, text: String, n_chars: Long)
+case class Side(ts: Timestamp, user_id: Long, id: Long)
 
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -69,6 +70,71 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(got == Set((1L, 100L, 1000L, 2L), (1L, 5000L, 5100L, 2L),
       (2L, 1000L, 2800L, 2L), (2L, 4601L, 4601L, 1L)))
+  }
+
+  test("stream-stream join: cross-batch buffering, range bound, and " +
+    "watermark eviction of stale state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val clicks = MemoryStream[Side]
+    val purchases = MemoryStream[Side]
+    val c = clicks.toDF()
+      .select(col("ts").as("click_ts"), col("user_id"),
+        col("id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val p = purchases.toDF()
+      .select(col("ts").as("purchase_ts"), col("user_id").as("p_user"),
+        col("id").as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"),
+        (unix_timestamp(col("purchase_ts")) -
+          unix_timestamp(col("click_ts"))).as("gap_s"))
+    val q = joined.writeStream.format("memory").queryName("spec_ssj")
+      .outputMode("append").start()
+    def got = spark.table("spec_ssj").as[(Long, Long, Long)].collect().toSet
+    // batch 1: a click with no purchase yet — buffered, nothing emitted
+    clicks.addData(Side(ts(1000), 1, 1))
+    q.processAllAvailable()
+    assert(got.isEmpty)
+    // batch 2: the purchase arrives IN A LATER BATCH and still pairs
+    // (cross-batch state); a purchase outside the hour does not
+    purchases.addData(Side(ts(2000), 1, 10), Side(ts(5000), 1, 99))
+    q.processAllAvailable()
+    assert(got == Set((1L, 10L, 1000L)))
+    // batch 3: advance both watermarks far past click 1's join window
+    clicks.addData(Side(ts(200000), 2, 2))
+    purchases.addData(Side(ts(200000), 2, 20))
+    q.processAllAvailable()
+    assert(got == Set((1L, 10L, 1000L), (2L, 20L, 0L)))
+    // batch 4: a purchase that WOULD match click 1 (gap 500) arrives
+    // behind the watermark — the click's state is evicted and the late
+    // row dropped: no resurrection
+    purchases.addData(Side(ts(1500), 1, 11))
+    q.processAllAvailable()
+    q.stop()
+    assert(got == Set((1L, 10L, 1000L), (2L, 20L, 0L)))
+  }
+
+  test("file-stream stream-stream join equals the batch interval join " +
+    "on sf0.001") {
+    val s = EventStreams.streamJoin(spark, TestSpark.sf)
+    val e = graft.relational.Events.eventsS(spark, TestSpark.sf)
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts_s").as("cts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts_s").as("pts"), col("value"))
+    val b = c.join(p, col("user_id") === col("p_user") &&
+        col("pts") >= col("cts") && col("pts") <= col("cts") + 3600)
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (col("pts") - col("cts")).as("gap_s"), col("value"))
+    assert(s.exceptAll(b).isEmpty && b.exceptAll(s).isEmpty)
   }
 
   test("file-stream operators equal their batch analogs on sf0.001") {

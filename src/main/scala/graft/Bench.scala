@@ -36,7 +36,7 @@ object Bench {
     "sketch_hll", "sketch_countmin", "basket_part_pairs",
     "join_salted",
     "dict_encode_entities", "triples_encode", "cp_mttkrp", "cp_als_sweep",
-    "rescal_als_core", "graph_pagerank", "graph_wcc",
+    "rescal_als_core", "graph_pagerank", "graph_wcc", "graph_triangles",
     "tensor_block_partition", "tensor_ttm", "neg_sample_lcwa",
     "kge_transe_score", "kge_distmult_score", "kge_rescal_score",
     "kge_hole_score", "kge_complex_score", "kge_loss_ranking",

@@ -174,6 +174,7 @@ object SparkEntry {
     "quality_lr_train_step" -> ((s, d) => graft.pipeline.QualityClassifier.trainStep(configured(s), d)),
     "ann_refine_rerank" -> ((s, d) => Ann.refineRerank(configured(s), d)),
     "streaming_join" -> ((s, d) => EventStreams.streamJoin(configured(s), d)),
+    "graph_triangles" -> ((s, d) => graft.rdf.GraphAlgos.triangles(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -295,5 +296,6 @@ object SparkEntry {
     "quality_lr_train_step" -> graft.pipeline.QualityClassifier.trainStepSql,
     "ann_refine_rerank" -> Ann.refineRerankSql,
     "streaming_join" -> EventStreams.streamJoinSql,
+    "graph_triangles" -> graft.rdf.GraphAlgos.trianglesSql,
   )
 }

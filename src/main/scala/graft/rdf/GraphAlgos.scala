@@ -358,6 +358,121 @@ object GraphAlgos {
     (l, k)
   }
 
+  // ------------------------------------------------------------ triangles
+
+  /** #122: triangle census of the part CO-PURCHASE graph (parts sharing
+    * an order; the entity graph itself is multipartite, hence
+    * triangle-free — its zero would verify nothing). Emits one row:
+    * (n_edges, n_wedges, n_triangles, gcc) with gcc = 3·T/W, the global
+    * clustering coefficient — the standard cliquishness diagnostic
+    * behind community detection, motif features and recommendation
+    * quality checks.
+    *
+    * Spark-first scale shape: edges are DEGREE-ORIENTED (u→v iff
+    * (d(u), u) < (d(v), v), a total order), so every triangle is
+    * counted exactly once at its minimum vertex and — the point — the
+    * wedge fan-out per vertex is bounded by √(2m): an out-neighbor of u
+    * has degree ≥ d(u) ≥ outdeg(u), so 2m ≥ outdeg(u)². That is the
+    * Suri–Vassilvitskii bound that makes distributed triangle counting
+    * m^{3/2}, not Σd² — on a skewed co-purchase graph the difference is
+    * the hub vertex squared. Plan: wedge self-join on the source key +
+    * one semi-join closure probe against the oriented edges; the
+    * undirected-degree wedge total is a plain integer aggregate. The
+    * ORACLE counts by the simple a<b<c formulation — orientation must
+    * change the plan, never the count.
+    */
+  /** Co-purchase edges (a < b, distinct part pairs sharing an order). */
+  private def copurchEdges(spark: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate((spark, dir, "copurch")) {
+      graft.core.Tables.lineitem(spark, dir)
+        .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("ps"))
+        .select(explode(filter(
+          flatten(transform(col("ps"), x =>
+            transform(col("ps"), y => struct(x.as("a"), y.as("b"))))),
+          s => s.getField("a") < s.getField("b"))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .distinct()
+    }
+
+  private def copurchDeg(spark: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate((spark, dir, "copurchDeg")) {
+      val eu = copurchEdges(spark, dir)
+      eu.select(col("a").as("v")).unionByName(eu.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+    }
+
+  /** Degree-oriented edges (s→t with (d(s), s) < (d(t), t)), carrying
+    * the target's degree for the wedge ordering.
+    */
+  private def copurchOriented(spark: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate((spark, dir, "copurchEo")) {
+      val deg = copurchDeg(spark, dir)
+      copurchEdges(spark, dir)
+        .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+        .select(
+          when(col("da") < col("db") ||
+              (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("s"), col("b").as("t"), col("db").as("dt")))
+            .otherwise(
+              struct(col("b").as("s"), col("a").as("t"), col("da").as("dt")))
+            .as("e"))
+        .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+    }
+
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val eu = copurchEdges(spark, dir)
+    val deg = copurchDeg(spark, dir)
+    val eo = copurchOriented(spark, dir)
+    val wedges = eo.as("e1").join(eo.as("e2"),
+        col("e1.s") === col("e2.s") &&
+          (col("e1.dt") < col("e2.dt") ||
+            (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
+      .select(col("e1.s").as("s"), col("e1.t").as("x"), col("e2.t").as("y"))
+    val tri = wedges.join(
+      eo.select(col("s").as("x"), col("t").as("y")), Seq("x", "y"),
+      "left_semi")
+    val ne = eu.agg(count(lit(1)).as("n_edges"))
+    val nw = deg.agg(sum(expr("d * (d - 1) DIV 2")).as("n_wedges"))
+    val nt = tri.agg(count(lit(1)).as("n_triangles"))
+    ne.crossJoin(broadcast(nw)).crossJoin(broadcast(nt))
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        (lit(3.0) * col("n_triangles") / col("n_wedges")).as("gcc"))
+  }
+
+  /** Max oriented out-degree and edge count — the √(2m) bound the spec
+    * pins (outdeg² ≤ 2m).
+    */
+  private[rdf] def triangleDegBound(spark: SparkSession,
+      dir: String): (Long, Long) = {
+    val m = copurchEdges(spark, dir).count()
+    val maxOut = copurchOriented(spark, dir)
+      .groupBy("s").agg(count(lit(1)).as("od"))
+      .agg(max("od")).head.getLong(0)
+    (maxOut, m)
+  }
+
+  val trianglesSql: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |eu AS MATERIALIZED (
+       |  SELECT x.p AS a, y.p AS b FROM li x JOIN li y
+       |  ON x.o = y.o AND x.p < y.p GROUP BY 1, 2
+       |),
+       |deg AS (
+       |  SELECT v, COUNT(*) AS d
+       |  FROM (SELECT a AS v FROM eu UNION ALL SELECT b FROM eu) GROUP BY v
+       |),
+       |ne AS (SELECT COUNT(*) AS n_edges FROM eu),
+       |nw AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+       |nt AS (
+       |  SELECT COUNT(*) AS n_triangles
+       |  FROM eu e1 JOIN eu e2 ON e2.a = e1.b
+       |       JOIN eu e3 ON e3.a = e1.a AND e3.b = e2.b
+       |)
+       |SELECT n_edges, n_wedges, n_triangles,
+       |  3.0 * n_triangles / n_wedges AS gcc
+       |FROM ne, nw, nt""".stripMargin
+
   /** DuckDB oracle: the identical [[WccIters]] rounds as CTEs. */
   val wccSql: String = {
     def round(k: Int): String = {

@@ -104,6 +104,34 @@ class GraphAlgosSpec extends AnyFunSuite {
     convC.unpersist(); e.unpersist()
   }
 
+  test("triangles: degree orientation counts exactly what a<b<c counts, " +
+    "and the sqrt(2m) fan-out bound holds") {
+    val row = GraphAlgos.triangles(spark, TestSpark.sf).head()
+    val (nEdges, nWedges, nTri, gcc) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3))
+    assert(nTri > 0, "co-purchase graph must contain triangles")
+    assert(gcc > 0.0 && gcc <= 1.0)
+    // independent recount via the naive a<b<c formulation in Spark
+    val li = graft.core.Tables.lineitem(spark, TestSpark.sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e2 = li.as("x").join(li.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b")).distinct().cache()
+    assert(e2.count() == nEdges)
+    val naive = e2.as("e1")
+      .join(e2.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e2.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .count()
+    assert(naive == nTri,
+      s"orientation changed the count: naive=$naive oriented=$nTri")
+    e2.unpersist()
+    // the Suri–Vassilvitskii bound: max oriented out-degree² ≤ 2m
+    val (maxOut, m) = GraphAlgos.triangleDegBound(spark, TestSpark.sf)
+    assert(maxOut * maxOut <= 2 * m,
+      s"fan-out bound violated: maxOut=$maxOut m=$m")
+  }
+
   test("degree distribution: each direction partitions the entity set, " +
     "and degree mass equals the edge count") {
     import org.apache.spark.sql.functions._

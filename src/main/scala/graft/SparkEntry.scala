@@ -175,6 +175,7 @@ object SparkEntry {
     "ann_refine_rerank" -> ((s, d) => Ann.refineRerank(configured(s), d)),
     "streaming_join" -> ((s, d) => EventStreams.streamJoin(configured(s), d)),
     "graph_triangles" -> ((s, d) => graft.rdf.GraphAlgos.triangles(configured(s), d)),
+    "source_orc_roundtrip" -> ((s, d) => graft.sources.Orc.roundtrip(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -297,5 +298,6 @@ object SparkEntry {
     "ann_refine_rerank" -> Ann.refineRerankSql,
     "streaming_join" -> EventStreams.streamJoinSql,
     "graph_triangles" -> graft.rdf.GraphAlgos.trianglesSql,
+    "source_orc_roundtrip" -> graft.sources.Orc.roundtripSql,
   )
 }

@@ -176,6 +176,7 @@ object SparkEntry {
     "streaming_join" -> ((s, d) => EventStreams.streamJoin(configured(s), d)),
     "graph_triangles" -> ((s, d) => graft.rdf.GraphAlgos.triangles(configured(s), d)),
     "source_orc_roundtrip" -> ((s, d) => graft.sources.Orc.roundtrip(configured(s), d)),
+    "zorder_layout" -> ((s, d) => graft.sources.ZOrder.layoutReport(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -299,5 +300,6 @@ object SparkEntry {
     "streaming_join" -> EventStreams.streamJoinSql,
     "graph_triangles" -> graft.rdf.GraphAlgos.trianglesSql,
     "source_orc_roundtrip" -> graft.sources.Orc.roundtripSql,
+    "zorder_layout" -> graft.sources.ZOrder.layoutReportSql,
   )
 }

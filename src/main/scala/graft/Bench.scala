@@ -41,6 +41,7 @@ object Bench {
     "kge_transe_score", "kge_distmult_score", "kge_rescal_score",
     "kge_hole_score", "kge_complex_score", "kge_loss_ranking",
     "dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
+    "dedup_jaccard_join",
     "corpus_clean", "decontaminate_ngrams",
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
     "ann_ivfpq_topk", "ann_refine_rerank", "cluster_kmeans",

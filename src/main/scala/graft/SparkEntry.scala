@@ -177,6 +177,8 @@ object SparkEntry {
     "graph_triangles" -> ((s, d) => graft.rdf.GraphAlgos.triangles(configured(s), d)),
     "source_orc_roundtrip" -> ((s, d) => graft.sources.Orc.roundtrip(configured(s), d)),
     "zorder_layout" -> ((s, d) => graft.sources.ZOrder.layoutReport(configured(s), d)),
+    "dedup_lsh_recall" -> ((s, d) => Dedup.lshRecall(configured(s), d)),
+    "dedup_jaccard_join" -> ((s, d) => Dedup.jaccardJoin(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -301,5 +303,7 @@ object SparkEntry {
     "graph_triangles" -> graft.rdf.GraphAlgos.trianglesSql,
     "source_orc_roundtrip" -> graft.sources.Orc.roundtripSql,
     "zorder_layout" -> graft.sources.ZOrder.layoutReportSql,
+    "dedup_lsh_recall" -> Dedup.lshRecallSql,
+    "dedup_jaccard_join" -> Dedup.jaccardJoinSql,
   )
 }

@@ -91,7 +91,11 @@ object Dedup {
     * Jaccard verification. Classic near-dedup at scale: Broder
     * resemblance + banding (Leskovec/Rajaraman/Ullman ch.3 shape).
     */
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** LSH CANDIDATE pairs (pre-verification): signatures → bands →
+    * capped buckets → bucket self-join. Shared by the verified-pairs
+    * query and the recall diagnostic (#125).
+    */
+  private def candidatePairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingled(spark, dir)
     // one base hash per shingle, then 16 affine permutations
     val sigs = docs
@@ -118,21 +122,136 @@ object Dedup {
     val capped = bands.withColumn("cnt",
         count(lit(1)).over(Window.partitionBy("b", "bh")))
       .filter(col("cnt") <= BucketCap)
-    val pairs = capped.as("x").join(capped.as("y"),
+    capped.as("x").join(capped.as("y"),
         col("x.b") === col("y.b") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    // Exact verification: |A∩B| / (|A|+|B|-|A∩B|) on the shingle sets.
+  }
+
+  /** Exact shingle Jaccard of a (d1, d2) pair frame. */
+  private def withJaccard(pairs: DataFrame, docs: DataFrame): DataFrame = {
     val s1 = docs.select(col("doc_id").as("d1"), col("sh").as("sh1"))
     val s2 = docs.select(col("doc_id").as("d2"), col("sh").as("sh2"))
     val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
     pairs.join(s1, "d1").join(s2, "d2")
       .withColumn("jaccard", inter /
         (size(col("sh1")) + size(col("sh2")) - inter))
+  }
+
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    // Exact verification: |A∩B| / (|A|+|B|-|A∩B|) on the shingle sets.
+    withJaccard(candidatePairs(spark, dir), shingled(spark, dir))
+      .filter(col("jaccard") >= JaccardTau)
+      .select("d1", "d2", "jaccard")
+
+  // ------------------------------------- #125 exact similarity join
+
+  /** #125: EXACT all-pairs Jaccard join via PREFIX FILTERING (Chaudhuri
+    * SSJoin / Bayardo AllPairs / PPJoin) — every pair with shingle
+    * Jaccard ≥ τ, found WITHOUT a quadratic comparison: order each doc's
+    * shingles by a canonical global order (ascending document frequency,
+    * ties by token — rarest first), keep only the first
+    * |A| − ⌈τ·|A|⌉ + 1 tokens as the doc's PREFIX, and equi-join docs on
+    * shared prefix tokens. Completeness theorem: if two sets share NO
+    * token in their prefixes, their overlap is < τ — so the equi-join
+    * provably generates every qualifying pair, and the exact Jaccard
+    * verify keeps precisely those ≥ τ. A length filter (τ·|A| ≤ |B| ≤
+    * |A|/τ, integer form) prunes candidates it cannot lose.
+    *
+    * This is the EXACT counterpart of the MinHash stage: LSH trades
+    * recall for cost, this trades nothing and costs what the prefix-
+    * token collision structure costs. At 100 TB the shuffle is keyed by
+    * prefix token; because the canonical order puts the RAREST shingles
+    * in the prefix, per-token fan-out is tiny (most shingles are unique)
+    * — the quadratic blowup a naive all-pairs join hits never forms.
+    * The oracle is the brute all-pairs join in DuckDB: the prefix
+    * structure must change the plan, never the pair set.
+    */
+  def jaccardJoin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(spark, dir)
+    val df = docs.select(explode(col("sh")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+    // canonical order: rarest-first; prefix keeps |A| - ceil(τ|A|) + 1
+    // tokens (τ = 1/2 ⇒ |A| DIV 2 + 1, integer-exact)
+    val prefixed = docs.select(col("doc_id"), explode(col("sh")).as("s"),
+        size(col("sh")).as("sz"))
+      .join(df, "s")
+      .groupBy("doc_id")
+      .agg(first("sz").as("sz"),
+        sort_array(collect_list(struct(col("df"), col("s")))).as("ord"))
+      .select(col("doc_id"), col("sz"),
+        explode(expr(
+          "slice(transform(ord, o -> o.s), 1, sz - ((sz + 1) DIV 2) + 1)"))
+          .as("s"))
+    val cands = prefixed.as("x").join(prefixed.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
+          col("y.sz") * 2 >= col("x.sz") && col("y.sz") <= col("x.sz") * 2)
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    withJaccard(cands, docs)
       .filter(col("jaccard") >= JaccardTau)
       .select("d1", "d2", "jaccard")
   }
+
+  /** Brute all-pairs oracle — independent of the prefix structure. */
+  val jaccardJoinSql: String =
+    s"""WITH $duckShingles
+       |SELECT d1, d2, jaccard FROM (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |      (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) AS jaccard
+       |  FROM shd a JOIN shd b ON a.doc_id < b.doc_id
+       |) WHERE jaccard >= $JaccardTau""".stripMargin
+
+  // -------------------------------------------------- #126 LSH recall
+
+  /** #126: the LSH tuning diagnostic — MEASURED corpus-wide recall and
+    * precision of the banded MinHash candidate stage against the EXACT
+    * pair set (#125's prefix join is complete, so it IS ground truth —
+    * no sampling, no cartesian product anywhere). Banding parameters
+    * (16 perms, 4×4 bands, bucket cap) trade recall for cost along an
+    * S-curve you should never guess at: this emits one row
+    * (n_true, n_candidates, n_hits, recall, precision) so the trade is
+    * a number in a report, re-measured whenever a parameter moves.
+    * Plan: the two pair frames + one semi-join, reduced to one-row
+    * counts (broadcast-combined).
+    */
+  def lshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = jaccardJoin(spark, dir)
+      .select("d1", "d2").localCheckpoint(false)
+    val cand = candidatePairs(spark, dir).localCheckpoint(false)
+    val nt = truth.agg(count(lit(1)).as("n_true"))
+    val nc = cand.agg(count(lit(1)).as("n_candidates"))
+    val nh = cand.join(truth, Seq("d1", "d2"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    nt.crossJoin(broadcast(nc)).crossJoin(broadcast(nh))
+      .select(col("n_true"), col("n_candidates"), col("n_hits"),
+        (col("n_hits") / col("n_true")).as("recall"),
+        (col("n_hits") / col("n_candidates")).as("precision"))
+  }
+
+  // lazy: minhashCtes is declared below (object init order)
+  lazy val lshRecallSql: String =
+    s"""WITH $minhashCtes,
+       |truth AS MATERIALIZED (
+       |  SELECT d1, d2 FROM (
+       |    SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |        (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)) AS jaccard
+       |    FROM shd a JOIN shd b ON a.doc_id < b.doc_id
+       |  ) WHERE jaccard >= $JaccardTau
+       |),
+       |nt AS (SELECT COUNT(*) AS n_true FROM truth),
+       |nc AS (SELECT COUNT(*) AS n_candidates FROM pairs),
+       |nh AS (
+       |  SELECT COUNT(*) AS n_hits FROM pairs c
+       |  WHERE EXISTS (SELECT 1 FROM truth t WHERE t.d1 = c.d1 AND t.d2 = c.d2)
+       |)
+       |SELECT n_true, n_candidates, n_hits,
+       |  n_hits / n_true AS recall,
+       |  n_hits / n_candidates AS precision
+       |FROM nt, nc, nh""".stripMargin
 
   /** CTE prelude shared by the pairs query and the components query:
     * shingles → signatures → bands → capped buckets → candidate pairs →

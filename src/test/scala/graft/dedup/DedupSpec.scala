@@ -73,6 +73,26 @@ class DedupSpec extends AnyFunSuite {
     assert(total == graft.core.Tables.documents(spark, TestSpark.sf).count())
   }
 
+  test("prefix similarity join is a superset of verified LSH pairs, and " +
+    "the recall report is internally consistent") {
+    import org.apache.spark.sql.functions._
+    val truth = Dedup.jaccardJoin(spark, TestSpark.sf).cache()
+    // completeness vs the LSH pipeline: every verified MinHash pair is a
+    // true pair, with the identical jaccard value
+    val v = Dedup.minhashPairs(spark, TestSpark.sf)
+    assert(v.join(truth, Seq("d1", "d2", "jaccard"), "left_anti").count() == 0,
+      "a verified LSH pair is missing from the exact join (or jaccard drifted)")
+    assert(truth.filter(col("jaccard") < Dedup.JaccardTau ||
+      col("jaccard") > 1.0).count() == 0)
+    val r = Dedup.lshRecall(spark, TestSpark.sf).head()
+    val (nt, nc, nh) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nt == truth.count())
+    assert(nh <= math.min(nt, nc))
+    assert(r.getDouble(3) == nh.toDouble / nt &&
+      r.getDouble(4) == nh.toDouble / nc)
+    truth.unpersist()
+  }
+
   test("ngram jaccard finds the planted within-source near-dups") {
     val pairs = Dedup.ngramJaccard(spark, TestSpark.sf)
       .select("jaccard").as[Double].collect()

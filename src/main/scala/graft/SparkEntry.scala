@@ -179,6 +179,7 @@ object SparkEntry {
     "zorder_layout" -> ((s, d) => graft.sources.ZOrder.layoutReport(configured(s), d)),
     "dedup_lsh_recall" -> ((s, d) => Dedup.lshRecall(configured(s), d)),
     "dedup_jaccard_join" -> ((s, d) => Dedup.jaccardJoin(configured(s), d)),
+    "split_holdout" -> ((s, d) => graft.pipeline.Split.splitHoldout(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -305,5 +306,6 @@ object SparkEntry {
     "zorder_layout" -> graft.sources.ZOrder.layoutReportSql,
     "dedup_lsh_recall" -> Dedup.lshRecallSql,
     "dedup_jaccard_join" -> Dedup.jaccardJoinSql,
+    "split_holdout" -> graft.pipeline.Split.splitHoldoutSql,
   )
 }

@@ -388,8 +388,12 @@ object Dedup {
         coalesce(col("component"), col("doc_id")).as("canonical_id"))
       .withColumn("is_canonical", col("doc_id") === col("canonical_id"))
 
-  val canonicalSql: String =
-    s"""WITH RECURSIVE $minhashCtes,
+  /** Shared recursive CTE chain ending in `canon` (doc_id,
+    * canonical_id, n_chars) — used by the canonical-mapping oracle and
+    * the leakage-safe split oracle (graft.pipeline.Split).
+    */
+  val canonicalCtes: String =
+    s"""$minhashCtes,
        |edges AS (
        |  SELECT d1, d2 FROM vpairs UNION ALL SELECT d2, d1 FROM vpairs
        |),
@@ -400,11 +404,19 @@ object Dedup {
        |),
        |comp AS (
        |  SELECT doc AS doc_id, MIN(lab) AS component FROM reach GROUP BY doc
-       |)
-       |SELECT d.doc_id,
-       |  COALESCE(c.component, d.doc_id) AS canonical_id,
-       |  COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
-       |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin
+       |),
+       |canon AS (
+       |  SELECT d.doc_id,
+       |    COALESCE(c.component, d.doc_id) AS canonical_id,
+       |    d.n_chars
+       |  FROM documents d LEFT JOIN comp c USING (doc_id)
+       |)""".stripMargin
+
+  val canonicalSql: String =
+    s"""WITH RECURSIVE $canonicalCtes
+       |SELECT doc_id, canonical_id,
+       |  canonical_id = doc_id AS is_canonical
+       |FROM canon""".stripMargin
 
   // --------------------------------------------------------- #26 SimHash
 

@@ -44,6 +44,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // same eager label-propagation loop via components(); the canonical
     // mapping's own plan is one trivial left join over its output
     "dedup_canonical",
+    // split_holdout assigns by canonical_id, so it runs the same eager
+    // components() loop before its own (trivial) agg plan exists
+    "split_holdout",
     // eager merge-round loop (1-row collect per round); the returned
     // frame is a local merge table with a trivial plan
     "vocab_bpe_learn")

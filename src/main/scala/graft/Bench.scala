@@ -33,7 +33,7 @@ object Bench {
     "events_json_extract", "events_asof_join",
     "events_funnel", "events_retention", "events_anomaly",
     "events_value_quantiles",
-    "sketch_hll", "sketch_countmin", "basket_part_pairs",
+    "sketch_hll", "sketch_countmin", "sketch_bloom", "basket_part_pairs",
     "join_salted",
     "dict_encode_entities", "triples_encode", "cp_mttkrp", "cp_als_sweep",
     "rescal_als_core", "graph_pagerank", "graph_wcc", "graph_triangles",

@@ -180,6 +180,7 @@ object SparkEntry {
     "dedup_lsh_recall" -> ((s, d) => Dedup.lshRecall(configured(s), d)),
     "dedup_jaccard_join" -> ((s, d) => Dedup.jaccardJoin(configured(s), d)),
     "split_holdout" -> ((s, d) => graft.pipeline.Split.splitHoldout(configured(s), d)),
+    "sketch_bloom" -> ((s, d) => graft.relational.Sketches.bloom(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -307,5 +308,6 @@ object SparkEntry {
     "dedup_lsh_recall" -> Dedup.lshRecallSql,
     "dedup_jaccard_join" -> Dedup.jaccardJoinSql,
     "split_holdout" -> graft.pipeline.Split.splitHoldoutSql,
+    "sketch_bloom" -> graft.relational.Sketches.bloomSql,
   )
 }

@@ -145,4 +145,76 @@ object Sketches {
        |  COUNT(*) AS cnt
        |FROM events, (SELECT unnest(range(0, $CmDepth)) AS d)
        |GROUP BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------------- Bloom
+
+  val BloomWords = 64
+  val BloomBitsPerWord = 62 // ≤ 62 keeps every mask positive in int64
+  val BloomK = 5
+  val BloomM: Int = BloomWords * BloomBitsPerWord
+
+  /** #128: BLOOM FILTER over document content hashes — the third
+    * fixed-memory sketch next to HLL (#91, distinct counts) and
+    * Count-Min (#92, frequencies): constant-space MEMBERSHIP. The
+    * pipeline use is decontamination and cross-corpus dedup at scale:
+    * #62 broadcasts the exact eval-gram hash set, which stops fitting
+    * when the reference corpus is itself huge — a Bloom filter holds a
+    * billion-element membership test in a few GB with a controlled
+    * false-positive rate, never a false negative.
+    *
+    * State = [[BloomWords]] int64 words ([[BloomBitsPerWord]] usable
+    * bits each — masks stay positive, so no sign-bit portability
+    * hazard); k = [[BloomK]] pHash-derived bit positions per element.
+    * Build is one scan + a [[BloomWords]]-key `bit_or` aggregate —
+    * shuffle bytes CONSTANT in corpus size; partials merge by OR, which
+    * is idempotent AND commutative, so executor partials, two shards'
+    * filters, and at-least-once replays all combine exactly (the same
+    * argument as HLL's max-merge; SketchesSpec proves the shard-union
+    * claim and measures the false-positive rate against (1−e^(−kn/m))^k).
+    * Emits the full word state (word, bits, n_set) — oracle-checkable
+    * bit-for-bit like the other sketches.
+    */
+  def bloom(spark: SparkSession, dir: String): DataFrame =
+    bloomOf(Tables.documents(spark, dir))
+
+  /** Filter state for any frame carrying `text` (spec shards reuse). */
+  private[graft] def bloomOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val words = docs
+      .select(md5(lower(trim(col("text")))).as("e")).distinct()
+      .select(explode(array((0 until BloomK).map { j =>
+        PortableHash.pHash(concat(lit(s"bf$j|"), col("e"))) % BloomM
+      }: _*)).as("bit"))
+      .select(expr(s"bit DIV $BloomBitsPerWord").as("word"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(bit % $BloomBitsPerWord AS INT))")
+          .as("mask"))
+      .groupBy("word").agg(expr("bit_or(mask)").as("b"))
+    spark.range(BloomWords).toDF("word")
+      .join(words, Seq("word"), "left")
+      .select(col("word"), coalesce(col("b"), lit(0L)).as("bits"))
+      .withColumn("n_set", expr("bit_count(bits)"))
+  }
+
+  /** The k bit positions of one element (driver-side; spec probes). */
+  private[graft] def bloomBits(e: String): Seq[(Long, Long)] =
+    (0 until BloomK).map { j =>
+      val bit = PortableHash.pHashJvm(s"bf$j|$e") % BloomM
+      (bit / BloomBitsPerWord, 1L << (bit % BloomBitsPerWord).toInt)
+    }
+
+  val bloomSql: String =
+    s"""WITH el AS (SELECT DISTINCT md5(lower(trim(text))) AS e FROM documents),
+       |bits AS (
+       |  SELECT ${PortableHash.duck("'bf' || j || '|' || e")} % $BloomM AS bit
+       |  FROM el, (SELECT unnest(range(0, $BloomK)) AS j)
+       |),
+       |w AS (
+       |  SELECT bit // $BloomBitsPerWord AS word,
+       |    bit_or(1::BIGINT << CAST(bit % $BloomBitsPerWord AS INT)) AS b
+       |  FROM bits GROUP BY 1
+       |)
+       |SELECT r.word, COALESCE(w.b, 0) AS bits,
+       |  CAST(bit_count(COALESCE(w.b, 0)) AS INT) AS n_set
+       |FROM (SELECT unnest(range(0, $BloomWords)) AS word) r
+       |LEFT JOIN w USING (word)""".stripMargin
 }

@@ -48,6 +48,36 @@ class SketchesSpec extends AnyFunSuite {
     assert(rows.map(_._3).toSeq == rows.map(_._3).sortBy(-_).toSeq,
       "descending by co-occurrence count")
   }
+  test("bloom: no false negatives, measured FP rate near theory, and " +
+    "shard filters OR to the monolithic filter") {
+    import graft.core.Tables
+    val state = Sketches.bloom(spark, TestSpark.sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def contains(e: String): Boolean =
+      Sketches.bloomBits(e).forall { case (w, m) => (state(w) & m) == m }
+    // every inserted element must hit (no false negatives, by law)
+    val present = Tables.documents(spark, TestSpark.sf)
+      .select(md5(lower(trim(col("text")))).as("e"))
+      .distinct().as[String].collect()
+    assert(present.forall(contains), "bloom false negative")
+    // absent probes: FP rate should sit near (1 − e^{−kn/m})^k
+    val n = present.length.toDouble
+    val theory = math.pow(1.0 -
+      math.exp(-Sketches.BloomK * n / Sketches.BloomM), Sketches.BloomK)
+    val absentHits = (0 until 1000).count(i => contains(s"absent|$i"))
+    assert(absentHits / 1000.0 < math.max(3 * theory, 0.05),
+      s"FP rate ${absentHits / 1000.0} vs theory $theory")
+    // distributed claim: shard filters OR into the monolithic state
+    val docs = Tables.documents(spark, TestSpark.sf)
+    val pa = graft.core.PortableHash.pHash(col("doc_id").cast("string")) % 2
+    val a = Sketches.bloomOf(docs.filter(pa === 0)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Sketches.bloomOf(docs.filter(pa === 1)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state.forall { case (w, bits) => (a(w) | b(w)) == bits },
+      "shard OR-merge differs from the monolithic filter")
+  }
+
   test("sketches merge: two shards' states union to the monolithic state") {
     import graft.core.Tables
     val e = Tables.events(spark, TestSpark.sf)

@@ -181,6 +181,7 @@ object SparkEntry {
     "dedup_jaccard_join" -> ((s, d) => Dedup.jaccardJoin(configured(s), d)),
     "split_holdout" -> ((s, d) => graft.pipeline.Split.splitHoldout(configured(s), d)),
     "sketch_bloom" -> ((s, d) => graft.relational.Sketches.bloom(configured(s), d)),
+    "embed_knn_graph" -> ((s, d) => Ann.knnGraph(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -309,5 +310,6 @@ object SparkEntry {
     "dedup_jaccard_join" -> Dedup.jaccardJoinSql,
     "split_holdout" -> graft.pipeline.Split.splitHoldoutSql,
     "sketch_bloom" -> graft.relational.Sketches.bloomSql,
+    "embed_knn_graph" -> Ann.knnGraphSql,
   )
 }

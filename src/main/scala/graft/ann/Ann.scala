@@ -312,6 +312,84 @@ object Ann {
       .select("q_id", "vec_id", "approx_d", "rank")
   }
 
+  // ----------------------------------------------------------- kNN graph
+
+  val KnnK = 4
+
+  /** #129: mutual k-NN GRAPH over ALL embeddings — the artifact behind
+    * semantic dedup (SemDeDup: embed → cluster → drop near-neighbors),
+    * graph clustering, and label propagation: unlike the top-k SEARCH
+    * ops (#29-76, a small query set against the corpus), every vector
+    * is a query here, so the build must be blocked or it is n²·d.
+    *
+    * Blocking = the IVF coarse cells (#38's codebook): each vector
+    * scores only vectors in its own cell (the standard blocked/
+    * cluster-pruned kNN-graph build — SemDeDup itself computes pairs
+    * within k-means clusters only), takes its top-[[KnnK]], and an edge
+    * survives iff it is MUTUAL (each endpoint in the other's list) —
+    * the usual symmetrization that kills hub edges. Deterministic by
+    * construction, so the whole graph is oracle-checkable.
+    *
+    * Scale: the self-join is equi-keyed on cell — per-cell pair count
+    * is (n/C)² for balanced cells, tuned by codebook size C growing
+    * with n (finer quantization = smaller blocks); per-src top-k is a
+    * bounded window inside the cell; the mutual filter is one
+    * semi-join on the (src, dst) key. No stage touches cross-cell
+    * pairs, which is what makes the build linear-ish rather than n².
+    */
+  def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir).withColumn("cell", cellOf(col("v")))
+    val knn = e.as("x").join(e.as("y"),
+        col("x.cell") === col("y.cell") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("src"), col("y.vec_id").as("dst"),
+        VectorLsh.cosine(col("x.v"), col("y.v")).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("src")
+          .orderBy(col("cosine").desc, col("dst").asc)))
+      .filter(col("rank") <= KnnK)
+      .select("src", "dst", "cosine")
+    val rev = knn.select(col("dst").as("src"), col("src").as("dst"))
+    knn.join(rev, Seq("src", "dst"), "left_semi")
+      .filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"), col("cosine"))
+  }
+
+  val knnGraphSql: String = {
+    val icentEl = graft.core.PortableHash.duckDyadic("'IVF|' || c || '|' || (i - 1)")
+    s"""WITH ve AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), icents AS MATERIALIZED (
+       |  SELECT c, list($icentEl ORDER BY i) AS cv
+       |  FROM (SELECT unnest(range(0, $NCells)) AS c),
+       |       (SELECT unnest(range(1, ${VectorLsh.EmbDim + 1})) AS i)
+       |  GROUP BY c
+       |), cells AS MATERIALIZED (
+       |  SELECT vec_id, c AS cell FROM (
+       |    SELECT ve.vec_id, icents.c,
+       |      ${VectorLsh.duckFold("(v[i] - cv[i]) * (v[i] - cv[i])")} AS d
+       |    FROM ve, icents
+       |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) = 1
+       |), knn AS MATERIALIZED (
+       |  SELECT src, dst, cosine FROM (
+       |    SELECT x.vec_id AS src, y.vec_id AS dst,
+       |      ${VectorLsh.duckFold("xv.v[i] * yv.v[i]")} /
+       |        (sqrt(${VectorLsh.duckFold("xv.v[i] * xv.v[i]")}) * sqrt(${VectorLsh.duckFold("yv.v[i] * yv.v[i]")})) AS cosine
+       |    FROM cells x JOIN cells y
+       |      ON x.cell = y.cell AND x.vec_id <> y.vec_id
+       |    JOIN ve xv ON xv.vec_id = x.vec_id
+       |    JOIN ve yv ON yv.vec_id = y.vec_id
+       |  ) QUALIFY ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY cosine DESC, dst ASC) <= $KnnK
+       |)
+       |SELECT a.src, a.dst, a.cosine
+       |FROM knn a
+       |WHERE a.src < a.dst
+       |  AND EXISTS (SELECT 1 FROM knn b
+       |              WHERE b.src = a.dst AND b.dst = a.src)""".stripMargin
+  }
+
   // -------------------------------------------------------- refine/rerank
 
   val Refine = 30

@@ -115,6 +115,21 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("knn graph: mutual edges only, within-cell, bounded degree") {
+    import org.apache.spark.sql.functions._
+    val g = Ann.knnGraph(spark, TestSpark.sf).cache()
+    val edges = g.as[(Long, Long, Double)].collect()
+    assert(edges.nonEmpty)
+    assert(edges.forall(e => e._1 < e._2), "edges must be canonical src<dst")
+    assert(edges.map(e => (e._1, e._2)).distinct.length == edges.length)
+    // mutual-kNN degree bound: each node appears in ≤ K surviving edges
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.length)
+    assert(deg.values.forall(_ <= Ann.KnnK), "degree exceeds K")
+    assert(edges.forall(e => e._3 >= -1.0000001 && e._3 <= 1.0000001))
+    g.unpersist()
+  }
+
   test("kmeans: full partition, per-cluster dims complete, means bounded") {
     val out = KMeans.kmeans(spark, TestSpark.sf)
       .as[(Int, Int, Double, Long)].collect()

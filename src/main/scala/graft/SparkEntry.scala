@@ -182,6 +182,7 @@ object SparkEntry {
     "split_holdout" -> ((s, d) => graft.pipeline.Split.splitHoldout(configured(s), d)),
     "sketch_bloom" -> ((s, d) => graft.relational.Sketches.bloom(configured(s), d)),
     "embed_knn_graph" -> ((s, d) => Ann.knnGraph(configured(s), d)),
+    "embed_semantic_clusters" -> ((s, d) => Ann.semanticClusters(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -311,5 +312,6 @@ object SparkEntry {
     "split_holdout" -> graft.pipeline.Split.splitHoldoutSql,
     "sketch_bloom" -> graft.relational.Sketches.bloomSql,
     "embed_knn_graph" -> Ann.knnGraphSql,
+    "embed_semantic_clusters" -> Ann.semanticClustersSql,
   )
 }

@@ -390,6 +390,75 @@ object Ann {
        |              WHERE b.src = a.dst AND b.dst = a.src)""".stripMargin
   }
 
+  // ---------------------------------------------------- semantic clusters
+
+  val SemTau = 0.4
+
+  /** #130: SEMANTIC CLUSTERS — the SemDeDup composition closed end to
+    * end: connected components over the mutual k-NN graph's strong
+    * edges (cosine ≥ [[SemTau]]), emitted as the full-corpus mapping
+    * (vec_id, cluster_id, is_rep) — every vector resolves to its
+    * cluster's min vec_id or itself, so `filter(is_rep)` IS the
+    * semantically deduplicated embedding set (the exact analog of
+    * #111's text-side canonical mapping, on the embedding side).
+    *
+    * Plan: #129's graph filtered map-side, then min-label propagation
+    * to fixpoint (the #48 loop — one join + min-combine per round,
+    * localCheckpoint lineage discipline; semantic-dup clusters are tiny
+    * cliques, so 2-3 rounds converge), then ONE left join of the vector
+    * ids against the tiny component frame (broadcasts at scale).
+    */
+  def semanticClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = knnGraph(spark, dir)
+      .filter(col("cosine") >= SemTau)
+      .select("src", "dst").localCheckpoint()
+    val edges = pairs
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("lab", col("v")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val prop = edges.join(labels.withColumnRenamed("v", "src"), "src")
+        .select(col("dst").as("v"), col("lab"))
+        .groupBy("v").agg(min("lab").as("plab"))
+      val next = labels.join(prop, Seq("v"), "left")
+        .select(col("v"),
+          least(col("lab"), coalesce(col("plab"), col("lab"))).as("lab"),
+          (coalesce(col("plab"), col("lab")) < col("lab")).as("changed"))
+        .localCheckpoint()
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select("v", "lab")
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"semantic_clusters: not converged after $iter rounds")
+    vecs(spark, dir).select(col("vec_id"))
+      .join(labels.select(col("v").as("vec_id"), col("lab")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("lab"), col("vec_id")).as("cluster_id"))
+      .withColumn("is_rep", col("vec_id") === col("cluster_id"))
+  }
+
+  val semanticClustersSql: String =
+    s"""WITH RECURSIVE strong AS MATERIALIZED (
+       |  SELECT src, dst FROM ($knnGraphSql) WHERE cosine >= $SemTau
+       |),
+       |sedges AS (
+       |  SELECT src, dst FROM strong UNION ALL SELECT dst, src FROM strong
+       |),
+       |sreach AS (
+       |  SELECT src AS v, src AS lab FROM sedges
+       |  UNION
+       |  SELECT e.dst AS v, r.lab FROM sreach r JOIN sedges e ON e.src = r.v
+       |),
+       |scomp AS (SELECT v AS vec_id, MIN(lab) AS lab FROM sreach GROUP BY v)
+       |SELECT em.vec_id,
+       |  COALESCE(s.lab, em.vec_id) AS cluster_id,
+       |  COALESCE(s.lab, em.vec_id) = em.vec_id AS is_rep
+       |FROM embeddings em LEFT JOIN scomp s USING (vec_id)""".stripMargin
+
   // -------------------------------------------------------- refine/rerank
 
   val Refine = 30

@@ -47,6 +47,8 @@ class PlanGuardSpec extends AnyFunSuite {
     // split_holdout assigns by canonical_id, so it runs the same eager
     // components() loop before its own (trivial) agg plan exists
     "split_holdout",
+    // embedding-side eager label-propagation loop (SemDeDup components)
+    "embed_semantic_clusters",
     // eager merge-round loop (1-row collect per round); the returned
     // frame is a local merge table with a trivial plan
     "vocab_bpe_learn")

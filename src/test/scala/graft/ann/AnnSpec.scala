@@ -130,6 +130,30 @@ class AnnSpec extends AnyFunSuite {
     g.unpersist()
   }
 
+  test("semantic clusters: total fixed-point mapping, strong edges " +
+    "intra-cluster, reps are minima") {
+    import org.apache.spark.sql.functions._
+    val m = Ann.semanticClusters(spark, TestSpark.sf).cache()
+    val nVec = graft.core.Tables.embeddings(spark, TestSpark.sf).count()
+    assert(m.count() == nVec, "mapping must cover every vector")
+    // cluster ids are themselves mapped to themselves (fixed point)
+    assert(m.join(m.select(col("vec_id").as("cluster_id"),
+        col("cluster_id").as("c2")), "cluster_id")
+      .filter(col("cluster_id") =!= col("c2")).count() == 0)
+    // every strong edge is intra-cluster
+    val strong = Ann.knnGraph(spark, TestSpark.sf)
+      .filter(col("cosine") >= Ann.SemTau)
+    assert(strong
+      .join(m.select(col("vec_id").as("src"), col("cluster_id").as("cs")), "src")
+      .join(m.select(col("vec_id").as("dst"), col("cluster_id").as("cd")), "dst")
+      .filter(col("cs") =!= col("cd")).count() == 0)
+    // a rep is its cluster's min member; clustering must shrink the set
+    assert(m.groupBy("cluster_id").agg(min("vec_id").as("mn"))
+      .filter(col("cluster_id") =!= col("mn")).count() == 0)
+    assert(m.filter(col("is_rep")).count() < nVec)
+    m.unpersist()
+  }
+
   test("kmeans: full partition, per-cluster dims complete, means bounded") {
     val out = KMeans.kmeans(spark, TestSpark.sf)
       .as[(Int, Int, Double, Long)].collect()

@@ -183,6 +183,7 @@ object SparkEntry {
     "sketch_bloom" -> ((s, d) => graft.relational.Sketches.bloom(configured(s), d)),
     "embed_knn_graph" -> ((s, d) => Ann.knnGraph(configured(s), d)),
     "embed_semantic_clusters" -> ((s, d) => Ann.semanticClusters(configured(s), d)),
+    "dedup_spans" -> ((s, d) => graft.dedup.Spans.spans(configured(s), d)),
   )
 
   /** DuckDB-runnable oracle SQL per query key (same column names). */
@@ -313,5 +314,6 @@ object SparkEntry {
     "sketch_bloom" -> graft.relational.Sketches.bloomSql,
     "embed_knn_graph" -> Ann.knnGraphSql,
     "embed_semantic_clusters" -> Ann.semanticClustersSql,
+    "dedup_spans" -> graft.dedup.Spans.spansSql,
   )
 }

@@ -173,4 +173,40 @@ object Sampling {
        |FROM d JOIN rated USING (lang)
        |GROUP BY d.lang, n_docs, rate_mille""".stripMargin
   }
+
+  // -------------------------------------------------- exact-N sampling
+
+  val ExactN = 100
+
+  /** #134: EXACT-size uniform sample — the other corner of the sampling
+    * trade-off from #52/#68: hash-threshold sampling is append-stable
+    * and map-only but only approximates its target size (binomial
+    * around p·N); ordering by a hash of the key and taking the first N
+    * gives exactly N rows, uniformly, at the cost of append-stability
+    * (a new doc can displace a sampled one). Eval sets, human-review
+    * batches and fixed-size dev corpora want exact N.
+    *
+    * Scale shape: ORDER BY hash LIMIT N compiles to
+    * TakeOrderedAndProject — each partition keeps an N-element heap and
+    * only N rows per partition ever move (no global sort, no full
+    * shuffle). The rank window runs AFTER the limit, over N rows.
+    */
+  def sampleExactN(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        PortableHash.pHash(concat(lit("exact"), col("doc_id"))).as("h"))
+      .orderBy(col("h"), col("doc_id")).limit(ExactN)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("h"), col("doc_id"))))
+  }
+
+  val sampleExactNSql: String =
+    s"""SELECT doc_id, lang, source, h,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) AS INT) AS rank
+       |FROM (
+       |  SELECT doc_id, lang, source,
+       |    ${PortableHash.duck("'exact' || doc_id")} AS h
+       |  FROM documents ORDER BY h, doc_id LIMIT $ExactN
+       |)""".stripMargin
 }

@@ -148,4 +148,40 @@ class GraphAlgosSpec extends AnyFunSuite {
     }
     dd.unpersist()
   }
+
+  test("link prediction: no existing edges, canonical pairs, and a " +
+    "driver recount of every cn/aa score matches exactly") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val lp = GraphAlgos.linkpred(spark, TestSpark.sf).cache()
+    assert(lp.filter(col("a") >= col("b")).isEmpty)
+    assert(lp.filter(col("cn") < 2).isEmpty)
+    assert(lp.filter(col("aa") <= 0).isEmpty)
+    // rebuild the co-purchase graph driver-side and recount every score
+    val edges = graft.core.Tables.lineitem(spark, TestSpark.sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values
+      .flatMap(b => { val ps = b.map(_._2).distinct.sorted
+        for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j)) })
+      .toSet
+    val nbrs = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
+    def q9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    val expected = (for {
+      (a, na) <- nbrs.toSeq; b <- na.flatMap(nbrs(_)) if a < b
+    } yield (a, b)).distinct
+      .map { case (a, b) =>
+        val common = nbrs(a) & nbrs(b)
+        val aa = common.toSeq.map(v => math.floor(
+          q9(1.0 / math.log(nbrs(v).size.toDouble)) * 1e9 + 0.5)).sum / 1e9
+        ((a, b), (common.size.toLong, aa))
+      }
+      .filter { case (p, (cn, _)) => cn >= 2 && !edges(p) }.toMap
+    val got = lp.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    for ((p, v) <- expected) assert(got(p) == v, s"pair $p")
+    lp.unpersist()
+  }
 }

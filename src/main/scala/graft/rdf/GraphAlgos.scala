@@ -517,6 +517,74 @@ object GraphAlgos {
        |UNION ALL
        |SELECT 'in', CAST(degree AS BIGINT), COUNT(*) FROM ind GROUP BY degree""".stripMargin
 
+  // ------------------------------------------------ #136 random walks
+
+  val WalkLen = 3
+
+  /** #136: deterministic random walks over the entity graph — the
+    * DeepWalk/node2vec SAMPLING primitive: the walk corpus is what a
+    * skip-gram embedding trainer consumes, and walk co-occurrence is
+    * itself a similarity feature. One walk starts at EVERY entity and
+    * takes [[WalkLen]] steps; at step k from node u the walk picks
+    * neighbor index pHash(walk_id, k) mod outdeg(u) — pseudo-random,
+    * yet fully deterministic and engine-independent, so the ENTIRE walk
+    * corpus is oracle-checkable (the same trick the negative samplers
+    * use). Walks stop early at dangling nodes, as in the references.
+    *
+    * Plan: the indexed adjacency (src, idx, dst, deg) is built ONCE —
+    * row_number per src over a src-partitioned, degree-bounded window —
+    * and cached/reused by every step like the PageRank edge frame. Each
+    * step is then a single equi-join of the frontier on src with the
+    * residual predicate idx = h mod deg + 1 (the pick needs deg, which
+    * lives on the adjacency row — one join, not two). Only the frontier
+    * (one row per live walk) shuffles per step; 100 TB lineage note: a
+    * long walk run checkpoints the frontier every few steps exactly
+    * like pagerankConverged.
+    */
+  def walks(spark: SparkSession, dir: String): DataFrame = {
+    val adj = cache.getOrElseUpdate((spark, dir, "walkAdj")) {
+      val e = edges(spark, dir)
+      e.withColumn("idx", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("sid").orderBy("oid")))
+        .withColumn("deg", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("sid")))
+    }
+    val seeds = Dict.entities(spark, dir)
+      .select(col("id").as("walk_id"), lit(0).as("step"), col("id").as("node"))
+    val steps = (1 to WalkLen).scanLeft(seeds) { (front, k) =>
+      val h = graft.core.PortableHash.pHash(
+        concat(lit("wk"), col("walk_id"), lit(s"_${k}")))
+      front.join(adj,
+          col("node") === col("sid") && col("idx") === pmod(h, col("deg")) + 1)
+        .select(col("walk_id"), lit(k).as("step"), col("oid").as("node"))
+    }
+    steps.reduce(_ unionByName _)
+  }
+
+  val walksSql: String = {
+    def step(k: Int): String = {
+      val h = graft.core.PortableHash.duck(s"'wk' || f.walk_id || '_$k'")
+      s"""s$k AS MATERIALIZED (
+         |  SELECT f.walk_id, a.dst AS node
+         |  FROM s${k - 1} f JOIN adj a
+         |  ON a.src = f.node AND a.idx = ($h % a.deg) + 1
+         |)""".stripMargin
+    }
+    s"""${Dict.preludeCtes},
+       |adj AS MATERIALIZED (
+       |  SELECT src, dst,
+       |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS idx,
+       |    COUNT(*) OVER (PARTITION BY src) AS deg
+       |  FROM (SELECT DISTINCT sid AS src, oid AS dst FROM encoded)
+       |),
+       |s0 AS (SELECT id AS walk_id, id AS node FROM entities),
+       |${(1 to WalkLen).map(step).mkString(",\n")}
+       |${(0 to WalkLen).map(k =>
+           s"SELECT walk_id, $k AS step, CAST(node AS BIGINT) AS node FROM s$k")
+         .mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   // ------------------------------------------------ #135 link prediction
 
   /** #135: common-neighbor / Adamic–Adar link prediction over the part

@@ -184,4 +184,41 @@ class GraphAlgosSpec extends AnyFunSuite {
     for ((p, v) <- expected) assert(got(p) == v, s"pair $p")
     lp.unpersist()
   }
+
+  test("random walks: driver simulation reproduces the whole walk corpus") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val w = GraphAlgos.walks(spark, TestSpark.sf).cache()
+    // step 0 = every entity, once
+    val ents = graft.rdf.Dict.entities(spark, TestSpark.sf)
+      .select("id").collect().map(_.getLong(0))
+    assert(w.filter(col("step") === 0).count() == ents.length)
+    // driver-side simulation with the same hash rule
+    val adj = graft.rdf.Dict.encodedTriples(spark, TestSpark.sf)
+      .select("sid", "oid").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sorted }
+    val expected = scala.collection.mutable.ArrayBuffer[(Long, Int, Long)]()
+    for (seed <- ents) {
+      var cur = seed
+      expected += ((seed, 0, seed))
+      var k = 1
+      var alive = true
+      while (alive && k <= GraphAlgos.WalkLen) {
+        adj.get(cur) match {
+          case Some(ns) =>
+            val h = graft.core.PortableHash.pHashJvm(s"wk${seed}_$k")
+            cur = ns((h % ns.length).toInt) // pHash is non-negative
+            expected += ((seed, k, cur)); k += 1
+          case None => alive = false
+        }
+      }
+    }
+    val got = w.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSet == expected.toSet)
+    assert(got.length == expected.length)
+    // the walks actually disperse: many distinct step-1 nodes
+    assert(w.filter(col("step") === 1).select("node").distinct().count() > 10)
+    w.unpersist()
+  }
 }

@@ -517,6 +517,96 @@ object GraphAlgos {
        |UNION ALL
        |SELECT 'in', CAST(degree AS BIGINT), COUNT(*) FROM ind GROUP BY degree""".stripMargin
 
+  // ------------------------------------------------ #137 k-core peeling
+
+  val CoreK = 3
+  val CoreRounds = 3
+
+  /** #137: k-core decomposition of the ENTITY graph by iterative
+    * peeling — the standard dense-subgraph/community-nucleus extractor
+    * (Seidman 1983; the first stage of most cohesive-subgroup and
+    * graph-cleaning pipelines, and the classic spam/bot-ring signal on
+    * link graphs): repeatedly delete vertices with undirected degree
+    * < k until none remain; what survives is the maximal subgraph where
+    * every vertex keeps ≥ k neighbors INSIDE the subgraph. The entity
+    * graph (not the dense co-purchase graph, whose 3-core is the whole
+    * graph) has the skewed leaf-heavy degree profile where peeling
+    * CASCADES: deleting a leaf can orphan its hub next round — the
+    * behavior the unrolled rounds must capture.
+    *
+    * The registered query runs [[CoreRounds]] peel rounds unrolled in
+    * one lazy plan (oracle-checkable distance-3 prefix, exactly the
+    * #83/#116 pattern); [[kcoreConverged]] iterates the same round to
+    * the fixpoint with a driver loop + localCheckpoint per round, and
+    * the spec proves the fixpoint IS the k-core: every survivor has
+    * ≥ k core neighbors, every peeled vertex has < k (maximality).
+    *
+    * Scale shape per round: one map-side-combining degree aggregate
+    * onto the vertex key (the symmetrized edge set keeps degree = a
+    * plain count over src) + two semi-joins of the edge set against the
+    * survivors — edges partitioned by src once, only the survivor frame
+    * moves; rounds needed ≈ degeneracy depth, each a constant number of
+    * shuffles.
+    */
+  def kcore(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = undirected(spark, dir)
+    val peeled = (1 to CoreRounds).foldLeft(e0) { (e, _) => peelRound(e) }
+    coreDegrees(peeled)
+  }
+
+  /** One peel: survivors = vertices with current degree ≥ k; keep edges
+    * with BOTH endpoints surviving. `e` is symmetrized, so filtering
+    * src AND dst keeps it symmetrized.
+    */
+  private def peelRound(e: DataFrame): DataFrame = {
+    val keep = coreDegrees(e).filter(col("degree") >= CoreK).select("v")
+    e.join(keep.select(col("v").as("src")), Seq("src"), "left_semi")
+      .join(keep.select(col("v").as("dst")), Seq("dst"), "left_semi")
+      .select("src", "dst")
+  }
+
+  /** Undirected degree from the symmetrized edge list: each neighbor
+    * appears exactly once as dst of src (edges are distinct).
+    */
+  private def coreDegrees(e: DataFrame): DataFrame =
+    e.groupBy(col("src").as("v")).agg(count(lit(1)).as("degree"))
+
+  /** Iterate peeling to the fixpoint (the true k-core); driver loop with
+    * one scalar action + lineage truncation per round, as in
+    * [[pagerankConverged]]/[[wccConverged]].
+    */
+  def kcoreConverged(spark: SparkSession, dir: String,
+      maxRounds: Int = 50): DataFrame = {
+    var e = undirected(spark, dir).localCheckpoint(false)
+    var n = e.count()
+    var rounds = 0
+    while (rounds < maxRounds) {
+      val next = peelRound(e).localCheckpoint(false)
+      val m = next.count()
+      if (m == n) return coreDegrees(e)
+      e = next; n = m; rounds += 1
+    }
+    throw new IllegalStateException(s"k-core did not converge in $maxRounds rounds")
+  }
+
+  val kcoreSql: String = {
+    def round(k: Int): String =
+      s"""keep$k AS (
+         |  SELECT src AS v FROM e${k - 1} GROUP BY src HAVING COUNT(*) >= $CoreK
+         |), e$k AS MATERIALIZED (
+         |  SELECT src, dst FROM e${k - 1}
+         |  WHERE src IN (SELECT v FROM keep$k) AND dst IN (SELECT v FROM keep$k)
+         |)""".stripMargin
+    s"""${Dict.preludeCtes},
+       |e0 AS MATERIALIZED (
+       |  SELECT sid AS src, oid AS dst FROM encoded
+       |  UNION
+       |  SELECT oid, sid FROM encoded
+       |),
+       |${(1 to CoreRounds).map(round).mkString(",\n")}
+       |SELECT src AS v, COUNT(*) AS degree FROM e$CoreRounds GROUP BY src""".stripMargin
+  }
+
   // ------------------------------------------------ #136 random walks
 
   val WalkLen = 3

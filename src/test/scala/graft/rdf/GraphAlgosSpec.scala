@@ -221,4 +221,39 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(w.filter(col("step") === 1).select("node").distinct().count() > 10)
     w.unpersist()
   }
+
+  test("k-core: converged fixpoint is the true k-core (every survivor " +
+    "keeps >= k core neighbors, every peeled vertex has < k — maximality)") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val core = GraphAlgos.kcoreConverged(spark, TestSpark.sf).cache()
+    // inner-subgraph degree bound: coreDegrees already measures degree
+    // INSIDE the surviving subgraph
+    assert(core.filter(col("degree") < GraphAlgos.CoreK).isEmpty)
+    // maximality, checked independently on the raw graph: count each
+    // peeled vertex's neighbors that are IN the core — must be < k
+    val coreSet = core.select(col("v"))
+    val e = graft.rdf.Dict.encodedTriples(spark, TestSpark.sf)
+    val ue = e.select(col("sid").as("src"), col("oid").as("dst"))
+      .unionByName(e.select(col("oid").as("src"), col("sid").as("dst"))).distinct()
+    val peeled = ue.select(col("src").as("v")).distinct()
+      .join(coreSet, Seq("v"), "left_anti")
+    val inCoreNbrs = ue
+      .join(coreSet.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
+      .groupBy(col("src").as("v")).agg(count(lit(1)).as("d_core"))
+    assert(peeled.join(inCoreNbrs, Seq("v"), "left")
+      .filter(coalesce(col("d_core"), lit(0L)) >= GraphAlgos.CoreK).isEmpty)
+    // peeling actually bites: the 3-round prefix removes vertices
+    val pre = GraphAlgos.kcore(spark, TestSpark.sf).cache()
+    val nVerts = ue.select("src").distinct().count()
+    assert(pre.count() < nVerts)
+    // prefix soundness: never peels a core vertex, and once the counts
+    // agree the prefix IS the fixpoint (degrees and all)
+    assert(coreSet.join(pre.select("v"), Seq("v"), "left_anti").isEmpty)
+    assert(core.count() <= pre.count())
+    if (core.count() == pre.count())
+      assert(core.exceptAll(pre).isEmpty && pre.exceptAll(core).isEmpty)
+    pre.unpersist()
+    core.unpersist()
+  }
 }

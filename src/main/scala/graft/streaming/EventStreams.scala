@@ -292,6 +292,56 @@ object EventStreams {
       |  COUNT(*) AS cnt
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** #140: the 3σ anomaly monitor ([[graft.relational.Events.anomaly]])
+    * as continuously-maintained streaming state — the live SLO monitor
+    * shape: per-type exact moment state (n, Σv, Σv² on the 1e-6
+    * quantized integer grid, ≤ 5 rows forever, unbounded-safe without a
+    * watermark), merged across micro-batches by plain LONG addition —
+    * exactly Spark's streaming-agg state update, and exactly how two
+    * shards' moment states union. The derived (mean, std, ±3σ band)
+    * head is a projection over the tiny state — the dashboard-side
+    * read, recomputed per refresh, never stored.
+    *
+    * Streaming flags-the-current-event is deliberately NOT fused here:
+    * a live pipeline scores each event against the LAST CLOSED state
+    * (a stream-static join refreshed per batch); fusing flag+update in
+    * one pass would score early events against a half-built baseline.
+    * The state this query maintains is that baseline.
+    */
+  def anomalyMoments(src: DataFrame): DataFrame =
+    src.select(col("event_type"), col("value"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1e6 + lit(0.5)).cast("long")).as("sv"),
+        sum(floor(col("value") * col("value") * 1e6 + lit(0.5)).cast("long")).as("sv2"))
+
+  /** Derived monitor head over the moment state (batch-side read). */
+  def anomalyHead(state: DataFrame): DataFrame =
+    state
+      .withColumn("mean", col("sv").cast("double") / 1e6 / col("n"))
+      .withColumn("m2", col("sv2").cast("double") / 1e6 / col("n"))
+      .withColumn("std", sqrt(col("m2") - col("mean") * col("mean")))
+      .select(col("event_type"), col("n"), col("mean"), col("std"),
+        (col("mean") - lit(3.0) * col("std")).as("lo"),
+        (col("mean") + lit(3.0) * col("std")).as("hi"))
+
+  def anomaly(spark: SparkSession, dir: String): DataFrame =
+    anomalyHead(runToMemory(anomalyMoments(eventStream(spark, dir)),
+      "graft_stream_anomaly"))
+
+  val anomalySql: String =
+    s"""WITH st AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |    ${Exact.duckSum("value", 6)} / COUNT(*) AS mean,
+       |    ${Exact.duckSum("value * value", 6)} / COUNT(*) AS m2
+       |  FROM events GROUP BY event_type
+       |), s2 AS (
+       |  SELECT event_type, n, mean, sqrt(m2 - mean * mean) AS std FROM st
+       |)
+       |SELECT event_type, n, mean, std,
+       |  mean - 3.0 * std AS lo, mean + 3.0 * std AS hi
+       |FROM s2""".stripMargin
+
   /** Event-time-bucketed Count-Min: ONE fixed CM cell matrix PER
     * tumbling hour, emitted append-mode when the watermark closes the
     * window — the production shape for "frequencies per hour over an

@@ -408,4 +408,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == expected)
     assert(afterFirst.subsetOf(got), "max-merge state only grows")
   }
+
+  test("anomaly moment state accumulates across batches exactly and the " +
+    "derived head matches the closed-form 3σ band") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EvT]
+    val q = EventStreams.anomalyMoments(stream.toDF())
+      .writeStream.format("memory").queryName("spec_anom")
+      .outputMode("complete").start()
+    val b1 = Seq(EvT(1, "click", 1.25), EvT(2, "click", 2.5), EvT(3, "buy", 10.0))
+    val b2 = Seq(EvT(4, "click", 4.0), EvT(5, "buy", 0.5))
+    stream.addData(b1: _*)
+    q.processAllAvailable()
+    stream.addData(b2: _*)
+    q.processAllAvailable()
+    val state = spark.table("spec_anom").as[(String, Long, Long, Long)]
+      .collect().map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    // exact cross-batch accumulation — AND the shard-union claim: the
+    // whole-stream state equals the per-batch states added component-wise
+    def mom(evs: Seq[EvT]) = evs.groupBy(_.event_type).map { case (t, xs) =>
+      t -> ((xs.size.toLong,
+        xs.map(e => math.floor(e.value * 1e6 + 0.5).toLong).sum,
+        xs.map(e => math.floor(e.value * e.value * 1e6 + 0.5).toLong).sum))
+    }
+    val m1 = mom(b1); val m2s = mom(b2)
+    val merged = (m1.keySet ++ m2s.keySet).map { t =>
+      val a = m1.getOrElse(t, (0L, 0L, 0L)); val b = m2s.getOrElse(t, (0L, 0L, 0L))
+      t -> ((a._1 + b._1, a._2 + b._2, a._3 + b._3))
+    }.toMap
+    assert(state == merged)
+    // head: closed-form mean/std/band over the tiny state
+    val head = EventStreams.anomalyHead(spark.table("spec_anom"))
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+      .map(x => x._1 -> x).toMap
+    q.stop()
+    for ((t, (n, sv, sv2)) <- merged) {
+      val mean = sv.toDouble / 1e6 / n
+      val m2v = sv2.toDouble / 1e6 / n
+      val std = math.sqrt(m2v - mean * mean)
+      assert(head(t) == ((t, n, mean, std, mean - 3.0 * std, mean + 3.0 * std)))
+    }
+  }
 }

@@ -134,4 +134,113 @@ object QualityClassifier {
        |  g.grad, CAST(w.w_old AS DOUBLE) - $Lr * g.grad AS w_new
        |FROM g JOIN w ON w.j = g.j""".stripMargin
   }
+
+  // ---------------------------------------------------- #141 serving pass
+
+  val ServeEpochs = 25
+
+  /** The trained weights after [[ServeEpochs]] full-batch GD steps,
+    * memoized per (session, dir) — the trained classifier ARTIFACT,
+    * driver-side by design like the BPE merge table
+    * ([[graft.text.Vocab]]): a serving classifier is KB-sized and ships
+    * as a file; recomputing it per scoring call would charge the scorer
+    * the trainer's cost. One step is NOT a classifier (measured: 40%
+    * label agreement from the random init — worse than chance); 25
+    * steps separate cleanly because the label is a thresholded LINEAR
+    * function of these exact features, so the problem is separable by
+    * construction. Each step is [[trainStep]]'s algebra verbatim: z in
+    * literal order, σ grid-quantized at scale 4, decSum(9) mean
+    * gradients, w − lr·g — all mirrored per-step by the oracle, which
+    * unrolls the same [[ServeEpochs]] CTE rounds.
+    */
+  private val wCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[Double]]
+
+  def trainedW(spark: SparkSession, dir: String): Seq[Double] =
+    wCache.getOrElseUpdate((spark, dir), {
+      val feats = features(spark, dir).localCheckpoint(false)
+      (1 to ServeEpochs).foldLeft(W0.toSeq) { (w, _) =>
+        val z = zOf(w)
+        val g = feats
+          .withColumn("y", (col("q") >= Thresh).cast("int").cast("double"))
+          .withColumn("err",
+            Exact.roundS(lit(1.0) / (lit(1.0) + exp(-z)), 4) - col("y"))
+          .select(col("err"),
+            posexplode(array((0 until NF).map(j => col(s"x$j")): _*))
+              .as(Seq("j", "x")))
+          .groupBy("j")
+          .agg((Exact.decSum(col("err") * col("x"), S) / count(lit(1))).as("grad"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        (0 until NF).map(j => w(j) - Lr * g(j))
+      }
+    })
+
+  /** #141: the model-based curation gate SERVING — score every document
+    * with the TRAINED LR weights and emit the actionable per-doc
+    * verdict (doc_id, p, keep): `filter(keep)` IS the model-curated
+    * corpus, the artifact #119's training exists to produce (the
+    * #118-to-#66 relationship, for the classifier).
+    *
+    * ONE map-only pass: features, the 5-term literal-order z chain, one
+    * grid-quantized sigmoid — scan-speed at any corpus size, zero
+    * shuffle; the model rides in as 5 literal constants. The oracle
+    * re-derives the weights through [[ServeEpochs]] unrolled rounds of
+    * the SAME CTE chain as the training-step oracle, so trainer and
+    * server cannot drift — the hash match re-verifies the whole
+    * trajectory end-to-end through the serving path.
+    */
+  def infer(spark: SparkSession, dir: String): DataFrame = {
+    val w = trainedW(spark, dir)
+    val z = zOf(w)
+    features(spark, dir)
+      .withColumn("p", Exact.roundS(lit(1.0) / (lit(1.0) + exp(-z)), 4))
+      .select(col("doc_id"), col("p"), (col("p") >= 0.5).as("keep"))
+  }
+
+  val inferSql: String = {
+    def zOfSql(wref: String) = (1 until NF).foldLeft(s"$wref.w0 * f.x0") {
+      (acc, j) => s"$acc + $wref.w$j * f.x$j"
+    }
+    // one GD round: score with wv{k-1}, aggregate gradients, update
+    def round(k: Int): String = {
+      val branches = (0 until NF)
+        .map(j => s"SELECT $j AS j, err, x$j AS x FROM e$k")
+        .mkString("\n  UNION ALL\n  ")
+      val upd = (0 until NF)
+        .map(j => s"(SELECT w$j FROM wv${k - 1}) - $Lr * (SELECT grad FROM g$k WHERE j = $j) AS w$j")
+        .mkString(",\n    ")
+      s"""e$k AS (
+         |  SELECT f.x0, f.x1, f.x2, f.x3, f.x4,
+         |    ${Exact.duckRoundS(s"1.0 / (1.0 + exp(-(${zOfSql(s"wv${k - 1}")})))", 4)}
+         |      - CAST(CAST(f.q >= $Thresh AS INT) AS DOUBLE) AS err
+         |  FROM f CROSS JOIN wv${k - 1}
+         |), long$k AS (
+         |  $branches
+         |), g$k AS MATERIALIZED (
+         |  SELECT j, ${Exact.duckSum("err * x", S)} / COUNT(*) AS grad
+         |  FROM long$k GROUP BY j
+         |), wv$k AS MATERIALIZED (
+         |  SELECT $upd
+         |)""".stripMargin
+    }
+    val w0Cols = W0.zipWithIndex
+      .map { case (v, j) => s"CAST($v AS DOUBLE) AS w$j" }.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, n_chars, ${TextAnalysis.duckWords} AS ws FROM documents
+       |), f AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(1.0 AS DOUBLE) AS x0,
+       |    least(CAST(len(ws) AS DOUBLE) / 50.0, 1.0) AS x1,
+       |    CAST(len(list_filter(ws, w -> w IN ${TextAnalysis.duckStopList})) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS x2,
+       |    least(((CAST(n_chars AS DOUBLE) - (CAST(len(ws) AS DOUBLE) - 1.0)) / CAST(len(ws) AS DOUBLE)) / 8.0, 1.0) AS x3,
+       |    CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS x4,
+       |    ${TextAnalysis.duckQuality} AS q
+       |  FROM d
+       |), wv0 AS (SELECT $w0Cols),
+       |${(1 to ServeEpochs).map(round).mkString(",\n")}
+       |SELECT f.doc_id,
+       |  ${Exact.duckRoundS(s"1.0 / (1.0 + exp(-(${zOfSql(s"wv$ServeEpochs")})))", 4)} AS p,
+       |  ${Exact.duckRoundS(s"1.0 / (1.0 + exp(-(${zOfSql(s"wv$ServeEpochs")})))", 4)} >= 0.5 AS keep
+       |FROM f CROSS JOIN wv$ServeEpochs""".stripMargin
+  }
 }

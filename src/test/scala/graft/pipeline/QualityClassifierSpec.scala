@@ -37,4 +37,31 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(g.forall(_.getLong(1) == n))
     feats.unpersist()
   }
+
+  test("serving pass scores every doc with the stepped weights; the " +
+    "trained gate beats a coin flip against the heuristic labels") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val inf = QualityClassifier.infer(spark, TestSpark.sf).cache()
+    val nDocs = graft.core.Tables.documents(spark, TestSpark.sf).count()
+    assert(inf.count() == nDocs)
+    assert(inf.filter(col("p") < 0 || col("p") > 1).isEmpty)
+    assert(inf.filter(col("keep") =!= (col("p") >= 0.5)).isEmpty)
+    // the stepped model must agree with the heuristic labels it was
+    // distilled from far better than chance (one step from a random
+    // init already separates on these features)
+    val labels = QualityClassifier.trainStep(spark, TestSpark.sf) // warm cache
+    val q = graft.core.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), col("n_chars"),
+        graft.text.TextAnalysis.words.as("ws"))
+      .select(col("doc_id"),
+        (graft.text.TextAnalysis.quality >= QualityClassifier.Thresh).as("y"))
+    val agree = inf.join(q, "doc_id")
+      .agg(avg((col("keep") === col("y")).cast("double"))).head.getDouble(0)
+    assert(agree > 0.6, s"agreement $agree")
+    // the verdict is non-degenerate: both classes appear
+    assert(inf.filter(col("keep")).count() > 0)
+    assert(inf.filter(!col("keep")).count() > 0)
+    inf.unpersist()
+  }
 }

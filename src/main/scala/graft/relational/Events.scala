@@ -403,4 +403,64 @@ object Events {
        |  MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN vi END) / 100.0 AS p99,
        |  MAX(vi) / 100.0 AS v_max
        |FROM cum GROUP BY event_type""".stripMargin
+
+  // --------------------------------------------- #142 inter-arrival gaps
+
+  /** #142: per-type INTER-ARRIVAL time report — the "how often does this
+    * happen, and has the cadence changed" half of the SLO pair (#108
+    * covers value percentiles, this covers TIME-BETWEEN-events):
+    * per-user gap = ts − previous ts (the gap belongs to the LATER
+    * event's type — "time since the user's last action when a purchase
+    * arrives"), then exact p50/p90 + mean of the gap distribution per
+    * type via the #108 fixed-histogram method. Gaps are already integer
+    * seconds, so the histogram needs no grid at all.
+    *
+    * Plan: one user-partitioned lag window (bounded per user — the
+    * sessionize partitioning, reused), a (type, gap) histogram with
+    * map-side combine (shuffle carries the BOUNDED histogram, not
+    * events), cumulative windows over the bounded frame, nearest-rank
+    * picks in INTEGER arithmetic. Mean is an exact integer-sum ratio.
+    */
+  def interarrival(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    val gaps = eventsS(spark, dir)
+      .withColumn("gap", col("ts_s") - lag("ts_s", 1).over(byUser))
+      .filter(col("gap").isNotNull)
+      .select(col("event_type"), col("gap"))
+    val hist = gaps.groupBy("event_type", "gap").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("event_type").orderBy("gap")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    hist
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wAll))
+      .groupBy("event_type")
+      .agg(
+        max("n").as("n_gaps"),
+        (sum(col("gap") * col("c")).cast("double") / max("n")).as("mean_s"),
+        min(when(col("cum") >= expr("(n * 50 + 99) DIV 100"), col("gap"))).as("p50_s"),
+        min(when(col("cum") >= expr("(n * 90 + 99) DIV 100"), col("gap"))).as("p90_s"),
+        max("gap").as("max_s"))
+  }
+
+  val interarrivalSql: String =
+    s"""WITH g AS (
+       |  SELECT event_type,
+       |    ts_s - LAG(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS gap
+       |  FROM (SELECT event_id, user_id, event_type, $duckTsS AS ts_s FROM events)
+       |), h AS (
+       |  SELECT event_type, gap, COUNT(*) AS c FROM g
+       |  WHERE gap IS NOT NULL GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT event_type, gap, c,
+       |    SUM(c) OVER (PARTITION BY event_type ORDER BY gap) AS cum,
+       |    SUM(c) OVER (PARTITION BY event_type) AS n
+       |  FROM h
+       |)
+       |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_gaps,
+       |  CAST(SUM(gap * c) AS DOUBLE) / CAST(MAX(n) AS BIGINT) AS mean_s,
+       |  CAST(MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN gap END) AS BIGINT) AS p50_s,
+       |  CAST(MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN gap END) AS BIGINT) AS p90_s,
+       |  CAST(MAX(gap) AS BIGINT) AS max_s
+       |FROM cum GROUP BY event_type""".stripMargin
 }

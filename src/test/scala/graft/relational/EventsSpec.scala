@@ -124,4 +124,35 @@ class EventsSpec extends AnyFunSuite {
     assert(got._2 == vis.length && got._3 == nr(50) &&
       got._4 == nr(90) && got._5 == nr(99))
   }
+
+  test("interarrival: gap accounting exact (n_events - n_users), ordered " +
+    "percentiles, one type recounted driver-side") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val r = Events.interarrival(spark, TestSpark.sf).cache()
+    assert(r.filter(col("p50_s") > col("p90_s") ||
+      col("p90_s") > col("max_s") || col("mean_s") <= 0).isEmpty)
+    // every user contributes (its events - 1) gaps
+    val ev = Events.eventsS(spark, TestSpark.sf)
+      .select("user_id", "event_id", "event_type", "ts_s").cache()
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(r.agg(sum("n_gaps")).head.getLong(0) == nEvents - nUsers)
+    // driver recount for one type: sort each user's events, diff, pool
+    val perUser = ev.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2), x.getLong(3)))
+      .groupBy(_._1)
+    val gaps = perUser.values.flatMap { es =>
+      val s = es.sortBy(e => (e._4, e._2))
+      s.zip(s.tail).map { case (a, b) => (b._3, b._4 - a._4) }
+    }.toSeq
+    val click = gaps.filter(_._1 == "click").map(_._2).sorted
+    def nr2(p: Int): Long = click((click.length * p + 99) / 100 - 1)
+    val got = r.filter(col("event_type") === "click")
+      .select("n_gaps", "mean_s", "p50_s", "p90_s").head
+    assert(got.getLong(0) == click.length)
+    assert(got.getDouble(1) == click.sum.toDouble / click.length)
+    assert(got.getLong(2) == nr2(50) && got.getLong(3) == nr2(90))
+    ev.unpersist(); r.unpersist()
+  }
 }

@@ -63,6 +63,78 @@ object TextAnalysis {
        |FROM c
        |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, pred_lang ASC) = 1""".stripMargin
 
+  /** #143: language-ID EVALUATION table — per-language precision /
+    * recall / F1 of [[langId]] against the gold labels, the diagnostic
+    * a per-doc `correct` flag (#31) cannot show: a classifier can post
+    * high accuracy while silently absorbing a minority language into a
+    * majority one (high-recall/low-precision majority, zero-recall
+    * minority), and ONLY the per-class table exposes it. This is the
+    * acceptance gate run before swapping in any new lang-ID model.
+    *
+    * Plan: the per-doc prediction frame (shared with #31), then two
+    * dictionary-small aggregates — per true lang (n_true, tp) and per
+    * predicted lang (n_pred) — joined on the 5-key language space.
+    * Counts are integers; precision/recall are single exact divisions
+    * and F1 is one literal-order chain mirrored by the oracle.
+    */
+  def langIdEval(spark: SparkSession, dir: String): DataFrame = {
+    val pred = langId(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
+    val byTrue = pred.groupBy("lang").agg(
+      count(lit(1)).as("n_true"),
+      sum((col("pred_lang") === col("lang")).cast("long")).as("tp"))
+    val byPred = pred.groupBy(col("pred_lang").as("lang"))
+      .agg(count(lit(1)).as("n_pred"))
+    byTrue.join(byPred, Seq("lang"), "full")
+      .select(col("lang"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision",
+        when(col("n_pred") > 0, col("tp").cast("double") / col("n_pred"))
+          .otherwise(lit(0.0)))
+      .withColumn("recall",
+        when(col("n_true") > 0, col("tp").cast("double") / col("n_true"))
+          .otherwise(lit(0.0)))
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0,
+          lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))).otherwise(lit(0.0)))
+  }
+
+  val langIdEvalSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, lang,
+       |    ['de','en','es','fr','zh'][CAST(${PortableHash.duck("w")} % 5 AS INT) + 1] AS pred_lang
+       |  FROM (SELECT doc_id, lang, unnest($duckWords) AS w FROM documents)
+       |), c AS (
+       |  SELECT doc_id, lang, pred_lang, COUNT(*) AS cnt FROM w GROUP BY 1, 2, 3
+       |), p AS (
+       |  SELECT doc_id, lang, pred_lang FROM c
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, pred_lang ASC) = 1
+       |), bt AS (
+       |  SELECT lang, COUNT(*) AS n_true,
+       |    SUM(CAST(pred_lang = lang AS BIGINT)) AS tp
+       |  FROM p GROUP BY lang
+       |), bp AS (
+       |  SELECT pred_lang AS lang, COUNT(*) AS n_pred FROM p GROUP BY 1
+       |), j AS (
+       |  SELECT COALESCE(bt.lang, bp.lang) AS lang,
+       |    COALESCE(n_true, 0) AS n_true, COALESCE(n_pred, 0) AS n_pred,
+       |    CAST(COALESCE(tp, 0) AS BIGINT) AS tp
+       |  FROM bt FULL OUTER JOIN bp ON bt.lang = bp.lang
+       |), pr AS (
+       |  SELECT lang, n_true, n_pred, tp,
+       |    CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred ELSE 0.0 END AS precision,
+       |    CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / n_true ELSE 0.0 END AS recall
+       |  FROM j
+       |)
+       |SELECT lang, n_true, n_pred, tp, precision, recall,
+       |  CASE WHEN precision + recall > 0
+       |    THEN 2.0 * precision * recall / (precision + recall)
+       |    ELSE 0.0 END AS f1
+       |FROM pr""".stripMargin
+
   // ------------------------------------------------------- quality score
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")

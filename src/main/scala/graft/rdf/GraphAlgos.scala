@@ -517,6 +517,83 @@ object GraphAlgos {
        |UNION ALL
        |SELECT 'in', CAST(degree AS BIGINT), COUNT(*) FROM ind GROUP BY degree""".stripMargin
 
+  // ------------------------------------------------ #144 multi-source BFS
+
+  val BfsIters = 3
+
+  /** #144: multi-source BFS over the undirected entity graph from the
+    * nation seed set (#99's seeds) — hop DISTANCE to the nearest seed,
+    * the reachability/radius primitive behind "within k hops of a
+    * trusted anchor" filters, GNN neighborhood sampling depth, and the
+    * integer-exact companion of PPR's continuous relevance score.
+    *
+    * Label-propagation shape shared with WCC, but the combine is
+    * min(dist)+1 instead of min(label): per round, the current distance
+    * frame unions its edge-relaxed successors (dist+1 across each edge)
+    * and collapses by MIN — integer-exact, map-side-combining, no
+    * quantization. [[BfsIters]] rounds unrolled = the oracle-checkable
+    * "within 3 hops" frontier; [[bfsConverged]] iterates to the
+    * fixpoint, which the spec proves is the TRUE shortest-path
+    * distance: seeds at 0, every edge satisfies |d(u)−d(v)| ≤ 1, every
+    * reached non-seed has a predecessor at d−1, unreached entities
+    * never appear. Edges partitioned by src once (the shared cached
+    * frame); only the distance frame shuffles per round.
+    */
+  def bfs(spark: SparkSession, dir: String): DataFrame = {
+    val e = undirected(spark, dir)
+    (1 to BfsIters).foldLeft(bfsSeeds(spark, dir)) { (d, k) =>
+      cache.getOrElseUpdate((spark, dir, s"bfs$k"))(
+        bfsStep(d, e).localCheckpoint(false))
+    }
+  }
+
+  private def bfsSeeds(spark: SparkSession, dir: String): DataFrame =
+    Dict.entities(spark, dir).filter(col("uri").startsWith("n:"))
+      .select(col("id"), lit(0L).as("dist"))
+
+  private def bfsStep(d: DataFrame, e: DataFrame): DataFrame =
+    d.unionByName(
+        e.join(d, e("src") === d("id"))
+          .select(e("dst").as("id"), (d("dist") + 1).as("dist")))
+      .groupBy("id").agg(min("dist").as("dist"))
+
+  /** Iterate BFS to the fixpoint (full shortest-path distances). */
+  def bfsConverged(spark: SparkSession, dir: String,
+      maxRounds: Int = 50): DataFrame = {
+    val e = undirected(spark, dir)
+    var d = bfsSeeds(spark, dir).localCheckpoint(false)
+    var sig = (d.count(), 0L)
+    var rounds = 0
+    while (rounds < maxRounds) {
+      val next = bfsStep(d, e).localCheckpoint(false)
+      val s = (next.count(), next.agg(sum("dist")).head.getLong(0))
+      if (s == sig) return d
+      d = next; sig = s; rounds += 1
+    }
+    throw new IllegalStateException(s"BFS did not converge in $maxRounds rounds")
+  }
+
+  val bfsSql: String = {
+    def round(k: Int): String =
+      s"""b$k AS MATERIALIZED (
+         |  SELECT id, MIN(dist) AS dist FROM (
+         |    SELECT id, dist FROM b${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, b.dist + 1 AS dist
+         |    FROM ue e JOIN b${k - 1} b ON b.id = e.src
+         |  ) GROUP BY id
+         |)""".stripMargin
+    s"""${Dict.preludeCtes},
+       |ue AS MATERIALIZED (
+       |  SELECT sid AS src, oid AS dst FROM encoded
+       |  UNION
+       |  SELECT oid, sid FROM encoded
+       |),
+       |b0 AS (SELECT id, CAST(0 AS BIGINT) AS dist FROM entities WHERE uri LIKE 'n:%'),
+       |${(1 to BfsIters).map(round).mkString(",\n")}
+       |SELECT id, CAST(dist AS BIGINT) AS dist FROM b$BfsIters""".stripMargin
+  }
+
   // ------------------------------------------------ #137 k-core peeling
 
   val CoreK = 3

@@ -222,6 +222,39 @@ class GraphAlgosSpec extends AnyFunSuite {
     w.unpersist()
   }
 
+  test("bfs: converged distances are true shortest paths; unrolled-3 is " +
+    "its radius-3 truncation") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val d = GraphAlgos.bfsConverged(spark, TestSpark.sf).cache()
+    val seeds = graft.rdf.Dict.entities(spark, TestSpark.sf)
+      .filter(col("uri").startsWith("n:")).select("id")
+    // seeds at 0, and ONLY seeds at 0
+    assert(d.filter(col("dist") === 0).count() == seeds.count())
+    assert(d.filter(col("dist") === 0).join(seeds, "id").count() == seeds.count())
+    assert(d.filter(col("dist") < 0).isEmpty)
+    // shortest-path certificate on the raw graph: every edge relaxed
+    // (d(dst) <= d(src)+1 where both reached; a reached src never has
+    // an unreached neighbor at the fixpoint)
+    val e = graft.rdf.Dict.encodedTriples(spark, TestSpark.sf)
+    val ue = e.select(col("sid").as("src"), col("oid").as("dst"))
+      .unionByName(e.select(col("oid").as("src"), col("sid").as("dst"))).distinct()
+    val ds = d.withColumnRenamed("id", "src").withColumnRenamed("dist", "d_src")
+    val dd = d.withColumnRenamed("id", "dst").withColumnRenamed("dist", "d_dst")
+    val joined = ue.join(ds, Seq("src"), "left").join(dd, Seq("dst"), "left")
+    assert(joined.filter(col("d_src").isNotNull && col("d_dst").isNull).isEmpty)
+    assert(joined.filter(col("d_dst") > col("d_src") + 1).isEmpty)
+    // every reached non-seed has a witness predecessor at d-1
+    val witness = joined.filter(col("d_dst") === col("d_src") + 1)
+      .select(col("dst").as("id")).distinct()
+    assert(d.filter(col("dist") > 0).join(witness, Seq("id"), "left_anti").isEmpty)
+    // the registered query is exactly the radius-3 truncation
+    val pre = GraphAlgos.bfs(spark, TestSpark.sf)
+    assert(pre.exceptAll(d.filter(col("dist") <= GraphAlgos.BfsIters)).isEmpty)
+    assert(d.filter(col("dist") <= GraphAlgos.BfsIters).exceptAll(pre).isEmpty)
+    d.unpersist()
+  }
+
   test("k-core: converged fixpoint is the true k-core (every survivor " +
     "keeps >= k core neighbors, every peeled vertex has < k — maximality)") {
     import org.apache.spark.sql.functions._

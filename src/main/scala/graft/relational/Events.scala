@@ -404,6 +404,52 @@ object Events {
        |  MAX(vi) / 100.0 AS v_max
        |FROM cum GROUP BY event_type""".stripMargin
 
+  // --------------------------------------------- #147 SCD2 history build
+
+  /** #147: SLOWLY-CHANGING-DIMENSION type 2 history from a change
+    * stream — the warehouse-dimension primitive paired with #146's
+    * MERGE (merge maintains the CURRENT table; SCD2 keeps every
+    * version with validity intervals so facts join "as of" their own
+    * time — the other half of every CDC ingest design). The events
+    * stream is read as a per-user attribute change log: consecutive
+    * no-change rows collapse (standard SCD2 — a version exists only
+    * when the value actually changed), each surviving version is valid
+    * [eff_from, eff_to) with eff_to = the next version's start, and the
+    * open version is flagged current.
+    *
+    * Plan: ONE shuffle onto user_id shared by both windows (the change
+    * filter's lag and the interval's lead — same partitioning, Spark
+    * plans one Exchange + one Sort); windows bounded per user. The
+    * as-of join that CONSUMES this table is #70. Integer second math
+    * throughout; `value` comparisons are exact double equality on
+    * identical parquet bits.
+    */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    val changes = eventsS(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_s"), col("value"))
+      .withColumn("prev_v", lag("value", 1).over(byUser))
+      .filter(col("prev_v").isNull || col("value") =!= col("prev_v"))
+    changes
+      .withColumn("eff_to_s", lead("ts_s", 1).over(byUser))
+      .select(col("user_id"), col("value"), col("ts_s").as("eff_from_s"),
+        col("eff_to_s"), col("eff_to_s").isNull.as("is_current"))
+  }
+
+  val scd2Sql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, $duckTsS AS ts_s, value FROM events
+       |), chg AS (
+       |  SELECT user_id, event_id, ts_s, value FROM (
+       |    SELECT *, LAG(value) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev_v
+       |    FROM ev
+       |  ) WHERE prev_v IS NULL OR value <> prev_v
+       |)
+       |SELECT user_id, value, ts_s AS eff_from_s,
+       |  LEAD(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS eff_to_s,
+       |  LEAD(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) IS NULL AS is_current
+       |FROM chg""".stripMargin
+
   // --------------------------------------------- #142 inter-arrival gaps
 
   /** #142: per-type INTER-ARRIVAL time report — the "how often does this

@@ -155,4 +155,47 @@ class EventsSpec extends AnyFunSuite {
     assert(got.getLong(2) == nr2(50) && got.getLong(3) == nr2(90))
     ev.unpersist(); r.unpersist()
   }
+
+  test("scd2: intervals tile each user's timeline, one current version, " +
+    "no no-change versions, as-of lookups reproduce the event log") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val spark = TestSpark.spark
+    val h = Events.scd2(spark, TestSpark.sf).cache()
+    // exactly one open (current) version per user
+    val users = h.select("user_id").distinct().count()
+    assert(h.filter(col("is_current")).count() == users)
+    assert(h.filter(col("is_current") =!= col("eff_to_s").isNull).isEmpty)
+    // intervals tile: next version starts exactly where this one ends
+    val w = Window.partitionBy("user_id").orderBy("eff_from_s")
+    val tiled = h.withColumn("next_from", lead("eff_from_s", 1).over(w))
+    assert(tiled.filter(col("eff_to_s").isNotNull &&
+      col("eff_to_s") =!= col("next_from")).isEmpty)
+    assert(tiled.filter(col("eff_to_s") < col("eff_from_s")).isEmpty)
+    // SCD2 minimality: consecutive versions always differ in value
+    assert(h.withColumn("pv", lag("value", 1).over(w))
+      .filter(col("pv").isNotNull && col("value") === col("pv")).isEmpty)
+    // as-of reconstruction for one user: at every event time, the
+    // covering interval's value equals the event's value
+    val ev = Events.eventsS(spark, TestSpark.sf)
+      .select("user_id", "event_id", "ts_s", "value")
+    val u = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("user_id")).head.getLong(0)
+    val log = ev.filter(col("user_id") === u).collect()
+      .map(x => (x.getLong(2), x.getLong(1), x.getDouble(3)))
+      .sortBy(x => (x._1, x._2))
+    val hist = h.filter(col("user_id") === u).collect()
+      .map(x => (x.getLong(2), Option(x.get(3)).map(_.asInstanceOf[Long]), x.getDouble(1)))
+      .sortBy(_._1)
+    for ((ts, _, v) <- log) {
+      // the last event at a given ts wins within the interval; compare
+      // against the interval covering ts unless a later same-ts event
+      // superseded it (dedup: take the last log value at this ts)
+      val lastAtTs = log.filter(_._1 == ts).last._3
+      val cover = hist.filter(iv => iv._1 <= ts &&
+        iv._2.forall(_ > ts)).last
+      assert(cover._3 == lastAtTs, s"user $u ts $ts")
+    }
+    h.unpersist()
+  }
 }

@@ -404,6 +404,42 @@ object Events {
        |  MAX(vi) / 100.0 AS v_max
        |FROM cum GROUP BY event_type""".stripMargin
 
+  // --------------------------------------------------- #148 CUBE lattice
+
+  /** #148: CUBE over (event_type, day) — the full grouping-sets LATTICE
+    * (detail, each one-dimension margin, grand total in one pass),
+    * completing the multi-level aggregation surface next to #71's
+    * ROLLUP (rollup is the hierarchy prefix chain; cube is every
+    * subset — the dashboard "slice by anything" query). Spark plans
+    * ONE Expand (4 grouping sets) + one aggregate: a single shuffle
+    * whose input is 4× the rows but whose partials still combine
+    * map-side — at 100 TB the alternative (4 separate scans/aggs) reads
+    * the data four times. Grouping markers disambiguate a real NULL
+    * from a margin row, decSum keeps the value sums exact across the
+    * replicated rows.
+    */
+  def cube(spark: SparkSession, dir: String): DataFrame =
+    eventsS(spark, dir)
+      .select(col("event_type"), expr("ts_s DIV 86400").as("day"), col("value"))
+      .cube("event_type", "day")
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("value")).as("sum_value"),
+        grouping("event_type").as("g_t"), grouping("day").as("g_d"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day"), lit(-1L)).as("day"),
+        col("n"), col("sum_value"), col("g_t"), col("g_d"))
+
+  val cubeSql: String =
+    s"""SELECT
+       |  COALESCE(event_type, 'ALL') AS event_type,
+       |  COALESCE(day, -1) AS day,
+       |  COUNT(*) AS n,
+       |  ${Exact.duckSum("value")} AS sum_value,
+       |  CAST(GROUPING(event_type) AS TINYINT) AS g_t,
+       |  CAST(GROUPING(day) AS TINYINT) AS g_d
+       |FROM (SELECT event_type, $duckTsS // 86400 AS day, value FROM events)
+       |GROUP BY CUBE(event_type, day)""".stripMargin
+
   // --------------------------------------------- #147 SCD2 history build
 
   /** #147: SLOWLY-CHANGING-DIMENSION type 2 history from a change

@@ -198,4 +198,30 @@ class EventsSpec extends AnyFunSuite {
     }
     h.unpersist()
   }
+
+  test("cube: the four grouping sets are mutually consistent and the " +
+    "plan is one Expand+aggregate, not four scans") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val c = Events.cube(spark, TestSpark.sf).cache()
+    val nEvents = graft.core.Tables.events(spark, TestSpark.sf).count()
+    val detail = c.filter(col("g_t") === 0 && col("g_d") === 0)
+    val byType = c.filter(col("g_t") === 0 && col("g_d") === 1)
+    val byDay = c.filter(col("g_t") === 1 && col("g_d") === 0)
+    val total = c.filter(col("g_t") === 1 && col("g_d") === 1)
+    // counts roll up along every edge of the lattice
+    assert(total.count() == 1)
+    assert(total.head.getAs[Long]("n") == nEvents)
+    assert(detail.agg(sum("n")).head.getLong(0) == nEvents)
+    assert(byType.agg(sum("n")).head.getLong(0) == nEvents)
+    assert(byDay.agg(sum("n")).head.getLong(0) == nEvents)
+    // detail collapses exactly onto the per-type margin
+    val fromDetail = detail.groupBy("event_type").agg(sum("n").as("n2"))
+    assert(byType.join(fromDetail, "event_type")
+      .filter(col("n") =!= col("n2")).isEmpty)
+    // one Expand feeding one aggregation — a single pass over the data
+    val plan = c.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"))
+    c.unpersist()
+  }
 }

@@ -59,7 +59,13 @@ object Bench {
     "shard_assign",
     "doc_length_stats",
     "media_metadata", "media_frame_sample",
-    "streaming_windowed_agg", "streaming_dedup")
+    "streaming_windowed_agg", "streaming_dedup",
+    // round-6 session-4 additions
+    "dedup_spans", "text_entropy", "mix_epochs", "sample_exact_n",
+    "graph_linkpred", "graph_walks", "graph_kcore", "graph_bfs",
+    "embed_random_projection", "corpus_curriculum", "quality_lr_infer",
+    "events_interarrival", "text_langid_eval", "search_maxsim",
+    "table_merge_upsert", "scd2_history", "events_cube")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

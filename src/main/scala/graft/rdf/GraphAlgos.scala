@@ -627,7 +627,14 @@ object GraphAlgos {
     */
   def kcore(spark: SparkSession, dir: String): DataFrame = {
     val e0 = undirected(spark, dir)
-    val peeled = (1 to CoreRounds).foldLeft(e0) { (e, _) => peelRound(e) }
+    // per-round lazy localCheckpoint (the #83/#116 lineage discipline):
+    // each round references its predecessor THREE times (degree agg +
+    // two semi-joins), so the raw unrolled tree recomputes 3^k times —
+    // measured 25 s at sf0.1 versus ~2 s checkpointed
+    val peeled = (1 to CoreRounds).foldLeft(e0) { (e, k) =>
+      cache.getOrElseUpdate((spark, dir, s"kcore$k"))(
+        peelRound(e).localCheckpoint(false))
+    }
     coreDegrees(peeled)
   }
 
@@ -711,11 +718,16 @@ object GraphAlgos {
   def walks(spark: SparkSession, dir: String): DataFrame = {
     val adj = cache.getOrElseUpdate((spark, dir, "walkAdj")) {
       val e = edges(spark, dir)
+      // localCheckpoint: every step joins against this frame, and each
+      // run executes WalkLen steps — without materialization the
+      // indexing windows recompute 3× per run (measured 4.0 s → 1.4 s
+      // warm at sf0.1)
       e.withColumn("idx", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy("sid").orderBy("oid")))
         .withColumn("deg", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("sid")))
+        .localCheckpoint(false)
     }
     val seeds = Dict.entities(spark, dir)
       .select(col("id").as("walk_id"), lit(0).as("step"), col("id").as("node"))
@@ -754,49 +766,53 @@ object GraphAlgos {
 
   // ------------------------------------------------ #135 link prediction
 
+  val LpQMod = 50 // every 50th part is a link-prediction query vertex
+
   /** #135: common-neighbor / Adamic–Adar link prediction over the part
     * co-purchase graph — the classic neighborhood-overlap scores (Liben-
     * Nowell & Kleinberg 2003) behind recommendation candidates and
-    * knowledge-graph completion shortlists: a non-edge (a, b) scores
-    * cn = |Γ(a)∩Γ(b)| and aa = Σ_{v∈Γ(a)∩Γ(b)} 1/ln(d(v)) — Adamic–Adar
+    * knowledge-graph completion shortlists: a non-edge (q, w) scores
+    * cn = |Γ(q)∩Γ(w)| and aa = Σ_{v∈Γ(q)∩Γ(w)} 1/ln(d(v)) — Adamic–Adar
     * discounts common neighbors that are hubs (sharing a rare neighbor
     * is far more predictive than sharing a popular one).
     *
-    * Plan: per-vertex neighbor sets via the basket-collect pattern (the
-    * #93/#122 shape — collect once, generate a<b pairs MAP-SIDE, so the
-    * pair stream appears without a self-join's 4 exchanges), each wedge
-    * carrying its center's degree; one groupBy(a, b) with map-side
-    * combine scores every candidate; one anti-join against the edge set
-    * removes already-linked pairs. Per-center fan-out is d(v)² — at
-    * web scale the standard mitigation is thresholding hub centers
-    * (a v with millions of neighbors predicts nothing: 1/ln(d) → 0 and
-    * its pairs are noise), which drops no signal precisely because the
-    * aa weight already discounts them to nothing.
+    * Scored for a QUERY SET (every [[LpQMod]]-th part), which is the
+    * production contract — "candidates for THIS item" — and the scale
+    * decision that matters: the co-purchase graph is uniformly dense
+    * (sf0.1: 20k parts, 1.2M edges, MEDIAN degree 119, max 222 — no
+    * hubs to threshold away), so all-pairs wedge enumeration is
+    * inherently Σd² ≈ 150M rows and measured 33 s at sf0.1; the
+    * query-rooted 2-hop expansion is |Q|·d̄² and scales with the query
+    * set, not the corpus (measured sub-second). An earlier all-pairs
+    * formulation was replaced after that measurement.
     *
-    * Exactness: 1/ln(d) is quantized at scale 9 per the house
-    * transcendental rule (d ≥ 2 — a wedge center has two neighbors — so
-    * ln(d) ≥ ln 2 > 0), then summed order-independently via decSum(9);
-    * cn is an integer count. Only pairs with cn ≥ 2 are emitted (the
-    * usual candidate floor, and it bounds the result).
+    * Plan: wedge = two chained equi-joins from the query frontier
+    * (E(q,v) ⋈ E(v,w) on the shared vertex, deg(v) pre-attached to the
+    * edge row so no third join); one (q,w)-keyed map-side-combining
+    * aggregate; one anti-join against the (symmetric) edge set.
+    * 1/ln(d) quantized at scale 9 (d ≥ 1... the wedge center has ≥ 2
+    * neighbors by construction so ln d ≥ ln 2 > 0), decSum(9) ordering-
+    * free; cn ≥ 2 is the usual candidate floor.
     */
   def linkpred(spark: SparkSession, dir: String): DataFrame = {
     val eu = copurchEdges(spark, dir)
-    val nbrs = eu.select(col("a").as("v"), col("b").as("u"))
-      .unionByName(eu.select(col("b").as("v"), col("a").as("u")))
-      .groupBy("v").agg(collect_set(col("u")).as("ns"))
-      .select(col("v"), size(col("ns")).as("d"), col("ns"))
-    val wedges = nbrs
-      .select(col("v"), col("d"), explode(filter(
-        flatten(transform(col("ns"), x =>
-          transform(col("ns"), y => struct(x.as("a"), y.as("b"))))),
-        s => s.getField("a") < s.getField("b"))).as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b"),
+    val sym = eu.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(eu.select(col("b").as("src"), col("a").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val e2 = sym.join(deg, "src")
+      .select(col("src"), col("dst"),
         Exact.roundS(lit(1.0) / log(col("d").cast("double")), 9).as("inv"))
-    val scored = wedges.groupBy("a", "b")
+    val qEdges = sym.filter(col("src") % LpQMod === 0)
+      .select(col("src").as("q"), col("dst").as("v"))
+    val wedges = qEdges.join(e2.select(col("src").as("v"),
+        col("dst").as("w"), col("inv")), "v")
+      .filter(col("w") =!= col("q"))
+    val scored = wedges.groupBy("q", "w")
       .agg(count(lit(1)).as("cn"), Exact.decSum(col("inv"), 9).as("aa"))
       .filter(col("cn") >= 2)
-    scored.join(eu, Seq("a", "b"), "left_anti")
-      .select("a", "b", "cn", "aa")
+    scored.join(sym.select(col("src").as("q"), col("dst").as("w")),
+        Seq("q", "w"), "left_anti")
+      .select("q", "w", "cn", "aa")
   }
 
   val linkpredSql: String =
@@ -805,20 +821,22 @@ object GraphAlgos {
        |  SELECT x.p AS a, y.p AS b FROM li x JOIN li y
        |  ON x.o = y.o AND x.p < y.p GROUP BY 1, 2
        |),
-       |nb AS MATERIALIZED (
-       |  SELECT a AS v, b AS u FROM eu UNION ALL SELECT b, a FROM eu
+       |sym AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM eu UNION ALL SELECT b, a FROM eu
        |),
-       |deg AS (SELECT v, COUNT(*) AS d FROM nb GROUP BY v),
+       |deg AS (SELECT src, COUNT(*) AS d FROM sym GROUP BY src),
        |w AS (
-       |  SELECT n1.u AS a, n2.u AS b,
-       |    ${Exact.duckRoundS("1.0 / ln(CAST(d.d AS DOUBLE))", 9)} AS inv
-       |  FROM nb n1 JOIN nb n2 ON n2.v = n1.v AND n1.u < n2.u
-       |  JOIN deg d ON d.v = n1.v
+       |  SELECT e1.src AS q, e2.dst AS w,
+       |    ${Exact.duckRoundS("1.0 / ln(CAST(deg.d AS DOUBLE))", 9)} AS inv
+       |  FROM sym e1 JOIN sym e2 ON e2.src = e1.dst
+       |  JOIN deg ON deg.src = e1.dst
+       |  WHERE e1.src % $LpQMod = 0 AND e2.dst <> e1.src
        |),
        |sc AS (
-       |  SELECT a, b, COUNT(*) AS cn, ${Exact.duckSum("inv", 9)} AS aa
-       |  FROM w GROUP BY a, b HAVING COUNT(*) >= 2
+       |  SELECT q, w, COUNT(*) AS cn, ${Exact.duckSum("inv", 9)} AS aa
+       |  FROM w GROUP BY q, w HAVING COUNT(*) >= 2
        |)
-       |SELECT a, b, cn, aa FROM sc
-       |WHERE NOT EXISTS (SELECT 1 FROM eu WHERE eu.a = sc.a AND eu.b = sc.b)""".stripMargin
+       |SELECT q, w, cn, aa FROM sc
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM sym WHERE sym.src = sc.q AND sym.dst = sc.w)""".stripMargin
 }

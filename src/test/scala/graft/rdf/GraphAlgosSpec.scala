@@ -149,12 +149,12 @@ class GraphAlgosSpec extends AnyFunSuite {
     dd.unpersist()
   }
 
-  test("link prediction: no existing edges, canonical pairs, and a " +
-    "driver recount of every cn/aa score matches exactly") {
+  test("link prediction: no existing edges, and a driver recount of " +
+    "every query's cn/aa scores matches exactly") {
     import org.apache.spark.sql.functions._
     val spark = TestSpark.spark
     val lp = GraphAlgos.linkpred(spark, TestSpark.sf).cache()
-    assert(lp.filter(col("a") >= col("b")).isEmpty)
+    assert(lp.filter(col("q") % GraphAlgos.LpQMod =!= 0).isEmpty)
     assert(lp.filter(col("cn") < 2).isEmpty)
     assert(lp.filter(col("aa") <= 0).isEmpty)
     // rebuild the co-purchase graph driver-side and recount every score
@@ -169,15 +169,17 @@ class GraphAlgosSpec extends AnyFunSuite {
       .groupBy(_._1).map { case (v, xs) => v -> xs.map(_._2).toSet }
     def q9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
     val expected = (for {
-      (a, na) <- nbrs.toSeq; b <- na.flatMap(nbrs(_)) if a < b
-    } yield (a, b)).distinct
-      .map { case (a, b) =>
-        val common = nbrs(a) & nbrs(b)
+      (q, nq) <- nbrs.toSeq if q % GraphAlgos.LpQMod == 0
+      w <- nq.flatMap(nbrs(_)) if w != q
+    } yield (q, w)).distinct
+      .map { case (q, w) =>
+        val common = nbrs(q) & nbrs(w)
         val aa = common.toSeq.map(v => math.floor(
           q9(1.0 / math.log(nbrs(v).size.toDouble)) * 1e9 + 0.5)).sum / 1e9
-        ((a, b), (common.size.toLong, aa))
+        ((q, w), (common.size.toLong, aa))
       }
-      .filter { case (p, (cn, _)) => cn >= 2 && !edges(p) }.toMap
+      .filter { case ((q, w), (cn, _)) =>
+        cn >= 2 && !edges(if (q < w) (q, w) else (w, q)) }.toMap
     val got = lp.collect()
       .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
     assert(got.keySet == expected.keySet)

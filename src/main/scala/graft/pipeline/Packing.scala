@@ -127,4 +127,85 @@ object Packing {
        |SELECT shard, n_docs, tok_total, char_total, n_sources, n_langs,
        |  CAST(tok_total AS DOUBLE) / CAST(tok_corpus AS DOUBLE) AS tok_share
        |FROM s, t""".stripMargin
+
+  // -------------------------------------------------- #149 pair packing
+
+  val BinLen = 128L
+  val PackShards = 8
+
+  /** #149: length-aware PAIR packing — the don't-split-documents
+    * complement of [[packSequences]] (#82 concatenates and chunks, so a
+    * document can straddle a boundary and train with a broken
+    * attention span; packing WHOLE documents into bins avoids that, and
+    * histogram/length-based packing recovers most of the padding waste
+    * — the "Efficient Sequence Packing" line of work). The
+    * SQL-expressible member of that family is sorted FOLD pairing:
+    * within a shard, rank docs by length ascending and pair rank i with
+    * rank n+1−i — shortest with longest — packing each pair into one
+    * bin when it fits ([[BinLen]]), else splitting it. Fold pairing is
+    * what the histogram methods approximate at k=2 and captures most of
+    * the win because length distributions are roughly symmetric around
+    * their mean.
+    *
+    * Plan: ONE shard-partitioned window pass derives both ranks
+    * (ascending rank + per-shard count give the fold partner for free),
+    * then the pair collapses in a (shard, pair)-keyed map-side-
+    * combining aggregate — NO self-join on rank, which would shuffle
+    * the rank frame twice. The per-shard sort is the packing cost paid
+    * at write time (the #139 argument); shards scale with the cluster.
+    */
+  def packBins(spark: SparkSession, dir: String): DataFrame = {
+    val byShard = Window.partitionBy("shard")
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        pmod(graft.core.PortableHash.pHash(concat(lit("bin"), col("doc_id"))),
+          lit(PackShards)).cast("int").as("shard"),
+        size(words).cast("long").as("tok"))
+      .withColumn("ra", row_number().over(byShard.orderBy(col("tok").asc, col("doc_id").asc)))
+      .withColumn("n", count(lit(1)).over(byShard))
+      .withColumn("pr", least(col("ra"), col("n") - col("ra") + 1))
+      .withColumn("side",
+        when(col("ra") < col("n") - col("ra") + 1, lit("s"))
+          .when(col("ra") > col("n") - col("ra") + 1, lit("l"))
+          .otherwise(lit("m")))
+    d.groupBy("shard", "pr")
+      .agg(
+        min(when(col("side") =!= "l", col("doc_id"))).as("d_small"),
+        min(when(col("side") === "l", col("doc_id"))).as("d_large"),
+        sum("tok").as("t_total"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("packed", col("n_docs") === 2 && col("t_total") <= BinLen)
+      .withColumn("n_bins", when(col("packed") || col("n_docs") === 1, 1L).otherwise(2L))
+  }
+
+  val packBinsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(${graft.core.PortableHash.duck("'bin' || doc_id")} % $PackShards AS INT) AS shard,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tok
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id, shard, tok,
+       |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY tok ASC, doc_id ASC) AS ra,
+       |    COUNT(*) OVER (PARTITION BY shard) AS n
+       |  FROM d
+       |), sided AS (
+       |  SELECT doc_id, shard, tok,
+       |    least(ra, n - ra + 1) AS pr,
+       |    CASE WHEN ra < n - ra + 1 THEN 's'
+       |         WHEN ra > n - ra + 1 THEN 'l' ELSE 'm' END AS side
+       |  FROM r
+       |), p AS (
+       |  SELECT shard, pr,
+       |    MIN(CASE WHEN side <> 'l' THEN doc_id END) AS d_small,
+       |    MIN(CASE WHEN side = 'l' THEN doc_id END) AS d_large,
+       |    CAST(SUM(tok) AS BIGINT) AS t_total,
+       |    COUNT(*) AS n_docs
+       |  FROM sided GROUP BY shard, pr
+       |)
+       |SELECT shard, CAST(pr AS BIGINT) AS pr, d_small, d_large, t_total, n_docs,
+       |  (n_docs = 2 AND t_total <= $BinLen) AS packed,
+       |  CAST(CASE WHEN (n_docs = 2 AND t_total <= $BinLen) OR n_docs = 1
+       |    THEN 1 ELSE 2 END AS BIGINT) AS n_bins
+       |FROM p""".stripMargin
 }

@@ -47,4 +47,26 @@ class PackingSpec extends AnyFunSuite {
       assert(share < 3 * fair && share > fair / 5, s"shard $sh share=$share")
     }
   }
+
+  test("pair packing: every doc in exactly one pair, packed bins fit, " +
+    "and pairing beats one-doc-per-bin substantially") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    val r = Packing.packBins(spark, TestSpark.sf).cache()
+    val nDocs = graft.core.Tables.documents(spark, TestSpark.sf).count()
+    assert(r.agg(sum("n_docs")).head.getLong(0) == nDocs)
+    // a pair row has both sides; a middle row exactly one
+    assert(r.filter(col("n_docs") === 2 &&
+      (col("d_small").isNull || col("d_large").isNull)).isEmpty)
+    assert(r.filter(col("n_docs") === 1 && col("d_large").isNotNull).isEmpty)
+    // packed bins really fit; split pairs really don't
+    assert(r.filter(col("packed") && col("t_total") > Packing.BinLen).isEmpty)
+    assert(r.filter(!col("packed") && col("n_docs") === 2 &&
+      col("t_total") <= Packing.BinLen).isEmpty)
+    // the point of packing: far fewer bins than documents (docs are
+    // ~half the bin length here, so fold pairing should pack most)
+    val bins = r.agg(sum("n_bins")).head.getLong(0)
+    assert(bins < (nDocs * 3) / 4, s"bins=$bins docs=$nDocs")
+    r.unpersist()
+  }
 }

@@ -65,7 +65,8 @@ object Bench {
     "graph_linkpred", "graph_walks", "graph_kcore", "graph_bfs",
     "embed_random_projection", "corpus_curriculum", "quality_lr_infer",
     "events_interarrival", "text_langid_eval", "search_maxsim",
-    "table_merge_upsert", "scd2_history", "events_cube")
+    "table_merge_upsert", "scd2_history", "events_cube", "pack_bins",
+    "rdf_infer_chain")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

@@ -66,7 +66,10 @@ object Bench {
     "embed_random_projection", "corpus_curriculum", "quality_lr_infer",
     "events_interarrival", "text_langid_eval", "search_maxsim",
     "table_merge_upsert", "scd2_history", "events_cube", "pack_bins",
-    "rdf_infer_chain")
+    "rdf_infer_chain",
+    // round-6 session-5 additions
+    "rdf_char_sets", "rdf_bgp_star", "scd2_attach", "sketch_kmv",
+    "text_hash_features", "embed_truncate_eval")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

@@ -594,4 +594,99 @@ object Ann {
        |  FROM bk q JOIN bk e ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
        |  WHERE q.vec_id % $QueryMod = 0
        |) WHERE rank <= $K""".stripMargin
+
+  // --------------------------------------- #156 truncation-quality eval
+
+  /** Truncated prefix width for the Matryoshka-style evaluation. */
+  val TruncDim = 16
+
+  /** #156: dimension-truncation retrieval quality — rank the same query
+    * set with FULL 64-d cosine and with the FIRST-[[TruncDim]]-d prefix
+    * cosine, and report per-query top-K overlap and top-1 agreement.
+    * This is the acceptance measurement behind Matryoshka-style
+    * embedding truncation (Kusupati et al. 2022) and, more generally,
+    * behind ANY "store fewer dims, rerank later" decision (#138's
+    * random projection is the other reduction — this op is how either
+    * gets judged before it ships): truncating 64→16 cuts the vector
+    * store and scan cost 4×, and this table says what it costs in
+    * retrieval fidelity — measured, not hoped.
+    *
+    * Plan: two broadcast-query corpus scans (the brute scorer's shape —
+    * at scale each would be the ANN path instead; the MEASUREMENT
+    * contract is unchanged), each ending in a per-query bounded top-K
+    * window, then one (q_id, vec_id)-keyed join of two K-row-per-query
+    * frames and a per-query count — everything after the scans touches
+    * ≤ 2K rows per query. Top-1 agreement rides the same joined frame.
+    */
+  def truncateEval(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    def topk(frame: DataFrame, dim: Int): DataFrame = {
+      val proj = if (dim == EmbDimFull) frame
+        else frame.withColumn("v", slice(col("v"), 1, dim))
+      val q = proj.filter(col("vec_id") % QueryMod === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      // The brute scorer's two-phase salted heaps (see bruteTopK): the
+      // per-query window never sees more than K·NSalt rows.
+      proj.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", VectorLsh.cosine(col("qv"), col("v")))
+        .withColumn("salt", pmod(col("vec_id"), lit(NSalt)))
+        .withColumn("prank", row_number().over(
+          Window.partitionBy("q_id", "salt")
+            .orderBy(col("cosine").desc, col("vec_id").asc)))
+        .filter(col("prank") <= K)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("q_id")
+            .orderBy(col("cosine").desc, col("vec_id").asc)))
+        .filter(col("rank") <= K)
+        .select("q_id", "vec_id", "rank")
+    }
+    val full = topk(e, EmbDimFull)
+    val trunc = topk(e, TruncDim)
+    val joined = full.join(trunc.withColumnRenamed("rank", "t_rank"),
+      Seq("q_id", "vec_id"))
+    val overlap = joined.groupBy("q_id").agg(
+      count(lit(1)).as("overlap"),
+      max(col("rank") === 1 && col("t_rank") === 1).as("top1_match"))
+    // Queries whose lists are fully disjoint must still appear.
+    full.select("q_id").distinct()
+      .join(overlap, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"),
+        coalesce(col("top1_match"), lit(false)).as("top1_match"))
+  }
+
+  private val EmbDimFull = VectorLsh.EmbDim
+
+  val truncateEvalSql: String = {
+    def fold16(term: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, ${TruncDim + 1}), i -> ($term))), (acc, x) -> acc + x)"
+    def ranked(fold: String => String, nm: String) =
+      s"""$nm AS (
+         |  SELECT q_id, vec_id, rank FROM (
+         |    SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${fold("q.v[i] * e.v[i]")} /
+         |        (sqrt(${fold("q.v[i] * q.v[i]")}) * sqrt(${fold("e.v[i] * e.v[i]")})) DESC,
+         |        e.vec_id ASC) AS INT) AS rank
+         |    FROM ve q JOIN ve e ON e.vec_id <> q.vec_id
+         |    WHERE q.vec_id % $QueryMod = 0
+         |  ) WHERE rank <= $K
+         |)""".stripMargin
+    s"""WITH ve AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |),
+       |${ranked(VectorLsh.duckFold, "fr")},
+       |${ranked(fold16, "tr")},
+       |ov AS (
+       |  SELECT fr.q_id, COUNT(*) AS overlap,
+       |    bool_or(fr.rank = 1 AND tr.rank = 1) AS top1_match
+       |  FROM fr JOIN tr ON tr.q_id = fr.q_id AND tr.vec_id = fr.vec_id
+       |  GROUP BY fr.q_id
+       |)
+       |SELECT q.q_id, COALESCE(ov.overlap, 0) AS overlap,
+       |  COALESCE(ov.top1_match, FALSE) AS top1_match
+       |FROM (SELECT DISTINCT q_id FROM fr) q
+       |LEFT JOIN ov ON ov.q_id = q.q_id""".stripMargin
+  }
 }

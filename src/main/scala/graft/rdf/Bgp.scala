@@ -1,0 +1,115 @@
+package graft.rdf
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.TpchGraph
+
+/** SPARQL-side operators over the triple view: characteristic sets (the
+  * cardinality statistic an RDF optimizer consults) and basic-graph-
+  * pattern matching (the join shape every SPARQL engine compiles to).
+  *
+  * Reference framing: the reference family's engines answer SPARQL over
+  * the same triple model this library encodes
+  * (reference: src/main/scala/.../RDFDatasetReader.scala:20-33 reads the
+  * triples these patterns match). The Spark-first re-expression is the
+  * published one: triple patterns become predicate-filtered frames and
+  * shared variables become equi-joins, with the optimizer free to
+  * reorder/broadcast — not an RDD-side index structure.
+  */
+object Bgp {
+
+  // --------------------------------------- #151 characteristic sets
+
+  /** #151: characteristic sets (Neumann & Moerkotte, ICDE'11) — for each
+    * subject the SET of predicates it occurs with, grouped: how many
+    * subjects share each predicate signature and how many triples they
+    * carry. This is the structure an RDF cardinality estimator keeps
+    * (star-join selectivity = read the matching characteristic sets) and
+    * doubles as the "schema discovery" report for a schemaless graph.
+    *
+    * Plan: one shuffle keyed on the subject (collect_set partials
+    * combine map-side; the per-subject set is bounded by |predicates| —
+    * dozens in real graphs, never data-scale), then a dictionary-small
+    * groupBy on the signature string (≤ 2^|P| keys). Nothing data-scale
+    * moves twice; at 100 TB the subject-keyed aggregate is the one
+    * shuffle and its value payload is a handful of predicate strings.
+    */
+  def charSets(spark: SparkSession, dir: String): DataFrame = {
+    val per = TpchGraph.triples(spark, dir)
+      .groupBy("s")
+      .agg(
+        array_join(sort_array(collect_set(col("p"))), ",").as("cset"),
+        count(lit(1)).as("nt"))
+    per.groupBy("cset")
+      .agg(count(lit(1)).as("n_subjects"), sum("nt").as("n_triples"))
+      .select(col("cset"), size(split(col("cset"), ",")).as("n_preds"),
+        col("n_subjects"), col("n_triples"))
+  }
+
+  val charSetsSql: String =
+    s"""WITH ${TpchGraph.cte},
+       |sp AS (SELECT DISTINCT s, p FROM triples),
+       |per AS (
+       |  SELECT s, string_agg(p, ',' ORDER BY p) AS cset FROM sp GROUP BY s
+       |),
+       |cnt AS (SELECT s, COUNT(*) AS nt FROM triples GROUP BY s)
+       |SELECT cset, CAST(len(string_split(cset, ',')) AS INT) AS n_preds,
+       |  COUNT(*) AS n_subjects, CAST(SUM(nt) AS BIGINT) AS n_triples
+       |FROM per JOIN cnt USING (s) GROUP BY cset""".stripMargin
+
+  // ------------------------------------------- #152 BGP star query
+
+  /** The bound region term of the pattern (5 regions in the graph; any
+    * choice exercises the same plan).
+    */
+  val BgpRegion = "r:0"
+
+  /** #152: SPARQL basic-graph-pattern matching — the star+chain pattern
+    *
+    *   ?ord placedBy ?cust . ?ord hasPart ?part .
+    *   ?cust inNation ?nat . ?nat inRegion <r:0>
+    *
+    * compiled the way a Spark-first SPARQL engine compiles every BGP:
+    * each triple pattern is a predicate-filtered projection of the
+    * triple frame (the predicate filter pushes into the scan — the
+    * columnar analog of a POS index lookup) and each shared variable is
+    * an equi-join. Join order follows selectivity: the bound-object
+    * pattern first (≤ |nations| rows, broadcast), then outward through
+    * customer- and order-keyed joins — so the two data-scale joins are
+    * keyed on ?cust and ?ord and every dimension side broadcasts.
+    * Result: per ?nat binding counts (total bindings, distinct orders,
+    * distinct parts) — the aggregate a SELECT (COUNT...) GROUP BY ?nat
+    * query returns.
+    */
+  def bgpStar(spark: SparkSession, dir: String): DataFrame = {
+    val t = TpchGraph.triples(spark, dir)
+    def pat(p: String, s: String, o: String): DataFrame =
+      t.filter(col("p") === p).select(col("s").as(s), col("o").as(o))
+
+    val nr = t.filter(col("p") === "inRegion" && col("o") === BgpRegion)
+      .select(col("s").as("nat"))
+    val cn = pat("inNation", "cust", "nat")
+    val pb = pat("placedBy", "ord", "cust")
+    val hp = pat("hasPart", "ord", "part")
+
+    cn.join(broadcast(nr), "nat")
+      .join(pb, "cust")
+      .join(hp, "ord")
+      .groupBy("nat")
+      .agg(count(lit(1)).as("n_bindings"),
+        countDistinct(col("ord")).as("n_orders"),
+        countDistinct(col("part")).as("n_parts"))
+  }
+
+  val bgpStarSql: String =
+    s"""WITH ${TpchGraph.cte}
+       |SELECT cn.o AS nat, COUNT(*) AS n_bindings,
+       |  COUNT(DISTINCT pb.s) AS n_orders, COUNT(DISTINCT hp.o) AS n_parts
+       |FROM triples nr
+       |JOIN triples cn ON cn.p = 'inNation' AND cn.o = nr.s
+       |JOIN triples pb ON pb.p = 'placedBy' AND pb.o = cn.s
+       |JOIN triples hp ON hp.p = 'hasPart' AND hp.s = pb.s
+       |WHERE nr.p = 'inRegion' AND nr.o = '$BgpRegion'
+       |GROUP BY cn.o""".stripMargin
+}

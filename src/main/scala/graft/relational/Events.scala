@@ -545,4 +545,58 @@ object Events {
        |  CAST(MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN gap END) AS BIGINT) AS p90_s,
        |  CAST(MAX(gap) AS BIGINT) AS max_s
        |FROM cum GROUP BY event_type""".stripMargin
+
+  // ------------------------------------ #153 fact→SCD2-version attach
+
+  /** #153: fact-to-dimension-version attribution — the CONSUMER of the
+    * #147 SCD2 build: every fact row resolves to the dimension version
+    * valid at its own event time, then rolls up per version (n_events,
+    * the version's value, the last fact inside the interval). This is
+    * the "join facts as-of their own time" step every SCD2 design
+    * exists for — and the plan deliberately avoids the naive interval
+    * join (fact ⋈ version ON eff_from ≤ ts < eff_to), which amplifies
+    * rows and hands the optimizer a range predicate it can only
+    * nested-loop or range-bucket.
+    *
+    * Plan: because versions open exactly at value-change events, ONE
+    * user-partitioned window pass derives each fact's version: flag the
+    * change rows (lag), then the running max of change timestamps IS
+    * the covering version's eff_from (the #70 as-of trick applied to
+    * interval attribution). The follow-up groupBy(user_id, eff_from_s)
+    * needs NO second exchange — HashPartitioning(user_id) already
+    * clusters every (user_id, eff_from_s) group, and Spark's
+    * EnsureRequirements accepts the subset partitioning. One shuffle
+    * total; windows bounded per user.
+    */
+  def scd2Attach(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    eventsS(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_s"), col("value"))
+      .withColumn("prev_v", lag("value", 1).over(byUser))
+      .withColumn("eff_from_s",
+        max(when(col("prev_v").isNull || col("value") =!= col("prev_v"),
+          col("ts_s"))).over(run))
+      .groupBy("user_id", "eff_from_s")
+      .agg(min("value").as("value"), count(lit(1)).as("n_events"),
+        max("ts_s").as("last_ts_s"))
+  }
+
+  val scd2AttachSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, $duckTsS AS ts_s, value FROM events
+       |), w AS (
+       |  SELECT user_id, event_id, ts_s, value,
+       |    CASE WHEN LAG(value) OVER u IS NULL OR value <> LAG(value) OVER u
+       |      THEN ts_s END AS chg_ts
+       |  FROM ev WINDOW u AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+       |), v AS (
+       |  SELECT user_id, ts_s, value,
+       |    MAX(chg_ts) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS eff_from_s
+       |  FROM w
+       |)
+       |SELECT user_id, eff_from_s, MIN(value) AS value,
+       |  COUNT(*) AS n_events, MAX(ts_s) AS last_ts_s
+       |FROM v GROUP BY user_id, eff_from_s""".stripMargin
 }

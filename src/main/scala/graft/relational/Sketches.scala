@@ -1,6 +1,6 @@
 package graft.relational
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{PortableHash, Tables}
@@ -217,4 +217,128 @@ object Sketches {
        |  CAST(bit_count(COALESCE(w.b, 0)) AS INT) AS n_set
        |FROM (SELECT unnest(range(0, $BloomWords)) AS word) r
        |LEFT JOIN w USING (word)""".stripMargin
+
+  // ------------------------------------------------------------------ KMV
+
+  /** KMV sketch size (k minimum values kept per set). */
+  val KmvK = 64
+
+  /** 2^60 — the pHash value space; exactly representable as a double. */
+  private val KmvSpace: Double = 1152921504606846976.0
+
+  /** #154: KMV / theta distinct sketch with SET OPERATIONS — the fourth
+    * fixed-memory sketch, and the one with the capability the other
+    * three lack: HLL registers union but cannot intersect; a KMV sketch
+    * (the k SMALLEST hash values of a set — the theta-sketch family)
+    * supports union (k smallest of the merged k-sets — proven equal to
+    * the sketch of the true union, since any hash in min-k(A∪B) is in
+    * min-k of its own side) AND intersection/Jaccard estimation (the
+    * fraction of the union sketch's members lying in both input
+    * sketches is an unbiased Jaccard estimate — the same estimator
+    * MinHash dedup uses, applied to audience overlap). Here: viewers ∩
+    * purchasers — the overlap question a marketing/e-commerce pipeline
+    * asks of sets too large to intersect exactly.
+    *
+    * Estimators: n̂ = (k−1)·2^60 / h_k (the classic KMV unbiased
+    * estimate; one correctly-rounded division), Ĵ = hits/k (dyadic —
+    * exact), intersection n̂_∩ = Ĵ·n̂_∪ (one multiply). All mirrored in
+    * literal order by the oracle, so the whole report is hash-exact.
+    *
+    * Plan: one scan builds per-user membership flags (map-side-combining
+    * groupBy on user_id); each sketch is ORDER BY hash LIMIT k, which
+    * Spark executes as TakeOrderedAndProject — per-partition k-element
+    * heaps, only k rows per partition ever move (the distributed-build
+    * story: partials ARE sketches and merge by min-k). The union sketch
+    * merges the two k-sets, never re-touching the data. Truth counts
+    * ride the same flags frame. Everything downstream of the heaps is
+    * ≤ 3k rows.
+    */
+  def kmv(spark: SparkSession, dir: String): DataFrame = {
+    val flags = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy("user_id")
+      .agg(
+        max(when(col("event_type") === "view", 1L).otherwise(0L)).as("fa"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("fb"))
+      .withColumn("h", PortableHash.pHash(concat_ws("|", lit("kmv"), col("user_id"))))
+
+    def sketch(f: DataFrame): DataFrame = f.select("h").orderBy("h").limit(KmvK)
+    val skA = sketch(flags.filter(col("fa") === 1))
+    val skB = sketch(flags.filter(col("fb") === 1))
+    // Union sketch from the two k-sets alone (mergeability — the data is
+    // NOT rescanned): distinct because a user can be in both sets.
+    val skU = skA.union(skB).distinct().orderBy("h").limit(KmvK)
+    val hits = skU.join(skA, Seq("h"), "left_semi")
+      .join(skB, Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+
+    // Per-sketch summary (kth = max of the min-k set, n for the exact
+    // regime: a sketch holding FEWER than k hashes has seen the whole
+    // set, so the estimate is the exact count — the standard KMV rule).
+    def summ(df: DataFrame, nm: String): DataFrame =
+      df.agg(max("h").as(s"kth_$nm"), count(lit(1)).as(s"n_$nm"))
+    val truth = flags.agg(
+      sum("fa").as("true_a"), sum("fb").as("true_b"),
+      count(lit(1)).as("true_u"),
+      sum(col("fa") * col("fb")).as("true_i"))
+
+    def est(nm: String): Column =
+      when(col(s"n_$nm") < KmvK, col(s"n_$nm").cast("double"))
+        .otherwise(lit((KmvK - 1).toDouble * KmvSpace) / col(s"kth_$nm").cast("double"))
+    val jEst = col("hits").cast("double") / col("n_u").cast("double")
+
+    summ(skA, "a").crossJoin(broadcast(summ(skB, "b")))
+      .crossJoin(broadcast(summ(skU, "u")))
+      .crossJoin(broadcast(hits))
+      .crossJoin(broadcast(truth))
+      .select(
+        lit(KmvK).as("k"),
+        col("kth_a"), est("a").as("est_a"), col("true_a"),
+        col("kth_b"), est("b").as("est_b"), col("true_b"),
+        col("kth_u"), est("u").as("est_u"), col("true_u"),
+        col("hits"), jEst.as("j_est"),
+        (jEst * est("u")).as("inter_est"),
+        col("true_i"))
+  }
+
+  val kmvSql: String = {
+    val estC = s"(${(KmvK - 1).toDouble} * 1152921504606846976.0)"
+    def est(nm: String) =
+      s"(CASE WHEN n_$nm < $KmvK THEN CAST(n_$nm AS DOUBLE) ELSE $estC / CAST(kth_$nm AS DOUBLE) END)"
+    s"""WITH fl AS (
+       |  SELECT user_id,
+       |    MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS fa,
+       |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS fb,
+       |    ${PortableHash.duck("'kmv|' || user_id")} AS h
+       |  FROM events WHERE event_type IN ('view', 'purchase')
+       |  GROUP BY user_id
+       |),
+       |ska AS (SELECT h FROM fl WHERE fa = 1 ORDER BY h LIMIT $KmvK),
+       |skb AS (SELECT h FROM fl WHERE fb = 1 ORDER BY h LIMIT $KmvK),
+       |sku AS (
+       |  SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL SELECT h FROM skb)
+       |  ORDER BY h LIMIT $KmvK
+       |),
+       |sa AS (SELECT MAX(h) AS kth_a, COUNT(*) AS n_a FROM ska),
+       |sb AS (SELECT MAX(h) AS kth_b, COUNT(*) AS n_b FROM skb),
+       |su AS (SELECT MAX(h) AS kth_u, COUNT(*) AS n_u FROM sku),
+       |hits AS (
+       |  SELECT COUNT(*) AS hits FROM sku
+       |  WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)
+       |),
+       |truth AS (
+       |  SELECT CAST(SUM(fa) AS BIGINT) AS true_a, CAST(SUM(fb) AS BIGINT) AS true_b,
+       |    COUNT(*) AS true_u, CAST(SUM(fa * fb) AS BIGINT) AS true_i
+       |  FROM fl
+       |)
+       |SELECT $KmvK AS k,
+       |  kth_a, ${est("a")} AS est_a, true_a,
+       |  kth_b, ${est("b")} AS est_b, true_b,
+       |  kth_u, ${est("u")} AS est_u, true_u,
+       |  hits,
+       |  CAST(hits AS DOUBLE) / CAST(n_u AS DOUBLE) AS j_est,
+       |  (CAST(hits AS DOUBLE) / CAST(n_u AS DOUBLE)) * ${est("u")} AS inter_est,
+       |  true_i
+       |FROM sa, sb, su, hits, truth""".stripMargin
+  }
 }

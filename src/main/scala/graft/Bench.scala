@@ -69,7 +69,8 @@ object Bench {
     "rdf_infer_chain",
     // round-6 session-5 additions
     "rdf_char_sets", "rdf_bgp_star", "scd2_attach", "sketch_kmv",
-    "text_hash_features", "embed_truncate_eval")
+    "text_hash_features", "embed_truncate_eval",
+    "sample_dsir", "text_pmi_phrases", "embed_binarize_hamming")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

@@ -1,0 +1,91 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Tables, VectorLsh}
+
+/** 1-bit embedding binarization + Hamming retrieval — the extreme end of
+  * the quantization ladder (#86 int8 → #59 PQ → this): keep only the
+  * SIGN of each dimension, packed into two 32-bit sign words per
+  * vector, and retrieve by Hamming distance (XOR + popcount per word
+  * per candidate).
+  * For random-projection-style embeddings sign agreement estimates the
+  * angle (the SimHash/binary-embedding identity: P[bit match] =
+  * 1 − θ/π), which is why binary stores are the cheapest serving tier
+  * real retrieval stacks ship — 8 bytes/vector, SIMD-popcount scans,
+  * exact rerank on the shortlist (#120's pattern).
+  */
+object Binarize {
+
+  /** Word width: 32 sign bits per BIGINT word (two words for the 64
+    * dims). Sub-63 widths keep every mask positive — the same sign-bit
+    * portability rule the Bloom filter's 62-bit words follow (DuckDB
+    * range-checks `1 << 63`; Spark wraps — a full 64-bit word would
+    * diverge).
+    */
+  val BitsPerWord = 32
+
+  /** Packed sign signature of dims [lo+1, lo+BitsPerWord]: bit j set
+    * iff v_{lo+j+1} > 0. A flat 32-term bitwise-OR projection — pure
+    * codegen'd column arithmetic, no HOF lambda, no shuffle
+    * (bit-packing is a map-only ingest step at any scale).
+    */
+  private[ann] def signature(v: Column, lo: Int): Column =
+    (1 to BitsPerWord).map(j =>
+      when(element_at(v, lo + j) > 0.0, lit(1L << (j - 1))).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+
+  /** #159: per-query Hamming top-K over the packed signatures (rank by
+    * (distance ASC, vec_id ASC) — total order). Queries broadcast; the
+    * data side scans two sign words per vector; the two-phase salted heaps
+    * bound every window at K·NSalt rows (the #29 discipline). The
+    * signature column is computed inline here; a production store
+    * computes it once at ingest and scans the packed column.
+    */
+  def hammingTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), signature(col("v"), 0).as("sig_lo"),
+        signature(col("v"), BitsPerWord).as("sig_hi"))
+    val q = e.filter(col("vec_id") % Ann.QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("sig_lo").as("q_lo"),
+        col("sig_hi").as("q_hi"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("hamming",
+        expr("bit_count(sig_lo ^ q_lo) + bit_count(sig_hi ^ q_hi)"))
+      .withColumn("salt", pmod(col("vec_id"), lit(Ann.NSalt)))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy("q_id", "salt")
+          .orderBy(col("hamming").asc, col("vec_id").asc)))
+      .filter(col("prank") <= Ann.K)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("hamming").asc, col("vec_id").asc)))
+      .filter(col("rank") <= Ann.K)
+      .select("q_id", "vec_id", "hamming", "rank")
+  }
+
+  val hammingTopKSql: String = {
+    def sig(lo: Int) =
+      s"""list_reduce(list_transform(range(1, ${BitsPerWord + 1}),
+      j -> CASE WHEN v[$lo + j] > 0.0 THEN (1::BIGINT << CAST(j - 1 AS INT)) ELSE 0::BIGINT END),
+      (a, b) -> a | b)"""
+    val ham = "bit_count(xor(e.sig_lo, q.sig_lo)) + bit_count(xor(e.sig_hi, q.sig_hi))"
+    s"""WITH ve AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), sg AS (
+       |  SELECT vec_id, ${sig(0)} AS sig_lo, ${sig(BitsPerWord)} AS sig_hi FROM ve
+       |)
+       |SELECT q_id, vec_id, hamming, rank FROM (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+       |    CAST($ham AS INT) AS hamming,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |      $ham ASC, e.vec_id ASC) AS INT) AS rank
+       |  FROM sg q JOIN sg e ON e.vec_id <> q.vec_id
+       |  WHERE q.vec_id % ${Ann.QueryMod} = 0
+       |) WHERE rank <= ${Ann.K}""".stripMargin
+  }
+}

@@ -78,4 +78,93 @@ object Features {
        |SELECT slot, COUNT(*) AS n_occ, COUNT(DISTINCT feat) AS n_feats,
        |  CAST(SUM(sign) AS BIGINT) AS signed_sum
        |FROM slotted GROUP BY slot""".stripMargin
+
+  // ----------------------------------------------- #158 PMI collocations
+
+  /** Minimum pair frequency before a bigram is PMI-eligible (the
+    * standard low-count guard: PMI of a hapax pair is pure noise).
+    */
+  val PmiMinCount = 5
+
+  /** Collocations reported. */
+  val PmiTopN = 20
+
+  /** #158: PMI collocation mining — the top word pairs by pointwise
+    * mutual information log(N·c(w1w2) / (c(w1)·c(w2))): the phrase
+    * detector behind word2vec's phrase pass and every "New_York"-style
+    * tokenizer vocabulary decision, and the association score behind
+    * corpus n-gram analysis. PMI rewards pairs that co-occur far above
+    * the independence baseline; the [[PmiMinCount]] floor removes the
+    * hapax noise PMI is notorious for.
+    *
+    * Exactness: one transcendental over one correctly-rounded ratio of
+    * exact integer products (c_pair·N and c1·c2 stay below 2^53 until
+    * corpus unigram counts pass ~9e7 per word — quantize the counts
+    * first beyond that), grid-quantized at scale 6; ranking is over the
+    * quantized value with a (w1, w2) tiebreak — a total order, so the
+    * top-N is engine-exact.
+    *
+    * Plan: unigram and bigram counts are two map-side-combining
+    * aggregates keyed on the word/pair (vocabulary-bounded); the
+    * count-floor filter shrinks the pair frame BEFORE the two
+    * vocabulary-keyed count joins; top-N is TakeOrderedAndProject
+    * (per-partition heaps — the #63 discipline), ranked post-limit.
+    */
+  def pmiPhrases(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(trim(col("text")), "\\s+")
+    val docs = Tables.documents(spark, dir).select(ws.as("ws"))
+    val uni = docs.select(explode(col("ws")).as("w"))
+    val cw = uni.groupBy("w").agg(count(lit(1)).as("cu"))
+    val n = uni.agg(count(lit(1)).as("n"))
+    val pairs = zip_with(
+      slice(col("ws"), lit(1), size(col("ws")) - 1),
+      slice(col("ws"), lit(2), size(col("ws")) - 1),
+      (x, y) => struct(x.as("w1"), y.as("w2")))
+    val cb = docs.filter(size(col("ws")) >= 2)
+      .select(explode(pairs).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_pair"))
+      .filter(col("c_pair") >= PmiMinCount)
+    cb.join(cw.withColumnRenamed("w", "w1").withColumnRenamed("cu", "c1"), "w1")
+      .join(cw.withColumnRenamed("w", "w2").withColumnRenamed("cu", "c2"), "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("pmi", graft.core.Exact.roundS(
+        log((col("c_pair") * col("n")).cast("double") /
+          (col("c1") * col("c2")).cast("double")), 6))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(PmiTopN)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)))
+      .select("w1", "w2", "c_pair", "c1", "c2", "pmi", "rnk")
+  }
+
+  val pmiPhrasesSql: String =
+    s"""WITH d AS (
+       |  SELECT regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents
+       |), uni AS (
+       |  SELECT unnest(ws) AS w FROM d
+       |), cw AS (
+       |  SELECT w, COUNT(*) AS cu FROM uni GROUP BY w
+       |), n AS (
+       |  SELECT COUNT(*) AS n FROM uni
+       |), cb AS (
+       |  SELECT w1, w2, COUNT(*) AS c_pair FROM (
+       |    SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+       |      unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+       |    FROM d WHERE len(ws) >= 2
+       |  ) GROUP BY w1, w2 HAVING COUNT(*) >= $PmiMinCount
+       |), scored AS (
+       |  SELECT w1, w2, c_pair, c1.cu AS c1, c2.cu AS c2,
+       |    ${graft.core.Exact.duckRoundS(
+             "ln(CAST(c_pair * n AS DOUBLE) / CAST(c1.cu * c2.cu AS DOUBLE))", 6)} AS pmi
+       |  FROM cb
+       |  JOIN cw c1 ON c1.w = cb.w1
+       |  JOIN cw c2 ON c2.w = cb.w2
+       |  CROSS JOIN n
+       |)
+       |SELECT w1, w2, c_pair, c1, c2, pmi,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS INT) AS rnk
+       |FROM scored
+       |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT $PmiTopN""".stripMargin
 }

@@ -70,7 +70,8 @@ object Bench {
     // round-6 session-5 additions
     "rdf_char_sets", "rdf_bgp_star", "scd2_attach", "sketch_kmv",
     "text_hash_features", "embed_truncate_eval",
-    "sample_dsir", "text_pmi_phrases", "embed_binarize_hamming")
+    "sample_dsir", "text_pmi_phrases", "embed_binarize_hamming",
+    "graph_lpa", "basket_rules", "dedup_incremental")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

@@ -555,4 +555,73 @@ object Dedup {
        |WHERE ${fold("a.v[i] * b.v[i]")} /
        |    (sqrt(${fold("a.v[i] * a.v[i]")}) * sqrt(${fold("b.v[i] * b.v[i]")})) >= $CosineTau""".stripMargin
   }
+
+  // --------------------------------------------- #162 incremental dedup
+
+  /** Deterministic base/batch split: pHash(doc_id) % 10 — 8/10 of the
+    * corpus plays the ALREADY-INGESTED base, the rest the arriving
+    * batch. A real feed supplies the same two-corpus shape.
+    */
+  val IncrBaseMod = 10
+  val IncrBaseKeep = 8
+
+  /** #162: INCREMENTAL (append-mode) exact dedup — the contract a daily
+    * ingest actually runs: the base corpus is already deduplicated and
+    * IMMUTABLE (its verdicts never flip — the append-stability rule the
+    * sampling ops follow), and the question is only which NEW documents
+    * duplicate the base or each other. Each batch doc reports its
+    * verdict: `dup_of_base` (earliest base doc with the same normalized
+    * hash), else `dup_of_batch` (earliest batch doc, self excluded),
+    * else unique — `keep` marks batch docs a dedup sink would ingest.
+    *
+    * Scale: one hash-keyed left join of the BATCH (small, arriving)
+    * side against the base hash index — the index is the materialized
+    * artifact an ingest pipeline maintains (at 1e9+ base docs: bucketed
+    * by hash on disk, or a #128 Bloom prefilter in front so only
+    * probable hits pay the join); batch-internal dups collapse in one
+    * hash-keyed window bounded per hash group. The full corpus is
+    * never rescanned — work scales with the batch, not the base.
+    */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("h"),
+        (PortableHash.pHash(concat(lit("inc|"), col("doc_id"))) % IncrBaseMod)
+          .as("m"))
+    val base = hashed.filter(col("m") < IncrBaseKeep)
+      .groupBy("h").agg(min("doc_id").as("dup_of_base"))
+    val batch = hashed.filter(col("m") >= IncrBaseKeep)
+    val wHash = Window.partitionBy("h").orderBy("doc_id")
+    batch
+      .withColumn("first_in_batch", min("doc_id").over(
+        wHash.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(base, Seq("h"), "left")
+      .select(col("doc_id"), col("h"),
+        col("dup_of_base"),
+        when(col("first_in_batch") < col("doc_id"), col("first_in_batch"))
+          .as("dup_of_batch"))
+      .withColumn("keep",
+        col("dup_of_base").isNull && col("dup_of_batch").isNull)
+  }
+
+  val incrementalSql: String =
+    s"""WITH hashed AS (
+       |  SELECT doc_id, md5(lower(trim(text))) AS h,
+       |    ${PortableHash.duck("'inc|' || doc_id")} % $IncrBaseMod AS m
+       |  FROM documents
+       |), base AS (
+       |  SELECT h, MIN(doc_id) AS dup_of_base FROM hashed
+       |  WHERE m < $IncrBaseKeep GROUP BY h
+       |), batch AS (
+       |  SELECT doc_id, h,
+       |    MIN(doc_id) OVER (PARTITION BY h ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS first_in_batch
+       |  FROM hashed WHERE m >= $IncrBaseKeep
+       |)
+       |SELECT b.doc_id, b.h, base.dup_of_base,
+       |  CASE WHEN b.first_in_batch < b.doc_id THEN b.first_in_batch END
+       |    AS dup_of_batch,
+       |  base.dup_of_base IS NULL AND
+       |    (CASE WHEN b.first_in_batch < b.doc_id THEN b.first_in_batch END)
+       |    IS NULL AS keep
+       |FROM batch b LEFT JOIN base USING (h)""".stripMargin
 }

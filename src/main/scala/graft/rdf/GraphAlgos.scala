@@ -509,6 +509,87 @@ object GraphAlgos {
        |SELECT id, CAST(lbl AS BIGINT) AS lbl FROM l$WccIters""".stripMargin
   }
 
+  // ------------------------------------------- #160 label propagation
+
+  val LpaIters = 3
+
+  /** One synchronous LPA round: lbl'(v) = the most frequent label among
+    * v's neighbors, ties to the smallest label (isolated vertices keep
+    * their own). The vote count is a (dst, lbl)-keyed map-side-combining
+    * aggregate; the per-vertex argmax is ONE more aggregate via
+    * max(struct(count, −label)) — struct ordering gives max-count-then-
+    * min-label without a window, so nothing sorts and both combines are
+    * partial. Deterministic: integer counts + a total tie order.
+    */
+  private[rdf] def lpaStep(l: DataFrame, e: DataFrame): DataFrame = {
+    val votes = e.join(l, e("src") === l("id"))
+      .groupBy(col("dst").as("id"), col("lbl"))
+      .agg(count(lit(1)).as("c"))
+    val best = votes.groupBy("id")
+      .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+      .select(col("id"), (-col("m.nl")).as("nm"))
+    l.join(best, Seq("id"), "left")
+      .select(col("id"), coalesce(col("nm"), col("lbl")).as("lbl"))
+  }
+
+  /** #160: community detection by synchronous label propagation
+    * (Raghavan et al. 2007) over the undirected entity graph — the
+    * third member of the label-propagation family: #116 propagates MIN
+    * (components — pure reachability), #144 propagates MIN distance
+    * (hops), LPA propagates the MAJORITY label, which respects edge
+    * DENSITY and so finds communities, the structure behind domain
+    * clustering, spam-ring grouping and graph-partitioning heuristics.
+    * Made deterministic (and thus oracle-checkable — classic LPA is
+    * run-order-dependent) by synchronous rounds + the total
+    * (count DESC, label ASC) vote order. [[LpaIters]] unrolled rounds =
+    * the oracle-checkable prefix, the #83/#116 pattern.
+    *
+    * Scale: same per-round shape as WCC — the symmetrized edge set is
+    * partitioned by src once and reused; per round only the (id, lbl)
+    * frame shuffles, votes combine map-side onto (dst, lbl) (bounded by
+    * the per-partition distinct labels in a neighborhood, not edges),
+    * and the argmax is a second map-side-combining aggregate, not a
+    * window. localCheckpoint per round (the house lineage discipline).
+    */
+  def lpa(spark: SparkSession, dir: String): DataFrame = {
+    val e = undirected(spark, dir)
+    val l0 = Dict.entities(spark, dir).select(col("id"), col("id").as("lbl"))
+    (1 to LpaIters).foldLeft(l0) { (l, k) =>
+      cache.getOrElseUpdate((spark, dir, s"lpa$k"))(
+        lpaStep(l, e).localCheckpoint(false))
+    }
+  }
+
+  val lpaSql: String = {
+    def round(k: Int): String = {
+      val prev = s"p${k - 1}"
+      s"""v$k AS (
+         |  SELECT e.dst AS id, p.lbl, COUNT(*) AS c
+         |  FROM ue e JOIN $prev p ON p.id = e.src GROUP BY 1, 2
+         |),
+         |b$k AS (
+         |  SELECT id, lbl AS nm FROM (
+         |    SELECT id, lbl, ROW_NUMBER() OVER (
+         |      PARTITION BY id ORDER BY c DESC, lbl ASC) AS r
+         |    FROM v$k
+         |  ) WHERE r = 1
+         |),
+         |p$k AS MATERIALIZED (
+         |  SELECT l.id, COALESCE(b.nm, l.lbl) AS lbl
+         |  FROM $prev l LEFT JOIN b$k b USING (id)
+         |)""".stripMargin
+    }
+    s"""${Dict.preludeCtes},
+       |ue AS MATERIALIZED (
+       |  SELECT sid AS src, oid AS dst FROM encoded
+       |  UNION
+       |  SELECT oid, sid FROM encoded
+       |),
+       |p0 AS MATERIALIZED (SELECT id, id AS lbl FROM entities),
+       |${(1 to LpaIters).map(round).mkString(",\n")}
+       |SELECT id, CAST(lbl AS BIGINT) AS lbl FROM p$LpaIters""".stripMargin
+  }
+
   val degreeDistSql: String =
     s"""${Dict.preludeCtes},
        |edges AS MATERIALIZED (SELECT DISTINCT sid, oid FROM encoded),

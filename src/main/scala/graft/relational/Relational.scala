@@ -199,4 +199,103 @@ object Relational {
        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
        |GROUP BY 1, 2
        |ORDER BY n_orders DESC, p1, p2 LIMIT 20""".stripMargin
+
+  // ------------------------------------------ #161 association rules
+
+  /** Minimum pair support before a rule is scored (the Apriori support
+    * floor: a rule observed once is noise).
+    */
+  val RuleMinSupport = 2
+
+  val RuleTopN = 20
+
+  /** #161: association RULES over the co-purchase pairs — the classic
+    * market-basket analysis output (Agrawal & Srikant's Apriori
+    * contract at itemset size 2): each supported pair {A,B} yields the
+    * directed rules A→B and B→A with confidence c(AB)/c(A) and lift
+    * N·c(AB)/(c(A)·c(B)) — the "customers who bought A also bought B"
+    * score with the independence baseline divided out (lift > 1 = a
+    * real association, not popularity). #93 reports raw pair counts;
+    * this is the inferential layer on top.
+    *
+    * Exactness: confidence and lift are single correctly-rounded
+    * divisions over exact integer counts/products (no transcendental,
+    * no quantization needed); ranking by (lift DESC, ante, cons) is a
+    * total order, so the top-N is engine-exact.
+    *
+    * Plan: the distinct (order, part) frame feeds pair counts (the #93
+    * per-basket generation — fan-out bounded by basket size) and item
+    * counts (one part-keyed map-side-combining aggregate); N is a
+    * one-row broadcast scalar. The support floor shrinks the pair
+    * frame BEFORE the two item-count joins; directed rules double only
+    * the surviving pairs; top-N is TakeOrderedAndProject heaps with a
+    * post-limit rank.
+    */
+  def basketRules(spark: SparkSession, dir: String): DataFrame = {
+    val lp = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairCnt = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(filter(
+        flatten(transform(col("ps"), x =>
+          transform(col("ps"), y => struct(x.as("p1"), y.as("p2"))))),
+        s => s.getField("p1") < s.getField("p2"))).as("pair"))
+      .groupBy(col("pair.p1").as("p1"), col("pair.p2").as("p2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= RuleMinSupport)
+    val itemCnt = lp.groupBy(col("l_partkey").as("p"))
+      .agg(count(lit(1)).as("n_item"))
+    val n = lp.select("l_orderkey").distinct().agg(count(lit(1)).as("n"))
+    val rules = pairCnt.select(explode(array(
+        struct(col("p1").as("ante"), col("p2").as("cons"), col("n_pair")),
+        struct(col("p2").as("ante"), col("p1").as("cons"), col("n_pair"))))
+        .as("r"))
+      .select(col("r.ante").as("ante"), col("r.cons").as("cons"),
+        col("r.n_pair").as("n_pair"))
+      .join(itemCnt.select(col("p").as("ante"), col("n_item").as("n_ante")), "ante")
+      .join(itemCnt.select(col("p").as("cons"), col("n_item").as("n_cons")), "cons")
+      .crossJoin(broadcast(n))
+      .select(col("ante"), col("cons"), col("n_pair"), col("n_ante"),
+        col("n_cons"),
+        (col("n_pair").cast("double") / col("n_ante").cast("double")).as("conf"),
+        ((col("n_pair") * col("n")).cast("double") /
+          (col("n_ante") * col("n_cons")).cast("double")).as("lift"))
+    rules
+      .orderBy(col("lift").desc, col("ante").asc, col("cons").asc)
+      .limit(RuleTopN)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("lift").desc, col("ante").asc, col("cons").asc)))
+  }
+
+  val basketRulesSql: String =
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pc AS (
+       |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_pair
+       |  FROM lp a JOIN lp b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $RuleMinSupport
+       |),
+       |ic AS (SELECT l_partkey AS p, COUNT(*) AS n_item FROM lp GROUP BY 1),
+       |nn AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM lp),
+       |rules AS (
+       |  SELECT ante, cons, n_pair,
+       |    ia.n_item AS n_ante, ic2.n_item AS n_cons,
+       |    CAST(n_pair AS DOUBLE) / CAST(ia.n_item AS DOUBLE) AS conf,
+       |    CAST(n_pair * n AS DOUBLE) /
+       |      CAST(ia.n_item * ic2.n_item AS DOUBLE) AS lift
+       |  FROM (
+       |    SELECT p1 AS ante, p2 AS cons, n_pair FROM pc
+       |    UNION ALL
+       |    SELECT p2, p1, n_pair FROM pc
+       |  )
+       |  JOIN ic ia ON ia.p = ante
+       |  JOIN ic ic2 ON ic2.p = cons
+       |  CROSS JOIN nn
+       |)
+       |SELECT ante, cons, n_pair, n_ante, n_cons, conf, lift,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, ante ASC, cons ASC) AS INT) AS rnk
+       |FROM rules
+       |ORDER BY lift DESC, ante ASC, cons ASC LIMIT $RuleTopN""".stripMargin
 }

@@ -1,0 +1,50 @@
+package graft.relational
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.core.Tables
+
+/** Association-rule guarantees beyond the oracle: the full top-20 rule
+  * table matches a driver recomputation from the raw baskets, and the
+  * rule metrics respect their defining identities.
+  */
+class BasketRulesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("top-20 rules match a driver recompute; metric identities hold") {
+    val got = Relational.basketRules(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long, Long, Double, Double, Int)].collect()
+
+    val lp = Tables.lineitem(spark, TestSpark.sf)
+      .select("l_orderkey", "l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val byOrder = lp.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val pairCnt = byOrder.values.flatMap(ps =>
+        for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j)))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= Relational.RuleMinSupport).toMap
+    val itemCnt = lp.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = byOrder.size.toLong
+    val rules = pairCnt.toSeq.flatMap { case ((a, b), c) =>
+      Seq((a, b, c), (b, a, c)) }
+      .map { case (ante, cons, c) =>
+        val (na, nc) = (itemCnt(ante), itemCnt(cons))
+        (ante, cons, c, na, nc, c.toDouble / na.toDouble,
+          (c * n).toDouble / (na * nc).toDouble)
+      }
+    val exp = rules.sortBy { case (a, c2, _, _, _, _, lift) => (-lift, a, c2) }
+      .take(Relational.RuleTopN).zipWithIndex
+      .map { case ((a, c2, np, na, nc, conf, lift), i) =>
+        (a, c2, np, na, nc, conf, lift, i + 1) }
+
+    assert(got.sortBy(_._8).toSeq == exp, "rule table vs driver recompute")
+    got.foreach { case (_, _, np, na, nc, conf, lift, _) =>
+      assert(np >= Relational.RuleMinSupport && np <= na && np <= nc)
+      assert(conf > 0.0 && conf <= 1.0)
+      assert(lift > 0.0)
+    }
+  }
+}

@@ -177,23 +177,42 @@ object Sketches {
   def bloom(spark: SparkSession, dir: String): DataFrame =
     bloomOf(Tables.documents(spark, dir))
 
-  /** Filter state for any frame carrying `text` (spec shards reuse). */
-  private[graft] def bloomOf(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    val words = docs
-      .select(md5(lower(trim(col("text")))).as("e")).distinct()
+  /** (word, mask) bit rows of a document frame — the per-element explode
+    * shared by the batch build (which dedups elements first: fewer rows
+    * to OR) and the STREAMING build (which deliberately does NOT dedup:
+    * OR is idempotent, so duplicate elements cost a little work and
+    * change nothing — which is also why the streaming state needs no
+    * dropDuplicates buffer; see
+    * [[graft.streaming.DocStreams.bloomState]]).
+    */
+  private[graft] def bloomElements(docs: DataFrame): DataFrame =
+    docs.select(md5(lower(trim(col("text")))).as("e"))
+
+  private[graft] def bloomMasks(el: DataFrame): DataFrame =
+    el
       .select(explode(array((0 until BloomK).map { j =>
         PortableHash.pHash(concat(lit(s"bf$j|"), col("e"))) % BloomM
       }: _*)).as("bit"))
       .select(expr(s"bit DIV $BloomBitsPerWord").as("word"),
         expr(s"shiftleft(CAST(1 AS BIGINT), CAST(bit % $BloomBitsPerWord AS INT))")
           .as("mask"))
-      .groupBy("word").agg(expr("bit_or(mask)").as("b"))
+
+  /** Complete the occupied-word OR state to the full fixed-width word
+    * table (empty words = 0) + the popcount column.
+    */
+  private[graft] def bloomComplete(occupied: DataFrame): DataFrame = {
+    val spark = occupied.sparkSession
     spark.range(BloomWords).toDF("word")
-      .join(words, Seq("word"), "left")
+      .join(occupied, Seq("word"), "left")
       .select(col("word"), coalesce(col("b"), lit(0L)).as("bits"))
       .withColumn("n_set", expr("bit_count(bits)"))
   }
+
+  /** Filter state for any frame carrying `text` (spec shards reuse). */
+  private[graft] def bloomOf(docs: DataFrame): DataFrame =
+    bloomComplete(
+      bloomMasks(bloomElements(docs).distinct())
+        .groupBy("word").agg(expr("bit_or(mask)").as("b")))
 
   /** The k bit positions of one element (driver-side; spec probes). */
   private[graft] def bloomBits(e: String): Seq[(Long, Long)] =

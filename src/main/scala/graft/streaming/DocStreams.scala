@@ -57,6 +57,38 @@ object DocStreams {
           Exact.decSum(col("quality")).as("sum_quality")),
       "graft_stream_qfilter")
 
+  // --------------------------------------------- #163 streaming Bloom
+
+  /** The streaming aggregate under test, exposed for the MemoryStream
+    * spec: per-word bit_or of the element bit masks. DELIBERATELY no
+    * dropDuplicates stage — OR is idempotent, so repeated elements
+    * (dup documents, at-least-once replays) re-set already-set bits and
+    * change nothing, which is exactly why this state needs no dedup
+    * buffer where `streaming_dedup` does.
+    */
+  def bloomWords(docs: DataFrame): DataFrame =
+    graft.relational.Sketches.bloomMasks(
+        graft.relational.Sketches.bloomElements(docs))
+      .groupBy("word").agg(expr("bit_or(mask)").as("b"))
+
+  /** #163: the #128 Bloom membership filter as CONTINUOUSLY-MAINTAINED
+    * streaming state — the live decontamination/cross-corpus-membership
+    * filter updated as the corpus streams in (the OTHER side of the
+    * sketch-merge family: Count-Min merges by SUM, HLL by MAX, Bloom by
+    * OR — idempotent AND commutative, so micro-batch partials, shard
+    * unions and at-least-once replays all combine exactly; ≤
+    * [[graft.relational.Sketches.BloomWords]] rows of state forever,
+    * unbounded-safe without a watermark). The word table is completed
+    * to the full fixed width batch-side (a sink read), and the emitted
+    * state is bit-for-bit the batch filter's — proven by the shared
+    * oracle.
+    */
+  def bloomState(spark: SparkSession, dir: String): DataFrame =
+    graft.relational.Sketches.bloomComplete(
+      runToMemory(bloomWords(docStream(spark, dir)), "graft_stream_bloom"))
+
+  val bloomStateSql: String = graft.relational.Sketches.bloomSql
+
   val qualityFilterSql: String =
     s"""WITH d AS (
        |  SELECT source, n_chars, regexp_split_to_array(trim(text), '\\s+') AS ws

@@ -450,4 +450,35 @@ class StreamingSpec extends AnyFunSuite {
       assert(head(t) == ((t, n, mean, std, mean - 3.0 * std, mean + 3.0 * std)))
     }
   }
+
+  test("Bloom word state ORs across batches, absorbs replays, and equals " +
+    "the batch filter on the union") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Doc]
+    val q = DocStreams.bloomWords(stream.toDF())
+      .writeStream.format("memory").queryName("spec_sbloom")
+      .outputMode("complete").start()
+    val d1 = Seq(Doc(1, "s", "alpha beta", 10), Doc(2, "s", "gamma", 5))
+    stream.addData(d1: _*)
+    q.processAllAvailable()
+    val afterFirst = spark.table("spec_sbloom")
+      .as[(Long, Long)].collect().toMap
+    // batch 2 REPLAYS doc 1 verbatim (at-least-once) and adds one new doc
+    val d2 = Seq(Doc(1, "s", "alpha beta", 10), Doc(3, "s", "delta", 5))
+    stream.addData(d2: _*)
+    q.processAllAvailable()
+    val got = spark.table("spec_sbloom").as[(Long, Long)].collect().toMap
+    q.stop()
+    // OR-state only grows, and a replay alone would not have grown it
+    afterFirst.foreach { case (w, b) =>
+      assert((got.getOrElse(w, 0L) & b) == b, "bits never clear")
+    }
+    // equals the batch build over the union (idempotence absorbed the replay)
+    val batch = graft.relational.Sketches
+      .bloomOf((d1 ++ d2).toDF())
+      .as[(Long, Long, Int)].collect()
+      .filter(_._2 != 0L).map(r => r._1 -> r._2).toMap
+    assert(got == batch, "streamed OR state == batch filter state")
+  }
 }

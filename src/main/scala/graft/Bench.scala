@@ -71,7 +71,8 @@ object Bench {
     "rdf_char_sets", "rdf_bgp_star", "scd2_attach", "sketch_kmv",
     "text_hash_features", "embed_truncate_eval",
     "sample_dsir", "text_pmi_phrases", "embed_binarize_hamming",
-    "graph_lpa", "basket_rules", "dedup_incremental")
+    "graph_lpa", "basket_rules", "dedup_incremental",
+    "dq_checks", "join_fuzzy")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

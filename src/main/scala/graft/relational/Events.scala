@@ -404,6 +404,103 @@ object Events {
        |  MAX(vi) / 100.0 AS v_max
        |FROM cum GROUP BY event_type""".stripMargin
 
+  // --------------------------------------------- #166 MAD robust anomaly
+
+  /** Robust-z cutoff: 3·1.4826 (the MAD→σ consistency constant for a
+    * normal), folded to one literal double interpolated verbatim into
+    * the oracle.
+    */
+  val MadCut = 3.0 * 1.4826
+
+  /** #166: MAD-based robust anomaly report — the ROBUST sibling of the
+    * #97 3σ monitor: mean/σ are themselves dragged by the outliers they
+    * hunt (one 1e9 value inflates σ until nothing else flags); median
+    * and MAD (median absolute deviation) have breakdown point 50%, so
+    * the robust z-score |v − med| > 3·1.4826·MAD is the production
+    * choice for skewed/contaminated value streams. Exact, via the #108
+    * fixed-grid histogram method applied TWICE: the value histogram
+    * yields each type's median (integer nearest-rank), the deviation
+    * histogram — |vi − med_i| in integer grid cells, derived from the
+    * SAME histogram, not a second data scan — yields the MAD, and the
+    * outlier count is one conditional sum over the bounded histogram.
+    *
+    * Scale: the events scan happens ONCE (the grid histogram); every
+    * later stage operates on the (type, cell) frame — bounded by value
+    * range / grid, not event count — with cum windows partitioned per
+    * type. The cutoff multiply is one correctly-rounded op mirrored
+    * literally; everything else is integer arithmetic.
+    */
+  def madAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") * 100.0 + lit(0.5)).cast("long").as("vi"))
+      .groupBy("event_type", "vi").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("event_type").orderBy("vi")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    val med = hist
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wAll))
+      .groupBy("event_type")
+      .agg(max("n").as("n_events"),
+        min(when(col("cum") >= expr("(n * 50 + 99) DIV 100"), col("vi")))
+          .as("med_i"))
+    val dev = hist.join(med, "event_type")
+      .groupBy(col("event_type"), abs(col("vi") - col("med_i")).as("di"))
+      .agg(sum("c").as("c"))
+    val wDev = Window.partitionBy("event_type").orderBy("di")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mad = dev
+      .withColumn("cum", sum("c").over(wDev))
+      .withColumn("n", sum("c").over(wAll))
+      .groupBy("event_type")
+      .agg(min(when(col("cum") >= expr("(n * 50 + 99) DIV 100"), col("di")))
+        .as("mad_i"))
+    hist.join(med, "event_type").join(mad, "event_type")
+      .groupBy(col("event_type"), col("n_events"), col("med_i"), col("mad_i"))
+      .agg(sum(when(abs(col("vi") - col("med_i")).cast("double") >
+          lit(MadCut) * col("mad_i").cast("double"), col("c")).otherwise(0L))
+        .as("n_outliers"))
+      .select(col("event_type"), col("n_events"),
+        (col("med_i") / 100.0).as("med"), (col("mad_i") / 100.0).as("mad"),
+        col("n_outliers"))
+  }
+
+  val madAnomalySql: String =
+    s"""WITH h AS (
+       |  SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vi,
+       |    COUNT(*) AS c
+       |  FROM events GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT event_type, vi, c,
+       |    SUM(c) OVER (PARTITION BY event_type ORDER BY vi) AS cum,
+       |    SUM(c) OVER (PARTITION BY event_type) AS n
+       |  FROM h
+       |), med AS (
+       |  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+       |    MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN vi END) AS med_i
+       |  FROM cum GROUP BY event_type
+       |), dev AS (
+       |  SELECT h.event_type, abs(h.vi - med.med_i) AS di, SUM(h.c) AS c
+       |  FROM h JOIN med USING (event_type) GROUP BY 1, 2
+       |), dcum AS (
+       |  SELECT event_type, di, c,
+       |    SUM(c) OVER (PARTITION BY event_type ORDER BY di) AS cum,
+       |    SUM(c) OVER (PARTITION BY event_type) AS n
+       |  FROM dev
+       |), mad AS (
+       |  SELECT event_type,
+       |    MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN di END) AS mad_i
+       |  FROM dcum GROUP BY event_type
+       |)
+       |SELECT h.event_type, med.n_events,
+       |  med.med_i / 100.0 AS med, mad.mad_i / 100.0 AS mad,
+       |  CAST(SUM(CASE WHEN CAST(abs(h.vi - med.med_i) AS DOUBLE) >
+       |    $MadCut * CAST(mad.mad_i AS DOUBLE) THEN h.c ELSE 0 END) AS BIGINT)
+       |    AS n_outliers
+       |FROM h JOIN med USING (event_type) JOIN mad USING (event_type)
+       |GROUP BY 1, 2, 3, 4""".stripMargin
+
   // --------------------------------------------------- #148 CUBE lattice
 
   /** #148: CUBE over (event_type, day) — the full grouping-sets LATTICE

@@ -83,6 +83,95 @@ object DataQuality {
       .withColumn("pass", col("n_violations") === 0L)
   }
 
+  /** #167: per-column PROFILING (the Deequ analyzer / dataset-statistics
+    * report): for each registered column — completeness (null count),
+    * exact distinct cardinality, and for numerics min/max plus an
+    * order-independent quantized mean. The artifact that feeds schema
+    * docs, drift monitors (diff two profiles), and the constraint
+    * suggestions #164's checks start from.
+    *
+    * Scale shape: ONE aggregate pass per table computes every column's
+    * metrics together (Spark plans the multiple distinct-counts via one
+    * Expand — the table is still scanned once); output is one row per
+    * profiled column, bounded by the schema. Mean sums are quantized at
+    * a per-column scale chosen so |x|·10^s stays inside 2^53 at realistic
+    * magnitudes (prices at cents, ratios at 1e-6).
+    */
+  def dqProfile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Exact
+    // (table, frame, numeric: (col, decSum scale), categorical: cols)
+    val specs: Seq[(String, DataFrame, Seq[(String, Int)], Seq[String])] = Seq(
+      ("lineitem", Tables.lineitem(spark, dir),
+        Seq("l_quantity" -> 2, "l_extendedprice" -> 2, "l_discount" -> 6),
+        Seq("l_returnflag")),
+      ("orders", Tables.orders(spark, dir),
+        Seq("o_totalprice" -> 2), Seq("o_orderstatus", "o_orderpriority")),
+      ("customer", Tables.customer(spark, dir),
+        Seq("c_acctbal" -> 2), Seq("c_mktsegment")),
+      ("documents", Tables.documents(spark, dir),
+        Seq("n_chars" -> 0), Seq("lang", "source")))
+
+    specs.map { case (tbl, df, nums, cats) =>
+      val aggs =
+        nums.flatMap { case (c, s) => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
+          countDistinct(col(c)).as(s"${c}_nd"),
+          min(col(c)).cast("double").as(s"${c}_min"),
+          max(col(c)).cast("double").as(s"${c}_max"),
+          Exact.decSum(col(c).cast("double"), s).as(s"${c}_sum"))
+        } ++
+        cats.flatMap { c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
+          countDistinct(col(c)).as(s"${c}_nd"))
+        }
+      val pass = df.agg(count(lit(1)).as("n"), aggs: _*)
+      val rows =
+        nums.map { case (c, _) =>
+          pass.select(lit(tbl).as("table_name"), lit(c).as("column_name"),
+            col("n").as("n_rows"), col(s"${c}_nn").as("n_null"),
+            col(s"${c}_nd").as("n_distinct"),
+            col(s"${c}_min").as("min_v"), col(s"${c}_max").as("max_v"),
+            (col(s"${c}_sum") / col("n")).as("mean_v"))
+        } ++
+        cats.map { c =>
+          pass.select(lit(tbl).as("table_name"), lit(c).as("column_name"),
+            col("n").as("n_rows"), col(s"${c}_nn").as("n_null"),
+            col(s"${c}_nd").as("n_distinct"),
+            lit(null).cast("double").as("min_v"),
+            lit(null).cast("double").as("max_v"),
+            lit(null).cast("double").as("mean_v"))
+        }
+      rows.reduce(_ unionByName _)
+    }.reduce(_ unionByName _)
+  }
+
+  val dqProfileSql: String = {
+    import graft.core.Exact
+    def num(tbl: String, c: String, s: Int) =
+      s"""SELECT '$tbl' AS table_name, '$c' AS column_name,
+         |  COUNT(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS DOUBLE) AS min_v, CAST(MAX($c) AS DOUBLE) AS max_v,
+         |  ${Exact.duckSum(s"CAST($c AS DOUBLE)", s)} / COUNT(*) AS mean_v
+         |FROM $tbl""".stripMargin
+    def cat(tbl: String, c: String) =
+      s"""SELECT '$tbl', '$c', COUNT(*),
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         |  COUNT(DISTINCT $c),
+         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+         |FROM $tbl""".stripMargin
+    Seq(
+      num("lineitem", "l_quantity", 2), num("lineitem", "l_extendedprice", 2),
+      num("lineitem", "l_discount", 6), cat("lineitem", "l_returnflag"),
+      num("orders", "o_totalprice", 2),
+      cat("orders", "o_orderstatus"), cat("orders", "o_orderpriority"),
+      num("customer", "c_acctbal", 2), cat("customer", "c_mktsegment"),
+      num("documents", "n_chars", 0),
+      cat("documents", "lang"), cat("documents", "source"),
+    ).mkString("\nUNION ALL\n")
+  }
+
   val dqChecksSql: String =
     s"""WITH op AS (
        |  SELECT COUNT(*) AS n,

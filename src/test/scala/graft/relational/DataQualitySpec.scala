@@ -59,4 +59,25 @@ class DataQualitySpec extends AnyFunSuite {
       assert(pass == (v == 0L))
     }
   }
+
+  test("profile: one lineitem column's metrics equal a driver recompute") {
+    val got = DataQuality.dqProfile(spark, TestSpark.sf)
+      .as[(String, String, Long, Long, Long,
+        Option[Double], Option[Double], Option[Double])].collect()
+    assert(got.length == 12 && got.map(r => (r._1, r._2)).distinct.length == 12)
+
+    val qty = Tables.lineitem(spark, TestSpark.sf)
+      .select("l_quantity").as[Double].collect()
+    val r = got.find(x => x._1 == "lineitem" && x._2 == "l_quantity").get
+    assert(r._3 == qty.length && r._4 == 0L)
+    assert(r._5 == qty.distinct.length.toLong)
+    assert(r._6.contains(qty.min) && r._7.contains(qty.max))
+    val mean = qty.map(v => math.floor(v * 100.0 + 0.5).toLong).sum
+      .toDouble / 100.0 / qty.length
+    assert(r._8.contains(mean), s"mean ${r._8} vs driver $mean")
+    // categorical rows carry no numeric stats
+    got.filter(x => Set("lang", "source", "l_returnflag",
+        "o_orderstatus", "o_orderpriority", "c_mktsegment")(x._2))
+      .foreach(x => assert(x._6.isEmpty && x._7.isEmpty && x._8.isEmpty))
+  }
 }

@@ -72,7 +72,7 @@ object Bench {
     "text_hash_features", "embed_truncate_eval",
     "sample_dsir", "text_pmi_phrases", "embed_binarize_hamming",
     "graph_lpa", "basket_rules", "dedup_incremental",
-    "dq_checks", "join_fuzzy", "events_mad", "dq_profile")
+    "dq_checks", "join_fuzzy", "events_mad", "dq_profile", "rdf_shacl_check")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

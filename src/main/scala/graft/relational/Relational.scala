@@ -209,6 +209,15 @@ object Relational {
 
   val RuleTopN = 20
 
+  /** Per-(session, dir) cache for the distinct (order, part) basket
+    * frame: the rules query consumes it THREE ways (pair generation,
+    * item counts, the order-count scalar) and without materialization
+    * each consumer re-scanned lineitem and re-paid the distinct
+    * shuffle — measured 8.3 s → ~3 s at sf0.1. At 100 TB this frame is
+    * the "basket fact" you materialize once per snapshot anyway.
+    */
+  private val lpCache = new graft.core.DfCache[(SparkSession, String)]
+
   /** #161: association RULES over the co-purchase pairs — the classic
     * market-basket analysis output (Agrawal & Srikant's Apriori
     * contract at itemset size 2): each supported pair {A,B} yields the
@@ -232,9 +241,10 @@ object Relational {
     * post-limit rank.
     */
   def basketRules(spark: SparkSession, dir: String): DataFrame = {
-    val lp = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val pairCnt = Tables.lineitem(spark, dir)
+    val lp = lpCache.getOrElseUpdate((spark, dir))(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct())
+    val pairCnt = lp
       .groupBy("l_orderkey")
       .agg(collect_set(col("l_partkey")).as("ps"))
       .select(explode(filter(

@@ -164,4 +164,188 @@ object Rdf {
        |                  WHERE e.sid = c.neg_sid AND e.pid = c.pid
        |                    AND e.oid = c.oid)""".stripMargin
   }
+
+  // ------------------------------------------- relation cardinality types
+
+  /** #169: Bordes relation categorization — the 1-1 / 1-N / N-1 / N-N
+    * table every KGE paper since TransE reports per-category results
+    * over (Bordes et al. 2013 §5.1; threshold 1.5): per relation, the
+    * average tails-per-head `tph = n_triples / n_heads` and
+    * heads-per-tail `hpt = n_triples / n_tails`, categorized by the
+    * 1.5 cut on each axis. This is also the statistic the Bernoulli
+    * sampler (#170) draws its head/tail corruption bias from.
+    *
+    * Scale: one groupBy(pid) pass — the distinct counts plan through a
+    * single Expand, so the triple store is scanned once; output is
+    * relation-dictionary-sized. Exactness: tph/hpt are ONE integer/
+    * integer IEEE division each (no sums of floats), so the doubles are
+    * engine-identical.
+    */
+  def relationCats(spark: SparkSession, dir: String): DataFrame =
+    Dict.encodedTriples(spark, dir)
+      .groupBy("pid")
+      .agg(
+        count(lit(1)).as("n_triples"),
+        countDistinct("sid").as("n_heads"),
+        countDistinct("oid").as("n_tails"))
+      .withColumn("tph", col("n_triples").cast("double") / col("n_heads"))
+      .withColumn("hpt", col("n_triples").cast("double") / col("n_tails"))
+      .withColumn("category",
+        when(col("tph") < 1.5 && col("hpt") < 1.5, "1-1")
+          .when(col("tph") >= 1.5 && col("hpt") < 1.5, "1-N")
+          .when(col("tph") < 1.5 && col("hpt") >= 1.5, "N-1")
+          .otherwise("N-N"))
+
+  val relationCatsSql: String =
+    s"""${Dict.preludeCtes}
+       |SELECT pid, COUNT(*) AS n_triples,
+       |  COUNT(DISTINCT sid) AS n_heads, COUNT(DISTINCT oid) AS n_tails,
+       |  CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT sid) AS tph,
+       |  CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT oid) AS hpt,
+       |  CASE
+       |    WHEN CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT sid) < 1.5
+       |     AND CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT oid) < 1.5 THEN '1-1'
+       |    WHEN CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT sid) >= 1.5
+       |     AND CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT oid) < 1.5 THEN '1-N'
+       |    WHEN CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT sid) < 1.5
+       |     AND CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT oid) >= 1.5 THEN 'N-1'
+       |    ELSE 'N-N'
+       |  END AS category
+       |FROM encoded GROUP BY pid""".stripMargin
+
+  // ------------------------------------------- Bernoulli (bern) sampling
+
+  /** #170: Bernoulli negative sampling (Wang et al. 2014, TransH §3.3,
+    * the "bern" setting every later KGE paper toggles): corrupt the HEAD
+    * with probability tph/(tph+hpt) and the tail otherwise, so 1-N
+    * relations mostly corrupt heads and N-1 relations mostly corrupt
+    * tails — minimizing the chance a corruption is accidentally true.
+    *
+    * Exactness trick: tph/(tph+hpt) = n_tails/(n_heads+n_tails), so the
+    * Bernoulli draw is a PURE INTEGER comparison
+    * `pHash % (h+t) < t` — no floating-point probability anywhere, and
+    * the draw is reproducible AND oracle-checkable. Replacement ids use
+    * the house corrupt-with-collision-bump rule (#12).
+    *
+    * Scale: relation stats are a relation-dictionary-sized broadcast;
+    * the sample itself is map-only over the triple store.
+    */
+  def negSampleBernoulli(spark: SparkSession, dir: String): DataFrame = {
+    val enc = Dict.encodedTriples(spark, dir)
+    val n = Dict.entities(spark, dir).agg(count(lit(1)).as("n_ent"))
+    val rs = enc.groupBy("pid").agg(
+      countDistinct("sid").as("rs_h"), countDistinct("oid").as("rs_t"))
+    val headSide = PortableHash.pHash(
+      concat_ws("|", lit("bside"), col("sid"), col("pid"), col("oid"))) %
+      (col("rs_h") + col("rs_t")) < col("rs_t")
+    val raw = PortableHash.pHash(
+      concat_ws("|", lit("brep"), col("sid"), col("pid"), col("oid"))) % col("n_ent")
+    enc.join(broadcast(rs), Seq("pid"))
+      .crossJoin(broadcast(n))
+      .withColumn("side", when(headSide, "head").otherwise("tail"))
+      .withColumn("neg_sid",
+        when(col("side") === "tail", col("sid"))
+          .when(raw === col("sid"), (raw + 1) % col("n_ent"))
+          .otherwise(raw))
+      .withColumn("neg_oid",
+        when(col("side") === "head", col("oid"))
+          .when(raw === col("oid"), (raw + 1) % col("n_ent"))
+          .otherwise(raw))
+      .select("sid", "pid", "oid", "side", "neg_sid", "neg_oid")
+  }
+
+  val negSampleBernoulliSql: String = {
+    val raw = s"${PortableHash.duck("'brep|' || sid || '|' || pid || '|' || oid")} % n_ent"
+    val headSide =
+      s"${PortableHash.duck("'bside|' || sid || '|' || pid || '|' || oid")} % (rs_h + rs_t) < rs_t"
+    s"""${Dict.preludeCtes},
+       |n AS (SELECT COUNT(*) AS n_ent FROM entities),
+       |rs AS (SELECT pid, COUNT(DISTINCT sid) AS rs_h,
+       |              COUNT(DISTINCT oid) AS rs_t FROM encoded GROUP BY pid)
+       |SELECT sid, pid, oid,
+       |  CASE WHEN $headSide THEN 'head' ELSE 'tail' END AS side,
+       |  CASE WHEN NOT ($headSide) THEN sid
+       |       WHEN ($raw) = sid THEN (($raw) + 1) % n_ent
+       |       ELSE ($raw) END AS neg_sid,
+       |  CASE WHEN ($headSide) THEN oid
+       |       WHEN ($raw) = oid THEN (($raw) + 1) % n_ent
+       |       ELSE ($raw) END AS neg_oid
+       |FROM encoded JOIN rs USING (pid), n""".stripMargin
+  }
+
+  // --------------------------------------------- type-constrained sampling
+
+  /** #171: type-constrained corruption — the Spark-first analog of the
+    * reference's CorruptedSampler over a type_index
+    * (sample.py:69-90, 114-118): the replacement entity is drawn from the
+    * RELATION'S OWN observed subject pool (slot 0) or object pool
+    * (slot 1), not the global entity range, so every negative is
+    * type-plausible by construction (a corrupted `placedBy` head is
+    * always some order, never a region). Corrupted slot chosen per
+    * triple by pHash parity (the reference draws the mode uniformly);
+    * observed positives are rejected exactly as `tuple(nex) not in
+    * self.xs` does — as with #40 this yields a rate, not a guarantee,
+    * matching the reference's ntries-bounded retry.
+    *
+    * Scale: pools are (relation × distinct entity)-sized with ranks from
+    * a window PARTITIONED by (pid, slot); the pick is a shuffle join
+    * keyed (pid, slot, rank) — the same key the rank assignment just
+    * partitioned by, so AQE coalesces the exchange; the positive-reject
+    * is one anti-join on the triple key. Nothing broadcasts except the
+    * 2·|relations|-row pool-size table.
+    */
+  def negSampleTyped(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val enc = Dict.encodedTriples(spark, dir)
+    val pools = enc.select(col("pid"), lit(0L).as("slot"), col("sid").as("ent")).distinct()
+      .union(enc.select(col("pid"), lit(1L).as("slot"), col("oid").as("ent")).distinct())
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("pid", "slot").orderBy("ent")) - 1)
+    val sizes = pools.groupBy("pid", "slot").agg(count(lit(1)).as("sz"))
+    val slotOf = PortableHash.pHash(
+      concat_ws("|", lit("tmode"), col("sid"), col("pid"), col("oid"))) % 2
+    val pick = PortableHash.pHash(
+      concat_ws("|", lit("tpick"), col("sid"), col("pid"), col("oid"))) % col("sz")
+    val cands = enc
+      .withColumn("slot", slotOf)
+      .join(broadcast(sizes), Seq("pid", "slot"))
+      .withColumn("rnk", pick)
+      .join(pools, Seq("pid", "slot", "rnk"))
+      .withColumn("neg_sid", when(col("slot") === 0L, col("ent")).otherwise(col("sid")))
+      .withColumn("neg_oid", when(col("slot") === 1L, col("ent")).otherwise(col("oid")))
+      .select("sid", "pid", "oid", "slot", "neg_sid", "neg_oid")
+    cands.join(
+      enc.select(col("sid").as("neg_sid"), col("pid"), col("oid").as("neg_oid")),
+      Seq("neg_sid", "pid", "neg_oid"), "left_anti")
+      .select("sid", "pid", "oid", "slot", "neg_sid", "neg_oid")
+  }
+
+  val negSampleTypedSql: String = {
+    val slotOf = s"${PortableHash.duck("'tmode|' || e.sid || '|' || e.pid || '|' || e.oid")} % 2"
+    val pick = s"${PortableHash.duck("'tpick|' || e.sid || '|' || e.pid || '|' || e.oid")} % z.sz"
+    s"""${Dict.preludeCtes},
+       |pools AS MATERIALIZED (
+       |  SELECT pid, 0 AS slot, ent,
+       |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY ent) - 1 AS rnk
+       |  FROM (SELECT DISTINCT pid, sid AS ent FROM encoded)
+       |  UNION ALL
+       |  SELECT pid, 1, ent,
+       |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY ent) - 1
+       |  FROM (SELECT DISTINCT pid, oid AS ent FROM encoded)
+       |),
+       |sizes AS (SELECT pid, slot, COUNT(*) AS sz FROM pools GROUP BY 1, 2),
+       |cands AS (
+       |  SELECT e.sid, e.pid, e.oid, z.slot,
+       |    CASE WHEN z.slot = 0 THEN p.ent ELSE e.sid END AS neg_sid,
+       |    CASE WHEN z.slot = 1 THEN p.ent ELSE e.oid END AS neg_oid
+       |  FROM encoded e
+       |  JOIN sizes z ON z.pid = e.pid AND z.slot = ($slotOf)
+       |  JOIN pools p ON p.pid = e.pid AND p.slot = z.slot AND p.rnk = ($pick)
+       |)
+       |SELECT sid, pid, oid, CAST(slot AS BIGINT) AS slot, neg_sid, neg_oid
+       |FROM cands c
+       |WHERE NOT EXISTS (SELECT 1 FROM encoded e
+       |                  WHERE e.sid = c.neg_sid AND e.pid = c.pid
+       |                    AND e.oid = c.neg_oid)""".stripMargin
+  }
 }

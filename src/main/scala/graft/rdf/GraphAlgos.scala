@@ -560,7 +560,11 @@ object GraphAlgos {
     }
   }
 
-  val lpaSql: String = {
+  /** The LPA CTE chain (prelude → ue → p0 → rounds), shared by the #160
+    * oracle and the #172 modularity oracle so the labeling under
+    * evaluation cannot drift between the two.
+    */
+  private val lpaCtes: String = {
     def round(k: Int): String = {
       val prev = s"p${k - 1}"
       s"""v$k AS (
@@ -586,9 +590,12 @@ object GraphAlgos {
        |  SELECT oid, sid FROM encoded
        |),
        |p0 AS MATERIALIZED (SELECT id, id AS lbl FROM entities),
-       |${(1 to LpaIters).map(round).mkString(",\n")}
-       |SELECT id, CAST(lbl AS BIGINT) AS lbl FROM p$LpaIters""".stripMargin
+       |${(1 to LpaIters).map(round).mkString(",\n")}""".stripMargin
   }
+
+  val lpaSql: String =
+    s"""$lpaCtes
+       |SELECT id, CAST(lbl AS BIGINT) AS lbl FROM p$LpaIters""".stripMargin
 
   val degreeDistSql: String =
     s"""${Dict.preludeCtes},
@@ -932,4 +939,109 @@ object GraphAlgos {
        |SELECT q, w, cn, aa FROM sc
        |WHERE NOT EXISTS (
        |  SELECT 1 FROM sym WHERE sym.src = sc.q AND sym.dst = sc.w)""".stripMargin
+
+  // ---------------------------------------------- #172 modularity report
+
+  val ModTopN = 20
+
+  /** #172: Newman modularity of the #160 LPA labeling — the quality
+    * metric a community-detection run reports (Newman & Girvan 2004):
+    * Q = Σ_c [ L_c/M − (d_c/M)² ] over the symmetrized edge list, where
+    * M = |ue| (= 2m), L_c counts ordered within-community pairs (= 2·
+    * internal edges) and d_c sums member degrees. Output: one TOTAL row
+    * (rnk 0, lbl −1) carrying Q plus the top-[[ModTopN]] communities by
+    * size with their individual Q-terms — the "which communities carry
+    * the structure" diagnostic.
+    *
+    * Exactness: L_c, d_c, M and Σd_c² are exact integers; every double
+    * is produced by the SAME literal-order IEEE sequence in both
+    * engines (l/m − (d/m)·(d/m); total uses Σl/m − Σd²/m/m — two
+    * successive divisions rather than m·m, which also dodges the m²
+    * overflow past M≈3e9). Σd_c² stays under 2^53 up to M≈9e7 edges;
+    * beyond that the total row needs a DECIMAL sum (the per-community
+    * rows never do).
+    *
+    * Scale: the within-community edge count is the SAME two
+    * edge-scale label joins (src then dst) each lpaStep already pays —
+    * no new plan shape; all remaining aggregates are community-keyed
+    * with map-side combine, and output is bounded at ModTopN+1 rows.
+    */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = undirected(spark, dir)
+    val l = lpa(spark, dir)
+    val mRow = e.agg(count(lit(1)).as("m"))
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val comm = l.join(deg, Seq("id"), "left")
+      .select(col("lbl"), coalesce(col("deg"), lit(0L)).as("deg"))
+      .groupBy("lbl")
+      .agg(count(lit(1)).as("n_nodes"), sum("deg").as("deg_sum"))
+    val lIn = e
+      .join(l.select(col("id").as("src"), col("lbl").as("ls")), Seq("src"))
+      .join(l.select(col("id").as("dst"), col("lbl").as("ld")), Seq("dst"))
+      .filter(col("ls") === col("ld"))
+      .groupBy(col("ls").as("lbl")).agg(count(lit(1)).as("l_in"))
+    val full = comm.join(lIn, Seq("lbl"), "left")
+      .select(col("lbl"), col("n_nodes"), col("deg_sum"),
+        coalesce(col("l_in"), lit(0L)).as("l_in"))
+      .crossJoin(broadcast(mRow))
+    val r = col("deg_sum").cast("double") / col("m")
+    val top = full
+      .select(col("lbl"), col("n_nodes"), col("deg_sum"), col("l_in"),
+        (col("l_in").cast("double") / col("m") - r * r).as("q_term"))
+      .orderBy(col("n_nodes").desc, col("lbl").asc)
+      .limit(ModTopN)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n_nodes").desc, col("lbl").asc)))
+      .select("rnk", "lbl", "n_nodes", "deg_sum", "l_in", "q_term")
+    val total = full.groupBy("m")
+      .agg(sum("n_nodes").as("n_nodes"), sum("deg_sum").as("deg_sum"),
+        sum("l_in").as("l_in"),
+        sum(col("deg_sum") * col("deg_sum")).as("d2"))
+      .select(lit(0).as("rnk"), lit(-1L).as("lbl"),
+        col("n_nodes"), col("deg_sum"), col("l_in"),
+        (col("l_in").cast("double") / col("m") -
+          col("d2").cast("double") / col("m") / col("m")).as("q_term"))
+    total.unionByName(top)
+  }
+
+  val modularitySql: String =
+    s"""$lpaCtes,
+       |labels AS MATERIALIZED (SELECT id, lbl FROM p$LpaIters),
+       |mm AS (SELECT COUNT(*) AS m FROM ue),
+       |degm AS (SELECT src AS id, COUNT(*) AS deg FROM ue GROUP BY 1),
+       |comm AS (
+       |  SELECT l.lbl, COUNT(*) AS n_nodes,
+       |    CAST(SUM(COALESCE(d.deg, 0)) AS BIGINT) AS deg_sum
+       |  FROM labels l LEFT JOIN degm d USING (id) GROUP BY 1
+       |),
+       |lin AS (
+       |  SELECT ls.lbl, COUNT(*) AS l_in
+       |  FROM ue e
+       |  JOIN labels ls ON ls.id = e.src
+       |  JOIN labels ld ON ld.id = e.dst
+       |  WHERE ls.lbl = ld.lbl GROUP BY 1
+       |),
+       |fullc AS (
+       |  SELECT c.lbl, c.n_nodes, c.deg_sum, COALESCE(i.l_in, 0) AS l_in
+       |  FROM comm c LEFT JOIN lin i USING (lbl)
+       |),
+       |topc AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (
+       |      ORDER BY n_nodes DESC, lbl ASC) AS INT) AS rnk,
+       |    CAST(lbl AS BIGINT) AS lbl, n_nodes, deg_sum, CAST(l_in AS BIGINT) AS l_in,
+       |    CAST(l_in AS DOUBLE) / m
+       |      - (CAST(deg_sum AS DOUBLE) / m) * (CAST(deg_sum AS DOUBLE) / m) AS q_term
+       |  FROM fullc, mm ORDER BY n_nodes DESC, lbl ASC LIMIT $ModTopN
+       |),
+       |tot AS (
+       |  SELECT 0 AS rnk, CAST(-1 AS BIGINT) AS lbl,
+       |    CAST(SUM(n_nodes) AS BIGINT) AS n_nodes,
+       |    CAST(SUM(deg_sum) AS BIGINT) AS deg_sum,
+       |    CAST(SUM(l_in) AS BIGINT) AS l_in,
+       |    CAST(SUM(l_in) AS DOUBLE) / ANY_VALUE(m)
+       |      - CAST(SUM(deg_sum * deg_sum) AS DOUBLE) / ANY_VALUE(m) / ANY_VALUE(m) AS q_term
+       |  FROM fullc, mm
+       |)
+       |SELECT * FROM tot UNION ALL SELECT * FROM topc""".stripMargin
 }

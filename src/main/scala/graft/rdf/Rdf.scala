@@ -287,20 +287,43 @@ object Rdf {
     * self.xs` does — as with #40 this yields a rate, not a guarantee,
     * matching the reference's ntries-bounded retry.
     *
-    * Scale: pools are (relation × distinct entity)-sized with ranks from
-    * a window PARTITIONED by (pid, slot); the pick is a shuffle join
-    * keyed (pid, slot, rank) — the same key the rank assignment just
-    * partitioned by, so AQE coalesces the exchange; the positive-reject
-    * is one anti-join on the triple key. Nothing broadcasts except the
-    * 2·|relations|-row pool-size table.
+    * Scale: pools are (relation × distinct entity)-sized and need a
+    * dense 0..sz-1 rank per (pid, slot) — assigned with the SAME
+    * two-level bucket scheme the entity dictionary uses (Dict.encode):
+    * rank within (pid, slot, ent % NBuckets) by a 640-way-parallel
+    * window plus a broadcast cumulative-offset table (≤ 2·|relations|·
+    * NBuckets rows), so no 2·|relations|-partition sort bottleneck.
+    * (The pool ORDER is (bucket, ent) — any fixed bijection serves a
+    * uniform sampler; the oracle mirrors it.) The pick is a shuffle
+    * join keyed (pid, slot, rank); the positive-reject is one anti-join
+    * on the triple key. Nothing broadcasts except the offset/size rows.
     */
+  /** Ranked per-(relation, slot) pool cache: the pool index is the
+    * sampler's reusable artifact (consumed by the size table AND the
+    * pick join, and by every epoch's resample at training time) — at
+    * 100 TB it is materialized once per corpus snapshot exactly like
+    * the dictionaries.
+    */
+  private val poolCache = new graft.core.DfCache[(SparkSession, String)]
+
   def negSampleTyped(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val enc = Dict.encodedTriples(spark, dir)
-    val pools = enc.select(col("pid"), lit(0L).as("slot"), col("sid").as("ent")).distinct()
-      .union(enc.select(col("pid"), lit(1L).as("slot"), col("oid").as("ent")).distinct())
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("pid", "slot").orderBy("ent")) - 1)
+    val pools = poolCache.getOrElseUpdate((spark, dir)) {
+      val raw = enc.select(col("pid"), lit(0L).as("slot"), col("sid").as("ent")).distinct()
+        .union(enc.select(col("pid"), lit(1L).as("slot"), col("oid").as("ent")).distinct())
+        .withColumn("bucket", col("ent") % Dict.NBuckets)
+      val local = raw.withColumn("local_rank", row_number().over(
+        Window.partitionBy("pid", "slot", "bucket").orderBy("ent")))
+      val offsets = raw.groupBy("pid", "slot", "bucket").agg(count(lit(1)).as("cnt"))
+        .withColumn("offset", coalesce(
+          sum("cnt").over(Window.partitionBy("pid", "slot").orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("pid", "slot", "bucket", "offset")
+      local.join(broadcast(offsets), Seq("pid", "slot", "bucket"))
+        .select(col("pid"), col("slot"), col("ent"),
+          (col("offset") + col("local_rank") - 1).as("rnk"))
+    }
     val sizes = pools.groupBy("pid", "slot").agg(count(lit(1)).as("sz"))
     val slotOf = PortableHash.pHash(
       concat_ws("|", lit("tmode"), col("sid"), col("pid"), col("oid"))) % 2
@@ -326,11 +349,13 @@ object Rdf {
     s"""${Dict.preludeCtes},
        |pools AS MATERIALIZED (
        |  SELECT pid, 0 AS slot, ent,
-       |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY ent) - 1 AS rnk
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY pid ORDER BY ent % ${Dict.NBuckets}, ent) - 1 AS rnk
        |  FROM (SELECT DISTINCT pid, sid AS ent FROM encoded)
        |  UNION ALL
        |  SELECT pid, 1, ent,
-       |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY ent) - 1
+       |    ROW_NUMBER() OVER (
+       |      PARTITION BY pid ORDER BY ent % ${Dict.NBuckets}, ent) - 1
        |  FROM (SELECT DISTINCT pid, oid AS ent FROM encoded)
        |),
        |sizes AS (SELECT pid, slot, COUNT(*) AS sz FROM pools GROUP BY 1, 2),

@@ -75,7 +75,8 @@ object Bench {
     "dq_checks", "join_fuzzy", "events_mad", "dq_profile", "rdf_shacl_check",
     // round-6 session-6 additions
     "kge_relation_cats", "neg_sample_bernoulli", "neg_sample_typed",
-    "graph_modularity", "rdf_bgp_optional", "table_diff")
+    "graph_modularity", "rdf_bgp_optional", "table_diff",
+    "graph_assortativity", "streaming_latest_state")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

@@ -966,12 +966,23 @@ object GraphAlgos {
     * no new plan shape; all remaining aggregates are community-keyed
     * with map-side combine, and output is bounded at ModTopN+1 rows.
     */
+  /** Per-node degree in the symmetrized edge set, cached beside the edge
+    * frame (shared by the modularity and assortativity reports, each of
+    * which joins it edge-scale — the same reuse argument as the directed
+    * [[degrees]] frame).
+    */
+  private def udegrees(spark: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate((spark, dir, "udeg")) {
+      undirected(spark, dir)
+        .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    }
+
   def modularity(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = undirected(spark, dir)
     val l = lpa(spark, dir)
     val mRow = e.agg(count(lit(1)).as("m"))
-    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val deg = udegrees(spark, dir)
     val comm = l.join(deg, Seq("id"), "left")
       .select(col("lbl"), coalesce(col("deg"), lit(0L)).as("deg"))
       .groupBy("lbl")
@@ -1044,4 +1055,68 @@ object GraphAlgos {
        |  FROM fullc, mm
        |)
        |SELECT * FROM tot UNION ALL SELECT * FROM topc""".stripMargin
+
+  // ------------------------------------------ #176 degree assortativity
+
+  /** #176: degree assortativity (Newman 2002) — the Pearson correlation
+    * of endpoint degrees over the symmetrized edge list: do hubs link
+    * to hubs (r > 0, social networks) or to leaves (r < 0, hub-spoke /
+    * technological networks)? Alongside #115's degree histogram and
+    * #172's modularity it completes the global-structure report — and
+    * it PREDICTS the skew-handling story: strongly negative r means
+    * every hub edge lands on a low-degree partner, the exact shape
+    * where salting (#117) pays.
+    *
+    * By symmetry of ue, Σx = Σy and Σx² = Σy², so
+    * r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²). The moment sums are EXACT
+    * integers (int64: Σxy ≤ M·D² ≈ 1.4e16 at sf0.1's hub degree — the
+    * 1e9-edge note is to move them to DECIMAL); the final scalar is
+    * one literal-order double sequence over the int64-cast moments,
+    * identical in both engines.
+    *
+    * Scale: the two degree joins are the SAME edge-scale shape as
+    * modularity's label joins (keyed src then dst, the first co-located
+    * with ue's partitioning); the moment aggregate combines map-side to
+    * ONE row. Output: a single row of the three moments + M + r.
+    */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val e = undirected(spark, dir)
+    val deg = udegrees(spark, dir)
+    val md = col("m").cast("double")
+    val s1d = col("s1").cast("double")
+    e.join(deg.select(col("id").as("src"), col("deg").as("dx")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("deg").as("dy")), Seq("dst"))
+      .agg(
+        count(lit(1)).as("m"),
+        sum(col("dx")).as("s1"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"))
+      .select(col("m"), col("s1"), col("sxy"), col("sxx"),
+        ((md * col("sxy").cast("double") - s1d * s1d) /
+          (md * col("sxx").cast("double") - s1d * s1d)).as("r"))
+  }
+
+  val assortativitySql: String =
+    s"""${Dict.preludeCtes},
+       |ue AS MATERIALIZED (
+       |  SELECT sid AS src, oid AS dst FROM encoded
+       |  UNION
+       |  SELECT oid, sid FROM encoded
+       |),
+       |degm AS (SELECT src AS id, COUNT(*) AS deg FROM ue GROUP BY src),
+       |s AS (
+       |  SELECT COUNT(*) AS m,
+       |    CAST(SUM(a.deg) AS BIGINT) AS s1,
+       |    CAST(SUM(a.deg * b.deg) AS BIGINT) AS sxy,
+       |    CAST(SUM(a.deg * a.deg) AS BIGINT) AS sxx
+       |  FROM ue e
+       |  JOIN degm a ON a.id = e.src
+       |  JOIN degm b ON b.id = e.dst
+       |)
+       |SELECT m, s1, sxy, sxx,
+       |  (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) /
+       |  (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) AS r
+       |FROM s""".stripMargin
 }

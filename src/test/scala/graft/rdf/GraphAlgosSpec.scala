@@ -291,4 +291,26 @@ class GraphAlgosSpec extends AnyFunSuite {
     pre.unpersist()
     core.unpersist()
   }
+
+  test("assortativity: moments equal a driver recompute and the sign is the hub-spoke diagnosis") {
+    import spark.implicits._
+    val enc = Dict.encodedTriples(spark, TestSpark.sf)
+      .select(col("sid"), col("oid")).as[(Long, Long)].collect()
+    val und = (enc ++ enc.map { case (s, o) => (o, s) }).distinct
+    val deg = und.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val m = und.length.toLong
+    val s1 = und.iterator.map { case (u, _) => deg(u) }.sum
+    val sxy = und.iterator.map { case (u, v) => deg(u) * deg(v) }.sum
+    val sxx = und.iterator.map { case (u, _) => deg(u) * deg(u) }.sum
+    val out = GraphAlgos.assortativity(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(out.length == 1)
+    val (gm, gs1, gsxy, gsxx, r) = out.head
+    assert((gm, gs1, gsxy, gsxx) == ((m, s1, sxy, sxx)))
+    assert(r == (m.toDouble * sxy.toDouble - s1.toDouble * s1.toDouble) /
+      (m.toDouble * sxx.toDouble - s1.toDouble * s1.toDouble))
+    // the TPC-H graph is hub-spoke (orders/customers fan into nation and
+    // region hubs): hubs link to leaves, so r must be strongly negative
+    assert(r < -0.05 && r > -1.0, s"hub-spoke graph should disassort, r=$r")
+  }
 }

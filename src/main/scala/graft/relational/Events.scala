@@ -347,6 +347,74 @@ object Events {
        |  GROUP BY 1, 2
        |) b JOIN sizes s USING (cohort_day)""".stripMargin
 
+  // --------------------------------------------------------- cohort LTV
+
+  /** #177: cohort lifetime-value curves — the VALUE companion of #90's
+    * activity matrix (the other chart on the same growth dashboard):
+    * per (cohort_day, day_offset), the day's event count and value, the
+    * cumulative cohort value, and cumulative value per cohort user (the
+    * LTV curve whose asymptote prices an acquisition).
+    *
+    * Exactness: daily value is summed as SCALED LONGS (the decSum grid
+    * at 1e-6) and the cumulation runs over those exact integers in a
+    * window ordered by the unique day_offset — division back to doubles
+    * happens ONCE at the end, so the whole curve is order-independent
+    * and engine-identical.
+    *
+    * Scale: the two user-keyed aggregates share retention's shape and
+    * partitioning; the cumulative window is partitioned by cohort_day
+    * with frames bounded by the DAY SPAN of the corpus (never event
+    * count); the per-user divisor joins from the broadcast size table.
+    */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+    val base = e.select(col("user_id"),
+      expr(s"${tsNanos(e)} DIV $NsPerDay").as("day"), col("value"))
+    val cohorts = base.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val sizes = cohorts.groupBy("cohort_day").agg(count(lit(1)).as("cohort_size"))
+    val daily = base.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 1e6 + 0.5).cast("long")).as("rev_s"))
+    val w = Window.partitionBy("cohort_day").orderBy("day_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("rev_cum_s", sum("rev_s").over(w))
+      .join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("n_events"),
+        col("cohort_size"),
+        (col("rev_s").cast("double") / 1e6).as("rev_day"),
+        (col("rev_cum_s").cast("double") / 1e6).as("rev_cum"),
+        ((col("rev_cum_s").cast("double") / 1e6) /
+          col("cohort_size").cast("double")).as("ltv_per_user"))
+  }
+
+  val cohortLtvSql: String =
+    s"""WITH base AS (
+       |  SELECT user_id, epoch_ns(ts) // $NsPerDay AS day, value FROM events
+       |), cohorts AS (
+       |  SELECT user_id, MIN(day) AS cohort_day FROM base GROUP BY user_id
+       |), sizes AS (
+       |  SELECT cohort_day, COUNT(*) AS cohort_size FROM cohorts GROUP BY cohort_day
+       |), daily AS (
+       |  SELECT c.cohort_day, b.day - c.cohort_day AS day_offset,
+       |    COUNT(*) AS n_events,
+       |    CAST(SUM(CAST(floor(b.value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_s
+       |  FROM base b JOIN cohorts c USING (user_id)
+       |  GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT *, CAST(SUM(rev_s) OVER (
+       |    PARTITION BY cohort_day ORDER BY day_offset
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rev_cum_s
+       |  FROM daily
+       |)
+       |SELECT c.cohort_day, c.day_offset, c.n_events, s.cohort_size,
+       |  CAST(c.rev_s AS DOUBLE) / 1000000.0 AS rev_day,
+       |  CAST(c.rev_cum_s AS DOUBLE) / 1000000.0 AS rev_cum,
+       |  (CAST(c.rev_cum_s AS DOUBLE) / 1000000.0) /
+       |    CAST(s.cohort_size AS DOUBLE) AS ltv_per_user
+       |FROM cum c JOIN sizes s USING (cohort_day)""".stripMargin
+
   /** #108: exact per-type value percentiles (p50/p90/p99) — the standing
     * latency/amount SLO report of any event pipeline — by the
     * fixed-grid histogram method: quantize the value to the 0.01 grid

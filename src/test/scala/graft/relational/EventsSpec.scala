@@ -224,4 +224,38 @@ class EventsSpec extends AnyFunSuite {
     assert(plan.contains("Expand"))
     c.unpersist()
   }
+
+  test("cohort LTV: curve equals a driver recompute and is monotone per cohort") {
+    import org.apache.spark.sql.functions._
+    val e = graft.core.Tables.events(spark, TestSpark.sf)
+    val rows = e.select(col("user_id"),
+        expr(s"${Events.tsNanos(e)} DIV ${86400L * 1000000000L}").as("day"),
+        col("value"))
+      .as[(Long, Long, Double)].collect()
+    val cohortOf = rows.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val sizes = cohortOf.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val dailyS = rows.groupBy { case (u, d, _) => (cohortOf(u), d - cohortOf(u)) }
+      .view.mapValues(rs => (rs.length.toLong,
+        rs.iterator.map { case (_, _, v) => math.floor(v * 1e6 + 0.5).toLong }.sum))
+      .toMap
+    val got = Events.cohortLtv(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long, Double, Double, Double)].collect()
+    assert(got.length == dailyS.size)
+    // exact per-cell identities against the driver recompute
+    val cumByCohort = got.groupBy(_._1)
+    got.foreach { case (c, off, nEv, sz, revDay, revCum, ltv) =>
+      val (n, revS) = dailyS((c, off))
+      assert(nEv == n && sz == sizes(c))
+      assert(revDay == revS.toDouble / 1e6)
+      val expCumS = dailyS.collect {
+        case ((cc, o), (_, s)) if cc == c && o <= off => s }.sum
+      assert(revCum == expCumS.toDouble / 1e6)
+      assert(ltv == (expCumS.toDouble / 1e6) / sz.toDouble)
+    }
+    // LTV curves never decrease (values are non-negative amounts)
+    cumByCohort.values.foreach { rs =>
+      val sorted = rs.sortBy(_._2).map(_._6)
+      assert(sorted.zip(sorted.drop(1)).forall { case (a, b) => b >= a })
+    }
+  }
 }

@@ -76,7 +76,8 @@ object Bench {
     // round-6 session-6 additions
     "kge_relation_cats", "neg_sample_bernoulli", "neg_sample_typed",
     "graph_modularity", "rdf_bgp_optional", "table_diff",
-    "graph_assortativity", "streaming_latest_state", "events_cohort_ltv")
+    "graph_assortativity", "streaming_latest_state", "events_cohort_ltv",
+    "quality_calibration")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

@@ -197,7 +197,12 @@ object QualityClassifier {
       .select(col("doc_id"), col("p"), (col("p") >= 0.5).as("keep"))
   }
 
-  val inferSql: String = {
+  /** The serve-path CTE chain (features + [[ServeEpochs]] training
+    * rounds) and the final quantized-sigmoid expression, shared by the
+    * #141 and #178 oracles so server and calibration report score with
+    * the SAME re-derived trajectory.
+    */
+  private lazy val (serveCtes: String, duckP: String) = {
     def zOfSql(wref: String) = (1 until NF).foldLeft(s"$wref.w0 * f.x0") {
       (acc, j) => s"$acc + $wref.w$j * f.x$j"
     }
@@ -225,22 +230,75 @@ object QualityClassifier {
     }
     val w0Cols = W0.zipWithIndex
       .map { case (v, j) => s"CAST($v AS DOUBLE) AS w$j" }.mkString(", ")
-    s"""WITH d AS (
-       |  SELECT doc_id, n_chars, ${TextAnalysis.duckWords} AS ws FROM documents
-       |), f AS MATERIALIZED (
-       |  SELECT doc_id,
-       |    CAST(1.0 AS DOUBLE) AS x0,
-       |    least(CAST(len(ws) AS DOUBLE) / 50.0, 1.0) AS x1,
-       |    CAST(len(list_filter(ws, w -> w IN ${TextAnalysis.duckStopList})) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS x2,
-       |    least(((CAST(n_chars AS DOUBLE) - (CAST(len(ws) AS DOUBLE) - 1.0)) / CAST(len(ws) AS DOUBLE)) / 8.0, 1.0) AS x3,
-       |    CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS x4,
-       |    ${TextAnalysis.duckQuality} AS q
-       |  FROM d
-       |), wv0 AS (SELECT $w0Cols),
-       |${(1 to ServeEpochs).map(round).mkString(",\n")}
-       |SELECT f.doc_id,
-       |  ${Exact.duckRoundS(s"1.0 / (1.0 + exp(-(${zOfSql(s"wv$ServeEpochs")})))", 4)} AS p,
-       |  ${Exact.duckRoundS(s"1.0 / (1.0 + exp(-(${zOfSql(s"wv$ServeEpochs")})))", 4)} >= 0.5 AS keep
-       |FROM f CROSS JOIN wv$ServeEpochs""".stripMargin
+    val ctes =
+      s"""WITH d AS (
+         |  SELECT doc_id, n_chars, ${TextAnalysis.duckWords} AS ws FROM documents
+         |), f AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CAST(1.0 AS DOUBLE) AS x0,
+         |    least(CAST(len(ws) AS DOUBLE) / 50.0, 1.0) AS x1,
+         |    CAST(len(list_filter(ws, w -> w IN ${TextAnalysis.duckStopList})) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS x2,
+         |    least(((CAST(n_chars AS DOUBLE) - (CAST(len(ws) AS DOUBLE) - 1.0)) / CAST(len(ws) AS DOUBLE)) / 8.0, 1.0) AS x3,
+         |    CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS x4,
+         |    ${TextAnalysis.duckQuality} AS q
+         |  FROM d
+         |), wv0 AS (SELECT $w0Cols),
+         |${(1 to ServeEpochs).map(round).mkString(",\n")}""".stripMargin
+    val p = Exact.duckRoundS(s"1.0 / (1.0 + exp(-(${zOfSql(s"wv$ServeEpochs")})))", 4)
+    (ctes, p)
   }
+
+  val inferSql: String =
+    s"""$serveCtes
+       |SELECT f.doc_id, $duckP AS p, $duckP >= 0.5 AS keep
+       |FROM f CROSS JOIN wv$ServeEpochs""".stripMargin
+
+  // ------------------------------------------- #178 calibration report
+
+  val CalBins = 10
+
+  /** #178: the reliability diagram of the serving gate — the model-eval
+    * artifact an ML-ops pipeline publishes beside any deployed
+    * classifier (Guo et al. 2017's calibration framing): bucket the
+    * served probability into [[CalBins]] equal-width bins and report,
+    * per bin, the count, the mean predicted probability, the observed
+    * positive rate against the distilled heuristic label, and their gap
+    * (the per-bin term of ECE). A well-calibrated gate has gap ≈ 0 in
+    * the populated bins; drift here is the retrain trigger.
+    *
+    * Exactness: p is already on the 1e-4 grid, so mean_p is a
+    * scaled-long decAvg (order-independent); the positive rate is an
+    * int/int division; the gap is one literal-order subtraction. Scale:
+    * the scoring pass is #141's map-only scan; the report is one
+    * aggregate onto ≤ [[CalBins]] keys with map-side combine — output
+    * bounded by the bin count, never the corpus.
+    */
+  def calibration(spark: SparkSession, dir: String): DataFrame = {
+    val w = trainedW(spark, dir)
+    val z = zOf(w)
+    features(spark, dir)
+      .withColumn("p", Exact.roundS(lit(1.0) / (lit(1.0) + exp(-z)), 4))
+      .withColumn("y", (col("q") >= Thresh).cast("long"))
+      .groupBy(least(floor(col("p") * CalBins).cast("long"), lit(CalBins - 1L))
+        .as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        Exact.decAvg(col("p"), 4).as("mean_p"),
+        (sum(col("y")).cast("double") / count(lit(1)).cast("double")).as("frac_pos"))
+      .withColumn("gap", col("mean_p") - col("frac_pos"))
+  }
+
+  val calibrationSql: String =
+    s"""$serveCtes,
+       |scored AS (
+       |  SELECT $duckP AS p, CAST(f.q >= $Thresh AS BIGINT) AS y
+       |  FROM f CROSS JOIN wv$ServeEpochs
+       |)
+       |SELECT LEAST(CAST(floor(p * $CalBins) AS BIGINT), ${CalBins - 1}) AS bin,
+       |  COUNT(*) AS n,
+       |  ${Exact.duckAvg("p", 4)} AS mean_p,
+       |  CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS frac_pos,
+       |  ${Exact.duckAvg("p", 4)}
+       |    - CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS gap
+       |FROM scored GROUP BY 1""".stripMargin
 }

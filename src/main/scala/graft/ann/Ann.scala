@@ -689,4 +689,64 @@ object Ann {
        |FROM (SELECT DISTINCT q_id FROM fr) q
        |LEFT JOIN ov ON ov.q_id = q.q_id""".stripMargin
   }
+
+  // ------------------------------------------ #180 recall acceptance report
+
+  /** #180: recall@K of every approximate serving tier against the exact
+    * brute-force truth — the ACCEPTANCE REPORT an ANN deployment
+    * publishes before switching traffic (the corpus-wide sibling of
+    * #126's LSH-dedup recall, here for the retrieval ladder): one row
+    * per variant (lsh / ivf / pq / ivfpq) with query count, truth hits,
+    * and recall = hits / (n_queries · K). Numbers, not hopes: the
+    * speed-for-recall trade each tier makes is MEASURED on the corpus
+    * it will serve.
+    *
+    * Exactness: hits and query counts are integers; recall is one
+    * int/int double division. Scale: each variant's frame is the
+    * registered operator itself (already bounded to K rows per query),
+    * so the report joins K·|queries|-sized frames on (q_id, vec_id) —
+    * dictionary-small relative to the corpus — and aggregates to 4
+    * rows. Truth is computed once and reused across all four joins.
+    */
+  def recallReport(spark: SparkSession, dir: String): DataFrame = {
+    val truth = bruteTopK(spark, dir).select("q_id", "vec_id")
+    val nq = truth.agg(countDistinct(col("q_id")).as("n_queries"))
+    def row(name: String, f: DataFrame): DataFrame =
+      f.select(col("q_id"), col("vec_id"))
+        .join(truth, Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(nq))
+        .select(lit(name).as("variant"), col("n_queries"), col("n_hits"),
+          (col("n_hits").cast("double") /
+            (col("n_queries") * K).cast("double")).as("recall"))
+    row("lsh", lshTopK(spark, dir))
+      .unionByName(row("ivf", ivfTopK(spark, dir)))
+      .unionByName(row("pq", pqTopK(spark, dir)))
+      .unionByName(row("ivfpq", ivfpqTopK(spark, dir)))
+      .unionByName(row("ivfpq_refined", refineRerank(spark, dir)))
+  }
+
+  val recallReportSql: String = {
+    def variant(name: String, sql: String): String =
+      s"""SELECT '$name' AS variant, nq.n_queries,
+         |  (SELECT COUNT(*) FROM (SELECT q_id, vec_id FROM ($sql)) c
+         |   JOIN truth USING (q_id, vec_id)) AS n_hits,
+         |  CAST((SELECT COUNT(*) FROM (SELECT q_id, vec_id FROM ($sql)) c
+         |   JOIN truth USING (q_id, vec_id)) AS DOUBLE)
+         |    / CAST(nq.n_queries * $K AS DOUBLE) AS recall
+         |FROM nq""".stripMargin
+    s"""WITH truth AS MATERIALIZED (
+       |  SELECT q_id, vec_id FROM ($bruteTopKSql)
+       |),
+       |nq AS (SELECT COUNT(DISTINCT q_id) AS n_queries FROM truth)
+       |${variant("lsh", lshTopKSql)}
+       |UNION ALL
+       |${variant("ivf", ivfTopKSql)}
+       |UNION ALL
+       |${variant("pq", pqTopKSql)}
+       |UNION ALL
+       |${variant("ivfpq", ivfpqTopKSql)}
+       |UNION ALL
+       |${variant("ivfpq_refined", refineRerankSql)}""".stripMargin
+  }
 }

@@ -227,4 +227,30 @@ class AnnSpec extends AnyFunSuite {
       s"common component survives: ${resid.getDouble(0)} vs proj ${resid.getDouble(1)}")
     out.unpersist()
   }
+
+  test("recall report: hits recompute against the truth set and the ladder ordering holds") {
+    import org.apache.spark.sql.functions._
+    val truth = Ann.bruteTopK(spark, TestSpark.sf)
+      .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val nQueries = truth.map(_._1).size
+    val got = Ann.recallReport(spark, TestSpark.sf)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set("lsh", "ivf", "pq", "ivfpq", "ivfpq_refined"))
+    // independent recompute of one variant's hit count
+    val lshHits = Ann.lshTopK(spark, TestSpark.sf)
+      .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect()
+      .count(truth.contains)
+    assert(got("lsh")._2 == lshHits)
+    got.foreach { case (v, (q, hits, rec)) =>
+      assert(q == nQueries)
+      assert(hits >= 0 && hits <= q * Ann.K)
+      assert(rec == hits.toDouble / (q * Ann.K))
+    }
+    // the ladder's measured ordering: exact-residency IVF dominates the
+    // compressed tiers, and the exact re-rank never hurts the shortlist
+    assert(got("ivf")._3 >= got("ivfpq")._3)
+    assert(got("ivfpq_refined")._3 >= got("ivfpq")._3)
+    assert(got("ivf")._3 >= 0.9, "IVF scans true vectors in probed cells")
+  }
 }

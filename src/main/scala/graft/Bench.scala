@@ -77,7 +77,8 @@ object Bench {
     "kge_relation_cats", "neg_sample_bernoulli", "neg_sample_typed",
     "graph_modularity", "rdf_bgp_optional", "table_diff",
     "graph_assortativity", "streaming_latest_state", "events_cohort_ltv",
-    "quality_calibration", "tensor_unfold", "ann_recall_report")
+    "quality_calibration", "tensor_unfold", "ann_recall_report",
+    "events_markov_transitions")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

@@ -690,6 +690,52 @@ object Events {
         max("gap").as("max_s"))
   }
 
+  /** #181: event-type transition matrix — the first-order Markov model
+    * of user flows (the session-flow/Sankey artifact every product
+    * analytics stack derives, and the generative model behind
+    * next-event prediction baselines): for each ordered in-session pair
+    * of consecutive events of one user, count (from_type → to_type) and
+    * normalize per source row.
+    *
+    * Exactness: counts are integers; each probability is ONE int/int
+    * division (rows are exactly row-stochastic: Σn per from_type equals
+    * n_from by construction — the spec asserts the identity on the
+    * integers, not on float sums).
+    *
+    * Scale: the successor pairing is the SAME per-user sequence window
+    * sessionize/interarrival already pay (the canonical user-keyed
+    * sort); the
+    * transition aggregate lands on ≤ |types|² keys with map-side
+    * combine, and the normalizing window runs over that dictionary-
+    * small frame, never the data.
+    */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    val pairs = eventsS(spark, dir)
+      .withColumn("next_type", lead("event_type", 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("next_type").as("to_type"))
+    val cnt = pairs.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    cnt.withColumn("n_from", sum("n").over(Window.partitionBy("from_type")))
+      .withColumn("p", col("n").cast("double") / col("n_from").cast("double"))
+  }
+
+  val markovTransitionsSql: String =
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type,
+       |    LEAD(event_type) OVER (
+       |      PARTITION BY user_id ORDER BY $duckTsS, event_id) AS next_type
+       |  FROM events
+       |), cnt AS (
+       |  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+       |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+       |)
+       |SELECT from_type, to_type, n,
+       |  CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+       |  CAST(n AS DOUBLE) /
+       |    CAST(CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS DOUBLE) AS p
+       |FROM cnt""".stripMargin
+
   val interarrivalSql: String =
     s"""WITH g AS (
        |  SELECT event_type,

@@ -258,4 +258,29 @@ class EventsSpec extends AnyFunSuite {
       assert(sorted.zip(sorted.drop(1)).forall { case (a, b) => b >= a })
     }
   }
+
+  test("markov transitions: matrix equals a driver recompute and rows are stochastic") {
+    import org.apache.spark.sql.functions._
+    val e = graft.core.Tables.events(spark, TestSpark.sf)
+    val rows = e.select(col("user_id"),
+        expr(s"${Events.tsNanos(e)} DIV 1000000000").as("ts_s"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val exp = rows.groupBy(_._1).values.flatMap { us =>
+      val seq = us.sortBy(r => (r._2, r._3)).map(_._4)
+      seq.zip(seq.drop(1))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Events.markovTransitions(spark, TestSpark.sf)
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(got.map(r => (r._1, r._2) -> r._3).toMap == exp)
+    // row-stochastic on the INTEGERS and p the exact per-cell division
+    got.groupBy(_._1).foreach { case (_, cells) =>
+      val nFrom = cells.head._4
+      assert(cells.map(_._3).sum == nFrom)
+      cells.foreach(c => assert(c._5 == c._3.toDouble / c._4.toDouble))
+    }
+    // every observed type appears as a source (all users emit >= 2 events
+    // of some type at these SFs)
+    assert(got.map(_._1).distinct.length == rows.map(_._4).distinct.length)
+  }
 }

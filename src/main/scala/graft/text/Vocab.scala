@@ -221,4 +221,44 @@ object Vocab {
        |SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(nc) AS BIGINT) AS n_chars,
        |  CAST(SUM(len(cs)) AS BIGINT) AS n_tokens
        |FROM t3 GROUP BY doc_id""".stripMargin
+
+  // -------------------------------------------- #182 fertility eval
+
+  /** #182: per-language tokenizer fertility — the evaluation table that
+    * closes the tokenizer block (#66 learns, #118 encodes, this
+    * judges): tokens-per-word (fertility) and chars-per-token
+    * (compression) per language, the numbers multilingual-vocab papers
+    * (XLM-R §3, the "fertility" metric of Rust et al. 2021) report to
+    * decide vocabulary allocation — a language with outlier fertility is
+    * under-served by the merge table and inflates its training cost per
+    * byte.
+    *
+    * Exactness: all sums are integer; each ratio is ONE int/int double
+    * division. Scale: consumes #118's per-doc frame (already bounded,
+    * one row per doc) joined doc-keyed with the lang column, then a
+    * dictionary-small per-language rollup with map-side combine.
+    */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame =
+    bpeEncode(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+        sum("n_chars").as("n_chars"), sum("n_tokens").as("n_tokens"))
+      .withColumn("fertility",
+        col("n_tokens").cast("double") / col("n_words").cast("double"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / col("n_tokens").cast("double"))
+
+  val bpeFertilitySql: String =
+    s"""WITH enc AS ($bpeEncodeSql)
+       |SELECT d.lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(e.n_words) AS BIGINT) AS n_words,
+       |  CAST(SUM(e.n_chars) AS BIGINT) AS n_chars,
+       |  CAST(SUM(e.n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(CAST(SUM(e.n_tokens) AS BIGINT) AS DOUBLE) /
+       |    CAST(CAST(SUM(e.n_words) AS BIGINT) AS DOUBLE) AS fertility,
+       |  CAST(CAST(SUM(e.n_chars) AS BIGINT) AS DOUBLE) /
+       |    CAST(CAST(SUM(e.n_tokens) AS BIGINT) AS DOUBLE) AS chars_per_token
+       |FROM enc e JOIN documents d USING (doc_id)
+       |GROUP BY d.lang""".stripMargin
 }

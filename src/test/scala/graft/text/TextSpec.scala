@@ -117,6 +117,31 @@ class TextSpec extends AnyFunSuite {
     enc.unpersist()
   }
 
+  test("fertility eval: per-lang rollup equals the encode frame and ratios are exact") {
+    import org.apache.spark.sql.functions._
+    val enc = Vocab.bpeEncode(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val langs = graft.core.Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    val got = Vocab.bpeFertility(spark, TestSpark.sf)
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+    // languages tile the corpus
+    assert(got.map(_._2).sum == enc.size)
+    assert(got.map(_._1).toSet == langs.values.toSet)
+    got.foreach { case (lang, nDocs, nW, nC, nT, fert, cpt) =>
+      val docs = enc.filter { case (id, _) => langs(id) == lang }.values
+      assert(nDocs == docs.size)
+      assert(nW == docs.iterator.map(_._1).sum)
+      assert(nC == docs.iterator.map(_._2).sum)
+      assert(nT == docs.iterator.map(_._3).sum)
+      assert(fert == nT.toDouble / nW.toDouble)
+      assert(cpt == nC.toDouble / nT.toDouble)
+      // fertility lives in its structural bounds: >= 1 token per word,
+      // <= the per-word char count
+      assert(fert >= 1.0 && fert <= nC.toDouble / nW.toDouble)
+    }
+  }
+
   test("quality buckets: tiers ordered, non-overlapping, covering all docs") {
     val rows = TextAnalysis.qualityBuckets(spark, TestSpark.sf)
       .select("lang", "bucket", "n_docs", "min_q", "max_q")

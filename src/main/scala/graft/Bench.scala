@@ -78,7 +78,7 @@ object Bench {
     "graph_modularity", "rdf_bgp_optional", "table_diff",
     "graph_assortativity", "streaming_latest_state", "events_cohort_ltv",
     "quality_calibration", "tensor_unfold", "ann_recall_report",
-    "events_markov_transitions", "vocab_fertility")
+    "events_markov_transitions", "vocab_fertility", "sketch_ams_f2")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

@@ -360,4 +360,90 @@ object Sketches {
        |  true_i
        |FROM sa, sb, su, hits, truth""".stripMargin
   }
+
+  // ----------------------------------------------- #183 AMS F2 sketch
+
+  /** 48 sign estimators in 6 groups of 8 — the classic medians-of-means
+    * layout (Alon, Matias & Szegedy 1996 §2.2).
+    */
+  val AmsJ = 48
+  val AmsGroups = 6
+  val AmsPerGroup: Int = AmsJ / AmsGroups
+
+  /** #183: the AMS second-frequency-moment sketch — the LAST member of
+    * the sketch family (CM answers point frequency, HLL F0, Bloom
+    * membership, KMV set ops; AMS answers F2 = Σ c_u², the SELF-JOIN
+    * SIZE — the statistic a cost-based optimizer wants before planning
+    * a user-keyed join, and the standard repeat-rate/skew gauge). Each
+    * estimator j keeps z_j = Σ_u sign_j(u)·c_u with four-wise-ish signs
+    * drawn from BIT j of one pHash per user — ONE md5 per event feeds
+    * all 48 estimators; E[z²] = F2. The estimate is the textbook
+    * median-of-means: group sums of z² (6 groups of 8), nearest-rank
+    * median, ONE division at the end.
+    *
+    * Exactness: z_j, z², group sums, the true F2 and the median are ALL
+    * exact integers — the only doubles are the final est = med/8 and
+    * rel_err divisions. Merge = vector ADDITION of the 48-long z state
+    * (micro-batch partials, shard unions and the streaming update are
+    * the same +), like the CM matrix.
+    *
+    * Scale: state is 48 longs — CONSTANT in corpus size; the per-event
+    * explode emits 48 partials that combine map-side (shuffle bytes =
+    * 48 keys per partition); the true-F2 pass is one user-keyed
+    * aggregate. Output: ONE summary row.
+    */
+  def amsF2(spark: SparkSession, dir: String): DataFrame = {
+    val h = PortableHash.pHash(concat_ws("|", lit("ams"), col("user_id")))
+    val signs = Tables.events(spark, dir)
+      .select(posexplode(array((0 until AmsJ).map(j =>
+        lit(1L) - lit(2L) * shiftright(h, j).bitwiseAND(lit(1L))): _*))
+        .as(Seq("j", "sign")))
+    val z = signs.groupBy("j").agg(sum("sign").as("z"))
+    val gsums = z.groupBy((col("j") / AmsPerGroup).cast("long").as("g"))
+      .agg(sum(col("z") * col("z")).as("gsum"))
+    // nearest-rank median via TakeOrdered (house rule: no unpartitioned
+    // window): the ⌈G/2⌉-th smallest gsum = max of the first ⌈G/2⌉ rows
+    // in (gsum, g) order.
+    val med = gsums.orderBy(col("gsum").asc, col("g").asc)
+      .limit((AmsGroups + 1) / 2)
+      .agg(max("gsum").as("med_gsum"))
+    val truth = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_users"), sum("c").as("n_events"),
+        sum(col("c") * col("c")).as("f2_true"))
+    truth.crossJoin(broadcast(med))
+      .select(col("n_events"), col("n_users"), col("f2_true"),
+        col("med_gsum"),
+        (col("med_gsum").cast("double") / AmsPerGroup).as("f2_est"),
+        (abs(col("med_gsum").cast("double") / AmsPerGroup
+          - col("f2_true").cast("double")) /
+          col("f2_true").cast("double")).as("rel_err"))
+  }
+
+  val amsF2Sql: String = {
+    val h = PortableHash.duck("'ams|' || user_id")
+    s"""WITH signs AS (
+       |  SELECT j, 1 - 2 * (($h >> j) & 1) AS sign
+       |  FROM events, (SELECT unnest(range($AmsJ)) AS j)
+       |), z AS (
+       |  SELECT j, CAST(SUM(sign) AS BIGINT) AS z FROM signs GROUP BY j
+       |), gsums AS (
+       |  SELECT j // $AmsPerGroup AS g, CAST(SUM(z * z) AS BIGINT) AS gsum
+       |  FROM z GROUP BY 1
+       |), med AS (
+       |  SELECT MAX(gsum) AS med_gsum FROM (
+       |    SELECT gsum FROM gsums ORDER BY gsum, g LIMIT ${(AmsGroups + 1) / 2}
+       |  )
+       |), truth AS (
+       |  SELECT COUNT(*) AS n_users,
+       |    CAST(SUM(c) AS BIGINT) AS n_events,
+       |    CAST(SUM(c * c) AS BIGINT) AS f2_true
+       |  FROM (SELECT COUNT(*) AS c FROM events GROUP BY user_id)
+       |)
+       |SELECT n_events, n_users, f2_true, med_gsum,
+       |  CAST(med_gsum AS DOUBLE) / $AmsPerGroup AS f2_est,
+       |  abs(CAST(med_gsum AS DOUBLE) / $AmsPerGroup
+       |    - CAST(f2_true AS DOUBLE)) / CAST(f2_true AS DOUBLE) AS rel_err
+       |FROM truth, med""".stripMargin
+  }
 }

@@ -106,4 +106,44 @@ class SketchesSpec extends AnyFunSuite {
       .as[(Int, Long, Long)].collect().toSet
     assert(mergedCm == monoCm)
   }
+
+  test("AMS F2: z vector equals a driver recompute, shards merge by addition, " +
+    "and the median-of-means estimate lands in the sketch's error regime") {
+    import org.apache.spark.sql.functions._
+    val users = graft.core.Tables.events(spark, TestSpark.sf)
+      .select("user_id").as[Long].collect()
+    def sign(u: Long, j: Int): Long =
+      1L - 2L * ((graft.core.PortableHash.pHashJvm(s"ams|$u") >> j) & 1L)
+    val zExp = (0 until Sketches.AmsJ).map { j =>
+      j.toLong -> users.iterator.map(sign(_, j)).sum }.toMap
+    val counts = users.groupBy(identity).view.mapValues(_.length.toLong)
+    val f2True = counts.values.map(c => c * c).sum
+    // z identity: E-free, exact — z_j = sum over users of sign*count
+    (0 until Sketches.AmsJ).foreach { j =>
+      assert(zExp(j.toInt) == counts.iterator.map { case (u, c) => sign(u, j) * c }.sum)
+    }
+    val out = Sketches.amsF2(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+    assert(out.length == 1)
+    val (nEv, nU, f2, medG, est, relErr) = out.head
+    assert(nEv == users.length && nU == counts.size && f2 == f2True)
+    // med_gsum recompute: group sums of z^2 in 6 groups of 8, 3rd smallest
+    val gsums = zExp.toSeq.groupBy(_._1 / Sketches.AmsPerGroup)
+      .map { case (g, zs) => g -> zs.map { case (_, z) => z * z }.sum }
+    val medExp = gsums.toSeq.sortBy { case (g, v) => (v, g) }
+      .apply((Sketches.AmsGroups + 1) / 2 - 1)._2
+    assert(medG == medExp)
+    assert(est == medG.toDouble / Sketches.AmsPerGroup)
+    assert(relErr == math.abs(est - f2True.toDouble) / f2True.toDouble)
+    // accuracy: a group mean of 8 estimators has std ~ F2/2; the median
+    // of 6 such means is within a factor ~3 of truth with overwhelming
+    // probability — generous envelope, tight enough to catch sign bugs
+    assert(relErr < 2.0, s"rel_err $relErr")
+    // shard-merge: z states of two halves ADD to the monolithic state
+    val (h1, h2) = users.splitAt(users.length / 2)
+    (0 until Sketches.AmsJ).foreach { j =>
+      assert(h1.iterator.map(sign(_, j)).sum + h2.iterator.map(sign(_, j)).sum
+        == zExp(j.toInt))
+    }
+  }
 }

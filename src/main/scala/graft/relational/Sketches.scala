@@ -392,13 +392,32 @@ object Sketches {
     * 48 keys per partition); the true-F2 pass is one user-keyed
     * aggregate. Output: ONE summary row.
     */
-  def amsF2(spark: SparkSession, dir: String): DataFrame = {
+  /** The 48-long z state from any (possibly streaming) frame with a
+    * user_id column — shared by the batch estimator and the #184
+    * streaming variant so both maintain the IDENTICAL state.
+    */
+  private[graft] def amsZ(events: DataFrame): DataFrame = {
     val h = PortableHash.pHash(concat_ws("|", lit("ams"), col("user_id")))
-    val signs = Tables.events(spark, dir)
+    events
       .select(posexplode(array((0 until AmsJ).map(j =>
         lit(1L) - lit(2L) * shiftright(h, j).bitwiseAND(lit(1L))): _*))
         .as(Seq("j", "sign")))
-    val z = signs.groupBy("j").agg(sum("sign").as("z"))
+      .groupBy("j").agg(sum("sign").as("z"))
+  }
+
+  /** Oracle for the raw z table (shared with the streaming variant). */
+  val amsZSql: String = {
+    val h = PortableHash.duck("'ams|' || user_id")
+    s"""WITH signs AS (
+       |  SELECT j, 1 - 2 * (($h >> j) & 1) AS sign
+       |  FROM events, (SELECT unnest(range($AmsJ)) AS j)
+       |)
+       |SELECT CAST(j AS INT) AS j, CAST(SUM(sign) AS BIGINT) AS z
+       |FROM signs GROUP BY j""".stripMargin
+  }
+
+  def amsF2(spark: SparkSession, dir: String): DataFrame = {
+    val z = amsZ(Tables.events(spark, dir))
     val gsums = z.groupBy((col("j") / AmsPerGroup).cast("long").as("g"))
       .agg(sum(col("z") * col("z")).as("gsum"))
     // nearest-rank median via TakeOrdered (house rule: no unpartitioned

@@ -394,6 +394,28 @@ object EventStreams {
       .agg(max("r").as("r"))
       .select(col("window.start").cast("long").as("ws"), col("bucket"), col("r"))
 
+  // ------------------------------------------- #184 streaming AMS F2
+
+  /** #184: the AMS z state (#183) as continuously-maintained streaming
+    * state — the live self-join-size/repeat-rate gauge, and the
+    * fourth corner of the sketch-merge family square: CM merges by
+    * SUM of counts, HLL by MAX, Bloom by OR, AMS by SUM of SIGNED
+    * counts — still plain addition, so micro-batch partials and shard
+    * unions combine exactly via Spark's streaming-agg update. State is
+    * 48 longs forever — constant in stream length, unbounded-safe
+    * without a watermark. (Signed sums are NOT idempotent — unlike
+    * HLL/Bloom a replayed event shifts z, the same at-least-once
+    * caveat as CM's counts; exactly-once sinks or upstream dedup
+    * apply, as the CM row already documents.) The F2 estimator head
+    * (median-of-means) is a bounded dashboard-side read over the 48
+    * rows, exactly like the histogram-percentile head of #112.
+    */
+  def amsState(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(graft.relational.Sketches.amsZ(eventStream(spark, dir)),
+      "graft_stream_ams")
+
+  val amsStateSql: String = graft.relational.Sketches.amsZSql
+
   // --------------------------------------- #174 CDC latest-state view
 
   /** The latest-row-per-key reduction shared by the streamed and batch

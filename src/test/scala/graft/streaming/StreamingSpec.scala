@@ -517,4 +517,34 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
     assert(got == batch, "streamed latest-state == batch latest-per-key")
   }
+
+  test("AMS z state accumulates across batches by addition and equals the batch state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val z = graft.relational.Sketches.amsZ(stream.toDF().selectExpr("user_id"))
+    val q = z.writeStream.format("memory").queryName("spec_ams")
+      .outputMode("complete").start()
+    def state(): Map[Int, Long] =
+      spark.table("spec_ams").as[(Int, Long)].collect().toMap
+    val b1 = Seq(Ev(1, 7, 0), Ev(2, 9, 0))
+    val b2 = Seq(Ev(3, 7, 0), Ev(4, 11, 0), Ev(5, 7, 0))
+    stream.addData(b1: _*)
+    q.processAllAvailable()
+    val s1 = state()
+    stream.addData(b2: _*)
+    q.processAllAvailable()
+    val s2 = state()
+    q.stop()
+    def sign(u: Long, j: Int): Long =
+      1L - 2L * ((graft.core.PortableHash.pHashJvm(s"ams|$u") >> j) & 1L)
+    def zOf(us: Seq[Long]): Map[Int, Long] =
+      (0 until graft.relational.Sketches.AmsJ)
+        .map(j => j -> us.map(sign(_, j)).sum).toMap
+    assert(s1 == zOf(b1.map(_.user_id)))
+    // batch-2 partials ADDED component-wise — the sketch-merge claim
+    assert(s2 == zOf(b1.map(_.user_id) ++ b2.map(_.user_id)))
+    assert((0 until graft.relational.Sketches.AmsJ).forall(j =>
+      s2(j) == s1(j) + zOf(b2.map(_.user_id))(j)))
+  }
 }

@@ -690,6 +690,49 @@ object Events {
         max("gap").as("max_s"))
   }
 
+  val TopkPerWindow = 3
+
+  /** #185: per-window top-k users by summed value — the LEADERBOARD
+    * query (top spenders per hour / noisiest tenants per window), the
+    * group-wise-top-k pattern at event scale: aggregate per (window,
+    * user), rank WITHIN each window, keep k.
+    *
+    * Exactness: the ranking key is the SCALED-LONG value sum (1e-6
+    * grid) — ranks compare exact integers, never floats, with user_id
+    * as the total tie-break; division back to a double happens once in
+    * the projection. Scale: one (window, user)-keyed aggregate with
+    * map-side combine, then a window PARTITIONED by the time bucket —
+    * per-partition input is the window's ACTIVE-USER count, not its
+    * event count, and output is k rows per window.
+    */
+  def windowedTopk(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsS(spark, dir)
+      .groupBy((col("ts_s") - (col("ts_s") % 3600)).as("win_start"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 1e6 + 0.5).cast("long")).as("v_s"))
+    agg.withColumn("rnk", row_number().over(
+        Window.partitionBy("win_start").orderBy(col("v_s").desc, col("user_id").asc)))
+      .filter(col("rnk") <= TopkPerWindow)
+      .select(col("win_start"), col("rnk"), col("user_id"), col("n_events"),
+        (col("v_s").cast("double") / 1e6).as("sum_value"))
+  }
+
+  val windowedTopkSql: String =
+    s"""WITH agg AS (
+       |  SELECT ts_s - (ts_s % 3600) AS win_start, user_id,
+       |    COUNT(*) AS n_events,
+       |    CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS v_s
+       |  FROM (SELECT user_id, value, $duckTsS AS ts_s FROM events)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT win_start, rnk, user_id, n_events,
+       |  CAST(v_s AS DOUBLE) / 1000000.0 AS sum_value
+       |FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY win_start ORDER BY v_s DESC, user_id ASC) AS INT) AS rnk
+       |  FROM agg
+       |) WHERE rnk <= $TopkPerWindow""".stripMargin
+
   /** #181: event-type transition matrix — the first-order Markov model
     * of user flows (the session-flow/Sankey artifact every product
     * analytics stack derives, and the generative model behind

@@ -283,4 +283,30 @@ class EventsSpec extends AnyFunSuite {
     // of some type at these SFs)
     assert(got.map(_._1).distinct.length == rows.map(_._4).distinct.length)
   }
+
+  test("windowed top-k: leaderboard equals a driver recompute on the scaled longs") {
+    import org.apache.spark.sql.functions._
+    val e = graft.core.Tables.events(spark, TestSpark.sf)
+    val rows = e.select(col("user_id"),
+        expr(s"${Events.tsNanos(e)} DIV 1000000000").as("ts_s"), col("value"))
+      .as[(Long, Long, Double)].collect()
+    val agg = rows.groupBy { case (u, t, _) => (t - t % 3600, u) }
+      .view.mapValues(rs => (rs.length.toLong,
+        rs.iterator.map { case (_, _, v) => math.floor(v * 1e6 + 0.5).toLong }.sum))
+      .toMap
+    val exp = agg.groupBy(_._1._1).flatMap { case (w, cells) =>
+      cells.toSeq.sortBy { case ((_, u), (_, vs)) => (-vs, u) }
+        .take(Events.TopkPerWindow).zipWithIndex
+        .map { case (((_, u), (n, vs)), i) => (w, i + 1, u, n, vs.toDouble / 1e6) }
+    }.toSet
+    val got = Events.windowedTopk(spark, TestSpark.sf)
+      .as[(Long, Int, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2, r._3, r._4, r._5)).toSet
+    assert(got == exp)
+    // every window emits at most k rows and ranks 1..k' contiguously
+    got.groupBy(_._1).values.foreach { ws =>
+      val rnks = ws.map(_._2).toSeq.sorted
+      assert(rnks == (1 to rnks.length) && rnks.length <= Events.TopkPerWindow)
+    }
+  }
 }

@@ -396,14 +396,19 @@ object Sketches {
     * user_id column — shared by the batch estimator and the #184
     * streaming variant so both maintain the IDENTICAL state.
     */
-  private[graft] def amsZ(events: DataFrame): DataFrame = {
-    val h = PortableHash.pHash(concat_ws("|", lit("ams"), col("user_id")))
+  private[graft] def amsZ(events: DataFrame): DataFrame =
+    // Materialize the hash FIRST: built inline, the 48 array elements
+    // would each re-evaluate the md5 chain (CollapseProject only inlines
+    // cheap exprs, but the lambda-free array construction is one
+    // projection — measured 48 md5s/row). As its own column the digest
+    // is computed once and the 48 sign taps are bit ops on a long.
     events
+      .select(PortableHash.pHash(
+        concat_ws("|", lit("ams"), col("user_id"))).as("h"))
       .select(posexplode(array((0 until AmsJ).map(j =>
-        lit(1L) - lit(2L) * shiftright(h, j).bitwiseAND(lit(1L))): _*))
+        lit(1L) - lit(2L) * shiftright(col("h"), j).bitwiseAND(lit(1L))): _*))
         .as(Seq("j", "sign")))
       .groupBy("j").agg(sum("sign").as("z"))
-  }
 
   /** Oracle for the raw z table (shared with the streaming variant). */
   val amsZSql: String = {

@@ -44,6 +44,7 @@ object Bench {
     "dedup_jaccard_join",
     "corpus_clean", "decontaminate_ngrams",
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_pq_topk",
+    "ann_pq_trained",
     "ann_ivfpq_topk", "ann_refine_rerank", "cluster_kmeans",
     "embed_quantize_int8",
     "embed_pca_power",

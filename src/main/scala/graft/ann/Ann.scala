@@ -690,6 +690,127 @@ object Ann {
        |LEFT JOIN ov ON ov.q_id = q.q_id""".stripMargin
   }
 
+  // --------------------------------------------------------- #186 PQ trained
+
+  /** #186: PQ top-k with a TRAINED codebook — the answer to #180's
+    * finding that the hash-seeded PQ tiers sit at recall 0.06-0.10:
+    * one distributed Lloyd sweep PER SUBSPACE over the corpus
+    * (assign each sub-vector to its nearest seed centroid, then
+    * per-(subspace, centroid, dim) quantized means; empty cells keep
+    * their seed — standard Lloyd degeneracy rule) refines the codebook
+    * the ADC scan quantizes against. Encoding/LUT/ADC are byte-for-byte
+    * the #59 serving path — only the codebook rows change, which is
+    * exactly how a production PQ deployment retrains.
+    *
+    * Scale: training is one corpus scan exploded to M·subDim rows per
+    * vector feeding a map-side-combining groupBy onto the BOUNDED
+    * (m, c, i) = M·nCent·subDim key space — shuffle bytes constant in
+    * corpus size; the swept codebook is one 512-double row broadcast
+    * back (the k-means codebook-training path #38's Scaladoc promises).
+    * Serving is unchanged: 3-bit codes, M lookups per candidate.
+    *
+    * Exactness: assignment distances fold in the codegen'd PqEncode
+    * order (strict `<` keeps the smaller c — mirrored by ORDER BY d, c);
+    * centroid means are [[Exact.decAvg]]-quantized (scale 9,
+    * order-independent); ADC is the fixed ascending-m 8-term sum both
+    * engines evaluate literally.
+    */
+  def pqTrainedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val vf = graft.functions.VectorFolds
+    val seedCb = lit(pqFlatCodebook)
+    val e = vecs(spark, dir)
+    // Lloyd sweep: seed-assign sub-vectors, per-(m, c, i) quantized means.
+    val means = e
+      .withColumn("codes0", vf.pqEncode(col("v"), seedCb, PqNCent, PqSubDim))
+      .select(col("v"), posexplode(col("codes0")).as(Seq("m", "c")))
+      .select(col("m"), col("c"),
+        posexplode(slice(col("v"), col("m") * PqSubDim + 1, lit(PqSubDim)))
+          .as(Seq("i", "x")))
+      .groupBy("m", "c", "i")
+      .agg(graft.core.Exact.decAvg(col("x"), 9).as("cx"))
+    // Re-assemble the flat [m][c][i] codebook; empty cells keep the seed.
+    val grid = spark.range(PqM * PqNCent * PqSubDim).select(
+      (col("id") / (PqNCent * PqSubDim)).cast("int").as("m"),
+      ((col("id") / PqSubDim) % PqNCent).cast("int").as("c"),
+      (col("id") % PqSubDim).cast("int").as("i"),
+      col("id"))
+    val trained = grid.join(means, Seq("m", "c", "i"), "left")
+      .select(col("id"),
+        coalesce(col("cx"), element_at(seedCb, (col("id") + 1).cast("int"))).as("cx"))
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("id"), col("cx")))),
+        s => s.getField("cx")).as("cb"))
+    // Serve: identical to #59 with the swept codebook riding in broadcast.
+    val data = e.crossJoin(broadcast(trained))
+      .withColumn("codes", vf.pqEncode(col("v"), col("cb"), PqNCent, PqSubDim))
+      .select("vec_id", "codes")
+    val q = e.filter(col("vec_id") % QueryMod === 0).crossJoin(broadcast(trained))
+      .withColumn("lut", vf.pqLut(col("v"), col("cb"), PqNCent, PqSubDim))
+      .select(col("vec_id").as("q_id"), col("lut"))
+    data.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("approx_d", vf.pqAdc(col("lut"), col("codes"), PqNCent))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("approx_d").asc, col("vec_id").asc)))
+      .filter(col("rank") <= K)
+      .select("q_id", "vec_id", "approx_d", "rank")
+  }
+
+  val pqTrainedTopKSql: String = {
+    val centEl = graft.core.PortableHash.duckDyadic("'PQ|' || m || '|' || c || '|' || (i - 1)")
+    val subFold = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, ${PqSubDim + 1}), i -> " +
+      s"(v[(m * $PqSubDim) + i] - cv[i]) * (v[(m * $PqSubDim) + i] - cv[i]))), (acc, x) -> acc + x)"
+    val adc = (1 to PqM).map(m => s"lut[$m][codes[$m] + 1]").mkString(" + ")
+    s"""WITH ve AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), cents0 AS MATERIALIZED (
+       |  SELECT m, c, list($centEl ORDER BY i) AS cv
+       |  FROM (SELECT unnest(range(0, $PqM)) AS m),
+       |       (SELECT unnest(range(0, $PqNCent)) AS c),
+       |       (SELECT unnest(range(1, ${PqSubDim + 1})) AS i)
+       |  GROUP BY m, c
+       |), sd0 AS MATERIALIZED (
+       |  SELECT vec_id, v, m, c, $subFold AS d
+       |  FROM ve, cents0
+       |), a0 AS (
+       |  SELECT vec_id, v, m, c AS code FROM sd0
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, c) = 1
+       |), means AS (
+       |  SELECT m, code AS c, i, ${graft.core.Exact.duckAvg(s"v[(m * $PqSubDim) + i]", 9)} AS cx
+       |  FROM a0, (SELECT unnest(range(1, ${PqSubDim + 1})) AS i)
+       |  GROUP BY m, code, i
+       |), cents1 AS MATERIALIZED (
+       |  SELECT g.m, g.c, list(coalesce(mn.cx, ${graft.core.PortableHash.duckDyadic("'PQ|' || g.m || '|' || g.c || '|' || (g.i - 1)")}) ORDER BY g.i) AS cv
+       |  FROM (SELECT m, c, i
+       |        FROM (SELECT unnest(range(0, $PqM)) AS m),
+       |             (SELECT unnest(range(0, $PqNCent)) AS c),
+       |             (SELECT unnest(range(1, ${PqSubDim + 1})) AS i)) g
+       |  LEFT JOIN means mn ON mn.m = g.m AND mn.c = g.c AND mn.i = g.i
+       |  GROUP BY g.m, g.c
+       |), sd1 AS MATERIALIZED (
+       |  SELECT vec_id, m, c, $subFold AS d
+       |  FROM ve, cents1
+       |), codes AS (
+       |  SELECT vec_id, list(code ORDER BY m) AS codes FROM (
+       |    SELECT vec_id, m, c AS code FROM sd1
+       |    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, c) = 1
+       |  ) GROUP BY vec_id
+       |), luts AS (
+       |  SELECT vec_id AS q_id, list(lc ORDER BY m) AS lut FROM (
+       |    SELECT vec_id, m, list(d ORDER BY c) AS lc FROM sd1
+       |    WHERE vec_id % $QueryMod = 0 GROUP BY vec_id, m
+       |  ) GROUP BY vec_id
+       |)
+       |SELECT q_id, vec_id, approx_d, rank FROM (
+       |  SELECT q_id, e.vec_id, $adc AS approx_d,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY ($adc) ASC, e.vec_id ASC) AS INT) AS rank
+       |  FROM codes e JOIN luts q ON e.vec_id <> q.q_id
+       |) WHERE rank <= $K""".stripMargin
+  }
+
   // ------------------------------------------ #180 recall acceptance report
 
   /** #180: recall@K of every approximate serving tier against the exact
@@ -722,6 +843,7 @@ object Ann {
     row("lsh", lshTopK(spark, dir))
       .unionByName(row("ivf", ivfTopK(spark, dir)))
       .unionByName(row("pq", pqTopK(spark, dir)))
+      .unionByName(row("pq_trained", pqTrainedTopK(spark, dir)))
       .unionByName(row("ivfpq", ivfpqTopK(spark, dir)))
       .unionByName(row("ivfpq_refined", refineRerank(spark, dir)))
   }
@@ -744,6 +866,8 @@ object Ann {
        |${variant("ivf", ivfTopKSql)}
        |UNION ALL
        |${variant("pq", pqTopKSql)}
+       |UNION ALL
+       |${variant("pq_trained", pqTrainedTopKSql)}
        |UNION ALL
        |${variant("ivfpq", ivfpqTopKSql)}
        |UNION ALL

@@ -236,7 +236,8 @@ class AnnSpec extends AnyFunSuite {
     val got = Ann.recallReport(spark, TestSpark.sf)
       .as[(String, Long, Long, Double)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
-    assert(got.keySet == Set("lsh", "ivf", "pq", "ivfpq", "ivfpq_refined"))
+    assert(got.keySet ==
+      Set("lsh", "ivf", "pq", "pq_trained", "ivfpq", "ivfpq_refined"))
     // independent recompute of one variant's hit count
     val lshHits = Ann.lshTopK(spark, TestSpark.sf)
       .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect()
@@ -252,5 +253,30 @@ class AnnSpec extends AnyFunSuite {
     assert(got("ivf")._3 >= got("ivfpq")._3)
     assert(got("ivfpq_refined")._3 >= got("ivfpq")._3)
     assert(got("ivf")._3 >= 0.9, "IVF scans true vectors in probed cells")
+    // the Lloyd sweep is worth running: trained codes beat the hash seeds
+    assert(got("pq_trained")._3 > got("pq")._3,
+      s"training must lift PQ recall (${got("pq")._3} -> ${got("pq_trained")._3})")
+  }
+
+  test("trained PQ: K ranked rows per query, ADC-ordered, codebook actually moved") {
+    import org.apache.spark.sql.functions._
+    val out = Ann.pqTrainedTopK(spark, TestSpark.sf)
+      .as[(Long, Long, Double, Int)].collect()
+    val byQ = out.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == Ann.K)
+      assert(rows.map(_._4).sorted.toSeq == (1 to Ann.K))
+      assert(!rows.exists(_._2 == q))
+      val sorted = rows.sortBy(_._4)
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a._3 < b._3 || (a._3 == b._3 && a._2 < b._2))
+      }
+    }
+    // training must change the serving result, not just recompute #59
+    val untrained = Ann.pqTopK(spark, TestSpark.sf)
+      .select(col("q_id"), col("vec_id")).as[(Long, Long)].collect().toSet
+    val trained = out.map(r => (r._1, r._2)).toSet
+    assert(trained != untrained, "swept codebook must re-rank some query")
   }
 }

@@ -32,7 +32,7 @@ object Bench {
     "events_windowed_agg", "events_sessionize",
     "events_json_extract", "events_asof_join",
     "events_funnel", "events_retention", "events_anomaly",
-    "events_value_quantiles",
+    "events_value_quantiles", "events_cusum",
     "sketch_hll", "sketch_countmin", "sketch_bloom", "basket_part_pairs",
     "join_salted",
     "dict_encode_entities", "triples_encode", "cp_mttkrp", "cp_als_sweep",

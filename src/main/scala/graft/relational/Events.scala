@@ -853,4 +853,87 @@ object Events {
        |SELECT user_id, eff_from_s, MIN(value) AS value,
        |  COUNT(*) AS n_events, MAX(ts_s) AS last_ts_s
        |FROM v GROUP BY user_id, eff_from_s""".stripMargin
+
+  // ------------------------------------------------------------- #187 CUSUM
+
+  /** #187: CUSUM drift detection over the per-type daily value stream —
+    * the SEQUENTIAL change detector next to #97's pointwise 3σ and
+    * #166's robust MAD: a mean SHIFT that never produces a single
+    * outlier (say +5% every day after a bad deploy) is invisible to
+    * both, while its cumulative excess grows linearly and CUSUM flags
+    * it after a few days (Page 1954 — the classic sequential test).
+    *
+    * The textbook recursion S_d = max(0, S_{d-1} + x_d − μ) is
+    * sequential, but it has a closed WINDOW form: with P_d = Σ_{j≤d} r_j,
+    * S_d = P_d − min(0, min_{j≤d} P_j) — a cumulative sum and a running
+    * min over the same ordered frame, so the whole trajectory is two
+    * stacked windows, no driver loop, no recursion.
+    *
+    * Exactness: daily sums are scaled longs (1e-6 grid); the residual
+    * uses the SCALED-NUMERATOR trick r_d = sv_d·n_days − total_sv so
+    * the mean subtraction is INTEGER (no division anywhere in the
+    * trajectory); the alarm S_d > total_sv ("cumulative excess exceeds
+    * one average day's volume" — h expressed in in-control-mean units,
+    * the knob real CUSUM charts expose when σ is unstable) is an
+    * integer comparison. Only the two report divisions produce doubles,
+    * mirrored in literal order. Domain: |value|·1e6·n_daily·n_days
+    * < 2^63 — per-type daily volume below ~9e12 value-units at any
+    * realistic day span; raise the grid to 1e-4 past that.
+    *
+    * Scale: one map-side-combining groupBy onto the bounded
+    * (type, day) key space — shuffle carries the daily frame, never
+    * events; all four windows share ONE event_type partitioning
+    * (single exchange), frames bounded by the day span.
+    */
+  def cusum(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+    val daily = e
+      .select(col("event_type"),
+        expr(s"${tsNanos(e)} DIV $NsPerDay").as("day"), col("value"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 1e6 + 0.5).cast("long")).as("sv"))
+    val byType = Window.partitionBy("event_type")
+    val ordered = byType.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("total_sv", sum("sv").over(byType))
+      .withColumn("n_days", count(lit(1)).over(byType))
+      .withColumn("p", sum(col("sv") * col("n_days") - col("total_sv"))
+        .over(ordered))
+      .withColumn("s", col("p") - least(lit(0L), min("p").over(ordered)))
+      .select(col("event_type"), col("day"), col("n_events"),
+        (col("sv").cast("double") / 1e6).as("v_day"),
+        (col("s").cast("double") / col("n_days") / 1e6).as("cusum"),
+        (col("s") > col("total_sv")).as("alarm"))
+  }
+
+  val cusumSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_ns(ts) // $NsPerDay AS day,
+       |    COUNT(*) AS n_events,
+       |    SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS sv
+       |  FROM events GROUP BY 1, 2
+       |), t AS (
+       |  SELECT *,
+       |    CAST(SUM(sv) OVER (PARTITION BY event_type) AS BIGINT) AS total_sv,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n_days
+       |  FROM daily
+       |), pp AS (
+       |  SELECT *, CAST(SUM(sv * n_days - total_sv) OVER (
+       |    PARTITION BY event_type ORDER BY day
+       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+       |  FROM t
+       |), ss AS (
+       |  SELECT *, p - LEAST(0, MIN(p) OVER (
+       |    PARTITION BY event_type ORDER BY day
+       |    ROWS UNBOUNDED PRECEDING)) AS s
+       |  FROM pp
+       |)
+       |SELECT event_type, day, n_events,
+       |  CAST(sv AS DOUBLE) / 1000000.0 AS v_day,
+       |  CAST(s AS DOUBLE) / n_days / 1000000.0 AS cusum,
+       |  s > total_sv AS alarm
+       |FROM ss""".stripMargin
 }

@@ -309,4 +309,43 @@ class EventsSpec extends AnyFunSuite {
       assert(rnks == (1 to rnks.length) && rnks.length <= Events.TopkPerWindow)
     }
   }
+
+  test("cusum: window form equals the textbook max(0, .) recursion, " +
+      "alarm threshold honored") {
+    import org.apache.spark.sql.functions._
+    val e = graft.core.Tables.events(spark, TestSpark.sf)
+    val rows = e.select(col("event_type"),
+        expr(s"${Events.tsNanos(e)} DIV ${86400L * 1000000000L}").as("day"),
+        col("value"))
+      .as[(String, Long, Double)].collect()
+    // driver recompute: daily scaled sums, then the SEQUENTIAL recursion
+    val daily = rows.groupBy(r => (r._1, r._2)).view.mapValues(rs =>
+      (rs.length.toLong,
+        rs.iterator.map(r => math.floor(r._3 * 1e6 + 0.5).toLong).sum)).toMap
+    val got = Events.cusum(spark, TestSpark.sf)
+      .as[(String, Long, Long, Double, Double, Boolean)].collect()
+    assert(got.length == daily.size)
+    got.groupBy(_._1).foreach { case (tpe, g) =>
+      val days = g.map(_._2).sorted
+      val svs = days.map(d => daily((tpe, d))._2)
+      val total = svs.sum
+      val n = days.length.toLong
+      // textbook recursion over the integer residuals r_d = sv_d*n - total
+      var s = 0L
+      val expect = svs.map { sv =>
+        s = math.max(0L, s + (sv * n - total)); s }
+      val byDay = g.sortBy(_._2)
+      byDay.zip(days.zip(expect)).foreach { case ((_, d, nEv, vDay, cus, al), (dd, sExp)) =>
+        assert(d == dd)
+        assert(nEv == daily((tpe, d))._1)
+        assert(vDay == daily((tpe, d))._2.toDouble / 1e6)
+        assert(cus == sExp.toDouble / n / 1e6)
+        assert(al == (sExp > total))
+      }
+      // the trajectory clamps at zero and ends back at/above zero
+      assert(expect.forall(_ >= 0L))
+      // alarm only ever fires where the cumulative excess beats one mean day
+      byDay.filter(_._6).foreach { r => assert(r._5 * n * 1e6 > total.toDouble) }
+    }
+  }
 }

@@ -29,6 +29,7 @@ object Bench {
   /** Headline subset: representative per block, bounded at sf0.1. */
   val headline: Seq[String] = Seq(
     "q1_agg", "q3_join", "q5_join_region", "q1_rollup",
+    "q13_custdist", "q17_small_qty",
     "events_windowed_agg", "events_sessionize",
     "events_json_extract", "events_asof_join",
     "events_funnel", "events_retention", "events_anomaly",

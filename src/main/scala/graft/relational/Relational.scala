@@ -308,4 +308,84 @@ object Relational {
        |  CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, ante ASC, cons ASC) AS INT) AS rnk
        |FROM rules
        |ORDER BY lift DESC, ante ASC, cons ASC LIMIT $RuleTopN""".stripMargin
+
+  // ------------------------------------------------- #188/#189 decorrelation
+
+  /** #188: TPC-H Q13 (customer distribution) — the canonical
+    * LEFT-JOIN-decorrelation showcase: the spec phrases it as "orders
+    * per customer including customers with none", which naive engines
+    * run as a correlated COUNT subquery per customer; the Spark-first
+    * plan is one left outer join + two aggregates, and the zero-order
+    * customers fall out of the join's nulls (COUNT(col) skips them)
+    * rather than out of N subquery probes.
+    *
+    * Scale: the join and the first groupBy share the SAME custkey
+    * partitioning — EnsureRequirements plans ONE exchange per side,
+    * and the per-customer counts never re-shuffle; the second groupBy
+    * collapses onto the bounded c_count key space map-side. The
+    * "special requests" predicate (adapted to the priority column this
+    * schema carries) filters orders BEFORE the join, pushed to the
+    * scan. Counts are integers end to end.
+    */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey", "o_orderkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val q13Sql: String =
+    s"""SELECT c_count, COUNT(*) AS custdist FROM (
+       |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+       |  FROM customer LEFT OUTER JOIN (
+       |    SELECT o_custkey, o_orderkey FROM orders
+       |    WHERE o_orderpriority <> '1-URGENT'
+       |  ) o ON c_custkey = o_custkey
+       |  GROUP BY c_custkey
+       |) GROUP BY c_count""".stripMargin
+
+  /** #189: TPC-H Q17 (small-quantity-order revenue) — the correlated
+    * SCALAR-AGG decorrelation showcase: the spec compares each lineitem
+    * against 0.2·avg(quantity of ITS OWN part), which naive engines
+    * evaluate as one aggregate subquery per row. Spark-first the
+    * correlation is a WINDOW over the part key: one shuffle onto
+    * l_partkey computes the per-part mean beside every row — no
+    * join-back, no second exchange, no per-row probe.
+    *
+    * Scale: the brand predicate broadcasts the filtered part dim and
+    * prunes the fact scan first; the window partitions by l_partkey
+    * (per-part groups bounded by lineitems-per-part, never corpus
+    * size). Exactness: quantities are integral doubles (sum exact in
+    * any order), the threshold is two correctly-rounded ops
+    * 0.2·(sum/count) mirrored literally, and revenue sums on the cent
+    * grid ([[Exact.decSum]] scale 2) with the /7.0 applied once.
+    */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#23").select("p_partkey")
+    val w = Window.partitionBy("l_partkey")
+    Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .withColumn("qty_cut",
+        lit(0.2) * (sum("l_quantity").over(w) / count(lit(1)).over(w)))
+      .filter(col("l_quantity") < col("qty_cut"))
+      .agg((Exact.decSum(col("l_extendedprice"), 2) / 7.0).as("avg_yearly"))
+  }
+
+  val q17Sql: String =
+    s"""SELECT ${Exact.duckSum("l_extendedprice", 2)} / 7.0 AS avg_yearly
+       |FROM (
+       |  SELECT l_quantity, l_extendedprice,
+       |    CAST(0.2 AS DOUBLE) * (SUM(l_quantity) OVER (PARTITION BY l_partkey)
+       |      / COUNT(*) OVER (PARTITION BY l_partkey)) AS qty_cut
+       |  FROM lineitem JOIN part ON p_partkey = l_partkey
+       |  WHERE p_brand = 'Brand#23'
+       |) WHERE l_quantity < qty_cut""".stripMargin
 }

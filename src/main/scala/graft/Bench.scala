@@ -51,7 +51,7 @@ object Bench {
     "embed_pca_power",
     "dedup_components",
     "text_quality_score", "text_token_count", "text_fingerprint",
-    "text_pii_scrub",
+    "text_pii_scrub", "quality_gopher_rules",
     "quality_buckets",
     "text_repetition",
     "text_tfidf", "text_bm25", "search_rrf_rerank", "text_ngram_lm",

@@ -137,7 +137,7 @@ object TextAnalysis {
 
   // ------------------------------------------------------- quality score
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+  private[graft] val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
 
   /** The stop list as a DuckDB IN-list (shared with streaming oracle). */
   private[graft] val duckStopList: String =

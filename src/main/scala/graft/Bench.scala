@@ -31,7 +31,7 @@ object Bench {
     "q1_agg", "q3_join", "q5_join_region", "q1_rollup",
     "q13_custdist", "q17_small_qty",
     "events_windowed_agg", "events_sessionize",
-    "events_json_extract", "events_asof_join",
+    "events_json_extract", "events_asof_join", "join_range",
     "events_funnel", "events_retention", "events_anomaly",
     "events_value_quantiles", "events_cusum",
     "sketch_hll", "sketch_countmin", "sketch_bloom", "basket_part_pairs",

@@ -854,6 +854,81 @@ object Events {
        |  COUNT(*) AS n_events, MAX(ts_s) AS last_ts_s
        |FROM v GROUP BY user_id, eff_from_s""".stripMargin
 
+  // -------------------------------------------------------- #192 range join
+
+  /** #192: RANGE JOIN by bucket decomposition — the interval-predicate
+    * sibling of #70's as-of join (the two custom-join shapes the brief
+    * names): match every event to the "incident windows" overlapping
+    * its timestamp. A range predicate alone gives Spark NO equi-key, so
+    * the naive plan is BroadcastNestedLoopJoin — O(rows·intervals),
+    * the quadratic cliff every engine's range-join optimization exists
+    * to avoid (Databricks RANGE_JOIN hints, DuckDB IEJoin). The
+    * Spark-first rewrite decomposes each interval into the fixed-width
+    * BUCKETS (calendar days) it covers and each probe row into the one
+    * bucket containing it: the join becomes an EQUI-join on
+    * (type, bucket) — hash-partitionable, AQE-skew-splittable — with
+    * the exact range predicate kept as a residual filter. Fan-out =
+    * interval span / bucket width (3 here), never data-scale.
+    *
+    * The interval set is DATA-DERIVED (each type's 5 busiest days,
+    * deterministic tiebreak, widened to [day−12h, day+36h)) so the
+    * operator is oracle-checkable without a fixture table; overlapping
+    * windows legitimately double-match (range-join semantics).
+    *
+    * Scale: intervals here are dictionary-small (the exploded bucket
+    * table broadcasts — zero fact-side shuffle); with a DATA-SCALE
+    * interval table the SAME plan shuffles both sides on (type, bucket)
+    * — which is the whole point of having an equi-key. Exactness:
+    * bucket math and the residual compare are integer seconds; value
+    * sums quantize through [[Exact.decSum]].
+    */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = eventsS(spark, dir)
+      .select(col("event_type"), col("ts_s"), col("value"),
+        (col("ts_s") / 86400L).cast("long").as("bday"))
+    val busiest = e.groupBy("event_type", "bday")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("n").desc, col("bday").asc)))
+      .filter(col("rk") <= 5)
+      .select(col("event_type"),
+        (col("bday") * 86400L - 43200L).as("iv_start_s"),
+        (col("bday") * 86400L + 129600L).as("iv_end_s"))
+    // bucket decomposition: one row per calendar day the interval covers
+    val ivBuckets = busiest.select(col("event_type"), col("iv_start_s"),
+      col("iv_end_s"), explode(sequence(
+        (col("iv_start_s") / 86400L).cast("long"),
+        ((col("iv_end_s") - 1L) / 86400L).cast("long"))).as("bday"))
+    e.join(broadcast(ivBuckets), Seq("event_type", "bday"))
+      .filter(col("ts_s") >= col("iv_start_s") && col("ts_s") < col("iv_end_s"))
+      .groupBy("event_type", "iv_start_s", "iv_end_s")
+      .agg(count(lit(1)).as("n_events"), Exact.decSum(col("value")).as("v_sum"))
+  }
+
+  val rangeJoinSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type, $duckTsS AS ts_s, value,
+       |    $duckTsS // 86400 AS bday
+       |  FROM events
+       |), busiest AS (
+       |  SELECT event_type,
+       |    bday * 86400 - 43200 AS iv_start_s,
+       |    bday * 86400 + 129600 AS iv_end_s
+       |  FROM (
+       |    SELECT event_type, bday, COUNT(*) AS n,
+       |      ROW_NUMBER() OVER (PARTITION BY event_type
+       |        ORDER BY COUNT(*) DESC, bday ASC) AS rk
+       |    FROM e GROUP BY event_type, bday
+       |  ) WHERE rk <= 5
+       |)
+       |SELECT e.event_type, iv_start_s, iv_end_s,
+       |  COUNT(*) AS n_events, ${Exact.duckSum("value")} AS v_sum
+       |FROM e JOIN busiest
+       |  ON e.event_type = busiest.event_type
+       |  AND e.ts_s >= iv_start_s AND e.ts_s < iv_end_s
+       |GROUP BY e.event_type, iv_start_s, iv_end_s""".stripMargin
+
   // ------------------------------------------------------------- #187 CUSUM
 
   /** #187: CUSUM drift detection over the per-type daily value stream —

@@ -348,4 +348,34 @@ class EventsSpec extends AnyFunSuite {
       byDay.filter(_._6).foreach { r => assert(r._5 * n * 1e6 > total.toDouble) }
     }
   }
+
+  test("range join: bucket decomposition equals the naive O(n*iv) range " +
+      "match, and the plan has no nested-loop join") {
+    import org.apache.spark.sql.functions._
+    val frame = Events.rangeJoin(spark, TestSpark.sf)
+    val phys = frame.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin"), "range join degraded to BNLJ")
+    assert(!phys.contains("CartesianProduct"), "range join degraded to cartesian")
+    val ev = Events.eventsS(spark, TestSpark.sf)
+      .select(col("event_type"), col("ts_s"), col("value"))
+      .as[(String, Long, Double)].collect()
+    // busiest-5 days per type, deterministic tiebreak, widened intervals
+    val ivs = ev.groupBy(e => (e._1, e._2 / 86400L)).view.mapValues(_.length)
+      .toSeq.groupBy(_._1._1).toSeq.flatMap { case (tpe, ds) =>
+        ds.sortBy { case ((_, d), n) => (-n, d) }.take(5).map { case ((_, d), _) =>
+          (tpe, d * 86400L - 43200L, d * 86400L + 129600L) }
+      }
+    // naive quadratic match — the semantics the decomposition must preserve
+    val expect = ivs.map { case (tpe, s, e) =>
+      val hits = ev.filter(r => r._1 == tpe && r._2 >= s && r._2 < e)
+      ((tpe, s, e), (hits.length.toLong,
+        hits.map(r => math.floor(r._3 * 1e6 + 0.5).toLong).sum.toDouble / 1e6))
+    }.toMap
+    val got = frame.as[(String, Long, Long, Long, Double)].collect()
+    assert(got.length == expect.size)
+    got.foreach { case (tpe, s, e, n, v) =>
+      val (en, ev2) = expect((tpe, s, e))
+      assert(n == en && v == ev2, s"interval ($tpe, $s) drifted")
+    }
+  }
 }

@@ -82,7 +82,7 @@ object Bench {
     "graph_assortativity", "streaming_latest_state", "events_cohort_ltv",
     "quality_calibration", "tensor_unfold", "ann_recall_report",
     "events_markov_transitions", "vocab_fertility", "sketch_ams_f2",
-    "events_windowed_topk")
+    "events_windowed_topk", "events_forecast")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

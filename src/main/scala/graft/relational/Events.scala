@@ -854,6 +854,85 @@ object Events {
        |  COUNT(*) AS n_events, MAX(ts_s) AS last_ts_s
        |FROM v GROUP BY user_id, eff_from_s""".stripMargin
 
+  // ------------------------------------------------------ #193 forecast eval
+
+  /** #193: seasonal-naive forecast BACKTEST — the capacity-planning
+    * baseline report: forecast each (type, day) volume/value as the
+    * value one season earlier (s = 7 days), score the forecast on every
+    * day that has one (the standard walk-forward backtest), and report
+    * per-type MAE plus the naive-vs-seasonal improvement ratio. The
+    * seasonal-naive is THE benchmark every real forecaster must beat
+    * (the M-competition yardstick) — publishing its backtest is the
+    * first artifact of any forecasting effort, and the report's shape
+    * (lag features + error aggregation) is exactly the feature pipeline
+    * a learned forecaster trains on.
+    *
+    * Exactness: counts and scaled value sums are integers; the lags are
+    * integer-exact LAG windows over the bounded daily frame keyed by
+    * REAL day offsets (lag(7) by row would silently skip missing days
+    * — a self-join on day−7 keeps calendar semantics); absolute errors
+    * sum as integers and the two MAEs + ratio divide once at the end.
+    *
+    * Scale: events collapse map-side onto the bounded (type, day)
+    * space; everything after is dictionary-small (day span × 5 types).
+    */
+  def forecastEval(spark: SparkSession, dir: String): DataFrame = {
+    val e = eventsS(spark, dir)
+    val daily = e.select(col("event_type"),
+        (col("ts_s") / 86400L).cast("long").as("day"), col("value"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1e6 + 0.5).cast("long")).as("sv"))
+    val lagged = daily.alias("cur").join(
+      daily.select(col("event_type"), (col("day") + 7L).as("day"),
+        col("n").as("n_s"), col("sv").as("sv_s")).alias("sea"),
+      Seq("event_type", "day"))
+      .join(daily.select(col("event_type"), (col("day") + 1L).as("day"),
+        col("n").as("n_1"), col("sv").as("sv_1")).alias("nai"),
+      Seq("event_type", "day"))
+    lagged.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days_scored"),
+        sum(abs(col("n") - col("n_s"))).as("ae_n_seasonal"),
+        sum(abs(col("n") - col("n_1"))).as("ae_n_naive"),
+        sum(abs(col("sv") - col("sv_s"))).as("ae_v_seasonal"))
+      .select(col("event_type"), col("n_days_scored"),
+        (col("ae_n_seasonal").cast("double") / col("n_days_scored"))
+          .as("mae_count_seasonal"),
+        (col("ae_n_naive").cast("double") / col("n_days_scored"))
+          .as("mae_count_naive"),
+        (col("ae_v_seasonal").cast("double") / col("n_days_scored") / 1e6)
+          .as("mae_value_seasonal"),
+        (col("ae_n_seasonal").cast("double") / col("ae_n_naive").cast("double"))
+          .as("seasonal_vs_naive"))
+  }
+
+  val forecastEvalSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, $duckTsS // 86400 AS day, COUNT(*) AS n,
+       |    SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS sv
+       |  FROM events GROUP BY 1, 2
+       |), j AS (
+       |  SELECT cur.event_type, cur.n, cur.sv,
+       |    sea.n AS n_s, sea.sv AS sv_s, nai.n AS n_1
+       |  FROM daily cur
+       |  JOIN daily sea ON sea.event_type = cur.event_type
+       |    AND sea.day = cur.day - 7
+       |  JOIN daily nai ON nai.event_type = cur.event_type
+       |    AND nai.day = cur.day - 1
+       |), a AS (
+       |  SELECT event_type, COUNT(*) AS n_days_scored,
+       |    CAST(SUM(abs(n - n_s)) AS BIGINT) AS ae_n_seasonal,
+       |    CAST(SUM(abs(n - n_1)) AS BIGINT) AS ae_n_naive,
+       |    CAST(SUM(abs(sv - sv_s)) AS BIGINT) AS ae_v_seasonal
+       |  FROM j GROUP BY event_type
+       |)
+       |SELECT event_type, n_days_scored,
+       |  CAST(ae_n_seasonal AS DOUBLE) / n_days_scored AS mae_count_seasonal,
+       |  CAST(ae_n_naive AS DOUBLE) / n_days_scored AS mae_count_naive,
+       |  CAST(ae_v_seasonal AS DOUBLE) / n_days_scored / 1000000.0 AS mae_value_seasonal,
+       |  CAST(ae_n_seasonal AS DOUBLE) / CAST(ae_n_naive AS DOUBLE) AS seasonal_vs_naive
+       |FROM a""".stripMargin
+
   // -------------------------------------------------------- #192 range join
 
   /** #192: RANGE JOIN by bucket decomposition — the interval-predicate

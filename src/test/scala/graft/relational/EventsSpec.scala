@@ -349,6 +349,43 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("forecast eval: seasonal-naive backtest equals the driver-side " +
+      "walk-forward recompute, calendar (not row) lags") {
+    import org.apache.spark.sql.functions._
+    val ev = Events.eventsS(spark, TestSpark.sf)
+      .select(col("event_type"), col("ts_s"), col("value"))
+      .as[(String, Long, Double)].collect()
+    val daily = ev.groupBy(r => (r._1, r._2 / 86400L)).view.mapValues(rs =>
+      (rs.length.toLong,
+        rs.iterator.map(r => math.floor(r._3 * 1e6 + 0.5).toLong).sum)).toMap
+    // walk-forward: every day with BOTH a d-7 and a d-1 observation scores
+    val expect = daily.keys.toSeq
+      .filter { case (t, d) => daily.contains((t, d - 7L)) && daily.contains((t, d - 1L)) }
+      .groupBy(_._1).view.mapValues { ks =>
+        val n = ks.length.toLong
+        val aeNS = ks.map { case (t, d) => math.abs(daily((t, d))._1 - daily((t, d - 7L))._1) }.sum
+        val aeN1 = ks.map { case (t, d) => math.abs(daily((t, d))._1 - daily((t, d - 1L))._1) }.sum
+        val aeVS = ks.map { case (t, d) => math.abs(daily((t, d))._2 - daily((t, d - 7L))._2) }.sum
+        (n, aeNS.toDouble / n, aeN1.toDouble / n, aeVS.toDouble / n / 1e6,
+          aeNS.toDouble / aeN1.toDouble)
+      }.toMap
+    val got = Events.forecastEval(spark, TestSpark.sf)
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+    assert(got.length == expect.size)
+    got.foreach { case (tpe, n, maeS, maeN, maeV, ratio) =>
+      val (en, es, e1, evv, er) = expect(tpe)
+      assert(n == en, s"$tpe scored-day count drifted")
+      assert(maeS == es && maeN == e1 && maeV == evv && ratio == er,
+        s"$tpe backtest drifted")
+    }
+    // the report only ever scores days that HAVE both forecasts: no type
+    // may claim more scored days than its span minus the 7-day burn-in
+    got.foreach { case (tpe, n, _, _, _, _) =>
+      val days = daily.keys.collect { case (t, d) if t == tpe => d }
+      assert(n <= days.max - days.min + 1 - 7)
+    }
+  }
+
   test("range join: bucket decomposition equals the naive O(n*iv) range " +
       "match, and the plan has no nested-loop join") {
     import org.apache.spark.sql.functions._

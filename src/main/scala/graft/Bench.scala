@@ -40,7 +40,8 @@ object Bench {
     "rescal_als_core", "graph_pagerank", "graph_wcc", "graph_triangles",
     "tensor_block_partition", "tensor_ttm", "neg_sample_lcwa",
     "kge_transe_score", "kge_distmult_score", "kge_rescal_score",
-    "kge_hole_score", "kge_complex_score", "kge_loss_ranking",
+    "kge_hole_score", "kge_complex_score", "kge_rotate_score",
+    "kge_loss_ranking",
     "dedup_exact", "dedup_minhash_pairs", "dedup_simhash",
     "dedup_jaccard_join",
     "corpus_clean", "decontaminate_ngrams",

@@ -161,6 +161,47 @@ object Scoring {
       .select("sid", "pid", "oid", "score")
   }
 
+  /** #194: RotatE (Sun et al. ICLR'19)  score = −Σ_i |h_i ∘ r_i − t_i|
+    * with complex d=16 entities (the ComplEx families) and each relation
+    * a UNIT-MODULUS complex rotation r_i = e^{jθ_i} — the model that
+    * subsumes the family's symmetry menagerie (symmetric, antisymmetric,
+    * inverse AND compositional relations, which neither TransE nor
+    * ComplEx covers alone). The rotation derives from the dyadic
+    * relation pair (a, b) by normalization c = a/√(a²+b²), s = b/√(a²+b²)
+    * ((1, 0) when both are zero) — sqrt and division are single
+    * correctly-rounded IEEE ops, so the coefficients are engine-identical
+    * even though they are no longer dyadic; the per-dim residual modulus
+    * is quantized to a scale-12 long INSIDE the fused codegen fold
+    * ([[graft.functions.VectorFolds.rotateDistQ]]) so the reduction is
+    * an order-independent integer sum, and the one division back to
+    * score happens at the end.
+    *
+    * Plan: identical to the other scores — slice ⋈ two entity joins ⋈
+    * one broadcast rotation table, one codegen'd projection. At 100 TB:
+    * entity table bucketed by id, relation rotations always broadcast.
+    */
+  def rotateScore(spark: SparkSession, dir: String): DataFrame = {
+    val ce = complexEnt(spark, dir)
+    def unit(num: Column, a: Column, b: Column, zero: Double): Column = {
+      val m = sqrt((a * a) + (b * b))
+      when(m === 0.0, lit(zero)).otherwise(num / m)
+    }
+    val rot = complexRel(spark, dir).select(col("id").as("pid"),
+      concat(
+        zip_with(col("vr"), col("vi"), (a, b) => unit(a, a, b, 1.0)),
+        zip_with(col("vr"), col("vi"), (a, b) => unit(b, a, b, 0.0))).as("cs"))
+    sliced(spark, dir)
+      .join(ce.select(col("id").as("sid"),
+        col("vr").as("hr"), col("vi").as("hi")), "sid")
+      .join(ce.select(col("id").as("oid"),
+        col("vr").as("tr"), col("vi").as("ti")), "oid")
+      .join(broadcast(rot), "pid")
+      .withColumn("score",
+        -(VectorFolds.rotateDistQ(col("hr"), col("hi"), col("tr"), col("ti"),
+          col("cs")).cast("double") / lit(1e12)))
+      .select("sid", "pid", "oid", "score")
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private def prelude(mod: Int): String =
@@ -205,6 +246,35 @@ object Scoring {
        |  (SELECT unnest(range(0, ${D})) AS k),
        |  (SELECT unnest(range(0, ${D})) AS i)
        |GROUP BY sid, pid, oid""".stripMargin
+  }
+
+  val rotateScoreSql: String = {
+    val hr = duckEl("E", "sid", "i"); val hi = duckEl("EI", "sid", "i")
+    val tr = duckEl("E", "oid", "i"); val ti = duckEl("EI", "oid", "i")
+    val a = duckEl("R", "pid", "i"); val b = duckEl("RI", "pid", "i")
+    s"""${prelude(ScoreMod)},
+       |terms AS (
+       |  SELECT sid, pid, oid, i,
+       |    $hr AS hr, $hi AS hi, $tr AS tr, $ti AS ti,
+       |    $a AS a, $b AS b
+       |  FROM test_enc, (SELECT unnest(range(0, ${D})) AS i)
+       |), rot AS (
+       |  SELECT sid, pid, oid, hr, hi, tr, ti,
+       |    CASE WHEN sqrt((a * a) + (b * b)) = 0 THEN 1.0
+       |      ELSE a / sqrt((a * a) + (b * b)) END AS c,
+       |    CASE WHEN sqrt((a * a) + (b * b)) = 0 THEN 0.0
+       |      ELSE b / sqrt((a * a) + (b * b)) END AS s
+       |  FROM terms
+       |), res AS (
+       |  SELECT sid, pid, oid,
+       |    ((hr * c) - (hi * s)) - tr AS re,
+       |    ((hr * s) + (hi * c)) - ti AS im
+       |  FROM rot
+       |)
+       |SELECT sid, pid, oid,
+       |  -(CAST(SUM(CAST(floor(sqrt((re * re) + (im * im)) * 1000000000000.0
+       |      + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000000.0) AS score
+       |FROM res GROUP BY sid, pid, oid""".stripMargin
   }
 
   val complexScoreSql: String = {

@@ -439,6 +439,78 @@ case class PqAdc(left: Expression, right: Expression, nCent: Int)
     copy(left = l, right = r)
 }
 
+/** RotatE quantized distance: Σ_i ⌊|h_i·r_i − t_i|·10¹² + ½⌋ as a LONG,
+  * with h, t complex (split re/im arrays) and r_i the unit rotation
+  * (c_i, s_i) PACKED as cs = [c_0..c_{d-1}, s_0..s_{d-1}] (d inferred as
+  * cs.length/2). Per index the residual is the fixed IEEE tree
+  * re = ((hr·c) − (hi·s)) − tr, im = ((hr·s) + (hi·c)) − ti,
+  * |z| = sqrt((re·re) + (im·im)) — every op correctly rounded, so the
+  * value is engine-identical — and the QUANTIZED terms sum as integers,
+  * making the fold order-independent (the rotation coefficients are
+  * non-dyadic, so a raw double sum would be partition-order-sensitive).
+  * Bound: terms ≤ ~4.25·10¹², d=16 ⇒ Σ < 7·10¹³ ≪ 2⁵³.
+  */
+case class RotateDistQ(hr: Expression, hi: Expression, tr: Expression,
+    ti: Expression, cs: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.QuinaryExpression
+  with ExpectsInputTypes {
+
+  override def children: Seq[Expression] = Seq(hr, hi, tr, ti, cs)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq.fill(5)(ArrayType(DoubleType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "rotate_distq"
+
+  override def nullSafeEval(hrA: Any, hiA: Any, trA: Any, tiA: Any,
+      csA: Any): Any = {
+    val ahr = hrA.asInstanceOf[ArrayData]; val ahi = hiA.asInstanceOf[ArrayData]
+    val atr = trA.asInstanceOf[ArrayData]; val ati = tiA.asInstanceOf[ArrayData]
+    val acs = csA.asInstanceOf[ArrayData]
+    val d = acs.numElements() / 2
+    val n = math.min(d, math.min(
+      math.min(ahr.numElements(), ahi.numElements()),
+      math.min(atr.numElements(), ati.numElements())))
+    var q = 0L
+    var i = 0
+    while (i < n) {
+      val c = acs.getDouble(i); val s = acs.getDouble(d + i)
+      val re = ((ahr.getDouble(i) * c) - (ahi.getDouble(i) * s)) - atr.getDouble(i)
+      val im = ((ahr.getDouble(i) * s) + (ahi.getDouble(i) * c)) - ati.getDouble(i)
+      q += math.floor(math.sqrt((re * re) + (im * im)) * 1e12 + 0.5).toLong
+      i += 1
+    }
+    q
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (hrA, hiA, trA, tiA, csA) => {
+      val d = ctx.freshName("d"); val n = ctx.freshName("n")
+      val i = ctx.freshName("i"); val q = ctx.freshName("q")
+      val c = ctx.freshName("c"); val s = ctx.freshName("s")
+      val re = ctx.freshName("re"); val im = ctx.freshName("im")
+      s"""
+         |final int $d = $csA.numElements() / 2;
+         |final int $n = java.lang.Math.min($d, java.lang.Math.min(
+         |  java.lang.Math.min($hrA.numElements(), $hiA.numElements()),
+         |  java.lang.Math.min($trA.numElements(), $tiA.numElements())));
+         |long $q = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $c = $csA.getDouble($i);
+         |  final double $s = $csA.getDouble($d + $i);
+         |  final double $re = (($hrA.getDouble($i) * $c) - ($hiA.getDouble($i) * $s)) - $trA.getDouble($i);
+         |  final double $im = (($hrA.getDouble($i) * $s) + ($hiA.getDouble($i) * $c)) - $tiA.getDouble($i);
+         |  $q += (long) java.lang.Math.floor(java.lang.Math.sqrt(($re * $re) + ($im * $im)) * 1.0E12 + 0.5);
+         |}
+         |${ev.value} = $q;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): RotateDistQ =
+    copy(hr = newChildren(0), hi = newChildren(1), tr = newChildren(2),
+      ti = newChildren(3), cs = newChildren(4))
+}
+
 object VectorFolds {
   private def c(e: Expression): Column = ExpressionUtils.column(e)
   private def e(col: Column): Expression = ExpressionUtils.expression(col)
@@ -471,4 +543,8 @@ object VectorFolds {
   /** asymmetric PQ distance from a flat LUT + codes */
   def pqAdc(lut: Column, codes: Column, nCent: Int): Column =
     c(PqAdc(e(lut), e(codes), nCent))
+  /** RotatE quantized L1-of-modulus distance (scale 1e12, LONG) */
+  def rotateDistQ(hr: Column, hi: Column, tr: Column, ti: Column,
+      cs: Column): Column =
+    c(RotateDistQ(e(hr), e(hi), e(tr), e(ti), e(cs)))
 }

@@ -68,6 +68,60 @@ class ScoringSpec extends AnyFunSuite {
     assert(row.getDouble(3) == expected) // dyadic products: exact equality
   }
 
+  test("RotatE score matches the hand-computed quantized rotation " +
+      "residual, rotations are unit-modulus, interpreted == codegen") {
+    val row = Scoring.rotateScore(spark, TestSpark.sf)
+      .orderBy("sid", "pid", "oid").limit(1)
+      .select($"sid", $"pid", $"oid", $"score").head()
+    val (sid, pid, oid) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    def dyad(seed: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(seed.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      ((java.lang.Long.parseLong(hex.substring(0, 15), 16) % 201) - 100).toDouble / 128.0
+    }
+    var q = 0L
+    (0 until Embeddings.D).foreach { i =>
+      val a = dyad(s"R|$pid|$i"); val b = dyad(s"RI|$pid|$i")
+      val m = math.sqrt((a * a) + (b * b))
+      val c = if (m == 0) 1.0 else a / m
+      val s = if (m == 0) 0.0 else b / m
+      // rotation must be unit-modulus to 1 ulp
+      assert(math.abs((c * c) + (s * s) - 1.0) < 1e-15)
+      val hr = dyad(s"E|$sid|$i"); val hi = dyad(s"EI|$sid|$i")
+      val tr = dyad(s"E|$oid|$i"); val ti = dyad(s"EI|$oid|$i")
+      val re = ((hr * c) - (hi * s)) - tr
+      val im = ((hr * s) + (hi * c)) - ti
+      q += math.floor(math.sqrt((re * re) + (im * im)) * 1e12 + 0.5).toLong
+    }
+    assert(row.getDouble(3) == -(q.toDouble / 1e12))
+    // interpreted eval path of the fold agrees with the codegen result
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def lit(xs: Array[Double]) =
+      Literal.create(new GenericArrayData(xs), ArrayType(DoubleType))
+    val hrA = Array(0.5, -0.25); val hiA = Array(0.125, 0.75)
+    val trA = Array(-0.5, 0.375); val tiA = Array(0.25, -0.125)
+    val csA = Array(0.6, 0.8, 0.8, -0.6) // two exact unit rotations
+    val interp = org.apache.spark.sql.graft.RotateDistQ(
+      lit(hrA), lit(hiA), lit(trA), lit(tiA), lit(csA)).eval(null)
+    var expQ = 0L
+    (0 until 2).foreach { i =>
+      val c = csA(i); val s = csA(2 + i)
+      val re = ((hrA(i) * c) - (hiA(i) * s)) - trA(i)
+      val im = ((hrA(i) * s) + (hiA(i) * c)) - tiA(i)
+      expQ += math.floor(math.sqrt((re * re) + (im * im)) * 1e12 + 0.5).toLong
+    }
+    assert(interp == expQ)
+    import org.apache.spark.sql.functions.col
+    val viaPlan = Seq((hrA.toSeq, hiA.toSeq, trA.toSeq, tiA.toSeq, csA.toSeq))
+      .toDF("hr", "hi", "tr", "ti", "cs")
+      .select(graft.functions.VectorFolds.rotateDistQ(
+        col("hr"), col("hi"), col("tr"), col("ti"), col("cs")))
+      .as[Long].head()
+    assert(viaPlan == expQ)
+  }
+
   test("ranking: every rank is within [1, candidate-set size]") {
     val ranks = RankingEval.ranks(spark, TestSpark.sf)
     val n = ranks.count()

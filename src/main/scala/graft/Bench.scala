@@ -83,7 +83,9 @@ object Bench {
     "graph_assortativity", "streaming_latest_state", "events_cohort_ltv",
     "quality_calibration", "tensor_unfold", "ann_recall_report",
     "events_markov_transitions", "vocab_fertility", "sketch_ams_f2",
-    "events_windowed_topk", "events_forecast")
+    "events_windowed_topk", "events_forecast",
+    // round-6 session-7 additions
+    "q4_priority_semi", "q16_supplier_cnt", "q22_idle_balance")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

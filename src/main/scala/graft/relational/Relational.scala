@@ -388,4 +388,140 @@ object Relational {
        |  FROM lineitem JOIN part ON p_partkey = l_partkey
        |  WHERE p_brand = 'Brand#23'
        |) WHERE l_quantity < qty_cut""".stripMargin
+
+  // ------------------------------------------ #195 Q4: EXISTS semi-join
+
+  /** #195: TPC-H Q4 (order-priority checking) — the EXISTS decorrelation
+    * showcase completing the correlated-subquery trio (#188 COUNT,
+    * #189 scalar-agg, this one EXISTS): count orders per priority where
+    * at least one lineitem shipped more than 90 days after the order
+    * date. The spec form probes lineitem once per order; Spark-first
+    * the EXISTS is a LEFT SEMI join on the order key with the date
+    * predicate as the join filter — one shuffle per side on
+    * l_orderkey/o_orderkey, and the semi join emits each order AT MOST
+    * ONCE no matter how many lineitems qualify (no post-join distinct,
+    * no row amplification — the property that makes semi the right
+    * physical shape for EXISTS at any scale).
+    *
+    * Scale: both sides hash-partition on the order key (the fact
+    * table's natural key, co-located free if the lake is bucketed on
+    * it, #114); the priority rollup collapses onto 5 keys map-side.
+    * Exactness: the date gap compares integer epoch seconds; outputs
+    * are pure counts.
+    */
+  def q4PrioritySemi(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        expr("unix_micros(l_shipdate) DIV 1000000").as("ship_s"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("unix_micros(o_orderdate) DIV 1000000").as("order_s"))
+      .join(li, col("l_orderkey") === col("o_orderkey") &&
+        col("ship_s") > col("order_s") + lit(90L * 86400L), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey
+      |    AND epoch_ns(l_shipdate) // 1000000000
+      |        > epoch_ns(o_orderdate) // 1000000000 + 90 * 86400)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // ------------------------------- #196 Q16: NOT-IN anti-join + distinct
+
+  /** #196: TPC-H Q16 (parts/supplier relationship) — the NOT IN
+    * decorrelation showcase: distinct suppliers per (brand, size),
+    * excluding suppliers on a complaints blocklist. The spec's
+    * `NOT IN (subquery)` is a LEFT ANTI join; the blocklist is
+    * dictionary-sized (it is a filter over the supplier dim) so the
+    * anti join BROADCASTS — the exclusion costs zero shuffle no matter
+    * how big the fact side is. The blocklist itself is data-derived
+    * (pHash(s_name) % 7 == 0 — the house fixture-from-data rule; a real
+    * deployment supplies the same one-column set).
+    *
+    * Plan shape: lineitem collapses to distinct (partkey, suppkey)
+    * FIRST (map-side combine onto the catalog-bounded pair space — the
+    * fact table never reaches a join at event cardinality), then joins
+    * the part dim and anti-joins the blocklist, both broadcast. The
+    * final COUNT(DISTINCT) runs over the (brand, size)-bounded frame.
+    * All-integer outputs: hash-exact with no quantization.
+    */
+  def q16SupplierCnt(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.PortableHash
+    val bad = Tables.supplier(spark, dir)
+      .filter(PortableHash.pHash(col("s_name")) % 7 === 0)
+      .select("s_suppkey")
+    val ps = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey").distinct()
+    ps.join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+  }
+
+  val q16Sql: String = {
+    val badHash = graft.core.PortableHash.duck("s_name")
+    s"""SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+       |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+       |JOIN part ON p_partkey = l_partkey
+       |WHERE l_suppkey NOT IN (
+       |  SELECT s_suppkey FROM supplier WHERE $badHash % 7 = 0)
+       |GROUP BY p_brand, p_size""".stripMargin
+  }
+
+  // -------------------------- #197 Q22: anti-join + scalar subquery
+
+  /** #197: TPC-H Q22 (global sales opportunity) — the scalar-subquery +
+    * NOT EXISTS pair in one query: high-balance customers (above the
+    * positive-balance average) with no urgent order, rolled up per
+    * market segment. Two decorrelations compose: the scalar average is
+    * ONE global aggregate broadcast back as a 1-row frame (the
+    * house scalar-crossJoin pattern — never a per-row subquery), and
+    * the NOT EXISTS is a LEFT ANTI join against the urgent-order keys.
+    *
+    * Scale: the threshold pass is a map-side-combining global aggregate
+    * (one row moves); the anti join keys on o_custkey — hash-partitioned
+    * both sides, or broadcast when the urgent subset is small; the
+    * segment rollup collapses onto 5 keys map-side. Exactness: the
+    * average is an exact cent-grid integer sum with ONE division
+    * (engine-identical double), the > compare is then exact, and the
+    * output balance sums ride the same cent grid.
+    */
+  def q22IdleBalance(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val cut = c.filter(col("c_acctbal") > 0.0)
+      .agg((sum(floor(col("c_acctbal") * 100.0 + 0.5).cast("long"))
+        .cast("double") / 100.0 / count(lit(1))).as("bal_cut"))
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    c.select("c_custkey", "c_mktsegment", "c_acctbal")
+      .crossJoin(broadcast(cut)) // 1-row scalar
+      .filter(col("c_acctbal") > col("bal_cut"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"),
+        (sum(floor(col("c_acctbal") * 100.0 + 0.5).cast("long"))
+          .cast("double") / 100.0).as("total_bal"))
+  }
+
+  val q22Sql: String =
+    """WITH cut AS (
+      |  SELECT CAST(SUM(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+      |         / 100.0 / COUNT(*) AS bal_cut
+      |  FROM customer WHERE c_acctbal > 0.0
+      |)
+      |SELECT c_mktsegment, COUNT(*) AS n_cust,
+      |  CAST(SUM(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / 100.0 AS total_bal
+      |FROM customer, cut
+      |WHERE c_acctbal > bal_cut
+      |  AND c_custkey NOT IN (
+      |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment""".stripMargin
 }

@@ -62,4 +62,76 @@ class DecorrelationSpec extends AnyFunSuite {
     assert(got == expect,
       s"window rewrite drifted from the correlated definition ($got vs $expect)")
   }
+
+  test("q4: the semi join equals the EXISTS definition recomputed " +
+      "driver-side, and never double-counts an order") {
+    import org.apache.spark.sql.functions._
+    val li = graft.core.Tables.lineitem(spark, TestSpark.sf)
+      .select(col("l_orderkey"),
+        expr("unix_micros(l_shipdate) DIV 1000000").as("s"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+    val orders = graft.core.Tables.orders(spark, TestSpark.sf)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("unix_micros(o_orderdate) DIV 1000000").as("s"))
+      .as[(Long, String, Long)].collect()
+    // EXISTS, literally: at least one lineitem > 90 days late
+    val expect = orders
+      .filter { case (ok, _, os) =>
+        li.getOrElse(ok, Array.empty).exists(_._2 > os + 90L * 86400L) }
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val got = Relational.q4PrioritySemi(spark, TestSpark.sf)
+      .as[(String, Long)].collect().toMap
+    assert(got == expect)
+    // semi-join cardinality law: counted orders never exceed the universe
+    assert(got.values.sum <= orders.length)
+  }
+
+  test("q16: the anti join equals NOT IN, and the blocklist actually bites") {
+    import org.apache.spark.sql.functions._
+    val bad = graft.core.Tables.supplier(spark, TestSpark.sf)
+      .filter(graft.core.PortableHash.pHash(col("s_name")) % 7 === 0)
+      .select("s_suppkey").as[Long].collect().toSet
+    assert(bad.nonEmpty, "the data-derived blocklist must be non-empty")
+    val pairs = graft.core.Tables.lineitem(spark, TestSpark.sf)
+      .select("l_partkey", "l_suppkey").distinct()
+      .as[(Long, Long)].collect()
+    val dims = graft.core.Tables.part(spark, TestSpark.sf)
+      .select("p_partkey", "p_brand", "p_size")
+      .as[(Long, String, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val expect = pairs.filterNot(p => bad(p._2))
+      .map(p => (dims(p._1), p._2)).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.length.toLong).toMap
+    val got = Relational.q16SupplierCnt(spark, TestSpark.sf)
+      .as[(String, Int, Long)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    assert(got == expect)
+    // no blocklisted supplier contributes anywhere: recount with them in
+    val withBad = pairs.map(p => (dims(p._1), p._2)).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.length.toLong).toMap
+    assert(withBad.exists { case (k, v) => got.getOrElse(k, 0L) < v },
+      "excluding the blocklist must shrink at least one group")
+  }
+
+  test("q22: scalar cut + anti join equal the subquery definition") {
+    import org.apache.spark.sql.functions._
+    val cust = graft.core.Tables.customer(spark, TestSpark.sf)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+      .as[(Long, String, Double)].collect()
+    val pos = cust.filter(_._3 > 0.0)
+    val cut = pos.map(c => math.floor(c._3 * 100.0 + 0.5).toLong)
+      .sum.toDouble / 100.0 / pos.length
+    val urgent = graft.core.Tables.orders(spark, TestSpark.sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").as[Long].collect().toSet
+    val kept = cust.filter(c => c._3 > cut && !urgent(c._1))
+    assert(kept.nonEmpty, "some high-balance idle customers must exist")
+    val expect = kept.groupBy(_._2).view.mapValues { g =>
+      (g.length.toLong,
+        g.map(c => math.floor(c._3 * 100.0 + 0.5).toLong).sum.toDouble / 100.0)
+    }.toMap
+    val got = Relational.q22IdleBalance(spark, TestSpark.sf)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == expect)
+  }
 }

@@ -85,7 +85,8 @@ object Bench {
     "events_markov_transitions", "vocab_fertility", "sketch_ams_f2",
     "events_windowed_topk", "events_forecast",
     // round-6 session-7 additions
-    "q4_priority_semi", "q16_supplier_cnt", "q22_idle_balance")
+    "q4_priority_semi", "q16_supplier_cnt", "q22_idle_balance",
+    "events_ewma")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

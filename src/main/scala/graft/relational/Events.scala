@@ -1090,4 +1090,71 @@ object Events {
        |  CAST(s AS DOUBLE) / n_days / 1000000.0 AS cusum,
        |  s > total_sv AS alarm
        |FROM ss""".stripMargin
+
+  // ------------------------------------------------------ #198 EWMA
+
+  /** #198: exponentially weighted moving average (α = 1/2, 16-day
+    * horizon) over the per-type daily value stream — the smoothing
+    * primitive under every ops dashboard and the forecast family's
+    * third member (#193 backtests a seasonal lag, #187 detects mean
+    * shifts, EWMA is the level estimate both of them compare against).
+    *
+    * Two design points make it EXACT where textbook EWMA is not:
+    *  - α = 1/2 makes every weight a POWER OF TWO — the 16-term
+    *    truncated recursion becomes integer arithmetic: cent-scaled
+    *    daily sums times `1L << (15-i)`, summed as longs, ONE division
+    *    pair at the end. No compounding FP recursion, no
+    *    partition-order sensitivity. (Bound: |sv|·2^15·16 must stay
+    *    under 2^63 — cent-scaled daily sums hold to ~1.7e13 cents/day,
+    *    i.e. ~1e6× this SF; past that drop the horizon or the scale.)
+    *  - gaps self-normalize: each present day contributes weight
+    *    2^(15-i) to day d+i, and the smoothed value divides by the sum
+    *    of weights PRESENT — calendar-correct over missing days, where
+    *    a row-offset recursion silently treats a gap as one step
+    *    (#193's row-lag corruption, same fix: calendar joins).
+    *
+    * Plan shape: events collapse map-side onto the bounded (type, day)
+    * space FIRST; the 16-offset fan-out then runs over the daily frame
+    * (dictionary-small — shuffle carries days, never events), one
+    * aggregate onto (type, day), one semi-join back to present days.
+    */
+  def ewma(spark: SparkSession, dir: String): DataFrame = {
+    val daily = eventsS(spark, dir)
+      .select(col("event_type"), (col("ts_s") / 86400L).cast("long").as("day"),
+        col("value"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("sv"))
+    val contrib = daily
+      .select(col("event_type"), col("day"), col("sv"),
+        explode(sequence(lit(0), lit(15))).as("i"))
+      .select(col("event_type"), (col("day") + col("i")).as("day"),
+        (col("sv") * expr("shiftleft(1L, 15 - i)")).as("wsv"),
+        expr("shiftleft(1L, 15 - i)").as("w"))
+      .groupBy("event_type", "day")
+      .agg(sum("wsv").as("num"), sum("w").as("den"))
+    daily.join(contrib, Seq("event_type", "day"))
+      .select(col("event_type"), col("day"), col("n").as("n_events"),
+        (col("sv").cast("double") / 100.0).as("day_value"),
+        (col("num").cast("double") / col("den") / 100.0).as("ewma"))
+  }
+
+  val ewmaSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, $duckTsS // 86400 AS day, COUNT(*) AS n,
+       |    SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS sv
+       |  FROM events GROUP BY 1, 2
+       |), contrib AS (
+       |  SELECT d.event_type, d.day + i AS day,
+       |    d.sv * (1::BIGINT << (15 - i)) AS wsv,
+       |    (1::BIGINT << (15 - i)) AS w
+       |  FROM daily d, range(0, 16) r(i)
+       |), e AS (
+       |  SELECT event_type, day, SUM(wsv) AS num, SUM(w) AS den
+       |  FROM contrib GROUP BY 1, 2
+       |)
+       |SELECT t.event_type, t.day, t.n AS n_events,
+       |  CAST(t.sv AS DOUBLE) / 100.0 AS day_value,
+       |  CAST(num AS DOUBLE) / den / 100.0 AS ewma
+       |FROM daily t JOIN e ON e.event_type = t.event_type AND e.day = t.day""".stripMargin
 }

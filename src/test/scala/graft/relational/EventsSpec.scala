@@ -415,4 +415,38 @@ class EventsSpec extends AnyFunSuite {
       assert(n == en && v == ev2, s"interval ($tpe, $s) drifted")
     }
   }
+
+  test("ewma: the offset-join form equals the textbook truncated weighted " +
+      "average recomputed driver-side, calendar-correct over gaps") {
+    import org.apache.spark.sql.functions._
+    val ev = Events.eventsS(spark, TestSpark.sf)
+      .select(col("event_type"), (col("ts_s") / 86400L).cast("long"),
+        col("value"))
+      .as[(String, Long, Double)].collect()
+    // daily cent-scaled sums, the frame both engines smooth over
+    val daily = ev.groupBy(r => (r._1, r._2)).view.mapValues { g =>
+      (g.length.toLong, g.map(r => math.floor(r._3 * 100.0 + 0.5).toLong).sum)
+    }.toMap
+    // textbook truncated EWMA over PRESENT calendar days only
+    val expect = daily.map { case ((tpe, d), (n, sv)) =>
+      val terms = (0 to 15).flatMap { i =>
+        daily.get((tpe, d - i)).map { case (_, s) => (s, 1L << (15 - i)) }
+      }
+      val num = terms.map { case (s, w) => s * w }.sum
+      val den = terms.map(_._2).sum
+      ((tpe, d), (n, sv.toDouble / 100.0, num.toDouble / den / 100.0))
+    }
+    val got = Events.ewma(spark, TestSpark.sf)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(got.length == daily.size, "one output row per present (type, day)")
+    got.foreach { case (tpe, d, n, v, e) =>
+      val (en, ev2, ee) = expect((tpe, d))
+      assert(n == en && v == ev2 && e == ee, s"($tpe, $d) drifted")
+    }
+    // a day with no earlier data in the horizon smooths to itself
+    val firsts = daily.keys.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    got.filter { case (tpe, d, _, _, _) => firsts(tpe) == d }
+      .foreach { case (tpe, d, _, v, e) =>
+        assert(v == e, s"first day ($tpe, $d) must smooth to itself") }
+  }
 }

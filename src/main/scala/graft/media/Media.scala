@@ -128,4 +128,119 @@ object Media {
        |  (n * 31 + i * step * 17 + doc_id) % 1000000 AS feat
        |FROM s, (SELECT unnest(range(0, $MaxSamples)) AS i)
        |WHERE i * step < n_frames""".stripMargin
+
+  // --------------------------------------- #199 perceptual-hash dedup
+
+  /** One decoded payload's 64-bit average-hash, as four 16-bit bands. */
+  final case class AHash(doc_id: Long, b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** Hamming radius for a near-duplicate verdict (industry aHash/pHash
+    * practice: ≤ ~10 of 64 bits for "same image"; 6 is conservative).
+    */
+  val HammingMax = 6
+  /** Band-bucket skew cap — the MinHash BucketCap rule: a degenerate
+    * band value shared by > cap payloads costs recall, never a blown
+    * join.
+    */
+  val BandCap = 100L
+
+  /** aHash of one payload: sample 64 evenly-strided bytes, threshold
+    * each against the sample mean (the average-hash recipe applied to
+    * the byte stream). A REAL image pipeline decodes pixels, downsamples
+    * to 8×8 luma and thresholds against the mean — this stub applies
+    * the identical thresholding math to raw payload bytes (the
+    * container ships no codecs), so the Spark plumbing (binary column,
+    * batch decode boundary, banded self-join) is production-shaped
+    * while staying oracle-checkable. Bits pack into four 16-bit bands
+    * directly — no 64-bit value, no sign-bit portability hazard.
+    */
+  private def ahashStub(m: MediaIn): AHash = {
+    val n = m.media.length
+    val stride = math.max(1, n / 64)
+    val codes = Array.tabulate(64)(k => m.media(math.min(k * stride, n - 1)) & 0xff)
+    val s = codes.sum // mean threshold, scaled: bit_k = code_k·64 > Σcodes
+    def band(lo: Int): Int =
+      (0 until 16).map(k => if (codes(lo + k) * 64 > s) 1 << k else 0).sum
+    AHash(m.doc_id, band(0), band(16), band(32), band(48))
+  }
+
+  /** #199: perceptual-hash near-duplicate detection over the binary
+    * media column — the image half of the dedup story (MinHash/SimHash
+    * own text): hash every payload via [[ahashStub]], band the 64 bits
+    * 4×16, bucket-join on any shared band (LSH for Hamming distance:
+    * a pair within radius 6 collides on ≥1 of 4 bands unless all 4
+    * bands absorb flips — the standard pigeonhole guarantee band
+    * schemes trade on), then verify with the EXACT Hamming distance
+    * (xor + bit_count over the band ints).
+    *
+    * Scale: the payload never shuffles — only (doc_id, 4×int16) leaves
+    * the decode stage (the same discipline as #35/#49); candidate
+    * generation is a bucket equi-join with the [[BandCap]] skew cap;
+    * verification is per-pair integer ops. Exactness: every step is
+    * integer arithmetic; the oracle recomputes the hash from the SAME
+    * bytes via codepoints (the corpus is ASCII, byte ≡ codepoint —
+    * spec-asserted).
+    */
+  def ahashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashes = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), lit("img").as("fmt"),
+        encode(col("text"), "UTF-8").as("media"))
+      .as[MediaIn]
+      .mapPartitions(_.map(ahashStub)) // payload bytes stop here
+      .toDF()
+    val bands = hashes.select(col("doc_id"), col("b0"), col("b1"),
+        col("b2"), col("b3"),
+        posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+          .as(Seq("bi", "bv")))
+    val capped = bands.groupBy("bi", "bv").count()
+      .filter(col("count") <= BandCap).select("bi", "bv")
+    val inBucket = bands.join(capped, Seq("bi", "bv"))
+    val a = inBucket.select(col("bi"), col("bv"), col("doc_id").as("doc_a"),
+      col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val b = inBucket.select(col("bi"), col("bv"), col("doc_id").as("doc_b"),
+      col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    a.join(b, Seq("bi", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(col("a0").bitwiseXOR(col("c0"))) +
+         bit_count(col("a1").bitwiseXOR(col("c1"))) +
+         bit_count(col("a2").bitwiseXOR(col("c2"))) +
+         bit_count(col("a3").bitwiseXOR(col("c3")))).cast("long").as("hamming"))
+      .filter(col("hamming") <= HammingMax)
+      .distinct()
+  }
+
+  val ahashDedupSql: String = {
+    def bandExpr(lo: Int): String =
+      s"CAST(list_sum(list_transform(range($lo, ${lo + 16}), k -> " +
+        s"CASE WHEN cs[k+1] * 64 > s THEN 1 << (k - $lo) ELSE 0 END)) AS INT)"
+    s"""WITH codes AS (
+       |  SELECT doc_id, list_transform(range(0, 64), k ->
+       |    unicode(text[least(1 + k * greatest(1, len(text) // 64), len(text)):
+       |                 least(1 + k * greatest(1, len(text) // 64), len(text))])) AS cs
+       |  FROM documents
+       |), sums AS (
+       |  SELECT doc_id, cs, list_sum(cs) AS s FROM codes
+       |), bands AS (
+       |  SELECT doc_id, ${bandExpr(0)} AS b0, ${bandExpr(16)} AS b1,
+       |    ${bandExpr(32)} AS b2, ${bandExpr(48)} AS b3
+       |  FROM sums
+       |), ex AS (
+       |  SELECT doc_id, b0, b1, b2, b3, bi,
+       |    CASE bi WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bv
+       |  FROM bands, (SELECT unnest(range(0, 4)) AS bi)
+       |), capped AS (
+       |  SELECT bi, bv FROM ex GROUP BY bi, bv HAVING COUNT(*) <= $BandCap
+       |), inb AS (
+       |  SELECT ex.* FROM ex JOIN capped USING (bi, bv)
+       |)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+       |       bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) AS hamming
+       |FROM inb a JOIN inb b ON a.bi = b.bi AND a.bv = b.bv
+       |  AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+       |      bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= $HammingMax""".stripMargin
+  }
 }

@@ -1,0 +1,57 @@
+package graft.media
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** #199 perceptual-hash dedup: the banded emission must equal the
+  * brute-force characterization (every a<b pair sharing ≥1 band with
+  * Hamming ≤ 6, bucket cap never binding at this SF), recomputed
+  * driver-side from the raw payload bytes.
+  */
+class MediaSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ahash(bytes: Array[Byte]): (Int, Int, Int, Int) = {
+    val n = bytes.length
+    val stride = math.max(1, n / 64)
+    val codes = Array.tabulate(64)(k => bytes(math.min(k * stride, n - 1)) & 0xff)
+    val s = codes.sum
+    def band(lo: Int): Int =
+      (0 until 16).map(k => if (codes(lo + k) * 64 > s) 1 << k else 0).sum
+    (band(0), band(16), band(32), band(48))
+  }
+
+  test("ahash dedup equals the brute banded-pair characterization, and " +
+      "the oracle's byte==codepoint premise holds") {
+    val docs = graft.core.Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    // the DuckDB oracle hashes CODEPOINTS; the Spark side hashes BYTES —
+    // equal only while the corpus is ASCII. Pin that premise.
+    assert(docs.forall(_._2.forall(_ < 128)), "corpus must be ASCII")
+    val hs = docs.map { case (id, t) => id -> ahash(t.getBytes("UTF-8")) }.toMap
+    def hamming(a: (Int, Int, Int, Int), b: (Int, Int, Int, Int)): Int =
+      Integer.bitCount(a._1 ^ b._1) + Integer.bitCount(a._2 ^ b._2) +
+        Integer.bitCount(a._3 ^ b._3) + Integer.bitCount(a._4 ^ b._4)
+    def shares(a: (Int, Int, Int, Int), b: (Int, Int, Int, Int)): Boolean =
+      a._1 == b._1 || a._2 == b._2 || a._3 == b._3 || a._4 == b._4
+    // cap never binds here — verify, so the brute recount below is exact
+    val bandCounts = hs.values.toSeq
+      .flatMap(h => Seq((0, h._1), (1, h._2), (2, h._3), (3, h._4)))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(bandCounts.values.max <= Media.BandCap,
+      "bucket cap binds at this SF; the brute recount would diverge")
+    val ids = docs.map(_._1).sorted
+    val expect = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      a = hs(ids(i)); b = hs(ids(j))
+      if shares(a, b) && hamming(a, b) <= Media.HammingMax
+    } yield (ids(i), ids(j), hamming(a, b).toLong)).toSet
+    val got = Media.ahashDedup(spark, TestSpark.sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expect)
+    // exact duplicate payloads exist in the corpus → Hamming-0 pairs
+    assert(got.exists(_._3 == 0L), "planted exact dups must collide at 0")
+  }
+}

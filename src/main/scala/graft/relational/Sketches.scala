@@ -470,4 +470,35 @@ object Sketches {
        |    - CAST(f2_true AS DOUBLE)) / CAST(f2_true AS DOUBLE) AS rel_err
        |FROM truth, med""".stripMargin
   }
+
+  // ------------------------- #201 bucketed-min KMV (streaming state)
+
+  /** Bucket count for the stochastic-averaging KMV variant. */
+  val KmvM = 64
+
+  /** Bottom-1-per-bucket distinct sketch state (shared by the streaming
+    * variant): hash each key, split the hash into a bucket (mod
+    * [[KmvM]]) and keep the per-bucket MINIMUM. This is KMV under
+    * stochastic averaging — where the batch #154 keeps the exact
+    * bottom-k set (which streaming state can't maintain incrementally
+    * without a sort), the bucketed form is a pure per-key MIN: merge =
+    * component-wise min, which is IDEMPOTENT — replayed or duplicated
+    * events cannot move a minimum, putting this sketch in the
+    * HLL/Bloom replay-safe class where exact bottom-k (insert-once
+    * semantics) is not. State ≤ [[KmvM]] rows forever.
+    */
+  private[graft] def kmvBucketMins(events: DataFrame): DataFrame =
+    events
+      .select(PortableHash.pHash(
+        concat_ws("|", lit("kmvs"), col("user_id"))).as("h"))
+      .groupBy((col("h") % KmvM).cast("int").as("bucket"))
+      .agg(min("h").as("minh"))
+
+  /** Oracle for the bucket-min state (shared with the streaming op). */
+  val kmvBucketMinsSql: String = {
+    val h = PortableHash.duck("'kmvs|' || user_id")
+    s"""SELECT CAST(h % $KmvM AS INT) AS bucket, MIN(h) AS minh
+       |FROM (SELECT $h AS h FROM events)
+       |GROUP BY 1""".stripMargin
+  }
 }

@@ -416,6 +416,27 @@ object EventStreams {
 
   val amsStateSql: String = graft.relational.Sketches.amsZSql
 
+  /** #201: streaming KMV distinct sketch — the MIN-merge member closing
+    * the sketch-merge family pentagon (CM sums, HLL maxes, Bloom ORs,
+    * AMS signed-sums, KMV mins). The streamed form is KMV under
+    * stochastic averaging ([[graft.relational.Sketches.kmvBucketMins]]):
+    * the exact bottom-k set of the batch #154 can't be maintained as
+    * incremental aggregate state (it needs a sort), but bottom-1-per-
+    * bucket is a pure per-key MIN — micro-batch partials, shard unions
+    * and at-least-once REPLAYS all merge by component-wise min, which
+    * is idempotent, so this sketch sits in the HLL/Bloom replay-safe
+    * class where the exact bottom-k (insert-once semantics) does not.
+    * State ≤ 64 rows forever; the distinct-count estimator head
+    * (Σ_buckets (S/min − 1)) is a bounded dashboard-side read over the
+    * state, like the HLL/histogram heads.
+    */
+  def kmvState(spark: SparkSession, dir: String): DataFrame =
+    runToMemory(
+      graft.relational.Sketches.kmvBucketMins(eventStream(spark, dir)),
+      "graft_stream_kmv")
+
+  val kmvStateSql: String = graft.relational.Sketches.kmvBucketMinsSql
+
   // --------------------------------------- #174 CDC latest-state view
 
   /** The latest-row-per-key reduction shared by the streamed and batch

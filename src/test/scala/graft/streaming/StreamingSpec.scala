@@ -547,4 +547,49 @@ class StreamingSpec extends AnyFunSuite {
     assert((0 until graft.relational.Sketches.AmsJ).forall(j =>
       s2(j) == s1(j) + zOf(b2.map(_.user_id))(j)))
   }
+
+  test("KMV bucket-min state min-merges across batches, absorbs replays, " +
+      "and the estimator head tracks the distinct count") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val mins = graft.relational.Sketches.kmvBucketMins(
+      stream.toDF().selectExpr("user_id"))
+    val q = mins.writeStream.format("memory").queryName("spec_kmv")
+      .outputMode("complete").start()
+    def state(): Map[Int, Long] =
+      spark.table("spec_kmv").as[(Int, Long)].collect().toMap
+    def h(u: Long): Long = graft.core.PortableHash.pHashJvm(s"kmvs|$u")
+    def minsOf(us: Seq[Long]): Map[Int, Long] =
+      us.map(h).groupBy(v => (v % graft.relational.Sketches.KmvM).toInt)
+        .view.mapValues(_.min).toMap
+    val b1 = (1L to 40L).map(Ev(0, _, 0))
+    val b2 = (41L to 90L).map(Ev(0, _, 0))
+    stream.addData(b1: _*)
+    q.processAllAvailable()
+    assert(state() == minsOf(b1.map(_.user_id)))
+    stream.addData(b2: _*)
+    q.processAllAvailable()
+    val s2 = state()
+    // batch-2 partials merged by component-wise MIN — the sketch claim
+    assert(s2 == minsOf((b1 ++ b2).map(_.user_id)))
+    // idempotence: replaying batch 1 in full cannot move any minimum
+    stream.addData(b1: _*)
+    q.processAllAvailable()
+    assert(state() == s2, "replay must be absorbed (min is idempotent)")
+    q.stop()
+    // estimator head over the state, regime-split like HLL's: empty
+    // buckets → linear counting m·ln(m/empty); saturated → the joint
+    // harmonic form m²·S/Σmin − m (per-bucket S/min is heavy-tailed,
+    // Σmin concentrates)
+    val m = graft.relational.Sketches.KmvM
+    val occupied = s2.size
+    val S = 1152921504606846976.0
+    val est =
+      if (occupied < m) m * math.log(m.toDouble / (m - occupied))
+      else m.toDouble * m * S / s2.values.map(_.toDouble).sum - m
+    val truth = (b1 ++ b2).map(_.user_id).distinct.size
+    assert(est > truth * 0.5 && est < truth * 2.0,
+      s"bucketed-min estimate $est too far from $truth")
+  }
 }

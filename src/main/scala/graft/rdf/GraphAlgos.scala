@@ -1119,4 +1119,81 @@ object GraphAlgos {
        |  (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
        |     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) AS r
        |FROM s""".stripMargin
+
+  // --------------------------------- #202 sampled harmonic centrality
+
+  val CloseSeeds = 8
+  val CloseIters = 4
+
+  /** #202: sampled-source HARMONIC centrality (Marchiori & Latora 2000;
+    * the Eppstein–Wang sampling scheme every web-scale closeness
+    * estimate uses) — the "how central is each entity" ranking signal
+    * beside PageRank's flow score: H(v) = Σ_u 1/d(u,v), estimated from
+    * [[CloseSeeds]] pHash-chosen sources and truncated at
+    * [[CloseIters]] hops (distant sources contribute ≤ 1/5 each; the
+    * truncation is the standard ε cut, and what keeps the state
+    * bounded). Exact-pairs closeness is all-pairs BFS — O(V·E), never
+    * viable; s sampled sources cost s× one BFS and concentrate by
+    * Hoeffding, the published trade.
+    *
+    * The state is the PER-SEED distance frame (seed, id, dist) — the
+    * #144 multi-source BFS relaxation with the seed id carried through
+    * (min-combine per (seed, id); fan-out bounded by s = 8, never
+    * data-scale). Exactness: distances are integers; 1/d for d ≤ 4 is
+    * made EXACT by scaling to the lcm grid (12/d is integral — no FP
+    * division until the single readback /12 at the end). Seeds are the
+    * 8 smallest pHash('close|'||uri) entities (uri tiebreak — total
+    * order, engine-identical TakeOrdered).
+    */
+  def closeness(spark: SparkSession, dir: String): DataFrame = {
+    val e = undirected(spark, dir)
+    val seeds = Dict.entities(spark, dir)
+      .select(col("id"),
+        graft.core.PortableHash.pHash(concat(lit("close|"), col("uri"))).as("h"),
+        col("uri"))
+      .orderBy("h", "uri").limit(CloseSeeds)
+      .select(col("id").as("seed"), col("id"), lit(0L).as("dist"))
+    val dists = (1 to CloseIters).foldLeft(seeds: DataFrame) { (d, k) =>
+      cache.getOrElseUpdate((spark, dir, s"close$k"))(
+        d.unionByName(
+            e.join(d, e("src") === d("id"))
+              .select(d("seed"), e("dst").as("id"), (d("dist") + 1).as("dist")))
+          .groupBy("seed", "id").agg(min("dist").as("dist"))
+          .localCheckpoint(false))
+    }
+    dists.filter(col("dist") > 0) // exclude the seed's own 1/0 term
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_sources"),
+        sum(expr("12L div dist")).as("h_num"))
+      .select(col("id"), col("n_sources"), col("h_num"),
+        (col("h_num").cast("double") / 12.0).as("harmonic"))
+  }
+
+  val closenessSql: String = {
+    val h = graft.core.PortableHash.duck("'close|' || uri")
+    def round(k: Int): String =
+      s"""c$k AS MATERIALIZED (
+         |  SELECT seed, id, MIN(dist) AS dist FROM (
+         |    SELECT seed, id, dist FROM c${k - 1}
+         |    UNION ALL
+         |    SELECT c.seed, e.dst AS id, c.dist + 1 AS dist
+         |    FROM ue e JOIN c${k - 1} c ON c.id = e.src
+         |  ) GROUP BY seed, id
+         |)""".stripMargin
+    s"""${Dict.preludeCtes},
+       |ue AS MATERIALIZED (
+       |  SELECT sid AS src, oid AS dst FROM encoded
+       |  UNION
+       |  SELECT oid, sid FROM encoded
+       |),
+       |c0 AS (
+       |  SELECT id AS seed, id, CAST(0 AS BIGINT) AS dist
+       |  FROM entities ORDER BY $h, uri LIMIT $CloseSeeds
+       |),
+       |${(1 to CloseIters).map(round).mkString(",\n")}
+       |SELECT id, COUNT(*) AS n_sources,
+       |  CAST(SUM(12 // dist) AS BIGINT) AS h_num,
+       |  CAST(SUM(12 // dist) AS BIGINT) / 12.0 AS harmonic
+       |FROM c$CloseIters WHERE dist > 0 GROUP BY id""".stripMargin
+  }
 }

@@ -313,4 +313,42 @@ class GraphAlgosSpec extends AnyFunSuite {
     // region hubs): hubs link to leaves, so r must be strongly negative
     assert(r < -0.05 && r > -1.0, s"hub-spoke graph should disassort, r=$r")
   }
+
+  test("closeness: sampled harmonic centrality equals a driver BFS from " +
+      "the same seeds, and hubs outrank leaves") {
+    import spark.implicits._
+    val enc = Dict.encodedTriples(spark, TestSpark.sf)
+      .select(col("sid"), col("oid")).as[(Long, Long)].collect()
+    val adj = (enc ++ enc.map { case (s, o) => (o, s) }).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seeds = Dict.entities(spark, TestSpark.sf)
+      .select(col("id"), col("uri")).as[(Long, String)].collect()
+      .map { case (id, uri) =>
+        (graft.core.PortableHash.pHashJvm(s"close|$uri"), uri, id) }
+      .sorted.take(GraphAlgos.CloseSeeds).map(_._3)
+    // driver BFS per seed, truncated at CloseIters hops
+    def bfsFrom(s: Long): Map[Long, Int] = {
+      var dist = Map(s -> 0)
+      var frontier = Set(s)
+      for (d <- 1 to GraphAlgos.CloseIters) {
+        frontier = frontier.flatMap(f => adj.getOrElse(f, Array.empty[Long]))
+          .filterNot(k => dist.contains(k))
+        dist ++= frontier.map(_ -> d)
+      }
+      dist
+    }
+    val perSeed = seeds.map(bfsFrom)
+    val expect = perSeed.flatMap(_.toSeq).filter(_._2 > 0)
+      .groupBy(_._1).view.mapValues { hits =>
+        val hnum = hits.map(h => 12L / h._2).sum
+        (hits.length.toLong, hnum, hnum.toDouble / 12.0)
+      }.toMap
+    val got = GraphAlgos.closeness(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == expect)
+    // hub sanity: some entity reaches all 8 seeds within the horizon
+    assert(got.values.exists(_._1 == GraphAlgos.CloseSeeds.toLong),
+      "the hub-spoke graph should put some node within 4 hops of all seeds")
+  }
 }

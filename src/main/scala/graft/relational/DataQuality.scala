@@ -221,4 +221,96 @@ object DataQuality {
        |     WHERE NOT EXISTS (SELECT 1 FROM nation n
        |       WHERE n.n_nationkey = c.c_nationkey))
        |)""".stripMargin
+
+  // ---------------------------------------------- #203 drift / PSI
+
+  /** Cent-bin width for the PSI histogram (20.00 value units). */
+  val PsiBinCents = 2000L
+  /** Industry drift alarm threshold (the 0.1/0.2 PSI convention). */
+  val PsiAlarm = 0.2
+
+  /** #203: population-stability-index DRIFT report between the first
+    * and second half of the event stream, per event type — the monitor
+    * that catches "the distribution moved" where #164 catches "a
+    * constraint broke" and #97/#166 catch single outliers: a model
+    * trained on last month's value distribution silently degrades when
+    * this month's shifts, and PSI = Σ_bins (p−q)·ln(p/q) is the
+    * industry gauge (PSI > 0.2 = retrain/investigate).
+    *
+    * Design for exactness and scale:
+    *  - the split day is DATA-DERIVED ((min+max+1)/2 of the day span —
+    *    integer, broadcast as a 1-row frame);
+    *  - bins are FIXED-WIDTH on the cent grid (vi DIV 2000 — integer
+    *    binning, no data-derived float bounds, bounded by value range
+    *    never event count), so events collapse map-side onto
+    *    (type, bin) and nothing data-scale shuffles;
+    *  - Laplace-smoothed p, q and the ln ratio are computed from EXACT
+    *    integer counts — ln takes ONE ratio of integer products (the
+    *    DSIR trick), each per-bin term is quantized on the 1e-6 grid
+    *    ([[graft.core.Exact.roundS]]) and the per-type PSI is an
+    *    order-free quantized sum. Output: one row per type.
+    */
+  def driftPsi(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Exact
+    val e = Events.eventsS(spark, dir)
+      .select(col("event_type"),
+        (col("ts_s") / 86400L).cast("long").as("day"),
+        expr(s"CAST(floor(value * 100.0 + 0.5) AS BIGINT) div $PsiBinCents")
+          .as("bin"))
+    val mid = e.agg(expr("(min(day) + max(day) + 1L) div 2L").as("mid"))
+    val hist = e.crossJoin(broadcast(mid))
+      .groupBy("event_type", "bin")
+      .agg(sum(when(col("day") < col("mid"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("day") >= col("mid"), 1L).otherwise(0L)).as("n2"))
+    val tot = hist.groupBy("event_type")
+      .agg(sum("n1").as("t1"), sum("n2").as("t2"),
+        count(lit(1)).as("n_bins"))
+    val term =
+      (((col("n1") + 1L).cast("double") / (col("t1") + col("n_bins"))) -
+       ((col("n2") + 1L).cast("double") / (col("t2") + col("n_bins")))) *
+      log(((col("n1") + 1L) * (col("t2") + col("n_bins"))).cast("double") /
+          ((col("n2") + 1L) * (col("t1") + col("n_bins"))).cast("double"))
+    hist.join(tot, Seq("event_type"))
+      .select(col("event_type"), col("t1"), col("t2"), col("n_bins"),
+        Exact.roundS(term, 6).as("term"))
+      .groupBy("event_type")
+      .agg(first("t1").as("n_first"), first("t2").as("n_second"),
+        first("n_bins").as("n_bins"),
+        Exact.decSum(col("term"), 6).as("psi"))
+      .withColumn("drift", col("psi") > PsiAlarm)
+  }
+
+  val driftPsiSql: String = {
+    import graft.core.Exact
+    val tsS = Events.duckTsS
+    val term =
+      s"""((CAST(n1 + 1 AS DOUBLE) / (t1 + n_bins)) -
+         | (CAST(n2 + 1 AS DOUBLE) / (t2 + n_bins))) *
+         |ln(CAST((n1 + 1) * (t2 + n_bins) AS DOUBLE) /
+         |   CAST((n2 + 1) * (t1 + n_bins) AS DOUBLE))""".stripMargin
+    s"""WITH e AS (
+       |  SELECT event_type, $tsS // 86400 AS day,
+       |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) // $PsiBinCents AS bin
+       |  FROM events
+       |), mid AS (
+       |  SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM e
+       |), hist AS (
+       |  SELECT event_type, bin,
+       |    SUM(CASE WHEN day < mid THEN 1 ELSE 0 END) AS n1,
+       |    SUM(CASE WHEN day >= mid THEN 1 ELSE 0 END) AS n2
+       |  FROM e, mid GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT event_type, CAST(SUM(n1) AS BIGINT) AS t1,
+       |    CAST(SUM(n2) AS BIGINT) AS t2, COUNT(*) AS n_bins
+       |  FROM hist GROUP BY 1
+       |), terms AS (
+       |  SELECT h.event_type, t1, t2, n_bins,
+       |    ${Exact.duckRoundS(term, 6)} AS term
+       |  FROM hist h JOIN tot t USING (event_type)
+       |)
+       |SELECT event_type, MIN(t1) AS n_first, MIN(t2) AS n_second,
+       |  MIN(n_bins) AS n_bins, ${Exact.duckSum("term", 6)} AS psi,
+       |  ${Exact.duckSum("term", 6)} > $PsiAlarm AS drift
+       |FROM terms GROUP BY event_type""".stripMargin
+  }
 }

@@ -80,4 +80,43 @@ class DataQualitySpec extends AnyFunSuite {
         "o_orderstatus", "o_orderpriority", "c_mktsegment")(x._2))
       .foreach(x => assert(x._6.isEmpty && x._7.isEmpty && x._8.isEmpty))
   }
+
+  test("drift PSI equals the textbook definition recomputed driver-side " +
+      "and is zero-ish on an identical split") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = Events.eventsS(spark, TestSpark.sf)
+      .select(col("event_type"), (col("ts_s") / 86400L).cast("long"),
+        col("value"))
+      .as[(String, Long, Double)].collect()
+    val days = ev.map(_._2)
+    val mid = (days.min + days.max + 1) / 2
+    val expect = ev.groupBy(_._1).map { case (tpe, g) =>
+      val bins = g.groupBy(r => math.floor(r._3 * 100.0 + 0.5).toLong / 2000L)
+      val nBins = bins.size
+      val t1 = g.count(_._2 < mid).toLong
+      val t2 = g.count(_._2 >= mid).toLong
+      val psiTerms = bins.values.map { rows =>
+        val n1 = rows.count(_._2 < mid).toLong
+        val n2 = rows.count(_._2 >= mid).toLong
+        val p = (n1 + 1).toDouble / (t1 + nBins)
+        val q = (n2 + 1).toDouble / (t2 + nBins)
+        val t = (p - q) * math.log(
+          ((n1 + 1) * (t2 + nBins)).toDouble / ((n2 + 1) * (t1 + nBins)))
+        math.floor(t * 1e6 + 0.5)
+      }
+      tpe -> (t1, t2, nBins.toLong, psiTerms.sum.toLong.toDouble / 1e6)
+    }
+    val got = DataQuality.driftPsi(spark, TestSpark.sf)
+      .as[(String, Long, Long, Long, Double, Boolean)].collect()
+    assert(got.length == expect.size)
+    got.foreach { case (tpe, t1, t2, nb, psi, drift) =>
+      val (e1, e2, eb, ep) = expect(tpe)
+      assert((t1, t2, nb, psi) == ((e1, e2, eb, ep)), s"$tpe drifted")
+      assert(drift == (psi > DataQuality.PsiAlarm))
+      // the synthetic stream is stationary: PSI must sit far below alarm
+      assert(psi >= 0.0 && psi < DataQuality.PsiAlarm,
+        s"stationary stream should not alarm ($tpe psi=$psi)")
+    }
+  }
 }

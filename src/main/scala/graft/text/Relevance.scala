@@ -377,4 +377,67 @@ object Relevance {
        |  CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS rare_ratio
        |FROM bg JOIN lm USING (bg)
        |GROUP BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ #204 Zipf fit
+
+  /** Terms entering the rank-frequency regression. */
+  val ZipfTop = 100
+
+  /** #204: Zipf rank-frequency fit over the corpus vocabulary — the
+    * corpus-health diagnostic every tokenizer/curation writeup reports
+    * (natural language sits near slope −1; a much flatter slope means
+    * boilerplate/template contamination, a steeper one vocabulary
+    * collapse — both retrain-the-tokenizer signals beside #182's
+    * fertility): least-squares slope of ln(freq) on ln(rank) over the
+    * top [[ZipfTop]] terms.
+    *
+    * Scale: corpus term counts collapse map-side onto the vocabulary
+    * keyspace; the top-100 selection is a TakeOrdered heap chain
+    * (freq DESC, term ASC — total order), the rank window runs
+    * POST-limit over 100 rows, and the regression is one aggregate
+    * over those 100. Exactness: ln outputs quantize on the 1e-6 grid
+    * per row (house transcendental rule), products of the quantized
+    * doubles are single correctly-rounded IEEE ops summed on the 1e-12
+    * grid, and the closed-form slope/intercept are literal-order
+    * divisions of exact sums mirrored identically in the oracle.
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val freq = termFreq(spark, dir)
+      .groupBy("term").agg(sum("tf").as("freq"))
+      .orderBy(col("freq").desc, col("term").asc).limit(ZipfTop)
+    val ranked = freq.withColumn("rnk",
+        row_number().over(Window.orderBy(col("freq").desc, col("term").asc)))
+      .select(
+        Exact.roundS(log(col("rnk").cast("double")), 6).as("x"),
+        Exact.roundS(log(col("freq").cast("double")), 6).as("y"))
+    ranked.agg(
+        count(lit(1)).as("n"),
+        Exact.decSum(col("x"), 6).as("sx"),
+        Exact.decSum(col("y"), 6).as("sy"),
+        Exact.decSum(col("x") * col("y"), 12).as("sxy"),
+        Exact.decSum(col("x") * col("x"), 12).as("sxx"))
+      .select(col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+         (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"))
+      .select(col("n"), col("slope"), (-col("slope")).as("zipf_exponent"))
+  }
+
+  val zipfFitSql: String =
+    s"""WITH $termFreqCte,
+       |freq AS (
+       |  SELECT term, CAST(SUM(tf) AS BIGINT) AS freq FROM tf GROUP BY term
+       |  ORDER BY freq DESC, term ASC LIMIT $ZipfTop
+       |), ranked AS (
+       |  SELECT ${Exact.duckRoundS("ln(CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS DOUBLE))", 6)} AS x,
+       |    ${Exact.duckRoundS("ln(CAST(freq AS DOUBLE))", 6)} AS y
+       |  FROM freq
+       |), s AS (
+       |  SELECT COUNT(*) AS n, ${Exact.duckSum("x", 6)} AS sx,
+       |    ${Exact.duckSum("y", 6)} AS sy, ${Exact.duckSum("x * y", 12)} AS sxy,
+       |    ${Exact.duckSum("x * x", 12)} AS sxx
+       |  FROM ranked
+       |)
+       |SELECT n, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+       |  -((n * sxy - sx * sy) / (n * sxx - sx * sx)) AS zipf_exponent
+       |FROM s""".stripMargin
 }

@@ -89,4 +89,33 @@ class RelevanceSpec extends AnyFunSuite {
       assert(rrf == 1.0 / (60.0 + b) + 1.0 / (60.0 + qr))
     }
   }
+
+  test("zipf fit equals the closed-form least squares recomputed " +
+      "driver-side and lands in the natural-language slope band") {
+    import org.apache.spark.sql.functions._
+    val freqs = graft.core.Tables.documents(spark, TestSpark.sf)
+      .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .as[(String, Long)].collect()
+    val top = freqs.sortBy { case (t, f) => (-f, t) }.take(Relevance.ZipfTop)
+    def q6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    val xy = top.zipWithIndex.map { case ((_, f), i) =>
+      (q6(math.log((i + 1).toDouble)), q6(math.log(f.toDouble)))
+    }
+    def q12sum(vs: Seq[Double]) =
+      vs.map(v => math.floor(v * 1e12 + 0.5).toLong).sum.toDouble / 1e12
+    def q6sum(vs: Seq[Double]) =
+      vs.map(v => math.floor(v * 1e6 + 0.5).toLong).sum.toDouble / 1e6
+    val n = xy.length.toLong
+    val sx = q6sum(xy.map(_._1)); val sy = q6sum(xy.map(_._2))
+    val sxy = q12sum(xy.map(p => p._1 * p._2))
+    val sxx = q12sum(xy.map(p => p._1 * p._1))
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val Array((gn, gs, ge)) = Relevance.zipfFit(spark, TestSpark.sf)
+      .as[(Long, Double, Double)].collect()
+    assert(gn == n && gs == slope && ge == -slope)
+    // corpus-health claim: a word-frequency corpus should live in the
+    // broad Zipf band (negative, order −0.3..−2), not flat or positive
+    assert(slope < -0.1 && slope > -3.0, s"slope $slope outside Zipf band")
+  }
 }

@@ -243,4 +243,74 @@ object Media {
        |WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
        |      bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= $HammingMax""".stripMargin
   }
+
+  // ------------------------------------------- #205 caption-pair build
+
+  val CapMinChars = 60L
+  val CapMaxChars = 500L
+  /** Per-cent of pairs routed to train (rest = val). */
+  val TrainPct = 95L
+
+  /** #205: image–caption TRAINING-PAIR construction — the LAION/CLIP
+    * pipeline shape that turns a raw multimodal crawl into a
+    * contrastive training set, composed from the media block's pieces:
+    * decode metadata from the binary payload (#35's stub dims), gate
+    * captions (length band + latin-script languages — the standard
+    * "CLIP-filterable" cut), DEDUP captions exactly (md5 of the
+    * normalized text, min doc_id canonical — boilerplate captions are
+    * the dominant noise in crawled pairs), and assign a deterministic
+    * train/val split (pHash percent — append-stable, the same rule as
+    * #52's sampling: a pair's split never changes when the corpus
+    * grows).
+    *
+    * Scale: every stage is map-side except the caption-dedup groupBy
+    * (keyed on the caption fingerprint — the only shuffle) and payload
+    * bytes never leave the decode stage. Output: one row per kept
+    * pair. All integer/string ops — hash-exact.
+    */
+  def captionPairs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.PortableHash
+    val fmts = array(lit("jpeg"), lit("png"), lit("webp"))
+    val gated = graft.core.Tables.documents(spark, dir)
+      .filter(col("n_chars").between(CapMinChars, CapMaxChars) &&
+        col("lang").isin("en", "de", "fr", "es"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        md5(lower(trim(col("text")))).as("cap_fp"),
+        length(col("text")).as("cap_len"),
+        element_at(fmts, (col("doc_id") % 3).cast("int") + 1).as("fmt"),
+        encode(col("text"), "UTF-8").as("media"))
+    // exact caption dedup: one representative per normalized caption
+    val canon = gated.groupBy("cap_fp")
+      .agg(min("doc_id").as("doc_id")) // (cap_fp, keeper) pairs
+    gated.join(canon, Seq("cap_fp", "doc_id"), "left_semi")
+      .withColumn("n_bytes", length(col("media")).cast("long"))
+      .select(col("doc_id"), col("fmt"), col("lang"), col("cap_len"),
+        col("cap_fp"), col("n_bytes"),
+        (lit(320L) + (col("n_bytes") * 7L + col("doc_id")) % 1280L).as("width"),
+        (lit(240L) + (col("doc_id") * 13L) % 720L).as("height"),
+        when(PortableHash.pHash(concat(lit("pairsplit|"), col("doc_id")))
+          % 100L < TrainPct, "train").otherwise("val").as("split"))
+  }
+
+  val captionPairsSql: String = {
+    val h = graft.core.PortableHash.duck("'pairsplit|' || doc_id")
+    s"""WITH gated AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    md5(lower(trim(text))) AS cap_fp,
+       |    CAST(length(text) AS BIGINT) AS cap_len,
+       |    ['jpeg','png','webp'][CAST(doc_id % 3 AS INT) + 1] AS fmt,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+       |  FROM documents
+       |  WHERE n_chars BETWEEN $CapMinChars AND $CapMaxChars
+       |    AND lang IN ('en', 'de', 'fr', 'es')
+       |), canon AS (
+       |  SELECT cap_fp, MIN(doc_id) AS keep_id FROM gated GROUP BY cap_fp
+       |)
+       |SELECT doc_id, fmt, lang, cap_len, gated.cap_fp AS cap_fp, n_bytes,
+       |  320 + (n_bytes * 7 + doc_id) % 1280 AS width,
+       |  240 + (doc_id * 13) % 720 AS height,
+       |  CASE WHEN $h % 100 < $TrainPct THEN 'train' ELSE 'val' END AS split
+       |FROM gated JOIN canon ON gated.cap_fp = canon.cap_fp
+       |  AND gated.doc_id = canon.keep_id""".stripMargin
+  }
 }

@@ -54,4 +54,39 @@ class MediaSpec extends AnyFunSuite {
     // exact duplicate payloads exist in the corpus → Hamming-0 pairs
     assert(got.exists(_._3 == 0L), "planted exact dups must collide at 0")
   }
+
+  test("caption pairs: gates, exact caption dedup, and append-stable " +
+      "split equal the driver recompute") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, TestSpark.sf)
+      .select("doc_id", "text", "lang", "n_chars")
+      .as[(Long, String, String, Long)].collect()
+    val gated = docs.filter { case (_, _, lang, n) =>
+      n >= Media.CapMinChars && n <= Media.CapMaxChars &&
+        Set("en", "de", "fr", "es")(lang)
+    }
+    assert(gated.nonEmpty && gated.length < docs.length,
+      "the gate must both keep and drop documents")
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val keepers = gated.groupBy(d => md5hex(d._2.trim.toLowerCase))
+      .map { case (_, g) => g.minBy(_._1) }.toSeq
+    val expect = keepers.map { case (id, text, lang, _) =>
+      val nb = text.getBytes("UTF-8").length.toLong
+      val split =
+        if (graft.core.PortableHash.pHashJvm(s"pairsplit|$id") % 100 <
+          Media.TrainPct) "train" else "val"
+      (id, lang, text.length.toLong, nb,
+        320L + (nb * 7L + id) % 1280L, 240L + (id * 13L) % 720L, split)
+    }.toSet
+    val got = Media.captionPairs(spark, TestSpark.sf)
+      .select("doc_id", "lang", "cap_len", "n_bytes", "width", "height", "split")
+      .as[(Long, String, Long, Long, Long, Long, String)].collect().toSet
+    assert(got == expect)
+    // both splits must be non-empty at this SF for the set to train
+    val splits = got.groupBy(_._7).view.mapValues(_.size).toMap
+    assert(splits.getOrElse("train", 0) > 0 && splits.getOrElse("val", 0) > 0)
+  }
 }

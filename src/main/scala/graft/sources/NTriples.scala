@@ -24,4 +24,29 @@ object NTriples {
   /** Write (s, p, o) triples as N-Triples lines. */
   def write(triples: DataFrame, path: String): Unit =
     Rdf.toNtriples(triples).write.mode("overwrite").text(path)
+
+  /** #206: write → DSv2 read with filter pushdown + column pruning.
+    *
+    * The corpus' triples are dumped as sharded N-Triples text, then
+    * read back through [[graft.sources.ntriples.NTriplesTableProvider]]
+    * (`format("ntriples")`) with a `p = 'placedBy'` predicate and an
+    * (s, o) projection — both of which the connector absorbs INTO the
+    * scan (spec-asserted: the predicate lands in the scan's
+    * pushedFilters, the read schema shrinks to 2 columns, and a
+    * non-pushable LIKE stays residual). The oracle reproduces the
+    * filtered pairs from the base tables: the dump→scan path loses and
+    * invents nothing.
+    */
+  def pushdownRead(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft_nt_").toString
+    write(graft.core.TpchGraph.triples(spark, dir), out)
+    spark.read.format("ntriples").load(out)
+      .filter(col("p") === "placedBy")
+      .select("s", "o")
+  }
+
+  val pushdownReadSql: String =
+    s"""WITH ${graft.core.TpchGraph.cte}
+       |SELECT s, o FROM triples WHERE p = 'placedBy'""".stripMargin
 }

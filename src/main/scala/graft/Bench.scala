@@ -87,7 +87,8 @@ object Bench {
     // round-6 session-7 additions
     "q4_priority_semi", "q16_supplier_cnt", "q22_idle_balance",
     "events_ewma", "media_ahash_dedup", "graph_closeness", "dq_drift_psi",
-    "text_zipf", "media_caption_pairs", "source_ntriples_pushdown")
+    "text_zipf", "media_caption_pairs", "source_ntriples_pushdown",
+    "kge_transh_score")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

@@ -202,6 +202,42 @@ object Scoring {
       .select("sid", "pid", "oid", "score")
   }
 
+  /** #207: TransH score = −‖(h − (wᵀh)w) + r − (t − (wᵀt)w)‖² (Wang et
+    * al. 2014) — the hyperplane-projection model completing the
+    * translational family: TransE forces a relation to be ONE
+    * translation (so 1-N/N-1 relations collapse their entity sets);
+    * TransH projects entities onto a per-relation hyperplane first, so
+    * one entity can sit at different effective positions under
+    * different relations. The relation carries TWO vectors: the
+    * translation r (the shared R family) and the unit normal
+    * w = n/‖n‖ from a fresh dyadic family (WN) — ‖n‖² is an exact
+    * dyadic sum, so the normalization is one sqrt + one division per
+    * element, correctly-rounded and engine-identical (the RotatE
+    * argument, vector-normalized instead of per-dimension).
+    *
+    * Exactness: w is non-dyadic, so BOTH the projections wᵀh, wᵀt and
+    * the final distance would be fold-order-sensitive as raw double
+    * sums; [[VectorFolds.transHDistQ]] accumulates all three as
+    * scale-12 quantized integer sums inside ONE fused two-pass loop
+    * (the codebase's first QuaternaryExpression) — order-free, so the
+    * oracle uses plain SUMs. Plan: the shared cached test-slice join +
+    * a broadcast dictionary-sized normal table; score is one codegen'd
+    * projection.
+    */
+  def transhScore(spark: SparkSession, dir: String): DataFrame = {
+    val wn = Dict.relations(spark, dir)
+      .select(col("rid").as("pid"), emb("WN", col("rid")).as("n"))
+      .select(col("pid"), col("n"),
+        sqrt(VectorFolds.sumSq(col("n"))).as("m"))
+      .select(col("pid"), transform(col("n"), x => x / col("m")).as("w"))
+    slicedEmb(spark, dir)
+      .join(broadcast(wn), "pid")
+      .withColumn("score",
+        -(VectorFolds.transHDistQ(col("h"), col("t"), col("r"), col("w"))
+          .cast("double") / lit(1e12)))
+      .select("sid", "pid", "oid", "score")
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private def prelude(mod: Int): String =
@@ -287,5 +323,38 @@ object Scoring {
        |    + (($hr * $ri) * $ti) - (($hi * $ri) * $tr)) AS score
        |FROM test_enc, (SELECT unnest(range(0, ${D})) AS i)
        |GROUP BY sid, pid, oid""".stripMargin
+  }
+
+  val transhScoreSql: String = {
+    val he = duckEl("E", "sid", "i"); val te = duckEl("E", "oid", "i")
+    val re = duckEl("R", "pid", "i"); val nw = duckEl("WN", "pid", "i")
+    val nn = duckEl("WN", "rid", "i")
+    s"""${prelude(ScoreMod)},
+       |terms AS (
+       |  SELECT sid, pid, oid, i,
+       |    $he AS he, $te AS te, $re AS re, $nw AS nw
+       |  FROM test_enc, (SELECT unnest(range(0, ${D})) AS i)
+       |), wnorm AS (
+       |  SELECT rid AS pid, sqrt(SUM($nn * $nn)) AS m
+       |  FROM relations, (SELECT unnest(range(0, ${D})) AS i)
+       |  GROUP BY rid
+       |), tw AS (
+       |  SELECT t.*, (t.nw / w.m) AS wi FROM terms t JOIN wnorm w USING (pid)
+       |), ab AS (
+       |  SELECT sid, pid, oid,
+       |    CAST(SUM(CAST(floor((wi * he) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS aq,
+       |    CAST(SUM(CAST(floor((wi * te) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS bq
+       |  FROM tw GROUP BY sid, pid, oid
+       |), res AS (
+       |  SELECT tw.sid, tw.pid, tw.oid,
+       |    ((he - ((CAST(aq AS DOUBLE) / 1000000000000.0) * wi)) + re)
+       |      - (te - ((CAST(bq AS DOUBLE) / 1000000000000.0) * wi)) AS u
+       |  FROM tw JOIN ab ON tw.sid = ab.sid AND tw.pid = ab.pid
+       |    AND tw.oid = ab.oid
+       |)
+       |SELECT sid, pid, oid,
+       |  -(CAST(CAST(SUM(CAST(floor((u * u) * 1000000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
+       |    / 1000000000000.0) AS score
+       |FROM res GROUP BY sid, pid, oid""".stripMargin
   }
 }

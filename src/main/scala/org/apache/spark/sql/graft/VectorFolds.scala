@@ -511,6 +511,83 @@ case class RotateDistQ(hr: Expression, hi: Expression, tr: Expression,
       ti = newChildren(3), cs = newChildren(4))
 }
 
+/** TransH quantized distance: the whole hyperplane-projection score in
+  * ONE fused loop — Σ_i ⌊u_i²·10¹² + ½⌋ as a LONG where
+  * u_i = (h_i − a·w_i + r_i) − (t_i − b·w_i) and a = wᵀh, b = wᵀt are
+  * themselves accumulated as scale-12 quantized integer sums in a first
+  * pass over the same arrays (w is unit-normalized ⇒ non-dyadic, so raw
+  * double dot products would be fold-order-sensitive; the quantized
+  * form is order-free and engine-identical, and the oracle can use a
+  * plain SUM). Literal IEEE tree per element, both passes fused, no
+  * intermediate arrays. Bounds: |a|,|b| ≤ √d·0.79 ≈ 3.2, |u| ≤ ~8.6,
+  * u²·10¹² ≤ 7.4·10¹³ ≪ 2⁵³; Σ over d=16 ≪ 2⁶³.
+  */
+case class TransHDistQ(first: Expression, second: Expression,
+    third: Expression, fourth: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression
+  with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq.fill(4)(ArrayType(DoubleType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "transh_distq"
+
+  override def nullSafeEval(hA: Any, tA: Any, rA: Any, wA: Any): Any = {
+    val ah = hA.asInstanceOf[ArrayData]; val at = tA.asInstanceOf[ArrayData]
+    val ar = rA.asInstanceOf[ArrayData]; val aw = wA.asInstanceOf[ArrayData]
+    val n = math.min(math.min(ah.numElements(), at.numElements()),
+      math.min(ar.numElements(), aw.numElements()))
+    var aq = 0L; var bq = 0L
+    var i = 0
+    while (i < n) {
+      aq += math.floor((aw.getDouble(i) * ah.getDouble(i)) * 1e12 + 0.5).toLong
+      bq += math.floor((aw.getDouble(i) * at.getDouble(i)) * 1e12 + 0.5).toLong
+      i += 1
+    }
+    val a = aq.toDouble / 1e12; val b = bq.toDouble / 1e12
+    var q = 0L
+    i = 0
+    while (i < n) {
+      val u = ((ah.getDouble(i) - (a * aw.getDouble(i))) + ar.getDouble(i)) -
+        (at.getDouble(i) - (b * aw.getDouble(i)))
+      q += math.floor((u * u) * 1e12 + 0.5).toLong
+      i += 1
+    }
+    q
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (hA, tA, rA, wA) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val aq = ctx.freshName("aq"); val bq = ctx.freshName("bq")
+      val a = ctx.freshName("a"); val b = ctx.freshName("b")
+      val q = ctx.freshName("q"); val u = ctx.freshName("u")
+      s"""
+         |final int $n = java.lang.Math.min(
+         |  java.lang.Math.min($hA.numElements(), $tA.numElements()),
+         |  java.lang.Math.min($rA.numElements(), $wA.numElements()));
+         |long $aq = 0L; long $bq = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $aq += (long) java.lang.Math.floor(($wA.getDouble($i) * $hA.getDouble($i)) * 1.0E12 + 0.5);
+         |  $bq += (long) java.lang.Math.floor(($wA.getDouble($i) * $tA.getDouble($i)) * 1.0E12 + 0.5);
+         |}
+         |final double $a = ((double) $aq) / 1.0E12;
+         |final double $b = ((double) $bq) / 1.0E12;
+         |long $q = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $u = (($hA.getDouble($i) - ($a * $wA.getDouble($i))) + $rA.getDouble($i))
+         |    - ($tA.getDouble($i) - ($b * $wA.getDouble($i)));
+         |  $q += (long) java.lang.Math.floor(($u * $u) * 1.0E12 + 0.5);
+         |}
+         |${ev.value} = $q;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression, q: Expression): TransHDistQ =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
 object VectorFolds {
   private def c(e: Expression): Column = ExpressionUtils.column(e)
   private def e(col: Column): Expression = ExpressionUtils.expression(col)
@@ -547,4 +624,7 @@ object VectorFolds {
   def rotateDistQ(hr: Column, hi: Column, tr: Column, ti: Column,
       cs: Column): Column =
     c(RotateDistQ(e(hr), e(hi), e(tr), e(ti), e(cs)))
+  /** TransH quantized hyperplane-projection distance (scale 1e12, LONG) */
+  def transHDistQ(h: Column, t: Column, r: Column, w: Column): Column =
+    c(TransHDistQ(e(h), e(t), e(r), e(w)))
 }

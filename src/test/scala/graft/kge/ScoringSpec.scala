@@ -122,6 +122,68 @@ class ScoringSpec extends AnyFunSuite {
     assert(viaPlan == expQ)
   }
 
+  test("TransH score matches the hand-computed quantized projection " +
+      "from raw md5 dyadics, and eval/codegen agree") {
+    val row = Scoring.transhScore(spark, TestSpark.sf)
+      .orderBy("sid", "pid", "oid").limit(1)
+      .select($"sid", $"pid", $"oid", $"score").head()
+    val (sid, pid, oid) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    def dyad(seed: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(seed.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      ((java.lang.Long.parseLong(hex.substring(0, 15), 16) % 201) - 100).toDouble / 128.0
+    }
+    val n = (0 until Embeddings.D).map(i => dyad(s"WN|$pid|$i")).toArray
+    val m = math.sqrt(n.map(x => x * x).sum) // dyadic squares: exact sum
+    val w = n.map(_ / m)
+    // unit to 1 ulp
+    assert(math.abs(w.map(x => x * x).sum - 1.0) < 1e-14)
+    val h = (0 until Embeddings.D).map(i => dyad(s"E|$sid|$i")).toArray
+    val t = (0 until Embeddings.D).map(i => dyad(s"E|$oid|$i")).toArray
+    val r = (0 until Embeddings.D).map(i => dyad(s"R|$pid|$i")).toArray
+    var aq = 0L; var bq = 0L
+    (0 until Embeddings.D).foreach { i =>
+      aq += math.floor((w(i) * h(i)) * 1e12 + 0.5).toLong
+      bq += math.floor((w(i) * t(i)) * 1e12 + 0.5).toLong
+    }
+    val a = aq.toDouble / 1e12; val b = bq.toDouble / 1e12
+    var q = 0L
+    (0 until Embeddings.D).foreach { i =>
+      val u = ((h(i) - (a * w(i))) + r(i)) - (t(i) - (b * w(i)))
+      q += math.floor((u * u) * 1e12 + 0.5).toLong
+    }
+    assert(row.getDouble(3) == -(q.toDouble / 1e12))
+    // interpreted eval agrees with a hand-rolled two-pass on toy arrays
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def alit(xs: Array[Double]) =
+      Literal.create(new GenericArrayData(xs), ArrayType(DoubleType))
+    val hA = Array(0.5, -0.25); val tA = Array(-0.5, 0.375)
+    val rA = Array(0.125, 0.75); val wA = Array(0.6, 0.8)
+    val interp = org.apache.spark.sql.graft.TransHDistQ(
+      alit(hA), alit(tA), alit(rA), alit(wA)).eval(null)
+    var eaq = 0L; var ebq = 0L
+    (0 until 2).foreach { i =>
+      eaq += math.floor((wA(i) * hA(i)) * 1e12 + 0.5).toLong
+      ebq += math.floor((wA(i) * tA(i)) * 1e12 + 0.5).toLong
+    }
+    val ea = eaq.toDouble / 1e12; val eb = ebq.toDouble / 1e12
+    var eq = 0L
+    (0 until 2).foreach { i =>
+      val u = ((hA(i) - (ea * wA(i))) + rA(i)) - (tA(i) - (eb * wA(i)))
+      eq += math.floor((u * u) * 1e12 + 0.5).toLong
+    }
+    assert(interp == eq)
+    import org.apache.spark.sql.functions.col
+    val viaPlan = Seq((hA.toSeq, tA.toSeq, rA.toSeq, wA.toSeq))
+      .toDF("h", "t", "r", "w")
+      .select(graft.functions.VectorFolds.transHDistQ(
+        col("h"), col("t"), col("r"), col("w")))
+      .as[Long].head()
+    assert(viaPlan == eq)
+  }
+
   test("ranking: every rank is within [1, candidate-set size]") {
     val ranks = RankingEval.ranks(spark, TestSpark.sf)
     val n = ranks.count()

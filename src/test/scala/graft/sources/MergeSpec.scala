@@ -55,4 +55,42 @@ class MergeSpec extends AnyFunSuite {
     assert(diff("changed") == realUpds)
     assert(diff("unchanged") == base.length - dels - realUpds)
   }
+
+  test("incremental view maintenance equals the full recompute over the " +
+      "applied change batch, per segment to the cent") {
+    import spark.implicits._
+    val segNames = Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+      "HOUSEHOLD", "MACHINERY")
+    def h(key: Long): Long = graft.core.PortableHash.pHashJvm(s"chg$key") % 10
+    def delta(key: Long): Double =
+      (graft.core.PortableHash.pHashJvm(s"amt$key") % 1000).toDouble / 4.0
+    val cust = graft.core.Tables.customer(spark, TestSpark.sf)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+      .as[(Long, String, Double)].collect()
+    def cents(v: Double): Long = math.floor(v * 100.0 + 0.5).toLong
+    // FULL recompute of the view over the merged table, driver-side
+    val mergedRows = cust.flatMap { case (k, seg, bal) =>
+      val keep = h(k) match {
+        case 5 => Nil
+        case x if x <= 4 => Seq((seg, bal + delta(k)))
+        case _ => Seq((seg, bal))
+      }
+      val insert =
+        if (h(k) == 6)
+          Seq((segNames(
+            (graft.core.PortableHash.pHashJvm(s"seg$k") % 5).toInt), delta(k)))
+        else Nil
+      keep ++ insert
+    }
+    val expect = mergedRows.groupBy(_._1).view.mapValues { g =>
+      (g.length.toLong, g.map(r => cents(r._2)).sum.toDouble / 100.0)
+    }.toMap
+    val got = Merge.viewDeltaMaintain(spark, TestSpark.sf)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == expect)
+    // the batch genuinely exercises all three ops at this SF
+    val ks = cust.map(_._1)
+    assert(ks.exists(h(_) <= 4) && ks.exists(h(_) == 5) && ks.exists(h(_) == 6))
+  }
 }

@@ -1139,6 +1139,91 @@ object Events {
         (col("num").cast("double") / col("den") / 100.0).as("ewma"))
   }
 
+  /** Attribution window: touches within 7 days before the purchase. */
+  val AttribWindowS: Long = 7L * 86400L
+
+  /** #209: multi-touch marketing ATTRIBUTION — the revenue-credit
+    * assignment every growth/ads pipeline runs: each purchase's value
+    * is split LINEARLY across the view/click touches in the 7 days
+    * before it (last-touch is #70's as-of join; linear is the
+    * other standard model, and the one with an interesting exactness
+    * problem). The classically-fractional credit v/n is made EXACT by
+    * integer allocation — every touch gets cents DIV n and the LAST
+    * touch (by ts, event_id — total order) absorbs the remainder, the
+    * banker's-allocation rule real billing systems use — so the report
+    * satisfies a conservation law TO THE CENT: attributed credit +
+    * unattributed (no-touch purchases, kept as their own row) equals
+    * total purchase value exactly. No FP division anywhere.
+    *
+    * Plan: purchases ⋈ touches on user_id (one shuffle each side,
+    * fan-out bounded by per-user 7-day activity, never corpus-scale);
+    * the per-purchase (rank, n) window repartitions onto the purchase
+    * id; the channel rollup collapses onto 3 keys map-side. At 100 TB
+    * the user join pre-filters to the horizon via the #192 bucket
+    * decomposition. Unattributed purchases fall out of a left anti
+    * join on the same keyed frame.
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = eventsS(spark, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        col("ts_s").as("pts"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
+    val t = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("tid"),
+        col("event_type").as("channel"), col("ts_s").as("tts"))
+    val m = p.join(t, Seq("user_id"))
+      .filter(col("tts") < col("pts") &&
+        col("tts") >= col("pts") - AttribWindowS)
+    val w = Window.partitionBy("pid")
+    val credited = m
+      .withColumn("rnk", row_number().over(
+        w.orderBy(col("tts").asc, col("tid").asc)))
+      .withColumn("n", count(lit(1)).over(w))
+      .select(col("channel"),
+        (expr("cents div n") +
+          when(col("rnk") === col("n"), col("cents") % col("n"))
+            .otherwise(lit(0L))).as("credit"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_touches"),
+        (sum("credit").cast("double") / 100.0).as("credited_value"))
+    val orphan = p.join(m.select("pid").distinct(), Seq("pid"), "left_anti")
+      .agg(count(lit(1)).as("n_touches"),
+        (sum("cents").cast("double") / 100.0).as("credited_value"))
+      .select(lit("unattributed").as("channel"),
+        col("n_touches"), col("credited_value"))
+    credited.unionByName(orphan)
+  }
+
+  val attributionSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, value, $duckTsS AS ts_s
+       |  FROM events
+       |), p AS (
+       |  SELECT user_id, event_id AS pid, ts_s AS pts,
+       |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+       |  FROM e WHERE event_type = 'purchase'
+       |), t AS (
+       |  SELECT user_id, event_id AS tid, event_type AS channel, ts_s AS tts
+       |  FROM e WHERE event_type IN ('view', 'click')
+       |), m AS (
+       |  SELECT p.pid, p.cents, t.channel, t.tid,
+       |    ROW_NUMBER() OVER (PARTITION BY p.pid
+       |      ORDER BY t.tts ASC, t.tid ASC) AS rnk,
+       |    COUNT(*) OVER (PARTITION BY p.pid) AS n
+       |  FROM p JOIN t ON t.user_id = p.user_id
+       |    AND t.tts < p.pts AND t.tts >= p.pts - $AttribWindowS
+       |)
+       |SELECT channel, COUNT(*) AS n_touches,
+       |  CAST(SUM(cents // n
+       |    + CASE WHEN rnk = n THEN cents % n ELSE 0 END) AS DOUBLE) / 100.0
+       |    AS credited_value
+       |FROM m GROUP BY channel
+       |UNION ALL
+       |SELECT 'unattributed', COUNT(*),
+       |  CAST(SUM(cents) AS DOUBLE) / 100.0
+       |FROM p WHERE pid NOT IN (SELECT pid FROM m)""".stripMargin
+
   val ewmaSql: String =
     s"""WITH daily AS (
        |  SELECT event_type, $duckTsS // 86400 AS day, COUNT(*) AS n,

@@ -449,4 +449,48 @@ class EventsSpec extends AnyFunSuite {
       .foreach { case (tpe, d, _, v, e) =>
         assert(v == e, s"first day ($tpe, $d) must smooth to itself") }
   }
+
+  test("attribution: linear credit equals the driver recompute and " +
+      "conserves total purchase value to the cent") {
+    import org.apache.spark.sql.functions._
+    val ev = Events.eventsS(spark, TestSpark.sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_s"), col("value"))
+      .as[(Long, Long, String, Long, Double)].collect()
+    val purchases = ev.filter(_._3 == "purchase")
+    val touches = ev.filter(r => r._3 == "view" || r._3 == "click")
+      .groupBy(_._1).view.mapValues(_.toSeq).toMap
+    def cents(v: Double) = math.floor(v * 100.0 + 0.5).toLong
+    val credits = scala.collection.mutable.Map[String, (Long, Long)]()
+      .withDefaultValue((0L, 0L))
+    purchases.foreach { case (u, _, _, pts, v) =>
+      val ts = touches.getOrElse(u, Nil)
+        .filter(t => t._4 < pts && t._4 >= pts - Events.AttribWindowS)
+        .sortBy(t => (t._4, t._2))
+      val c = cents(v)
+      if (ts.isEmpty) {
+        val (n, s) = credits("unattributed")
+        credits("unattributed") = (n + 1, s + c)
+      } else {
+        val n = ts.length
+        ts.zipWithIndex.foreach { case (t, i) =>
+          val share = c / n + (if (i == n - 1) c % n else 0L)
+          val (cn, cs) = credits(t._3)
+          credits(t._3) = (cn + 1, cs + share)
+        }
+      }
+    }
+    val expect = credits.map { case (ch, (n, s)) =>
+      ch -> (n, s.toDouble / 100.0) }.toMap
+    val got = Events.attribution(spark, TestSpark.sf)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == expect)
+    // conservation: credited + unattributed == total purchase cents
+    val totalCents = purchases.map(r => cents(r._5)).sum
+    val gotCents = got.values.map(v => math.round(v._2 * 100.0)).sum
+    assert(gotCents == totalCents, "credit must conserve value to the cent")
+    assert(got.contains("view") && got.contains("click") &&
+      got.contains("unattributed"))
+  }
 }

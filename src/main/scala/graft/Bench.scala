@@ -88,7 +88,8 @@ object Bench {
     "q4_priority_semi", "q16_supplier_cnt", "q22_idle_balance",
     "events_ewma", "media_ahash_dedup", "graph_closeness", "dq_drift_psi",
     "text_zipf", "media_caption_pairs", "source_ntriples_pushdown",
-    "kge_transh_score", "view_delta_maintain", "events_attribution")
+    "kge_transh_score", "view_delta_maintain", "events_attribution",
+    "graph_hits")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

@@ -1120,6 +1120,110 @@ object GraphAlgos {
        |     - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) AS r
        |FROM s""".stripMargin
 
+  // ------------------------------------------- #210 HITS hubs/authorities
+
+  val HitsIters = 3
+
+  /** #210: HITS hubs & authorities (Kleinberg 1999) after
+    * [[HitsIters]] exact mutual-reinforcement rounds — the DIRECTED
+    * centrality pair PageRank's single flow score can't express: an
+    * authority is pointed at by good hubs, a hub points at good
+    * authorities. On the entity graph the split is structural (orders
+    * are pure hubs — all out-edges; parts/suppliers/nations pure
+    * authorities), so the two rankings genuinely diverge — the spec
+    * pins that.
+    *
+    * Exactness: each half-round is a_k = normalize(Eᵀ h_{k-1}),
+    * h_k = normalize(E a_k) with L1 normalization; contribution sums
+    * go through [[Exact.decSum]] (scale 12) and each normalized score
+    * re-quantizes on the 1e-12 grid, so every round is a deterministic
+    * function of the previous vector independent of partitioning —
+    * the PageRank discipline applied to the two-vector recursion.
+    * Plan: the shared cached edge frame (partitioned by src once);
+    * per half-round ONE contribution shuffle + a 1-row broadcast
+    * normalizer; lineage truncated per round.
+    */
+  def hits(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val nodes = Dict.entities(spark, dir).select("id")
+    val h0 = nodes.select(col("id"), lit(1.0).as("h"))
+    val hFinal = (1 to HitsIters).foldLeft(h0) { (h, k) =>
+      cache.getOrElseUpdate((spark, dir, s"hits$k")) {
+        val aRaw = e.join(h, e("sid") === h("id"))
+          .groupBy(col("oid").as("id"))
+          .agg(Exact.decSum(col("h"), S).as("ar"))
+        val aDense = nodes.join(aRaw, Seq("id"), "left")
+          .select(col("id"), coalesce(col("ar"), lit(0.0)).as("ar"))
+        val aNorm = aDense.agg(Exact.decSum(col("ar"), S).as("an"))
+        val a = aDense.crossJoin(broadcast(aNorm))
+          .select(col("id"), Exact.roundS(col("ar") / col("an"), S).as("a"))
+          .localCheckpoint(false)
+        val hRaw = e.join(a, e("oid") === a("id"))
+          .groupBy(col("sid").as("id"))
+          .agg(Exact.decSum(col("a"), S).as("hr"))
+        val hDense = nodes.join(hRaw, Seq("id"), "left")
+          .select(col("id"), coalesce(col("hr"), lit(0.0)).as("hr"))
+        val hNorm = hDense.agg(Exact.decSum(col("hr"), S).as("hn"))
+        hDense.crossJoin(broadcast(hNorm))
+          .select(col("id"), Exact.roundS(col("hr") / col("hn"), S).as("h"))
+          .localCheckpoint(false)
+      }
+    }
+    // final authority pass over the last hub vector, emitted together
+    val aRaw = e.join(hFinal, e("sid") === hFinal("id"))
+      .groupBy(col("oid").as("id"))
+      .agg(Exact.decSum(col("h"), S).as("ar"))
+    val aDense = nodes.join(aRaw, Seq("id"), "left")
+      .select(col("id"), coalesce(col("ar"), lit(0.0)).as("ar"))
+    val aNorm = aDense.agg(Exact.decSum(col("ar"), S).as("an"))
+    val auth = aDense.crossJoin(broadcast(aNorm))
+      .select(col("id"), Exact.roundS(col("ar") / col("an"), S).as("authority"))
+    hFinal.select(col("id"), col("h").as("hub"))
+      .join(auth, Seq("id"))
+  }
+
+  val hitsSql: String = {
+    def round(k: Int): String = {
+      val prev = if (k == 1) "h0" else s"h${k - 1}"
+      s"""ag$k AS (
+         |  SELECT e.oid AS id, ${Exact.duckSum("p.h", S)} AS ar
+         |  FROM edges e JOIN $prev p ON p.id = e.sid GROUP BY e.oid
+         |), ad$k AS MATERIALIZED (
+         |  SELECT ent.id, COALESCE(g.ar, 0.0) AS ar
+         |  FROM entities ent LEFT JOIN ag$k g USING (id)
+         |), a$k AS MATERIALIZED (
+         |  SELECT id, ${Exact.duckRoundS(
+              s"ar / (SELECT ${Exact.duckSum("ar", S)} FROM ad$k)", S)} AS a
+         |  FROM ad$k
+         |), hg$k AS (
+         |  SELECT e.sid AS id, ${Exact.duckSum("p.a", S)} AS hr
+         |  FROM edges e JOIN a$k p ON p.id = e.oid GROUP BY e.sid
+         |), hd$k AS MATERIALIZED (
+         |  SELECT ent.id, COALESCE(g.hr, 0.0) AS hr
+         |  FROM entities ent LEFT JOIN hg$k g USING (id)
+         |), h$k AS MATERIALIZED (
+         |  SELECT id, ${Exact.duckRoundS(
+              s"hr / (SELECT ${Exact.duckSum("hr", S)} FROM hd$k)", S)} AS h
+         |  FROM hd$k
+         |)""".stripMargin
+    }
+    s"""${Dict.preludeCtes},
+       |edges AS MATERIALIZED (SELECT DISTINCT sid, oid FROM encoded),
+       |h0 AS (SELECT id, 1.0 AS h FROM entities),
+       |${(1 to HitsIters).map(round).mkString(",\n")},
+       |agf AS (
+       |  SELECT e.oid AS id, ${Exact.duckSum("p.h", S)} AS ar
+       |  FROM edges e JOIN h$HitsIters p ON p.id = e.sid GROUP BY e.oid
+       |), adf AS MATERIALIZED (
+       |  SELECT ent.id, COALESCE(g.ar, 0.0) AS ar
+       |  FROM entities ent LEFT JOIN agf g USING (id)
+       |)
+       |SELECT h.id, h.h AS hub,
+       |  ${Exact.duckRoundS(
+            s"adf.ar / (SELECT ${Exact.duckSum("ar", S)} FROM adf)", S)} AS authority
+       |FROM h$HitsIters h JOIN adf ON adf.id = h.id""".stripMargin
+  }
+
   // --------------------------------- #202 sampled harmonic centrality
 
   val CloseSeeds = 8

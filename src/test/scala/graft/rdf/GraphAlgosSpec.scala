@@ -351,4 +351,52 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(got.values.exists(_._1 == GraphAlgos.CloseSeeds.toLong),
       "the hub-spoke graph should put some node within 4 hops of all seeds")
   }
+
+  test("hits: quantized mutual reinforcement equals a driver recompute, " +
+      "and the structural hub/authority split shows") {
+    import spark.implicits._
+    val edges = Dict.encodedTriples(spark, TestSpark.sf)
+      .select(col("sid"), col("oid")).distinct()
+      .as[(Long, Long)].collect()
+    val ids = Dict.entities(spark, TestSpark.sf)
+      .select("id").as[Long].collect()
+    def q12(v: Double) = math.floor(v * 1e12 + 0.5) / 1e12
+    def dsum(vs: Iterable[Double]) =
+      vs.map(v => math.floor(v * 1e12 + 0.5).toLong).sum.toDouble / 1e12
+    def normalize(raw: Map[Long, Double]): Map[Long, Double] = {
+      val z = dsum(raw.values)
+      raw.map { case (k, v) => k -> q12(v / z) }
+    }
+    var h = ids.map(_ -> 1.0).toMap
+    var a = Map.empty[Long, Double]
+    (1 to GraphAlgos.HitsIters).foreach { _ =>
+      val ar = edges.groupBy(_._2).view
+        .mapValues(g => dsum(g.map(e => h(e._1)))).toMap
+      a = normalize(ids.map(i => i -> ar.getOrElse(i, 0.0)).toMap)
+      val hr = edges.groupBy(_._1).view
+        .mapValues(g => dsum(g.map(e => a(e._2)))).toMap
+      h = normalize(ids.map(i => i -> hr.getOrElse(i, 0.0)).toMap)
+    }
+    val arf = edges.groupBy(_._2).view
+      .mapValues(g => dsum(g.map(e => h(e._1)))).toMap
+    val af = normalize(ids.map(i => i -> arf.getOrElse(i, 0.0)).toMap)
+    val got = GraphAlgos.hits(spark, TestSpark.sf)
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.keySet == ids.toSet)
+    got.foreach { case (id, (hub, auth)) =>
+      assert(hub == h(id) && auth == af(id), s"node $id drifted")
+    }
+    // structural split: order nodes (o:) are pure hubs (authority 0),
+    // nation nodes (n:) are strong authorities with zero hub score
+    val uris = Dict.entities(spark, TestSpark.sf)
+      .select("id", "uri").as[(Long, String)].collect().toMap
+    val orders = got.filter { case (id, _) => uris(id).startsWith("o:") }
+    val parts = got.filter { case (id, _) => uris(id).startsWith("p:") }
+    assert(orders.nonEmpty && orders.values.forall(_._2 == 0.0),
+      "nothing points at an order: authority must be exactly 0")
+    assert(parts.nonEmpty && parts.values.forall(_._1 == 0.0),
+      "parts have no out-edges: hub must be exactly 0")
+    assert(orders.values.exists(_._1 > 0.0) && parts.values.exists(_._2 > 0.0))
+  }
 }

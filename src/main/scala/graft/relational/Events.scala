@@ -1139,6 +1139,96 @@ object Events {
         (col("num").cast("double") / col("den") / 100.0).as("ewma"))
   }
 
+  /** #211: GROWTH ACCOUNTING (the new/retained/resurrected/churned
+    * decomposition every DAU dashboard runs — the Social Capital
+    * "accounting identity" report): classify each active (user, day)
+    * as NEW (first day ever), RETAINED (also active the previous
+    * calendar day) or RESURRECTED (active before, but not yesterday),
+    * and count CHURNED on the day a previously-active user fails to
+    * show. The output satisfies two ACCOUNTING IDENTITIES the spec
+    * pins exactly: active = new + retained + resurrected (every active
+    * day is exactly one class), and churned_d = active_{d-1} −
+    * retained_d (yesterday's actives either retain or churn).
+    *
+    * Plan: events collapse map-side to distinct (user, day) FIRST —
+    * everything downstream runs on the bounded activity frame, never
+    * events. First-day is one user-keyed aggregate joined back (same
+    * user_id partitioning); yesterday-presence is a CALENDAR self-join
+    * on (user, day−1) — the #193 rule: row-offset lag silently treats
+    * a gap as one step; churn is a left anti join of the day-shifted
+    * frame against itself, bounded to the observed day span. All
+    * integer — hash-exact with no quantization.
+    */
+  def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
+    val act = eventsS(spark, dir)
+      .select(col("user_id"), (col("ts_s") / 86400L).cast("long").as("day"))
+      .distinct()
+    val first = act.groupBy("user_id").agg(min("day").as("first_day"))
+    val prev = act.select(col("user_id"), (col("day") + 1L).as("day"),
+      lit(1L).as("was_active"))
+    val classified = act.join(first, "user_id")
+      .join(prev, Seq("user_id", "day"), "left")
+      .select(col("day"),
+        when(col("day") === col("first_day"), "new")
+          .when(col("was_active").isNotNull, "retained")
+          .otherwise("resurrected").as("cls"))
+    val daily = classified.groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("cls") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
+          .as("n_resurrected"))
+    val maxDay = act.agg(max("day").as("max_day"))
+    val churn = act.select(col("user_id"), (col("day") + 1L).as("day"))
+      .join(act, Seq("user_id", "day"), "left_anti")
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") <= col("max_day"))
+      .groupBy("day").agg(count(lit(1)).as("n_churned"))
+    // full outer: a fully-dark day still owes its churn row
+    daily.join(churn, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
+
+  val growthAccountingSql: String =
+    s"""WITH act AS (
+       |  SELECT DISTINCT user_id, $duckTsS // 86400 AS day FROM events
+       |), first AS (
+       |  SELECT user_id, MIN(day) AS first_day FROM act GROUP BY user_id
+       |), classified AS (
+       |  SELECT a.day,
+       |    CASE WHEN a.day = f.first_day THEN 'new'
+       |         WHEN p.user_id IS NOT NULL THEN 'retained'
+       |         ELSE 'resurrected' END AS cls
+       |  FROM act a
+       |  JOIN first f ON f.user_id = a.user_id
+       |  LEFT JOIN act p ON p.user_id = a.user_id AND p.day = a.day - 1
+       |), daily AS (
+       |  SELECT day, COUNT(*) AS n_active,
+       |    SUM(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS n_new,
+       |    SUM(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS n_retained,
+       |    SUM(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS n_resurrected
+       |  FROM classified GROUP BY day
+       |), churn AS (
+       |  SELECT a.day + 1 AS day, COUNT(*) AS n_churned
+       |  FROM act a
+       |  WHERE NOT EXISTS (SELECT 1 FROM act n
+       |      WHERE n.user_id = a.user_id AND n.day = a.day + 1)
+       |    AND a.day + 1 <= (SELECT MAX(day) FROM act)
+       |  GROUP BY a.day + 1
+       |)
+       |SELECT COALESCE(daily.day, churn.day) AS day,
+       |  COALESCE(n_active, 0) AS n_active,
+       |  CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+       |  CAST(COALESCE(n_retained, 0) AS BIGINT) AS n_retained,
+       |  CAST(COALESCE(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+       |  COALESCE(n_churned, 0) AS n_churned
+       |FROM daily FULL OUTER JOIN churn ON churn.day = daily.day""".stripMargin
+
   /** Attribution window: touches within 7 days before the purchase. */
   val AttribWindowS: Long = 7L * 86400L
 

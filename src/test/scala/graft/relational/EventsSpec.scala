@@ -493,4 +493,44 @@ class EventsSpec extends AnyFunSuite {
     assert(got.contains("view") && got.contains("click") &&
       got.contains("unattributed"))
   }
+
+  test("growth accounting: classes equal a driver recompute and the two " +
+      "accounting identities hold exactly") {
+    import org.apache.spark.sql.functions._
+    val act = Events.eventsS(spark, TestSpark.sf)
+      .select(col("user_id"), (col("ts_s") / 86400L).cast("long").as("day"))
+      .distinct().as[(Long, Long)].collect().toSet
+    val firstDay = act.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val maxDay = act.map(_._2).max
+    val byDay = act.groupBy(_._2)
+    val dayUniverse = byDay.keySet ++
+      act.map(_._2 + 1).filter(_ <= maxDay) // churn-only days included
+    val expect = dayUniverse.map { d =>
+      val us = byDay.getOrElse(d, Set.empty)
+      val cls = us.toSeq.map { case (u, _) =>
+        if (firstDay(u) == d) "new"
+        else if (act((u, d - 1))) "retained"
+        else "resurrected"
+      }
+      val churned = act.count { case (u, pd) =>
+        pd == d - 1 && !act((u, d)) && d <= maxDay }
+      d -> (us.size.toLong, cls.count(_ == "new").toLong,
+        cls.count(_ == "retained").toLong,
+        cls.count(_ == "resurrected").toLong, churned.toLong)
+    }.toMap.filter { case (_, v) => v._1 > 0 || v._5 > 0 }
+    val got = Events.growthAccounting(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6)).toMap
+    assert(got == expect)
+    // identity 1: every active day is exactly one class
+    got.foreach { case (d, (a, n, r, res, _)) =>
+      assert(a == n + r + res, s"day $d: active != new+retained+resurrected") }
+    // identity 2: yesterday's actives either retain or churn
+    got.foreach { case (d, (_, _, r, _, c)) =>
+      got.get(d - 1).foreach { case (aPrev, _, _, _, _) =>
+        assert(aPrev == r + c, s"day $d: active_{d-1} != retained + churned") }
+    }
+    // the stream exercises every class somewhere
+    assert(got.values.exists(_._4 > 0) && got.values.exists(_._5 > 0))
+  }
 }

@@ -592,4 +592,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(est > truth * 0.5 && est < truth * 2.0,
       s"bucketed-min estimate $est too far from $truth")
   }
+
+  test("flatMapGroupsWithState ledger: state accumulates across batches, " +
+      "update mode emits only touched keys, tiers promote") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Chg]
+    val out = UserState.ledgerStream(
+      stream.toDF().selectExpr("user_id", "event_type", "ts_s", "value"))
+    val q = out.writeStream.format("memory").queryName("spec_ustate")
+      .outputMode("update").start()
+    def emitted(): Seq[(Long, Long, Long, Double, Long, String)] =
+      spark.table("spec_ustate")
+        .as[(Long, Long, Long, Double, Long, String)].collect().toSeq
+    // batch 1: user 1 views; user 2 buys 600.00 (silver)
+    stream.addData(
+      Chg(100L, 1L, 1L, "view", 0.0),
+      Chg(110L, 2L, 2L, "purchase", 600.0))
+    q.processAllAvailable()
+    val e1 = emitted()
+    assert(e1.toSet == Set(
+      (1L, 1L, 0L, 0.0, 100L, "bronze"),
+      (2L, 1L, 1L, 600.0, 110L, "silver")))
+    // batch 2: only user 2 appears — buys 1500 more (gold: 2100 total);
+    // user 1 must NOT re-emit (update mode emits touched keys only)
+    stream.addData(Chg(120L, 2L, 3L, "purchase", 1500.0))
+    q.processAllAvailable()
+    val e2 = emitted().diff(e1)
+    assert(e2 == Seq((2L, 2L, 2L, 2100.0, 120L, "gold")),
+      s"second batch must emit exactly user 2's promoted ledger, got $e2")
+    q.stop()
+  }
 }

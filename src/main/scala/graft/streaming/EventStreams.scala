@@ -437,6 +437,101 @@ object EventStreams {
 
   val kmvStateSql: String = graft.relational.Sketches.kmvBucketMinsSql
 
+  /** #213: streaming DRIFT monitor — the live half of #203's PSI
+    * report, in the production drift-detection shape: a REFERENCE
+    * histogram snapshotted batch-side (the first-half day window —
+    * "last month's blessed distribution") broadcast as a static frame,
+    * and the LIVE per-(type, bin) histogram maintained as streaming
+    * aggregate state (bounded by value range / bin width, add-merged
+    * across micro-batches like #112's). The PSI head is a
+    * dashboard-side read joining live state against the broadcast
+    * reference — per refresh, over the bounded bin frame, never the
+    * stream. Same exactness scheme as #203: integer cent-grid bins,
+    * Laplace-smoothed terms with ln over ONE ratio of integer
+    * products, 1e-6 per-term quantization, order-free sums.
+    */
+  def driftState(spark: SparkSession, dir: String): DataFrame = {
+    import graft.relational.DataQuality.{PsiAlarm, PsiBinCents}
+    import graft.core.Exact
+    val live = runToMemory(
+      eventStream(spark, dir)
+        .select(col("event_type"),
+          expr(s"CAST(floor(value * 100.0 + 0.5) AS BIGINT) div $PsiBinCents")
+            .as("bin"))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n_live")),
+      "graft_stream_drift")
+    // batch-side reference: the first-half window of the same feed
+    val e = graft.relational.Events.eventsS(spark, dir)
+      .select(col("event_type"),
+        (col("ts_s") / 86400L).cast("long").as("day"),
+        expr(s"CAST(floor(value * 100.0 + 0.5) AS BIGINT) div $PsiBinCents")
+          .as("bin"))
+    val mid = e.agg(expr("(min(day) + max(day) + 1L) div 2L").as("mid"))
+    val ref = e.crossJoin(broadcast(mid)).filter(col("day") < col("mid"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("n_ref"))
+    val hist = ref.join(live, Seq("event_type", "bin"), "full_outer")
+      .select(col("event_type"), col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n1"),
+        coalesce(col("n_live"), lit(0L)).as("n2"))
+    val tot = hist.groupBy("event_type")
+      .agg(sum("n1").as("t1"), sum("n2").as("t2"), count(lit(1)).as("n_bins"))
+    val term =
+      (((col("n1") + 1L).cast("double") / (col("t1") + col("n_bins"))) -
+       ((col("n2") + 1L).cast("double") / (col("t2") + col("n_bins")))) *
+      log(((col("n1") + 1L) * (col("t2") + col("n_bins"))).cast("double") /
+          ((col("n2") + 1L) * (col("t1") + col("n_bins"))).cast("double"))
+    hist.join(tot, Seq("event_type"))
+      .select(col("event_type"), col("t1"), col("t2"), col("n_bins"),
+        Exact.roundS(term, 6).as("term"))
+      .groupBy("event_type")
+      .agg(first("t1").as("n_ref"), first("t2").as("n_live"),
+        first("n_bins").as("n_bins"),
+        Exact.decSum(col("term"), 6).as("psi"))
+      .withColumn("drift", col("psi") > PsiAlarm)
+  }
+
+  val driftStateSql: String = {
+    import graft.relational.DataQuality.{PsiAlarm, PsiBinCents}
+    import graft.core.Exact
+    val tsS = graft.relational.Events.duckTsS
+    val term =
+      s"""((CAST(n1 + 1 AS DOUBLE) / (t1 + n_bins)) -
+         | (CAST(n2 + 1 AS DOUBLE) / (t2 + n_bins))) *
+         |ln(CAST((n1 + 1) * (t2 + n_bins) AS DOUBLE) /
+         |   CAST((n2 + 1) * (t1 + n_bins) AS DOUBLE))""".stripMargin
+    s"""WITH e AS (
+       |  SELECT event_type, $tsS // 86400 AS day,
+       |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) // $PsiBinCents AS bin
+       |  FROM events
+       |), mid AS (
+       |  SELECT (MIN(day) + MAX(day) + 1) // 2 AS mid FROM e
+       |), ref AS (
+       |  SELECT event_type, bin, COUNT(*) AS n_ref
+       |  FROM e, mid WHERE day < mid GROUP BY 1, 2
+       |), live AS (
+       |  SELECT event_type, bin, COUNT(*) AS n_live FROM e GROUP BY 1, 2
+       |), hist AS (
+       |  SELECT COALESCE(ref.event_type, live.event_type) AS event_type,
+       |    COALESCE(ref.bin, live.bin) AS bin,
+       |    COALESCE(n_ref, 0) AS n1, COALESCE(n_live, 0) AS n2
+       |  FROM ref FULL OUTER JOIN live
+       |    ON ref.event_type = live.event_type AND ref.bin = live.bin
+       |), tot AS (
+       |  SELECT event_type, CAST(SUM(n1) AS BIGINT) AS t1,
+       |    CAST(SUM(n2) AS BIGINT) AS t2, COUNT(*) AS n_bins
+       |  FROM hist GROUP BY 1
+       |), terms AS (
+       |  SELECT h.event_type, t1, t2, n_bins,
+       |    ${Exact.duckRoundS(term, 6)} AS term
+       |  FROM hist h JOIN tot t USING (event_type)
+       |)
+       |SELECT event_type, MIN(t1) AS n_ref, MIN(t2) AS n_live,
+       |  MIN(n_bins) AS n_bins, ${Exact.duckSum("term", 6)} AS psi,
+       |  ${Exact.duckSum("term", 6)} > $PsiAlarm AS drift
+       |FROM terms GROUP BY event_type""".stripMargin
+  }
+
   // --------------------------------------- #174 CDC latest-state view
 
   /** The latest-row-per-key reduction shared by the streamed and batch

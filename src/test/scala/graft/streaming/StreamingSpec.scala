@@ -623,4 +623,34 @@ class StreamingSpec extends AnyFunSuite {
       s"second batch must emit exactly user 2's promoted ledger, got $e2")
     q.stop()
   }
+
+  test("drift live-histogram state accumulates across batches to the " +
+      "exact per-(type, bin) cell counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EvT]
+    val bins = graft.relational.DataQuality.PsiBinCents
+    val hist = stream.toDF()
+      .select(col("event_type"),
+        expr(s"CAST(floor(value * 100.0 + 0.5) AS BIGINT) div $bins").as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("n_live"))
+    val q = hist.writeStream.format("memory").queryName("spec_drift")
+      .outputMode("complete").start()
+    def state(): Map[(String, Long), Long] =
+      spark.table("spec_drift").as[(String, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    val b1 = Seq(EvT(0, "click", 5.0), EvT(0, "click", 25.0),
+      EvT(0, "view", 45.0))
+    val b2 = Seq(EvT(0, "click", 5.5), EvT(0, "view", 95.0))
+    stream.addData(b1: _*)
+    q.processAllAvailable()
+    assert(state() == Map(("click", 0L) -> 1L, ("click", 1L) -> 1L,
+      ("view", 2L) -> 1L))
+    stream.addData(b2: _*)
+    q.processAllAvailable()
+    // partials ADD: batch-2 cells merge into the live state exactly
+    assert(state() == Map(("click", 0L) -> 2L, ("click", 1L) -> 1L,
+      ("view", 2L) -> 1L, ("view", 4L) -> 1L))
+    q.stop()
+  }
 }

@@ -77,4 +77,122 @@ object ZOrder {
        |  MIN(user_id) AS u_min, MAX(user_id) AS u_max,
        |  MIN(day) AS d_min, MAX(day) AS d_max
        |FROM z, b GROUP BY 1""".stripMargin
+
+  // ----------------------------------------- #214 skipping effectiveness
+
+  /** Probe predicates per dimension for the skipping workload. */
+  val Preds = 8
+
+  /** #214: FILE-SKIPPING effectiveness report — the measurement that
+    * justifies a layout choice (the "files scanned per query" table in
+    * every Delta/Iceberg OPTIMIZE writeup): simulate min-max pruning
+    * for a workload of range predicates over THREE physical layouts of
+    * the same events — Z-ORDER buckets (#124's), a single-dimension
+    * user-sorted layout, and a hash layout — and report, per
+    * (layout, probed dimension), how many buckets and rows a min-max
+    * reader must scan. The expected physics, which the spec pins as
+    * strict inequalities: the single-dim sort is PERFECT on its own
+    * dimension and useless on the other; hash prunes nothing; z-order
+    * prunes BOTH dimensions meaningfully — that "good on every
+    * dimension, optimal on none" trade is the whole reason ZORDER
+    * exists.
+    *
+    * Scale shape: one scan computes all three bucket assignments and
+    * ONE Expand-style explode feeds a single (layout, bucket)-keyed
+    * map-side-combining aggregate (48 keys) building every bounding
+    * box; the probe workload (16 deterministic equal-width ranges
+    * derived from the global bounds — integer arithmetic on a 1-row
+    * broadcast) joins the 48-row bbox frame; everything after the
+    * first aggregate is dictionary-sized. All-integer; hash-exact.
+    */
+  def skippingReport(spark: SparkSession, dir: String): DataFrame = {
+    val z = zkeyed(spark, dir)
+    val bounds = z.agg(
+      min("zkey").as("zmin"), max("zkey").as("zmax"),
+      min("user_id").as("umin"), max("user_id").as("umax"),
+      min("day").as("dmin"), max("day").as("dmax"))
+    val bucketed = z.crossJoin(broadcast(bounds))
+      .select(col("user_id"), col("day"),
+        expr(s"((zkey - zmin) * $Buckets) DIV (zmax - zmin + 1)").as("b_z"),
+        expr(s"((user_id - umin) * $Buckets) DIV (umax - umin + 1)").as("b_u"),
+        graft.core.PortableHash.pHash(concat(lit("skip"), col("event_id")))
+          .mod(Buckets).as("b_h"))
+    val boxes = bucketed
+      .select(col("user_id"), col("day"),
+        posexplode(array(col("b_z"), col("b_u"), col("b_h")))
+          .as(Seq("layout_i", "bucket")))
+      .withColumn("layout",
+        element_at(array(lit("zorder"), lit("usersort"), lit("hash")),
+          col("layout_i") + 1))
+      .groupBy("layout", "bucket")
+      .agg(count(lit(1)).as("n"),
+        min("user_id").as("u_min"), max("user_id").as("u_max"),
+        min("day").as("d_min"), max("day").as("d_max"))
+    // deterministic equal-width probe ranges on each dimension
+    val preds = spark.range(Preds).toDF("k")
+      .crossJoin(broadcast(bounds))
+      .select(
+        posexplode(array(
+          struct(lit("user").as("dim"),
+            expr(s"umin + (k * (umax - umin + 1)) div $Preds").as("lo"),
+            expr(s"umin + ((k + 1) * (umax - umin + 1)) div $Preds").as("hi")),
+          struct(lit("day").as("dim"),
+            expr(s"dmin + (k * (dmax - dmin + 1)) div $Preds").as("lo"),
+            expr(s"dmin + ((k + 1) * (dmax - dmin + 1)) div $Preds").as("hi"))))
+          .as(Seq("pi", "p")))
+      .select(col("p.dim").as("dim"), col("p.lo").as("lo"), col("p.hi").as("hi"))
+    boxes.join(broadcast(preds),
+        (col("dim") === "user" && col("u_min") < col("hi") && col("u_max") >= col("lo")) ||
+        (col("dim") === "day" && col("d_min") < col("hi") && col("d_max") >= col("lo")))
+      .groupBy("layout", "dim")
+      .agg(countDistinct(col("lo")).as("n_preds"),
+        count(lit(1)).as("buckets_scanned"),
+        sum("n").as("rows_scanned"))
+  }
+
+  val skippingReportSql: String = {
+    val h = graft.core.PortableHash.duck("'skip' || event_id")
+    s"""WITH z AS (
+       |  SELECT event_id, user_id,
+       |    ${graft.relational.Events.duckTsS} // 86400 AS day,
+       |    ${duckInterleave("user_id", s"${graft.relational.Events.duckTsS} // 86400")} AS zkey
+       |  FROM events
+       |), b AS (
+       |  SELECT MIN(zkey) AS zmin, MAX(zkey) AS zmax,
+       |    MIN(user_id) AS umin, MAX(user_id) AS umax,
+       |    MIN(day) AS dmin, MAX(day) AS dmax
+       |  FROM z
+       |), bk AS (
+       |  SELECT user_id, day,
+       |    ((zkey - zmin) * $Buckets) // (zmax - zmin + 1) AS b_z,
+       |    ((user_id - umin) * $Buckets) // (umax - umin + 1) AS b_u,
+       |    $h % $Buckets AS b_h
+       |  FROM z, b
+       |), boxes AS (
+       |  SELECT layout, bucket, COUNT(*) AS n,
+       |    MIN(user_id) AS u_min, MAX(user_id) AS u_max,
+       |    MIN(day) AS d_min, MAX(day) AS d_max
+       |  FROM (
+       |    SELECT user_id, day, 'zorder' AS layout, b_z AS bucket FROM bk
+       |    UNION ALL SELECT user_id, day, 'usersort', b_u FROM bk
+       |    UNION ALL SELECT user_id, day, 'hash', b_h FROM bk
+       |  ) GROUP BY layout, bucket
+       |), preds AS (
+       |  SELECT 'user' AS dim,
+       |    umin + (k * (umax - umin + 1)) // $Preds AS lo,
+       |    umin + ((k + 1) * (umax - umin + 1)) // $Preds AS hi
+       |  FROM b, (SELECT unnest(range($Preds)) AS k)
+       |  UNION ALL
+       |  SELECT 'day',
+       |    dmin + (k * (dmax - dmin + 1)) // $Preds,
+       |    dmin + ((k + 1) * (dmax - dmin + 1)) // $Preds
+       |  FROM b, (SELECT unnest(range($Preds)) AS k)
+       |)
+       |SELECT layout, dim, COUNT(DISTINCT lo) AS n_preds,
+       |  COUNT(*) AS buckets_scanned, CAST(SUM(n) AS BIGINT) AS rows_scanned
+       |FROM boxes JOIN preds
+       |  ON (dim = 'user' AND u_min < hi AND u_max >= lo)
+       |  OR (dim = 'day' AND d_min < hi AND d_max >= lo)
+       |GROUP BY layout, dim""".stripMargin
+  }
 }

@@ -48,4 +48,32 @@ class ZOrderSpec extends AnyFunSuite {
       s"range-partitioned write path not clustering: $physArea vs $hashArea")
     rep.unpersist(); z.unpersist()
   }
+
+  test("skipping report: the layout physics hold — single-dim sort " +
+      "perfect on its dim and useless off it, hash prunes nothing, " +
+      "z-order prunes both dims") {
+    import spark.implicits._
+    val r = ZOrder.skippingReport(spark, TestSpark.sf)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(x => (x._1, x._2) -> (x._3, x._4, x._5)).toMap
+    assert(r.size == 6, s"3 layouts x 2 dims expected, got ${r.keySet}")
+    val total = graft.core.Tables.events(spark, TestSpark.sf).count()
+    val preds = ZOrder.Preds.toLong
+    // hash layout: every bucket survives every predicate
+    assert(r(("hash", "user"))._2 == preds * ZOrder.Buckets)
+    assert(r(("hash", "day"))._2 == preds * ZOrder.Buckets)
+    assert(r(("hash", "user"))._3 == preds * total)
+    // user-sort on its own dimension: near-perfect pruning — strictly
+    // fewer buckets than z-order, which in turn strictly beats hash
+    val uSortUser = r(("usersort", "user"))._2
+    val zUser = r(("zorder", "user"))._2
+    assert(uSortUser <= zUser && zUser < r(("hash", "user"))._2,
+      s"user-dim pruning order violated: $uSortUser, $zUser")
+    // off-dimension: user-sort prunes (almost) nothing on day; z-order
+    // still prunes meaningfully — strictly fewer rows than both
+    val zDay = r(("zorder", "day"))._3
+    assert(zDay < r(("usersort", "day"))._3 &&
+      zDay < r(("hash", "day"))._3,
+      "z-order must beat both layouts on the off dimension")
+  }
 }

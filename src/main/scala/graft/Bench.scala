@@ -89,7 +89,8 @@ object Bench {
     "events_ewma", "media_ahash_dedup", "graph_closeness", "dq_drift_psi",
     "text_zipf", "media_caption_pairs", "source_ntriples_pushdown",
     "kge_transh_score", "view_delta_maintain", "events_attribution",
-    "graph_hits", "events_growth_accounting", "table_file_skipping")
+    "graph_hits", "events_growth_accounting", "table_file_skipping",
+    "events_ab_test")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

@@ -1139,6 +1139,103 @@ object Events {
         (col("num").cast("double") / col("den") / 100.0).as("ewma"))
   }
 
+  /** #215: A/B-TEST readout — the experimentation-platform primitive
+    * (deterministic hash assignment + two-proportion z-test), the
+    * decision gate at the end of every product-analytics pipeline.
+    * Users are assigned to variants by pHash('ab|'||user) % 2 — the
+    * production assignment rule (stable, uniform, no assignment table
+    * to store or shuffle), conversion = ≥1 purchase, and the readout
+    * is the standard pooled two-proportion z-test with the industry
+    * |z| > 1.96 significance gate.
+    *
+    * Exactness: counts are exact integers off ONE user-collapsed pass;
+    * rates and the pooled rate are single divisions; the standard
+    * error is a fixed literal IEEE tree (sqrt of correctly-rounded
+    * products) and the z statistic quantizes on the 1e-6 grid before
+    * the significance compare — engine-identical, no tolerance. The
+    * honest expected finding on this synthetic stream: assignment is
+    * orthogonal to behavior, so the test should NOT fire (the A/A-test
+    * property every experimentation platform validates first); the
+    * spec pins that.
+    *
+    * Scale: events collapse map-side onto users (the one shuffle);
+    * the variant rollup is a 2-key aggregate; the test head is a
+    * 1-row computation.
+    */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.{Exact, PortableHash}
+    // conversion = "purchase-heavy user" (purchase share > 1/5, as the
+    // cross-multiplied integer compare): ≥1-purchase converts EVERYONE
+    // on a long-running stream (se = 0, no test), share-of-activity has
+    // real cross-user variance at every SF
+    val users = eventsS(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("ne"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+      .select(col("user_id"),
+        when(col("np") * 5L > col("ne"), 1L).otherwise(0L).as("conv"))
+      .withColumn("variant",
+        when(PortableHash.pHash(concat(lit("ab|"), col("user_id"))) % 2 === 0,
+          "A").otherwise("B"))
+    val v = users.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+    val wide = v.filter(col("variant") === "A")
+      .select(col("n").as("n_a"), col("c").as("c_a"))
+      .crossJoin(broadcast(v.filter(col("variant") === "B")
+        .select(col("n").as("n_b"), col("c").as("c_b"))))
+    val pa = col("c_a").cast("double") / col("n_a")
+    val pb = col("c_b").cast("double") / col("n_b")
+    val pp = (col("c_a") + col("c_b")).cast("double") / (col("n_a") + col("n_b"))
+    val se = sqrt((pp * (lit(1.0) - pp)) *
+      ((lit(1.0) / col("n_a")) + (lit(1.0) / col("n_b"))))
+    wide.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        pa.as("rate_a"), pb.as("rate_b"),
+        // degenerate guard: all-converted / none-converted ⇒ no test
+        when(se > 0.0, Exact.roundS((pa - pb) / se, 6)).as("z"))
+      // the normal approximation needs n ≥ 30 per arm (the textbook
+      // rule): at sf0.001 (7 vs 8 users) the unguarded test FIRES on an
+      // A/A split (z = 2.35, measured) — exactly the false alarm this
+      // gate exists to suppress; properly powered SFs sit at |z| < 1.2
+      .withColumn("powered", col("n_a") >= 30L && col("n_b") >= 30L)
+      .withColumn("significant",
+        col("powered") && coalesce(abs(col("z")) > 1.96, lit(false)))
+  }
+
+  val abTestSql: String = {
+    import graft.core.{Exact, PortableHash}
+    val h = PortableHash.duck("'ab|' || user_id")
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5
+       |      > COUNT(*) THEN 1 ELSE 0 END AS conv,
+       |    CASE WHEN $h % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+       |  FROM events GROUP BY user_id
+       |), v AS (
+       |  SELECT variant, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS c
+       |  FROM u GROUP BY variant
+       |), w AS (
+       |  SELECT a.n AS n_a, a.c AS c_a, b.n AS n_b, b.c AS c_b
+       |  FROM (SELECT n, c FROM v WHERE variant = 'A') a,
+       |       (SELECT n, c FROM v WHERE variant = 'B') b
+       |)
+       |SELECT n_a, c_a, n_b, c_b,
+       |  CAST(c_a AS DOUBLE) / n_a AS rate_a,
+       |  CAST(c_b AS DOUBLE) / n_b AS rate_b,
+       |  CASE WHEN $seSql > 0.0 THEN ${Exact.duckRoundS(zSql, 6)} END AS z,
+       |  (n_a >= 30 AND n_b >= 30) AS powered,
+       |  ((n_a >= 30 AND n_b >= 30) AND COALESCE(abs(CASE WHEN $seSql > 0.0
+       |    THEN ${Exact.duckRoundS(zSql, 6)} END) > 1.96, false)) AS significant
+       |FROM w""".stripMargin
+  }
+
+  private def seSql: String =
+    "sqrt(((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) * " +
+      "(1.0 - (CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)))) * " +
+      "((1.0 / n_a) + (1.0 / n_b)))"
+
+  private def zSql: String =
+    s"((CAST(c_a AS DOUBLE) / n_a) - (CAST(c_b AS DOUBLE) / n_b)) / $seSql"
+
   /** #211: GROWTH ACCOUNTING (the new/retained/resurrected/churned
     * decomposition every DAU dashboard runs — the Social Capital
     * "accounting identity" report): classify each active (user, day)

@@ -209,4 +209,124 @@ object Sampling {
        |    ${PortableHash.duck("'exact' || doc_id")} AS h
        |  FROM documents ORDER BY h, doc_id LIMIT $ExactN
        |)""".stripMargin
+
+  // --------------------------------------- #216 Neyman allocation
+
+  /** Total sample budget for the Neyman-allocated draw. */
+  val NeymanN = 100L
+
+  /** #216: NEYMAN-OPTIMAL stratified sampling (Neyman 1934) — the
+    * survey-sampling allocation rule production eval/labeling budgets
+    * use: allocate the n=[[NeymanN]] budget across language strata
+    * ∝ N_h·σ_h (big AND internally-varied strata deserve more
+    * samples), which minimizes the estimator variance at fixed budget —
+    * where #52's proportional allocation ignores within-stratum
+    * variance entirely.
+    *
+    * Exactness chain: with the integer n_chars variable,
+    * N_h·σ_h = sqrt(N_h·Σx² − (Σx)²) — the weight is the sqrt of ONE
+    * EXACT INTEGER (a single correctly-rounded op; bound: N·Σx² < 2⁶³
+    * holds to ~10⁸ docs/stratum at these lengths, then shift to
+    * mean-centered scaled sums). Weights quantize 1e-6, the total is
+    * an order-free quantized sum, and the INTEGER allocation is
+    * largest-remainder (Hamilton): base = floor(n·w/W), the leftover
+    * seats go by remainder rank — computed as a 25-pair SELF-JOIN
+    * count over the 5-stratum frame ((rem, lang) total order), not an
+    * unpartitioned window. Σ alloc = n EXACTLY by construction — the
+    * identity the spec pins. The draw itself is the house
+    * deterministic reservoir: per-stratum top-n_h by (pHash, doc_id).
+    *
+    * Scale: one map-side-combining moment pass over documents; the
+    * allocation algebra runs on the 5-row stratum frame; the draw is
+    * one lang-partitioned window. Output: one row per stratum.
+    */
+  def neymanAlloc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.core.Exact
+    val st = Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_pop"),
+        sum(col("n_chars")).as("sx"),
+        sum(col("n_chars") * col("n_chars")).as("sxx"))
+      .withColumn("w", Exact.roundS(
+        sqrt((col("n_pop") * col("sxx") - col("sx") * col("sx"))
+          .cast("double")), 6))
+    val tot = st.agg(Exact.decSum(col("w"), 6).as("tw"))
+    val shares = st.crossJoin(broadcast(tot))
+      .withColumn("share", lit(NeymanN.toDouble) * col("w") / col("tw"))
+      .withColumn("base", floor(col("share")).cast("long"))
+      .withColumn("rem", col("share") - floor(col("share")))
+    val leftover = shares.agg((lit(NeymanN) - sum("base")).as("extra"))
+    // remainder rank via a 25-pair self-join count — no global window
+    val r = shares.select(col("lang").as("lang2"), col("rem").as("rem2"))
+    val ranked = shares.join(r,
+        (col("rem2") > col("rem")) ||
+        (col("rem2") === col("rem") && col("lang2") < col("lang")),
+        "left")
+      .groupBy("lang", "n_pop", "w", "base", "rem")
+      .agg((count(col("lang2")) + 1L).as("rnk"))
+      .crossJoin(broadcast(leftover))
+      .select(col("lang"), col("n_pop"), col("w"),
+        (col("base") + when(col("rnk") <= col("extra"), 1L).otherwise(0L))
+          .as("n_alloc"))
+    val byLang = Window.partitionBy("lang")
+      .orderBy(PortableHash.pHash(concat(lit("ney|"), col("doc_id"))),
+        col("doc_id"))
+    val drawn = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rnk", row_number().over(byLang))
+      .join(ranked.select(col("lang"), col("n_alloc")), "lang")
+      .filter(col("rnk") <= col("n_alloc"))
+      .groupBy("lang").agg(count(lit(1)).as("n_drawn"))
+    ranked.join(drawn, Seq("lang"), "left")
+      .select(col("lang"), col("n_pop"),
+        Exact.roundS(col("w") / col("n_pop"), 6).as("sigma"),
+        col("n_alloc"), coalesce(col("n_drawn"), lit(0L)).as("n_drawn"))
+  }
+
+  val neymanAllocSql: String = {
+    import graft.core.Exact
+    val h = PortableHash.duck("'ney|' || doc_id")
+    s"""WITH st AS (
+       |  SELECT lang, COUNT(*) AS n_pop,
+       |    CAST(SUM(n_chars) AS BIGINT) AS sx,
+       |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+       |  FROM documents GROUP BY lang
+       |), w AS (
+       |  SELECT lang, n_pop,
+       |    ${Exact.duckRoundS("sqrt(CAST(n_pop * sxx - sx * sx AS DOUBLE))", 6)} AS w
+       |  FROM st
+       |), tot AS (SELECT ${Exact.duckSum("w", 6)} AS tw FROM w),
+       |shares AS (
+       |  SELECT lang, n_pop, w,
+       |    CAST(floor(${NeymanN}.0 * w / tw) AS BIGINT) AS base,
+       |    (${NeymanN}.0 * w / tw) - floor(${NeymanN}.0 * w / tw) AS rem
+       |  FROM w, tot
+       |), leftover AS (
+       |  SELECT $NeymanN - CAST(SUM(base) AS BIGINT) AS extra FROM shares
+       |), ranked AS (
+       |  SELECT s.lang, s.n_pop, s.w, s.base,
+       |    1 + COUNT(r.lang2) AS rnk
+       |  FROM shares s LEFT JOIN (SELECT lang AS lang2, rem AS rem2 FROM shares) r
+       |    ON r.rem2 > s.rem OR (r.rem2 = s.rem AND r.lang2 < s.lang)
+       |  GROUP BY s.lang, s.n_pop, s.w, s.base, s.rem
+       |), alloc AS (
+       |  SELECT lang, n_pop, w,
+       |    base + CASE WHEN rnk <= extra THEN 1 ELSE 0 END AS n_alloc
+       |  FROM ranked, leftover
+       |), drawn AS (
+       |  SELECT d.lang, COUNT(*) AS n_drawn
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY $h, doc_id) AS rnk
+       |    FROM documents
+       |  ) d JOIN alloc a ON a.lang = d.lang AND d.rnk <= a.n_alloc
+       |  GROUP BY d.lang
+       |)
+       |SELECT a.lang, a.n_pop,
+       |  ${Exact.duckRoundS("a.w / a.n_pop", 6)} AS sigma,
+       |  CAST(a.n_alloc AS BIGINT) AS n_alloc,
+       |  COALESCE(d.n_drawn, 0) AS n_drawn
+       |FROM alloc a LEFT JOIN drawn d ON d.lang = a.lang""".stripMargin
+  }
 }

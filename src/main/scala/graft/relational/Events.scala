@@ -1228,6 +1228,77 @@ object Events {
        |FROM w""".stripMargin
   }
 
+  /** Minimum detectable relative lift for the power analysis. */
+  val PowerLiftPct = 10L
+  val ZAlpha = 1.959964  // two-sided α = 0.05
+  val ZBeta = 0.841621   // power = 0.80
+
+  /** #217: POWER ANALYSIS — the planning half of the experimentation
+    * pair (#215 reads out a finished test; this answers "how long must
+    * the NEXT one run"): minimum users per arm to detect a
+    * [[PowerLiftPct]]% relative lift over the observed baseline
+    * conversion at α = 0.05 (two-sided), power 0.80 — the standard
+    * two-proportion formula n = (z_{α/2}·√(2p̄q̄) + z_β·√(p₁q₁+p₂q₂))²/δ².
+    * Shipping an experiment without this number is how underpowered
+    * tests like #215's sf0.001 arm (7 users, z = 2.35 on an A/A split)
+    * get believed; the report also emits observed-n / required-n so the
+    * powered verdict is explicit.
+    *
+    * Exactness: the baseline rate comes from the SAME user-collapsed
+    * integer pass as #215 (single division); the formula is a fixed
+    * literal IEEE tree over it (two sqrts, engine-identical), and the
+    * required n quantizes through ceil to an exact integer, so the
+    * whole report hash-matches with no tolerance. Scale: one user
+    * collapse (the only shuffle), then 1-row algebra.
+    */
+  def powerAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val base = eventsS(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("ne"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(when(col("np") * 5L > col("ne"), 1L).otherwise(0L)).as("c_obs"))
+    val p1 = col("c_obs").cast("double") / col("n_obs")
+    val p2 = p1 * (lit(1.0) + lit(PowerLiftPct.toDouble) / 100.0)
+    val pbar = (p1 + p2) / 2.0
+    val delta = p2 - p1
+    val nReq = ceil(
+      ((lit(ZAlpha) * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar))) +
+       (lit(ZBeta) * sqrt((p1 * (lit(1.0) - p1)) + (p2 * (lit(1.0) - p2))))) *
+      ((lit(ZAlpha) * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar))) +
+       (lit(ZBeta) * sqrt((p1 * (lit(1.0) - p1)) + (p2 * (lit(1.0) - p2))))) /
+      (delta * delta)).cast("long")
+    base.select(col("n_obs"), col("c_obs"),
+      p1.as("baseline_rate"), p2.as("target_rate"),
+      nReq.as("n_required_per_arm"),
+      (expr("n_obs div 2L") >= nReq).as("powered_today"))
+  }
+
+  val powerAnalysisSql: String = {
+    val p1 = "(CAST(c_obs AS DOUBLE) / n_obs)"
+    val p2 = s"($p1 * (1.0 + ${PowerLiftPct.toDouble} / 100.0))"
+    val pbar = s"(($p1 + $p2) / 2.0)"
+    val delta = s"($p2 - $p1)"
+    val half =
+      s"(($ZAlpha * sqrt(2.0 * $pbar * (1.0 - $pbar))) + " +
+      s"($ZBeta * sqrt(($p1 * (1.0 - $p1)) + ($p2 * (1.0 - $p2)))))"
+    s"""WITH u AS (
+       |  SELECT user_id, COUNT(*) AS ne,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS np
+       |  FROM events GROUP BY user_id
+       |), b AS (
+       |  SELECT COUNT(*) AS n_obs,
+       |    CAST(SUM(CASE WHEN np * 5 > ne THEN 1 ELSE 0 END) AS BIGINT) AS c_obs
+       |  FROM u
+       |)
+       |SELECT n_obs, c_obs, $p1 AS baseline_rate, $p2 AS target_rate,
+       |  CAST(ceil($half * $half / ($delta * $delta)) AS BIGINT)
+       |    AS n_required_per_arm,
+       |  n_obs // 2 >= CAST(ceil($half * $half / ($delta * $delta)) AS BIGINT)
+       |    AS powered_today
+       |FROM b""".stripMargin
+  }
+
   private def seSql: String =
     "sqrt(((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) * " +
       "(1.0 - (CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)))) * " +

@@ -570,4 +570,30 @@ class EventsSpec extends AnyFunSuite {
       s"underpowered test must never fire (z=$z)")
     else assert(!row._9, s"orthogonal assignment fired significance (z=$z)")
   }
+
+  test("power analysis equals the closed-form recompute and is " +
+      "consistent with the ab-test power gate's story") {
+    import org.apache.spark.sql.functions._
+    val users = Events.eventsS(spark, TestSpark.sf)
+      .select(col("user_id"), col("event_type"))
+      .as[(Long, String)].collect()
+      .groupBy(_._1).view
+      .mapValues(g => g.count(_._2 == "purchase") * 5L > g.length).toMap
+    val nObs = users.size.toLong
+    val cObs = users.values.count(identity).toLong
+    val p1 = cObs.toDouble / nObs
+    val p2 = p1 * (1.0 + Events.PowerLiftPct.toDouble / 100.0)
+    val pbar = (p1 + p2) / 2.0
+    val delta = p2 - p1
+    val half = (Events.ZAlpha * math.sqrt(2.0 * pbar * (1.0 - pbar))) +
+      (Events.ZBeta * math.sqrt((p1 * (1.0 - p1)) + (p2 * (1.0 - p2))))
+    val nReq = math.ceil(half * half / (delta * delta)).toLong
+    val Array(row) = Events.powerAnalysis(spark, TestSpark.sf)
+      .as[(Long, Long, Double, Double, Long, Boolean)].collect()
+    assert(row == ((nObs, cObs, p1, p2, nReq, nObs / 2 >= nReq)))
+    // a 10% lift on a mid-range rate needs O(1000)+ users per arm —
+    // the report must say today's corpus cannot power that test
+    assert(nReq > nObs / 2 && !row._6,
+      s"this corpus ($nObs users) should NOT power a 10% lift test ($nReq)")
+  }
 }

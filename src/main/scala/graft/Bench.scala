@@ -90,7 +90,8 @@ object Bench {
     "text_zipf", "media_caption_pairs", "source_ntriples_pushdown",
     "kge_transh_score", "view_delta_maintain", "events_attribution",
     "graph_hits", "events_growth_accounting", "table_file_skipping",
-    "events_ab_test", "sample_neyman_alloc", "events_power_analysis")
+    "events_ab_test", "sample_neyman_alloc", "events_power_analysis",
+    "dedup_containment")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

@@ -204,6 +204,70 @@ object Dedup {
        |  FROM shd a JOIN shd b ON a.doc_id < b.doc_id
        |) WHERE jaccard >= $JaccardTau""".stripMargin
 
+  // ---------------------------------------- #218 containment join
+
+  /** Directional containment threshold. */
+  val ContainTau = 0.9
+
+  /** #218: exact CONTAINMENT join — C(A→B) = |A∩B|/|A| ≥ 0.9, the
+    * ASYMMETRIC near-duplicate relation Jaccard structurally misses:
+    * a short document quoted whole inside a long one has tiny Jaccard
+    * (the union is dominated by B) but containment ≈ 1 — the
+    * quote/inclusion/boilerplate-wrapper case that text dedup at scale
+    * must catch separately from #125's symmetric join.
+    *
+    * The prefix-filter adapts to the asymmetry (Xiao et al. PPJoin
+    * lineage): only the CONTAINED side prunes to its
+    * |A| − ⌈τ|A|⌉ + 1 rarest shingles (completeness: miss every prefix
+    * token of A and the intersection is ≤ ⌈τ|A|⌉ − 1 < ⌈τ|A|⌉), while
+    * the container side must index ALL its shingles — no size bound
+    * exists on B, which is exactly why the symmetric join's size
+    * filter cannot be reused. Fan-out stays small because prefix
+    * tokens are by construction the RAREST of each document, so the
+    * (prefix × full) equi-join touches few pairs per token. ⌈τ|A|⌉ is
+    * integer-exact as (9·|A| + 9) DIV 10. Verification is the exact
+    * |A∩B|/|A| over the shingle sets; the oracle is the BRUTE
+    * all-ordered-pairs join — the hash match is a machine-checked
+    * completeness proof of the asymmetric prefix scheme.
+    */
+  def containmentJoin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = shingled(spark, dir)
+    val df = docs.select(explode(col("sh")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+    val prefixA = docs.select(col("doc_id"), explode(col("sh")).as("s"),
+        size(col("sh")).as("sz"))
+      .join(df, "s")
+      .groupBy("doc_id")
+      .agg(first("sz").as("sz"),
+        sort_array(collect_list(struct(col("df"), col("s")))).as("ord"))
+      .select(col("doc_id").as("d1"),
+        explode(expr(
+          "slice(transform(ord, o -> o.s), 1, sz - ((9 * sz + 9) DIV 10) + 1)"))
+          .as("s"))
+    val full = docs.select(col("doc_id").as("d2"), explode(col("sh")).as("s"))
+    val cands = prefixA.join(full, "s")
+      .filter(col("d1") =!= col("d2"))
+      .select("d1", "d2").distinct()
+    val s1 = docs.select(col("doc_id").as("d1"), col("sh").as("sh1"))
+    val s2 = docs.select(col("doc_id").as("d2"), col("sh").as("sh2"))
+    cands.join(s1, "d1").join(s2, "d2")
+      .withColumn("containment",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(col("sh1")))
+      .filter(col("containment") >= ContainTau)
+      .select("d1", "d2", "containment")
+  }
+
+  /** Brute all-ordered-pairs oracle — independent of the prefix scheme. */
+  val containmentJoinSql: String =
+    s"""WITH $duckShingles
+       |SELECT d1, d2, containment FROM (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+       |      AS containment
+       |  FROM shd a JOIN shd b ON a.doc_id <> b.doc_id
+       |) WHERE containment >= $ContainTau""".stripMargin
+
   // -------------------------------------------------- #126 LSH recall
 
   /** #126: the LSH tuning diagnostic — MEASURED corpus-wide recall and

@@ -99,4 +99,31 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.nonEmpty)
     assert(pairs.forall(j => j >= Dedup.NgramTau && j <= 1.0))
   }
+
+  test("containment join equals the brute all-ordered-pairs truth, and " +
+      "catches asymmetric pairs the symmetric join misses") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), array_distinct(
+        transform(sequence(lit(0), size(col("ws")) - 3),
+          i => concat_ws(" ", slice(col("ws"), i + 1, lit(3))))).as("sh"))
+      .as[(Long, Seq[String])].collect().map(r => r._1 -> r._2.toSet).toMap
+    val expect = (for {
+      (a, sa) <- docs.iterator; (b, sb) <- docs
+      if a != b
+      c = sa.intersect(sb).size.toDouble / sa.size
+      if c >= Dedup.ContainTau
+    } yield (a, b, c)).toSet
+    val got = Dedup.containmentJoin(spark, TestSpark.sf)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expect, "asymmetric prefix scheme missed or invented pairs")
+    assert(got.nonEmpty)
+    // asymmetry: some contained→container pair must NOT hold reversed
+    // (a strict-subset relation — the case Jaccard's union washes out)
+    val dirs = got.map(p => (p._1, p._2))
+    assert(dirs.exists(p => !dirs((p._2, p._1))),
+      "expected at least one one-directional containment")
+  }
 }

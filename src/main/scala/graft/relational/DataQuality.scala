@@ -313,4 +313,175 @@ object DataQuality {
        |  ${Exact.duckSum("term", 6)} > $PsiAlarm AS drift
        |FROM terms GROUP BY event_type""".stripMargin
   }
+
+  // ---------------------------------------------- #219 Benford's law
+
+  /** χ²(0.95, 8 df) critical value — reject Benford conformance above. */
+  val BenfordCrit = 15.507313
+
+  /** Benford first-digit expected shares log10(1 + 1/d), d = 1..9 —
+    * interpolated as double literals into BOTH engines' expressions
+    * (shortest-repr round-trips, so the literals are bit-identical).
+    */
+  private val benfordP: Seq[Double] = (1 to 9).map(d => math.log10(1 + 1.0 / d))
+
+  /** #219: Benford's-law conformance test on `l_extendedprice` — the
+    * forensic-accounting DQ check (Nigrini's audit standard): naturally
+    * grown monetary amounts spanning magnitudes follow the logarithmic
+    * first-digit law, and fabricated or truncated feeds don't. The
+    * complement to #203's drift monitor: PSI needs a reference window,
+    * Benford's reference is a LAW, so it fires on day one of a new feed.
+    *
+    * Exactness: amounts quantize to integer CENTS (the house scaled-
+    * double grid), and the first digit is taken from the BIGINT's
+    * decimal string — integer→string is canonical in every engine,
+    * dodging double-formatting divergence entirely. Observed counts are
+    * exact integers; expected shares are fixed literals; each χ² term
+    * (obs − n·p)²/(n·p) is one fixed IEEE tree quantized on the 1e-6
+    * grid; χ² is an order-free quantized sum over the 9 digits.
+    *
+    * Scale: one scan collapses map-side onto NINE keys (first digit),
+    * then one-row algebra — shuffle bytes constant in table size. Emits
+    * one row per digit with the shared χ² verdict broadcast back on.
+    */
+  def benford(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Exact
+    val obs = Tables.lineitem(spark, dir)
+      .select(expr("CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)")
+        .as("cents"))
+      .filter(col("cents") > 0L)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("long")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val full = spark.range(1, 10).select(col("id").as("digit"))
+      .join(obs, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        element_at(array(benfordP.map(lit): _*), col("digit").cast("int"))
+          .as("exp_share"))
+    val tot = full.agg(sum("n_obs").as("n"))
+    val terms = full.crossJoin(broadcast(tot))
+      .withColumn("term", Exact.roundS(
+        (col("n_obs") - col("n") * col("exp_share")) *
+        (col("n_obs") - col("n") * col("exp_share")) /
+        (col("n") * col("exp_share")), 6))
+    val chi = terms.agg(Exact.decSum(col("term"), 6).as("chi2"))
+    terms.crossJoin(broadcast(chi))
+      .select(col("digit"), col("n_obs"),
+        (col("n_obs").cast("double") / col("n")).as("obs_share"),
+        col("exp_share"), col("chi2"),
+        (col("chi2") > BenfordCrit).as("benford_reject"))
+  }
+
+  val benfordSql: String = {
+    import graft.core.Exact
+    // VARCHAR→DOUBLE casts: DuckDB types bare decimal literals as DECIMAL
+    // (overflowing the χ² tree in decimal math), and even CAST(decimal AS
+    // DOUBLE) mis-rounds the last ulp — but strtod on the string literal
+    // is correctly rounded, giving the bit-identical Scala double.
+    val pList = benfordP.map(v => s"CAST('$v' AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    val term = "(n_obs - n * exp_share) * (n_obs - n * exp_share) / (n * exp_share)"
+    s"""WITH cents AS (
+       |  SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+       |  FROM lineitem
+       |  WHERE CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) > 0
+       |), obs AS (
+       |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       |    COUNT(*) AS n_obs
+       |  FROM cents GROUP BY 1
+       |), fulld AS (
+       |  SELECT d.digit, COALESCE(o.n_obs, 0) AS n_obs,
+       |    ($pList)[CAST(d.digit AS INT)] AS exp_share
+       |  FROM (SELECT unnest(range(1, 10)) AS digit) d
+       |  LEFT JOIN obs o USING (digit)
+       |), tot AS (
+       |  SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM fulld
+       |), terms AS (
+       |  SELECT digit, n_obs, exp_share, n,
+       |    ${Exact.duckRoundS(term, 6)} AS term
+       |  FROM fulld, tot
+       |), chi AS (
+       |  SELECT ${Exact.duckSum("term", 6)} AS chi2 FROM terms
+       |)
+       |SELECT digit, n_obs, CAST(n_obs AS DOUBLE) / n AS obs_share,
+       |  exp_share, chi2, chi2 > $BenfordCrit AS benford_reject
+       |FROM terms, chi""".stripMargin
+  }
+
+  // ---------------------------------------- #220 k-anonymity audit
+
+  /** k-anonymity floor: classes smaller than this are re-identifiable. */
+  val KAnonK = 5L
+  /** l-diversity floor on the sensitive attribute within a class. */
+  val KAnonL = 3L
+  /** Sensitive-attribute bucket width (account balance, whole units). */
+  val KAnonSensUnits = 1000L
+
+  /** #220: k-anonymity / l-diversity privacy audit of the customer
+    * table — the release gate privacy review runs before training data
+    * or analytics extracts ship: with quasi-identifiers (nation, market
+    * segment), every customer must hide in a crowd of ≥ k peers
+    * (k-anonymity, Sweeney), and the crowd must not agree on the
+    * sensitive attribute (l-diversity, Machanavajjhala — a class of 50
+    * who all share one balance bucket leaks it to anyone who knows the
+    * QIs). Emits one row per equivalence class with both flags plus the
+    * table-level summary broadcast onto every row: the corpus
+    * k-anonymity (min class size) and the exact share of customers in
+    * at-risk classes — the number the privacy review reads first.
+    *
+    * Exactness: everything is integer counts off ONE groupBy pass
+    * (distinct sensitive values ride the same aggregate), and the risk
+    * share is a single correctly-rounded division. Scale: one shuffle
+    * onto the QI key — class count is bounded by the QI domain, not the
+    * table; the summary is a second aggregate over classes, and the
+    * one-row result broadcasts back. Nothing data-scale moves twice.
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val classes = Tables.customer(spark, dir)
+      .select(col("c_nationkey").cast("long").as("nationkey"),
+        col("c_mktsegment").as("mktsegment"),
+        // +10^6 shift keeps the dividend positive: Spark `div` truncates
+        // toward zero, DuckDB `//` floors — they agree only for x ≥ 0.
+        expr(s"(CAST(floor(c_acctbal) AS BIGINT) + 1000000L) div $KAnonSensUnits")
+          .as("sens"))
+      .groupBy("nationkey", "mktsegment")
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col("sens")).as("n_sensitive"))
+      .withColumn("k_anonymous", col("class_size") >= KAnonK)
+      .withColumn("l_diverse", col("n_sensitive") >= KAnonL)
+    val summary = classes.agg(
+      min("class_size").as("k_anonymity"),
+      sum(when(!col("k_anonymous") || !col("l_diverse"),
+        col("class_size")).otherwise(0L)).as("n_at_risk"),
+      sum("class_size").as("n_total"))
+    classes.crossJoin(broadcast(summary))
+      .select(col("nationkey"), col("mktsegment"), col("class_size"),
+        col("n_sensitive"), col("k_anonymous"), col("l_diverse"),
+        col("k_anonymity"),
+        (col("n_at_risk").cast("double") / col("n_total")).as("risk_share"))
+  }
+
+  val kAnonymitySql: String =
+    s"""WITH classes AS (
+       |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       |    c_mktsegment AS mktsegment,
+       |    COUNT(*) AS class_size,
+       |    COUNT(DISTINCT (CAST(floor(c_acctbal) AS BIGINT) + 1000000) // $KAnonSensUnits)
+       |      AS n_sensitive
+       |  FROM customer GROUP BY 1, 2
+       |), flagged AS (
+       |  SELECT *, class_size >= $KAnonK AS k_anonymous,
+       |    n_sensitive >= $KAnonL AS l_diverse
+       |  FROM classes
+       |), summary AS (
+       |  SELECT CAST(MIN(class_size) AS BIGINT) AS k_anonymity,
+       |    CAST(SUM(CASE WHEN NOT k_anonymous OR NOT l_diverse
+       |      THEN class_size ELSE 0 END) AS BIGINT) AS n_at_risk,
+       |    CAST(SUM(class_size) AS BIGINT) AS n_total
+       |  FROM flagged
+       |)
+       |SELECT nationkey, mktsegment, class_size, n_sensitive,
+       |  k_anonymous, l_diverse, k_anonymity,
+       |  CAST(n_at_risk AS DOUBLE) / n_total AS risk_share
+       |FROM flagged, summary""".stripMargin
 }

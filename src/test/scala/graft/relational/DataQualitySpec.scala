@@ -119,4 +119,57 @@ class DataQualitySpec extends AnyFunSuite {
         s"stationary stream should not alarm ($tpe psi=$psi)")
     }
   }
+
+  test("Benford χ² equals the textbook statistic recomputed driver-side") {
+    val prices = Tables.lineitem(spark, TestSpark.sf)
+      .select("l_extendedprice").as[Double].collect()
+    val cents = prices.map(v => math.floor(v * 100.0 + 0.5).toLong)
+      .filter(_ > 0L)
+    val counts = cents.groupBy(_.toString.head.asDigit.toLong)
+      .map { case (d, g) => d -> g.length.toLong }
+    val n = cents.length.toLong
+    val p = (1 to 9).map(d => d.toLong -> math.log10(1 + 1.0 / d)).toMap
+    val chi2 = (1L to 9L).map { d =>
+      val o = counts.getOrElse(d, 0L)
+      val t = (o - n * p(d)) * (o - n * p(d)) / (n * p(d))
+      math.floor(t * 1e6 + 0.5).toLong
+    }.sum.toDouble / 1e6
+    val got = DataQuality.benford(spark, TestSpark.sf)
+      .as[(Long, Long, Double, Double, Double, Boolean)].collect()
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1L to 9L))
+    got.foreach { case (d, o, os, es, c2, rej) =>
+      assert(o == counts.getOrElse(d, 0L), s"digit $d count")
+      assert(os == o.toDouble / n && es == p(d))
+      assert(c2 == chi2, s"chi2 $c2 vs driver $chi2")
+      assert(rej == (c2 > DataQuality.BenfordCrit))
+    }
+    // monetary amounts spanning magnitudes: digit 1 must dominate digit 9
+    assert(counts.getOrElse(1L, 0L) > counts.getOrElse(9L, 0L))
+  }
+
+  test("k-anonymity classes and summary equal a driver recompute") {
+    val rows = Tables.customer(spark, TestSpark.sf)
+      .select("c_nationkey", "c_mktsegment", "c_acctbal")
+      .as[(Long, String, Double)].collect()
+    val classes = rows.groupBy(r => (r._1, r._2)).map { case (k, g) =>
+      k -> (g.length.toLong,
+        g.map(r => (math.floor(r._3).toLong + 1000000L) / 1000L)
+          .distinct.length.toLong)
+    }
+    val kAnon = classes.values.map(_._1).min
+    val atRisk = classes.values.collect {
+      case (sz, l) if sz < DataQuality.KAnonK || l < DataQuality.KAnonL => sz
+    }.sum
+    val got = DataQuality.kAnonymity(spark, TestSpark.sf)
+      .as[(Long, String, Long, Long, Boolean, Boolean, Long, Double)]
+      .collect()
+    assert(got.length == classes.size)
+    got.foreach { case (nk, seg, sz, ns, ka, ld, k, share) =>
+      val (esz, ens) = classes((nk, seg))
+      assert(sz == esz && ns == ens, s"class ($nk,$seg)")
+      assert(ka == (sz >= DataQuality.KAnonK) && ld == (ns >= DataQuality.KAnonL))
+      assert(k == kAnon && share == atRisk.toDouble / rows.length)
+    }
+  }
 }

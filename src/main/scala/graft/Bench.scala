@@ -91,7 +91,8 @@ object Bench {
     "kge_transh_score", "view_delta_maintain", "events_attribution",
     "graph_hits", "events_growth_accounting", "table_file_skipping",
     "events_ab_test", "sample_neyman_alloc", "events_power_analysis",
-    "dedup_containment", "dq_benford", "dq_k_anonymity")
+    "dedup_containment", "dq_benford", "dq_k_anonymity",
+    "events_survival")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

@@ -1500,4 +1500,123 @@ object Events {
        |  CAST(t.sv AS DOUBLE) / 100.0 AS day_value,
        |  CAST(num AS DOUBLE) / den / 100.0 AS ewma
        |FROM daily t JOIN e ON e.event_type = t.event_type AND e.day = t.day""".stripMargin
+
+  // ------------------------------------ #221 Kaplan–Meier survival
+
+  /** #221: the Kaplan–Meier survival curve of the REPURCHASE interval —
+    * time from each purchase to the same user's next purchase, with the
+    * last (still-open) interval per user RIGHT-CENSORED at the corpus
+    * end. The censoring-aware statistic product analytics needs where
+    * #142's inter-arrival histogram silently drops the open intervals:
+    * the naive "mean time between purchases" averages only CLOSED
+    * intervals, which biases short exactly when long gaps are still
+    * open at the observation edge, and KM is the standard fix — the
+    * open interval stays in the risk set until its censoring hour, then
+    * leaves without contributing a death. S(t) = Π_{s ≤ t}
+    * (1 − d_s/n_s) over hour-binned interval lengths s, censored
+    * subjects at risk through their censoring hour (deaths-before-
+    * censors, the textbook convention).
+    *
+    * Exactness: interval hours, deaths, censors and risk sets are
+    * exact integers off one partitioned lead(); the survival product
+    * is the house ordered-fold — the per-hour (d, c) table collapses
+    * to a single sorted list (bounded by the observation span in
+    * hours, not by purchases) and each row's S(t) is a left fold
+    * carrying (at-risk, survival) state whose per-step ops (one
+    * division, one subtraction, one multiplication) form the identical
+    * IEEE sequence in Spark `aggregate` and DuckDB `list_reduce` —
+    * bit-identical with NO quantization, proving the fold discipline
+    * end-to-end.
+    *
+    * Scale: one user-partitioned window (the lead), one map-side-
+    * combining aggregate onto ≤ span-hours keys, then dictionary-sized
+    * list algebra (T² fold work, T ≤ hours in the window). Nothing
+    * else moves. Emits (t_hours, n_risk, n_death, n_censored,
+    * survival).
+    */
+  def survival(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    val p = eventsS(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_s"), col("event_id"))
+      .withColumn("next_ts", lead("ts_s", 1).over(byUser))
+    val g = eventsS(spark, dir).agg(max("ts_s").as("gmax"))
+    val byT = p.crossJoin(broadcast(g))
+      .select(
+        when(col("next_ts").isNotNull,
+          (col("next_ts") - col("ts_s")) / 3600L)
+          .otherwise((col("gmax") - col("ts_s")) / 3600L)
+          .cast("long").as("t"),
+        when(col("next_ts").isNotNull, 1L).otherwise(0L).as("death"))
+      .groupBy("t")
+      .agg(sum("death").as("d"), sum(lit(1L) - col("death")).as("c"))
+    val one = byT.agg(
+      sort_array(collect_list(struct(col("t"), col("d"), col("c"))))
+        .as("lst"),
+      sum(col("d") + col("c")).as("n0"))
+    one.select(col("n0"), col("lst"),
+        posexplode(col("lst")).as(Seq("i", "e")))
+      .select(col("e.t").as("t_hours"),
+        (col("n0") - aggregate(slice(col("lst"), lit(1), col("i")), lit(0L),
+          (a, x) => a + x.getField("d") + x.getField("c"))).as("n_risk"),
+        col("e.d").as("n_death"), col("e.c").as("n_censored"),
+        aggregate(slice(col("lst"), lit(1), col("i") + 1),
+          struct(col("n0").as("rem"), lit(1.0).as("surv")),
+          (a, x) => struct(
+            (a.getField("rem") - x.getField("d") - x.getField("c"))
+              .as("rem"),
+            (a.getField("surv") *
+              (lit(1.0) - x.getField("d") / a.getField("rem")))
+              .as("surv")),
+          a => a.getField("surv")).as("survival"))
+  }
+
+  val survivalSql: String =
+    s"""WITH p AS (
+       |  SELECT user_id, ts_s,
+       |    lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)
+       |      AS next_ts
+       |  FROM (SELECT user_id, event_id, $duckTsS AS ts_s FROM events
+       |        WHERE event_type = 'purchase')
+       |), g AS (
+       |  SELECT MAX($duckTsS) AS gmax FROM events
+       |), byt AS (
+       |  SELECT CASE WHEN next_ts IS NOT NULL
+       |      THEN (next_ts - ts_s) // 3600
+       |      ELSE (gmax - ts_s) // 3600 END AS t,
+       |    CAST(SUM(CASE WHEN next_ts IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS d,
+       |    CAST(SUM(CASE WHEN next_ts IS NOT NULL
+       |      THEN 0 ELSE 1 END) AS BIGINT) AS c
+       |  FROM p, g GROUP BY 1
+       |), one AS (
+       |  SELECT list(struct_pack(t := t, d := d, c := c) ORDER BY t) AS lst,
+       |    CAST(SUM(d + c) AS BIGINT) AS n0
+       |  FROM byt
+       |), ex AS (
+       |  SELECT n0, lst, unnest(lst) AS e, generate_subscripts(lst, 1) AS i
+       |  FROM one
+       |)
+       |SELECT e.t AS t_hours,
+       |  n0 - COALESCE(CAST(list_sum(list_transform(lst[1:i-1],
+       |    x -> x.d + x.c)) AS BIGINT), 0) AS n_risk,
+       |  e.d AS n_death, e.c AS n_censored,
+       |  -- field order is LOAD-BEARING: DuckDB's list_reduce evaluates
+       |  -- struct_pack fields sequentially, updating the accumulator in
+       |  -- place, so surv must be listed BEFORE rem to read the pre-step
+       |  -- risk set (probed on 1.0.0; Spark reads the old struct either
+       |  -- way, so this order is the one both engines agree on)
+       |  list_reduce(
+       |    list_prepend(
+       |      struct_pack(d := CAST(0 AS BIGINT), c := CAST(0 AS BIGINT),
+       |        surv := CAST('1.0' AS DOUBLE), rem := n0),
+       |      list_transform(lst[1:i],
+       |        x -> struct_pack(d := x.d, c := x.c,
+       |          surv := CAST('0.0' AS DOUBLE), rem := CAST(0 AS BIGINT)))),
+       |    (a, x) -> struct_pack(d := CAST(0 AS BIGINT),
+       |      c := CAST(0 AS BIGINT),
+       |      surv := a.surv * (1 - CAST(x.d AS DOUBLE) / a.rem),
+       |      rem := a.rem - x.d - x.c)).surv
+       |    AS survival
+       |FROM ex""".stripMargin
 }

@@ -596,4 +596,58 @@ class EventsSpec extends AnyFunSuite {
     assert(nReq > nObs / 2 && !row._6,
       s"this corpus ($nObs users) should NOT power a 10% lift test ($nReq)")
   }
+
+  test("Kaplan–Meier curve equals the textbook estimator recomputed " +
+      "driver-side, and censoring genuinely separates it from the " +
+      "censors-as-deaths curve") {
+    import org.apache.spark.sql.functions._
+    val ev = Events.eventsS(spark, TestSpark.sf)
+      .select(col("user_id"), col("ts_s"), col("event_id"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+    val gmax = ev.map(_._2).max
+    val per = ev.filter(_._4 == "purchase")
+      .groupBy(_._1).values.toSeq.flatMap { g =>
+      val sorted = g.map(r => (r._2, r._3)).sortBy(identity)
+      sorted.zipWithIndex.map { case ((ts, _), i) =>
+        if (i + 1 < sorted.length) ((sorted(i + 1)._1 - ts) / 3600L, 1L)
+        else ((gmax - ts) / 3600L, 0L)
+      }
+    }
+    val byT = per.groupBy(_._1).view.mapValues { g =>
+      (g.count(_._2 == 1L).toLong, g.count(_._2 == 0L).toLong)
+    }.toMap
+    val ts = byT.keys.toSeq.sorted
+    // the fold, in the operator's exact op order
+    var rem = per.length.toLong
+    var surv = 1.0
+    val expect = ts.map { t =>
+      val (d, c) = byT(t)
+      val nRisk = rem
+      surv = surv * (1.0 - d.toDouble / rem)
+      rem = rem - d - c
+      (t, nRisk, d, c, surv)
+    }
+    val got = Events.survival(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == expect, "KM curve differs from the driver fold")
+    // structure: survival nonincreasing from 1, risk sets telescoping
+    assert(got.head._5 <= 1.0 && got.sliding(2).forall(p =>
+      p.length < 2 || p(1)._5 <= p(0)._5))
+    // censoring must matter: some users censored, some dead, and the
+    // censors-as-deaths curve must end strictly lower
+    assert(per.exists(_._2 == 0L) && per.exists(_._2 == 1L))
+    var rem2 = per.length.toLong
+    var naive = 1.0
+    val naiveCurve = ts.map { t =>
+      val (d, c) = byT(t)
+      naive = naive * (1.0 - (d + c).toDouble / rem2)
+      rem2 = rem2 - d - c
+      t -> naive
+    }.toMap
+    val km = got.map(r => r._1 -> r._5).toMap
+    assert(ts.forall(t => naiveCurve(t) <= km(t)) &&
+      ts.exists(t => naiveCurve(t) < km(t)),
+      "censors-as-deaths should underestimate survival pointwise")
+  }
 }

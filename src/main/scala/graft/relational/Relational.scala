@@ -309,6 +309,99 @@ object Relational {
        |FROM rules
        |ORDER BY lift DESC, ante ASC, cons ASC LIMIT $RuleTopN""".stripMargin
 
+  // --------------------------------------- #222 item-item neighbors
+
+  /** Neighbors kept per item in the serving table. */
+  val ItemNeighborsK = 5
+
+  /** #222: the item-item cosine NEIGHBOR TABLE — the precomputed
+    * serving artifact of item-based collaborative filtering (Sarwar et
+    * al. 2001; the layout behind "customers who bought X also bought"):
+    * for every part, its top-K co-purchase neighbors by cosine
+    * cooc(a,b)/√(c(a)·c(b)) — the angle between the items' order-
+    * incidence vectors, which #161's lift is not (lift normalizes by an
+    * independence baseline; cosine by popularity magnitude, so a
+    * neighbor list stays comparable across head and tail items).
+    *
+    * Exactness: co-occurrence and item counts are exact integers off
+    * the shared basket frame ([[lpCache]]); the cosine is √ of ONE
+    * exact integer product (correctly rounded by IEEE) followed by one
+    * division — a two-op tree identical in both engines, so scores are
+    * bit-exact with no quantization and the (score desc, neighbor)
+    * ranking is deterministic.
+    *
+    * Scale: pair fan-out is map-side from per-order baskets (bounded
+    * by basket size ≤ 7, never catalog size — the #93 argument), one
+    * pair-keyed count, two broadcast-joinable item-count attaches, and
+    * the top-K is a window PARTITIONED by item — the plan-guard
+    * invariant holds; at serving scale this is exactly the nightly
+    * batch job that materializes the neighbor store.
+    */
+  def itemNeighbors(spark: SparkSession, dir: String): DataFrame = {
+    val lp = lpCache.getOrElseUpdate((spark, dir))(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct())
+    val pairCnt = lp
+      .groupBy("l_orderkey")
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(filter(
+        flatten(transform(col("ps"), x =>
+          transform(col("ps"), y => struct(x.as("p1"), y.as("p2"))))),
+        s => s.getField("p1") < s.getField("p2"))).as("pair"))
+      .groupBy(col("pair.p1").as("p1"), col("pair.p2").as("p2"))
+      .agg(count(lit(1)).as("cooc"))
+      .filter(col("cooc") >= RuleMinSupport)
+    val itemCnt = lp.groupBy(col("l_partkey").as("p"))
+      .agg(count(lit(1)).as("n_item"))
+    val sym = pairCnt.select(explode(array(
+        struct(col("p1").as("item"), col("p2").as("neighbor"), col("cooc")),
+        struct(col("p2").as("item"), col("p1").as("neighbor"), col("cooc"))))
+        .as("r"))
+      .select(col("r.item").as("item"), col("r.neighbor").as("neighbor"),
+        col("r.cooc").as("cooc"))
+      .join(itemCnt.select(col("p").as("item"), col("n_item")), "item")
+      .join(itemCnt.select(col("p").as("neighbor"),
+        col("n_item").as("n_neighbor")), "neighbor")
+      .withColumn("cosine", col("cooc").cast("double") /
+        sqrt((col("n_item") * col("n_neighbor")).cast("double")))
+    sym.withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("item")
+          .orderBy(col("cosine").desc, col("neighbor").asc)))
+      .filter(col("rnk") <= ItemNeighborsK)
+      .select(col("item"), col("neighbor"), col("cooc"), col("n_item"),
+        col("n_neighbor"), col("cosine"), col("rnk").cast("int").as("rnk"))
+  }
+
+  val itemNeighborsSql: String =
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |pc AS (
+       |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS cooc
+       |  FROM lp a JOIN lp b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $RuleMinSupport
+       |),
+       |ic AS (SELECT l_partkey AS p, COUNT(*) AS n_item FROM lp GROUP BY 1),
+       |sym AS (
+       |  SELECT item, neighbor, cooc, ia.n_item AS n_item,
+       |    ib.n_item AS n_neighbor,
+       |    CAST(cooc AS DOUBLE) /
+       |      sqrt(CAST(ia.n_item * ib.n_item AS DOUBLE)) AS cosine
+       |  FROM (
+       |    SELECT p1 AS item, p2 AS neighbor, cooc FROM pc
+       |    UNION ALL
+       |    SELECT p2, p1, cooc FROM pc
+       |  )
+       |  JOIN ic ia ON ia.p = item
+       |  JOIN ic ib ON ib.p = neighbor
+       |)
+       |SELECT item, neighbor, cooc, n_item, n_neighbor, cosine,
+       |  CAST(rnk AS INT) AS rnk
+       |FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+       |    ORDER BY cosine DESC, neighbor ASC) AS rnk
+       |  FROM sym
+       |) WHERE rnk <= $ItemNeighborsK""".stripMargin
+
   // ------------------------------------------------- #188/#189 decorrelation
 
   /** #188: TPC-H Q13 (customer distribution) — the canonical

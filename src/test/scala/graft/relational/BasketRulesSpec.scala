@@ -47,4 +47,40 @@ class BasketRulesSpec extends AnyFunSuite {
       assert(lift > 0.0)
     }
   }
+
+  test("item neighbor table equals a driver recompute of per-item " +
+      "cosine top-K") {
+    val lp = Tables.lineitem(spark, TestSpark.sf)
+      .select("l_orderkey", "l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val byOrder = lp.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val pairCnt = byOrder.values.flatMap(ps =>
+        for (i <- ps.indices; j <- (i + 1) until ps.length)
+          yield (ps(i), ps(j)))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= Relational.RuleMinSupport).toMap
+    val itemCnt = lp.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expect = pairCnt.toSeq
+      .flatMap { case ((a, b), k) => Seq((a, b, k), (b, a, k)) }
+      .map { case (a, b, k) =>
+        (a, b, k, itemCnt(a), itemCnt(b),
+          k.toDouble / math.sqrt((itemCnt(a) * itemCnt(b)).toDouble))
+      }
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._6, r._2)).take(Relational.ItemNeighborsK)
+          .zipWithIndex.map { case (r, i) =>
+            (r._1, r._2, r._3, r._4, r._5, r._6, i + 1) }
+      }.toSet
+    val got = Relational.itemNeighbors(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long, Long, Double, Int)].collect().toSet
+    assert(got == expect, "neighbor table vs driver recompute")
+    assert(got.nonEmpty)
+    // serving-table shape: ranks dense from 1, at most K per item
+    got.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._7).toSeq.sorted == (1 to rows.size))
+      assert(rows.size <= Relational.ItemNeighborsK)
+    }
+    // cosine in (0, 1]; symmetric cooc consistency
+    got.foreach(r => assert(r._6 > 0.0 && r._6 <= 1.0))
+  }
 }

@@ -230,7 +230,14 @@ object Dedup {
     * all-ordered-pairs join — the hash match is a machine-checked
     * completeness proof of the asymmetric prefix scheme.
     */
-  def containmentJoin(spark: SparkSession, dir: String): DataFrame = {
+  /** Cached: #223's SCC consumes the same edge frame. */
+  private val containCache = new graft.core.DfCache[(SparkSession, String)]
+
+  def containmentJoin(spark: SparkSession, dir: String): DataFrame =
+    containCache.getOrElseUpdate((spark, dir))(
+      containmentJoinBuild(spark, dir))
+
+  private def containmentJoinBuild(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingled(spark, dir)
     val df = docs.select(explode(col("sh")).as("s"))
       .groupBy("s").agg(count(lit(1)).as("df"))
@@ -258,15 +265,24 @@ object Dedup {
       .select("d1", "d2", "containment")
   }
 
-  /** Brute all-ordered-pairs oracle — independent of the prefix scheme. */
+  /** Containment edges as a CTE fragment (`ce`) — shared by the #218
+    * oracle and #223's SCC oracle. Brute all-ordered-pairs: independent
+    * of the Spark side's prefix scheme.
+    */
+  val containmentCte: String =
+    s"""$duckShingles,
+       |ce AS MATERIALIZED (
+       |  SELECT d1, d2, containment FROM (
+       |    SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+       |        AS containment
+       |    FROM shd a JOIN shd b ON a.doc_id <> b.doc_id
+       |  ) WHERE containment >= $ContainTau
+       |)""".stripMargin
+
   val containmentJoinSql: String =
-    s"""WITH $duckShingles
-       |SELECT d1, d2, containment FROM (
-       |  SELECT a.doc_id AS d1, b.doc_id AS d2,
-       |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
-       |      AS containment
-       |  FROM shd a JOIN shd b ON a.doc_id <> b.doc_id
-       |) WHERE containment >= $ContainTau""".stripMargin
+    s"""WITH $containmentCte
+       |SELECT d1, d2, containment FROM ce""".stripMargin
 
   // -------------------------------------------------- #126 LSH recall
 

@@ -1306,4 +1306,142 @@ object GraphAlgos {
        |  CAST(SUM(12 // dist) AS BIGINT) / 12.0 AS harmonic
        |FROM c$CloseIters WHERE dist > 0 GROUP BY id""".stripMargin
   }
+
+  // ----------------------------------- #223 strongly connected components
+
+  /** Min-label propagation depth per FW/BW pass (≥ SCC diameter). */
+  val SccPropIters = 4
+  /** Peel rounds (≥ condensation-DAG depth of the min-id extraction). */
+  val SccPeels = 3
+
+  /** #223: SCC of the DOCUMENT CONTAINMENT graph (#218's d1→d2 edges) —
+    * the directed clustering the dedup block was missing: mutual-
+    * containment SCCs are VERSION GROUPS (docs quoting each other
+    * whole), while the one-directional edges between SCCs form the
+    * quote/inclusion hierarchy — structure the symmetric Jaccard
+    * components (#48) cannot express. The entity graph itself is a DAG
+    * by construction (FK direction), where SCC would verify nothing —
+    * same honesty rule as #122's choice of the co-purchase graph.
+    *
+    * Algorithm: forward-backward min-label peeling (the Coloring/FW-BW
+    * family of distributed SCC — Slota et al.): per peel, propagate
+    * min ids [[SccPropIters]] rounds along edges (fwd = min over
+    * ancestors-and-self) and along reversed edges (bwd = min over
+    * descendants-and-self); a node with fwd = bwd = r has r both
+    * reaching and reachable, so it sits in r's SCC — settle it, peel
+    * settled nodes and their edges, repeat. Each peel extracts the
+    * SCCs rooted at currently-minimal ids; [[SccPeels]] rounds unrolled
+    * in one lazy plan keep the registered query oracle-checkable (the
+    * wcc/wccConverged pattern), and the spec asserts full settlement
+    * at test SFs plus Tarjan equality — including on a synthetic
+    * 3-cycle + diamond + chain exercising non-mutual cycles and the
+    * full peel depth.
+    *
+    * Scale: every step is the wcc join+MIN round (edges⋈labels, map-
+    * side-combining MIN onto the target key) plus two semi-joins per
+    * peel — integer ops end to end, localCheckpoint lineage hygiene
+    * per peel. Emits (doc_id, scc_id = min member, scc_size,
+    * settled_round); NULLs mark nodes unsettled after [[SccPeels]]
+    * (none at any tested SF).
+    */
+  def scc(spark: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate((spark, dir, "scc")) {
+      val ce = graft.dedup.Dedup.containmentJoin(spark, dir)
+      sccOf(ce.select(col("d1").as("src"), col("d2").as("dst")))
+    }
+
+  /** FW-BW peeling over an arbitrary (src, dst) edge frame. */
+  private[rdf] def sccOf(e0: DataFrame): DataFrame = {
+    val nodes0 = e0.select(col("src").as("d"))
+      .unionByName(e0.select(col("dst").as("d")))
+      .distinct().localCheckpoint(false)
+    var nodes = nodes0
+    var e = e0.localCheckpoint(false)
+    var out: DataFrame = null
+    for (r <- 1 to SccPeels) {
+      val l0 = nodes.select(col("d").as("id"), col("d").as("lbl"))
+      val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+      val fwd = (1 to SccPropIters).foldLeft(l0)((l, _) => wccStep(l, e))
+      val bwd = (1 to SccPropIters).foldLeft(l0)((l, _) => wccStep(l, rev))
+      val settled = fwd
+        .join(bwd.withColumnRenamed("lbl", "blbl"), "id")
+        .filter(col("lbl") === col("blbl"))
+        .select(col("id"), col("lbl").as("scc_id"),
+          lit(r).as("settled_round"))
+        .localCheckpoint(false)
+      out = if (out == null) settled else out.unionByName(settled)
+      nodes = nodes.join(settled.select(col("id").as("d")), Seq("d"),
+        "left_anti").localCheckpoint(false)
+      e = e.join(nodes.select(col("d").as("src")), Seq("src"), "left_semi")
+        .join(nodes.select(col("d").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst").localCheckpoint(false)
+    }
+    val sizes = out.groupBy("scc_id").agg(count(lit(1)).as("scc_size"))
+    nodes0.select(col("d").as("doc_id"))
+      .join(out.select(col("id").as("doc_id"), col("scc_id"),
+        col("settled_round")), Seq("doc_id"), "left")
+      .join(sizes, Seq("scc_id"), "left")
+      .select(col("doc_id"), col("scc_id"), col("scc_size"),
+        col("settled_round"))
+  }
+
+  val sccSql: String = {
+    // One min-label propagation round, mirroring wccStep exactly.
+    // Every chained CTE is MATERIALIZED: each references its
+    // predecessor twice (once as the label frame, once inside the MIN
+    // subquery), so DuckDB's default inlining would re-evaluate the
+    // whole chain 2^depth times — measured as a >7 min hang at
+    // sf0.001; materialized, the full query runs in seconds.
+    def prop(pfx: String, prev: String, eTbl: String, fromC: String,
+        toC: String): String =
+      s"""$pfx AS MATERIALIZED (
+         |  SELECT n.id, LEAST(n.lbl, COALESCE(m.nm, n.lbl)) AS lbl
+         |  FROM $prev n LEFT JOIN (
+         |    SELECT e.$toC AS id, MIN(l.lbl) AS nm
+         |    FROM $eTbl e JOIN $prev l ON e.$fromC = l.id
+         |    GROUP BY 1
+         |  ) m USING (id)
+         |)""".stripMargin
+    def peel(r: Int): String = {
+      val chain = (1 to SccPropIters).map { k =>
+        val fPrev = if (k == 1) s"l${r}0" else s"f$r${k - 1}"
+        val bPrev = if (k == 1) s"l${r}0" else s"b$r${k - 1}"
+        prop(s"f$r$k", fPrev, s"e${r - 1}", "src", "dst") + ",\n" +
+          prop(s"b$r$k", bPrev, s"e${r - 1}", "dst", "src")
+      }.mkString(",\n")
+      s"""l${r}0 AS MATERIALIZED (SELECT d AS id, d AS lbl FROM nodes${r - 1}),
+         |$chain,
+         |settled$r AS MATERIALIZED (
+         |  SELECT f.id, f.lbl AS scc_id FROM f$r$SccPropIters f
+         |  JOIN b$r$SccPropIters b ON f.id = b.id AND f.lbl = b.lbl
+         |),
+         |nodes$r AS MATERIALIZED (
+         |  SELECT d FROM nodes${r - 1}
+         |  WHERE d NOT IN (SELECT id FROM settled$r)
+         |),
+         |e$r AS MATERIALIZED (
+         |  SELECT src, dst FROM e${r - 1}
+         |  WHERE src IN (SELECT d FROM nodes$r)
+         |    AND dst IN (SELECT d FROM nodes$r)
+         |)""".stripMargin
+    }
+    val unions = (1 to SccPeels).map(r =>
+      s"SELECT id, scc_id, CAST($r AS INT) AS settled_round FROM settled$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH ${graft.dedup.Dedup.containmentCte},
+       |e0 AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM ce),
+       |nodes0 AS MATERIALIZED (
+       |  SELECT DISTINCT d FROM
+       |    (SELECT d1 AS d FROM ce UNION ALL SELECT d2 AS d FROM ce)
+       |),
+       |${(1 to SccPeels).map(peel).mkString(",\n")},
+       |settled AS (
+       |  $unions
+       |),
+       |sizes AS (SELECT scc_id, COUNT(*) AS scc_size FROM settled GROUP BY 1)
+       |SELECT n.d AS doc_id, s.scc_id, z.scc_size, s.settled_round
+       |FROM nodes0 n
+       |LEFT JOIN settled s ON s.id = n.d
+       |LEFT JOIN sizes z ON z.scc_id = s.scc_id""".stripMargin
+  }
 }

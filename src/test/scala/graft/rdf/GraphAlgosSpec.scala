@@ -399,4 +399,76 @@ class GraphAlgosSpec extends AnyFunSuite {
       "parts have no out-edges: hub must be exactly 0")
     assert(orders.values.exists(_._1 > 0.0) && parts.values.exists(_._2 > 0.0))
   }
+
+  /** Driver-side Tarjan for SCC ground truth. */
+  private def tarjan(edges: Seq[(Long, Long)]): Map[Long, Set[Long]] = {
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var idx = 0
+    val index = scala.collection.mutable.Map[Long, Int]()
+    val low = scala.collection.mutable.Map[Long, Int]()
+    val onStack = scala.collection.mutable.Set[Long]()
+    val stack = scala.collection.mutable.Stack[Long]()
+    val comps = scala.collection.mutable.Buffer[Set[Long]]()
+    def strong(v: Long): Unit = {
+      index(v) = idx; low(v) = idx; idx += 1
+      stack.push(v); onStack += v
+      adj.getOrElse(v, Nil).foreach { w =>
+        if (!index.contains(w)) { strong(w); low(v) = low(v) min low(w) }
+        else if (onStack(w)) low(v) = low(v) min index(w)
+      }
+      if (low(v) == index(v)) {
+        val comp = scala.collection.mutable.Set[Long]()
+        var w = -1L
+        while ({ w = stack.pop(); onStack -= w; comp += w; w != v }) ()
+        comps += comp.toSet
+      }
+    }
+    nodes.foreach(v => if (!index.contains(v)) strong(v))
+    comps.flatMap(c => c.map(_ -> c)).toMap
+  }
+
+  test("scc: containment-graph components equal Tarjan, all settled, " +
+      "sizes consistent, and version groups (size ≥ 2) exist") {
+    import spark.implicits._
+    val edges = graft.dedup.Dedup.containmentJoin(spark, TestSpark.sf)
+      .select("d1", "d2").as[(Long, Long)].collect().toSeq
+    val truth = tarjan(edges)
+    val got = GraphAlgos.scc(spark, TestSpark.sf)
+      .as[(Long, Option[Long], Option[Long], Option[Int])].collect()
+    assert(got.length == truth.size, "one row per incident node")
+    got.foreach { case (doc, sccId, size, round) =>
+      assert(sccId.nonEmpty && round.nonEmpty,
+        s"node $doc unsettled after ${GraphAlgos.SccPeels} peels")
+      val comp = truth(doc)
+      assert(sccId.get == comp.min, s"scc_id of $doc must be min member")
+      assert(size.get == comp.size.toLong, s"scc_size of $doc")
+      assert(round.get >= 1 && round.get <= GraphAlgos.SccPeels)
+    }
+    assert(got.exists(_._3.get >= 2L), "mutual-containment version groups")
+    assert(got.exists(_._3.get == 1L), "one-directional nodes stay single")
+  }
+
+  test("scc: FW-BW peeling handles non-mutual cycles and full peel " +
+      "depth on a synthetic 3-cycle + diamond + chain") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),             // 3-cycle, no mutual pair
+      (5L, 10L), (5L, 11L), (10L, 4L), (11L, 4L), // diamond: 3 peel rounds
+      (8L, 7L), (7L, 6L),                        // chain: 3 peel rounds
+      (20L, 21L), (21L, 20L))                    // mutual pair
+    val truth = tarjan(edges)
+    val got = GraphAlgos.sccOf(edges.toDF("src", "dst"))
+      .as[(Long, Option[Long], Option[Long], Option[Int])].collect()
+    assert(got.length == truth.size)
+    got.foreach { case (v, sccId, size, round) =>
+      assert(sccId.contains(truth(v).min) &&
+        size.contains(truth(v).size.toLong), s"node $v")
+      assert(round.nonEmpty)
+    }
+    // the diamond and chain genuinely need all three peels
+    assert(got.exists(_._4.contains(GraphAlgos.SccPeels)),
+      "peel depth must be exercised")
+    assert(truth(1L) == Set(1L, 2L, 3L) && truth(20L) == Set(20L, 21L))
+  }
 }

@@ -1619,4 +1619,181 @@ object Events {
        |      rem := a.rem - x.d - x.c)).surv
        |    AS survival
        |FROM ex""".stripMargin
+
+  // ------------------------------------------------------- #224 RFM
+
+  /** #224: RFM customer segmentation (Hughes 1994; the recency/
+    * frequency/monetary quintile scoring behind most CRM targeting) —
+    * the per-user SERVING table the analytics block was missing: the
+    * survival/retention/growth reports describe the population, RFM
+    * assigns each user an actionable score triple and a named segment.
+    *
+    * Exactness: the three metrics are integers off ONE user-collapsed
+    * pass over purchases (recency in whole days behind the corpus max,
+    * frequency a count, monetary an exact micro-grid sum). Quintile
+    * cuts use the #108 nearest-rank histogram method per metric —
+    * NEVER ntile, whose tie behavior is engine-defined: build the
+    * (metric, value) histogram, cumulative-sum it, cut_k = min value
+    * with cum ≥ ⌈n·k/5⌉ (integer ceil as (n·k+4) DIV 5), then score
+    * map-side as 1 + Σ[v > cut] (recency inverted: 1 + Σ[v < cut], so
+    * 5 is always "best"). Ties share a score by construction — the
+    * property ntile cannot give — and every comparison is integer.
+    * The monetary CUT metric is whole-dollar spend (micro DIV 1e6):
+    * cents never move a quintile, and it bounds the histogram keyspace
+    * by the spend range in dollars rather than the user count — the
+    * same boundedness argument as #108's value grid. Segments are the
+    * standard (r, f) grid read in one engine-order-stable CASE.
+    *
+    * Scale: one data-scale shuffle (the user collapse); the cum
+    * windows run per metric over BOUNDED histograms (day span /
+    * max basket count / dollar range); the 12 cuts collapse to one
+    * broadcast row and scoring is map-side. Nothing user-scale moves
+    * for a quintile decision.
+    */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    val p = eventsS(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_s"),
+        expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").as("vm"))
+    val g = p.agg(max("ts_s").as("gmax"))
+    val u = p.groupBy("user_id")
+      .agg(max("ts_s").as("last_s"), count(lit(1)).as("freq"),
+        sum("vm").as("m_micro"))
+      .crossJoin(broadcast(g))
+      .select(col("user_id"),
+        expr("(gmax - last_s) DIV 86400").as("r_days"),
+        col("freq"), col("m_micro"),
+        expr("m_micro DIV 1000000").as("m_usd"))
+    val hist = u.select(lit("r").as("metric"), col("r_days").as("v"))
+      .unionByName(u.select(lit("f").as("metric"), col("freq").as("v")))
+      .unionByName(u.select(lit("m").as("metric"), col("m_usd").as("v")))
+      .groupBy("metric", "v").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("metric").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("metric")
+    def cut(k: Int) =
+      min(when(col("cum") >= expr(s"(n * $k + 4) DIV 5"), col("v")))
+        .as(s"c$k")
+    val cuts = hist
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wAll))
+      .groupBy("metric").agg(cut(1), cut(2), cut(3), cut(4))
+    def pick(m: String, k: Int) =
+      max(when(col("metric") === m, col(s"c$k"))).as(s"$m$k")
+    val row = cuts.agg(pick("r", 1), pick("r", 2), pick("r", 3),
+      pick("r", 4), pick("f", 1), pick("f", 2), pick("f", 3), pick("f", 4),
+      pick("m", 1), pick("m", 2), pick("m", 3), pick("m", 4))
+    def scoreUp(v: String, m: String) =
+      (lit(1) + (col(v) > col(s"${m}1")).cast("int") +
+        (col(v) > col(s"${m}2")).cast("int") +
+        (col(v) > col(s"${m}3")).cast("int") +
+        (col(v) > col(s"${m}4")).cast("int")).as(s"score_$m")
+    u.crossJoin(broadcast(row))
+      .select(col("user_id"), col("r_days"), col("freq"), col("m_micro"),
+        (lit(1) + (col("r_days") < col("r1")).cast("int") +
+          (col("r_days") < col("r2")).cast("int") +
+          (col("r_days") < col("r3")).cast("int") +
+          (col("r_days") < col("r4")).cast("int")).as("score_r"),
+        scoreUp("freq", "f"), scoreUp("m_usd", "m"))
+      .withColumn("segment",
+        when(col("score_r") >= 4 && col("score_f") >= 4, "champion")
+          .when(col("score_f") >= 4, "loyal")
+          .when(col("score_r") >= 4 && col("score_f") <= 2, "new")
+          .when(col("score_r") <= 2 && col("score_f") >= 3, "at_risk")
+          .when(col("score_r") <= 2, "hibernating")
+          .otherwise("regular"))
+  }
+
+  val rfmSql: String = {
+    def cut(k: Int) =
+      s"MIN(CASE WHEN cum >= (n * $k + 4) // 5 THEN v END) AS c$k"
+    def pick(m: String, k: Int) =
+      s"MAX(CASE WHEN metric = '$m' THEN c$k END) AS $m$k"
+    def scoreUp(v: String, m: String) =
+      s"""CAST(1 + (CASE WHEN $v > ${m}1 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN $v > ${m}2 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN $v > ${m}3 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN $v > ${m}4 THEN 1 ELSE 0 END) AS INT)
+         |    AS score_$m""".stripMargin
+    s"""WITH p AS (
+       |  SELECT user_id, $duckTsS AS ts_s,
+       |    CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS vm
+       |  FROM events WHERE event_type = 'purchase'
+       |), g AS (SELECT MAX(ts_s) AS gmax FROM p),
+       |u AS (
+       |  SELECT user_id,
+       |    (MAX(g.gmax) - MAX(ts_s)) // 86400 AS r_days,
+       |    COUNT(*) AS freq,
+       |    CAST(SUM(vm) AS BIGINT) AS m_micro,
+       |    CAST(SUM(vm) AS BIGINT) // 1000000 AS m_usd
+       |  FROM p, g GROUP BY user_id
+       |), h AS (
+       |  SELECT metric, v, COUNT(*) AS c FROM (
+       |    SELECT 'r' AS metric, r_days AS v FROM u
+       |    UNION ALL SELECT 'f', freq FROM u
+       |    UNION ALL SELECT 'm', m_usd FROM u
+       |  ) GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT metric, v,
+       |    SUM(c) OVER (PARTITION BY metric ORDER BY v) AS cum,
+       |    SUM(c) OVER (PARTITION BY metric) AS n
+       |  FROM h
+       |), cuts AS (
+       |  SELECT metric, ${cut(1)}, ${cut(2)}, ${cut(3)}, ${cut(4)}
+       |  FROM cum GROUP BY metric
+       |), cr AS (
+       |  SELECT ${(for (m <- Seq("r", "f", "m"); k <- 1 to 4)
+                     yield pick(m, k)).mkString(", ")}
+       |  FROM cuts
+       |)
+       |SELECT user_id, r_days, freq, m_micro,
+       |  CAST(1 + (CASE WHEN r_days < r1 THEN 1 ELSE 0 END)
+       |         + (CASE WHEN r_days < r2 THEN 1 ELSE 0 END)
+       |         + (CASE WHEN r_days < r3 THEN 1 ELSE 0 END)
+       |         + (CASE WHEN r_days < r4 THEN 1 ELSE 0 END) AS INT)
+       |    AS score_r,
+       |  ${scoreUp("freq", "f")},
+       |  ${scoreUp("m_usd", "m")},
+       |  CASE
+       |    WHEN (1 + (CASE WHEN r_days < r1 THEN 1 ELSE 0 END)
+       |            + (CASE WHEN r_days < r2 THEN 1 ELSE 0 END)
+       |            + (CASE WHEN r_days < r3 THEN 1 ELSE 0 END)
+       |            + (CASE WHEN r_days < r4 THEN 1 ELSE 0 END)) >= 4
+       |     AND (1 + (CASE WHEN freq > f1 THEN 1 ELSE 0 END)
+       |            + (CASE WHEN freq > f2 THEN 1 ELSE 0 END)
+       |            + (CASE WHEN freq > f3 THEN 1 ELSE 0 END)
+       |            + (CASE WHEN freq > f4 THEN 1 ELSE 0 END)) >= 4
+       |      THEN 'champion'
+       |    WHEN (1 + (CASE WHEN freq > f1 THEN 1 ELSE 0 END)
+       |            + (CASE WHEN freq > f2 THEN 1 ELSE 0 END)
+       |            + (CASE WHEN freq > f3 THEN 1 ELSE 0 END)
+       |            + (CASE WHEN freq > f4 THEN 1 ELSE 0 END)) >= 4
+       |      THEN 'loyal'
+       |    WHEN (1 + (CASE WHEN r_days < r1 THEN 1 ELSE 0 END)
+       |            + (CASE WHEN r_days < r2 THEN 1 ELSE 0 END)
+       |            + (CASE WHEN r_days < r3 THEN 1 ELSE 0 END)
+       |            + (CASE WHEN r_days < r4 THEN 1 ELSE 0 END)) >= 4
+       |     AND (1 + (CASE WHEN freq > f1 THEN 1 ELSE 0 END)
+       |            + (CASE WHEN freq > f2 THEN 1 ELSE 0 END)
+       |            + (CASE WHEN freq > f3 THEN 1 ELSE 0 END)
+       |            + (CASE WHEN freq > f4 THEN 1 ELSE 0 END)) <= 2
+       |      THEN 'new'
+       |    WHEN (1 + (CASE WHEN r_days < r1 THEN 1 ELSE 0 END)
+       |            + (CASE WHEN r_days < r2 THEN 1 ELSE 0 END)
+       |            + (CASE WHEN r_days < r3 THEN 1 ELSE 0 END)
+       |            + (CASE WHEN r_days < r4 THEN 1 ELSE 0 END)) <= 2
+       |     AND (1 + (CASE WHEN freq > f1 THEN 1 ELSE 0 END)
+       |            + (CASE WHEN freq > f2 THEN 1 ELSE 0 END)
+       |            + (CASE WHEN freq > f3 THEN 1 ELSE 0 END)
+       |            + (CASE WHEN freq > f4 THEN 1 ELSE 0 END)) >= 3
+       |      THEN 'at_risk'
+       |    WHEN (1 + (CASE WHEN r_days < r1 THEN 1 ELSE 0 END)
+       |            + (CASE WHEN r_days < r2 THEN 1 ELSE 0 END)
+       |            + (CASE WHEN r_days < r3 THEN 1 ELSE 0 END)
+       |            + (CASE WHEN r_days < r4 THEN 1 ELSE 0 END)) <= 2
+       |      THEN 'hibernating'
+       |    ELSE 'regular'
+       |  END AS segment
+       |FROM u, cr""".stripMargin
+  }
 }

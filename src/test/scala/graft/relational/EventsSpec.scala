@@ -650,4 +650,56 @@ class EventsSpec extends AnyFunSuite {
       ts.exists(t => naiveCurve(t) < km(t)),
       "censors-as-deaths should underestimate survival pointwise")
   }
+
+  test("rfm: per-user scores and segments equal the driver recompute, " +
+      "nearest-rank cuts honored, ties share a score") {
+    val p = Events.eventsS(spark, TestSpark.sf)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_s", $"value")
+      .as[(Long, Long, Double)].collect()
+    val gmax = p.map(_._2).max
+    val per = p.groupBy(_._1).map { case (u, rows) =>
+      val last = rows.map(_._2).max
+      val m = rows.map(r => math.floor(r._3 * 1000000.0 + 0.5).toLong).sum
+      (u, (gmax - last) / 86400L, rows.length.toLong, m, m / 1000000L)
+    }.toSeq
+    def cuts(vs: Seq[Long]): Seq[Long] = {
+      val n = vs.length.toLong
+      val hist = vs.groupBy(identity).view.mapValues(_.length.toLong)
+        .toSeq.sortBy(_._1)
+      (1 to 4).map { k =>
+        val need = (n * k + 4) / 5
+        var cum = 0L
+        hist.collectFirst { case (v, c) if { cum += c; cum >= need } => v }.get
+      }
+    }
+    val rc = cuts(per.map(_._2))
+    val fc = cuts(per.map(_._3))
+    val mc = cuts(per.map(_._5))
+    def up(v: Long, cs: Seq[Long]) = 1 + cs.count(v > _)
+    def dn(v: Long, cs: Seq[Long]) = 1 + cs.count(v < _)
+    val expect = per.map { case (u, r, f, m, musd) =>
+      val (sr, sf, sm) = (dn(r, rc), up(f, fc), up(musd, mc))
+      val seg =
+        if (sr >= 4 && sf >= 4) "champion"
+        else if (sf >= 4) "loyal"
+        else if (sr >= 4 && sf <= 2) "new"
+        else if (sr <= 2 && sf >= 3) "at_risk"
+        else if (sr <= 2) "hibernating"
+        else "regular"
+      (u, r, f, m, sr, sf, sm, seg)
+    }.sortBy(_._1)
+    val got = Events.rfm(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long, Int, Int, Int, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == expect, "RFM table differs from the driver recompute")
+    assert(got.forall(r => Seq(r._5, r._6, r._7)
+      .forall(s => s >= 1 && s <= 5)), "scores confined to 1..5")
+    assert(got.map(_._8).distinct.length >= 3,
+      "the segment grid should be populated by more than trivial cells")
+    // ties share a score: equal metric values never split across scores
+    assert(got.groupBy(_._2).values.forall(_.map(_._5).distinct.length == 1)
+      && got.groupBy(_._3).values.forall(_.map(_._6).distinct.length == 1),
+      "nearest-rank scoring must give tied values the same score")
+  }
 }

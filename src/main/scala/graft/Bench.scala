@@ -92,7 +92,8 @@ object Bench {
     "graph_hits", "events_growth_accounting", "table_file_skipping",
     "events_ab_test", "sample_neyman_alloc", "events_power_analysis",
     "dedup_containment", "dq_benford", "dq_k_anonymity",
-    "events_survival", "rec_item_neighbors", "graph_scc", "events_rfm")
+    "events_survival", "rec_item_neighbors", "graph_scc", "events_rfm",
+    "feat_woe_iv")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

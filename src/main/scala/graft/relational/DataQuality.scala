@@ -484,4 +484,127 @@ object DataQuality {
        |  k_anonymous, l_diverse, k_anonymity,
        |  CAST(n_at_risk AS DOUBLE) / n_total AS risk_share
        |FROM flagged, summary""".stripMargin
+
+  // -------------------------------------------- #225 WOE / IV screening
+
+  /** Whole dollars per balance bucket for the WOE report — bounds the
+    * balance feature's keyspace by the acctbal range (≈7 buckets), the
+    * #108/#224 grid argument.
+    */
+  val WoeBalUnits = 2000L
+
+  /** #225: weight-of-evidence / information-value FEATURE SCREENING
+    * (the credit-scoring standard, Siddiqi 2006) — the pre-modeling
+    * report the quality-classifier block was missing: before training
+    * anything (#146's LR), score each candidate categorical feature's
+    * separating power against a binary label. Label: the customer is
+    * an URGENT buyer (placed ≥1 order at '1-URGENT' priority — splits
+    * the population meaningfully at every SF, where a placed-any-order
+    * label is degenerate here because the generator gives every
+    * customer orders). Features: market segment, nation, and the
+    * whole-dollar balance bucket.
+    *
+    * WOE_b = ln(share of goods in b / share of bads in b); IV =
+    * Σ_b (good_share − bad_share)·WOE_b, read against Siddiqi's bands
+    * (<0.02 useless … >0.5 suspicious — a leakage alarm, not a
+    * strength grade). Laplace +1 smoothing (the #203 PSI idiom) keeps
+    * zero cells finite and every input integer: WOE is ln of ONE
+    * correctly-rounded division of exact integer products, the IV term
+    * one fixed IEEE tree quantized 1e-6, the IV an order-free decSum
+    * over the bounded bucket frame.
+    *
+    * Plan: one distinct on order custkeys (data-scale, the only big
+    * shuffle), one broadcast-joinable label attach, a map-side 3-way
+    * feature explode collapsing onto the bounded (feature, bucket)
+    * keyspace, then dictionary-sized algebra. At 100 TB the label
+    * attach shuffles on custkey; everything after is constant-size.
+    */
+  def woeIv(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Exact
+    val conv = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey")).distinct()
+    val fx = Tables.customer(spark, dir)
+      .join(conv, col("c_custkey") === col("custkey"), "left")
+      .select(
+        when(col("custkey").isNotNull, 1L).otherwise(0L).as("good"),
+        col("c_mktsegment").as("segment"),
+        col("c_nationkey").cast("long").cast("string").as("nation"),
+        expr(s"CAST((CAST(floor(c_acctbal) AS BIGINT) + 1000000L)" +
+          s" div $WoeBalUnits AS STRING)").as("balance"))
+      .select(col("good"), explode(map(
+        lit("segment"), col("segment"),
+        lit("nation"), col("nation"),
+        lit("balance"), col("balance"))).as(Seq("feature", "bucket")))
+    val hist = fx.groupBy("feature", "bucket")
+      .agg(sum("good").as("g"), sum(lit(1L) - col("good")).as("b"))
+    val tot = hist.groupBy("feature")
+      .agg(sum("g").as("gt"), sum("b").as("bt"), count(lit(1)).as("nb"))
+    val woe =
+      log(((col("g") + 1L) * (col("bt") + col("nb"))).cast("double") /
+          ((col("b") + 1L) * (col("gt") + col("nb"))).cast("double"))
+    val term =
+      (((col("g") + 1L).cast("double") / (col("gt") + col("nb"))) -
+       ((col("b") + 1L).cast("double") / (col("bt") + col("nb")))) * woe
+    val rows = hist.join(tot, Seq("feature"))
+      .select(col("feature"), col("bucket"),
+        col("g").as("n_good"), col("b").as("n_bad"),
+        Exact.roundS(woe, 6).as("woe"), Exact.roundS(term, 6).as("term"))
+    val iv = rows.groupBy("feature")
+      .agg(Exact.decSum(col("term"), 6).as("iv"))
+      .withColumn("strength",
+        when(col("iv") < 0.02, "useless")
+          .when(col("iv") < 0.1, "weak")
+          .when(col("iv") < 0.3, "medium")
+          .when(col("iv") < 0.5, "strong")
+          .otherwise("suspicious"))
+    rows.drop("term").join(iv, Seq("feature"))
+  }
+
+  val woeIvSql: String = {
+    import graft.core.Exact
+    val woe =
+      """ln(CAST((g + 1) * (bt + nb) AS DOUBLE) /
+        |   CAST((b + 1) * (gt + nb) AS DOUBLE))""".stripMargin
+    val term =
+      s"""((CAST(g + 1 AS DOUBLE) / (gt + nb)) -
+         | (CAST(b + 1 AS DOUBLE) / (bt + nb))) * $woe""".stripMargin
+    s"""WITH conv AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+       |  WHERE o_orderpriority = '1-URGENT'),
+       |lab AS (
+       |  SELECT CASE WHEN v.custkey IS NOT NULL THEN 1 ELSE 0 END AS good,
+       |    c_mktsegment AS segment,
+       |    CAST(CAST(c_nationkey AS BIGINT) AS VARCHAR) AS nation,
+       |    CAST((CAST(floor(c_acctbal) AS BIGINT) + 1000000) // $WoeBalUnits
+       |      AS VARCHAR) AS balance
+       |  FROM customer LEFT JOIN conv v ON c_custkey = v.custkey
+       |), fx AS (
+       |  SELECT good, 'segment' AS feature, segment AS bucket FROM lab
+       |  UNION ALL SELECT good, 'nation', nation FROM lab
+       |  UNION ALL SELECT good, 'balance', balance FROM lab
+       |), hist AS (
+       |  SELECT feature, bucket, CAST(SUM(good) AS BIGINT) AS g,
+       |    CAST(SUM(1 - good) AS BIGINT) AS b
+       |  FROM fx GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT feature, CAST(SUM(g) AS BIGINT) AS gt,
+       |    CAST(SUM(b) AS BIGINT) AS bt, COUNT(*) AS nb
+       |  FROM hist GROUP BY 1
+       |), rows_ AS (
+       |  SELECT feature, bucket, g AS n_good, b AS n_bad,
+       |    ${Exact.duckRoundS(woe, 6)} AS woe,
+       |    ${Exact.duckRoundS(term, 6)} AS term
+       |  FROM hist JOIN tot USING (feature)
+       |), iv AS (
+       |  SELECT feature, ${Exact.duckSum("term", 6)} AS iv
+       |  FROM rows_ GROUP BY 1
+       |)
+       |SELECT feature, bucket, n_good, n_bad, woe, iv,
+       |  CASE WHEN iv < 0.02 THEN 'useless'
+       |       WHEN iv < 0.1 THEN 'weak'
+       |       WHEN iv < 0.3 THEN 'medium'
+       |       WHEN iv < 0.5 THEN 'strong'
+       |       ELSE 'suspicious' END AS strength
+       |FROM rows_ JOIN iv USING (feature)""".stripMargin
+  }
 }

@@ -172,4 +172,61 @@ class DataQualitySpec extends AnyFunSuite {
       assert(k == kAnon && share == atRisk.toDouble / rows.length)
     }
   }
+
+  test("woe/iv: per-bucket WOE and per-feature IV equal the driver " +
+      "recompute; both label classes populated; bands ordered") {
+    val conv = graft.core.Tables.orders(spark, TestSpark.sf)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey".cast("long")).as[Long].collect().toSet
+    val cust = graft.core.Tables.customer(spark, TestSpark.sf)
+      .select($"c_custkey".cast("long"), $"c_mktsegment",
+        $"c_nationkey".cast("long"), $"c_acctbal".cast("double"))
+      .as[(Long, String, Long, Double)].collect()
+    assert(cust.exists(c => conv(c._1)) && cust.exists(c => !conv(c._1)),
+      "the urgent-buyer label must populate both classes")
+    def q(x: Double, s: Int = 6) =
+      math.floor(x * 1e6 + 0.5) / 1e6
+    val fx = cust.flatMap { case (ck, seg, nk, bal) =>
+      val good = conv(ck)
+      val bb = ((math.floor(bal).toLong + 1000000L) /
+        DataQuality.WoeBalUnits).toString
+      Seq(("segment", seg, good), ("nation", nk.toString, good),
+        ("balance", bb, good))
+    }
+    val hist = fx.groupBy(r => (r._1, r._2)).map { case (k, rs) =>
+      (k, (rs.count(_._3).toLong, rs.count(!_._3).toLong))
+    }
+    val tot = hist.groupBy(_._1._1).map { case (f, m) =>
+      f -> (m.values.map(_._1).sum, m.values.map(_._2).sum, m.size.toLong)
+    }
+    val expWoe = hist.map { case ((f, bkt), (g, b)) =>
+      val (gt, bt, nb) = tot(f)
+      (f, bkt) -> q(math.log(((g + 1) * (bt + nb)).toDouble /
+        ((b + 1) * (gt + nb)).toDouble))
+    }
+    val expIv = hist.groupBy(_._1._1).map { case (f, m) =>
+      val (gt, bt, nb) = tot(f)
+      val terms = m.map { case ((_, _), (g, b)) =>
+        q((((g + 1).toDouble / (gt + nb)) - ((b + 1).toDouble / (bt + nb))) *
+          math.log(((g + 1) * (bt + nb)).toDouble /
+            ((b + 1) * (gt + nb)).toDouble))
+      }
+      f -> terms.map(t => math.floor(t * 1e6 + 0.5).toLong).sum / 1e6
+    }
+    val got = DataQuality.woeIv(spark, TestSpark.sf)
+      .as[(String, String, Long, Long, Double, Double, String)].collect()
+    assert(got.length == hist.size)
+    got.foreach { case (f, bkt, g, b, woe, iv, strength) =>
+      assert((g, b) == hist((f, bkt)), s"counts ($f,$bkt)")
+      assert(woe == expWoe((f, bkt)), s"woe ($f,$bkt)")
+      assert(iv == expIv(f), s"iv $f")
+      val bands = Seq(0.02, 0.1, 0.3, 0.5)
+      val expected = Seq("useless", "weak", "medium", "strong",
+        "suspicious")(bands.count(iv >= _))
+      assert(strength == expected, s"band $f")
+    }
+    // every feature must separate at least somewhat differently —
+    // degenerate identical IVs would mean the label attach is broken
+    assert(got.map(_._6).distinct.length >= 2)
+  }
 }

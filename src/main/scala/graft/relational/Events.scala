@@ -1620,6 +1620,79 @@ object Events {
        |    AS survival
        |FROM ex""".stripMargin
 
+  // ------------------------------------------- #226 DAU/WAU/MAU ratio
+
+  /** #226: engagement STICKINESS — the DAU/WAU/MAU report and the
+    * DAU/MAU ratio (the "how many of your monthlies come daily" number
+    * every consumer-product dashboard leads with): per calendar day,
+    * distinct users active that day (DAU), within the trailing 7 days
+    * (WAU) and the trailing 28 days (MAU). #211's growth accounting
+    * explains day-over-day FLOWS; stickiness is the standing-stock
+    * ratio those flows produce — both read off the same activity frame.
+    *
+    * The exact trailing-window-distinct trick: fan each distinct
+    * (user, day) out to the 28 report days it supports (a bounded ×28
+    * map-side generate on the ALREADY-COLLAPSED activity frame — never
+    * on events), then ONE (user, report-day) aggregate keeping the MIN
+    * offset; dau = [min_off = 0], wau = [min_off < 7], mau = any row.
+    * All three windows fall out of one shuffle, exactly — no sketch,
+    * no 28 self-joins. Report days clamp to the corpus day span
+    * (broadcast 1-row bounds); `full_window` marks days with a
+    * complete 28-day lookback so partial-window rows are labeled, not
+    * silently mixed. Integer throughout; the ratio is one division.
+    *
+    * Scale: shuffle bytes are 28× the activity frame (user-days), a
+    * constant multiplier of a frame already far smaller than events;
+    * both aggregates are map-side-combining; the day rollup is
+    * bounded by the calendar.
+    */
+  def stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val act = eventsS(spark, dir)
+      .select(col("user_id"), expr("ts_s DIV 86400").as("day")).distinct()
+    val bounds = act.agg(min("day").as("d0"), max("day").as("d1"))
+    val perUserDay = act.crossJoin(broadcast(bounds))
+      .select(col("user_id"), col("d0"), col("d1"),
+        explode(sequence(lit(0L), lit(27L))).as("off"),
+        col("day").as("aday"))
+      .select(col("user_id"), col("d0"), col("d1"), col("off"),
+        (col("aday") + col("off")).as("day"))
+      .filter(col("day") <= col("d1"))
+      .groupBy("user_id", "day")
+      .agg(min("off").as("min_off"), first("d0").as("d0"))
+    perUserDay.groupBy("day")
+      .agg(
+        sum(when(col("min_off") === 0L, 1L).otherwise(0L)).as("dau"),
+        sum(when(col("min_off") < 7L, 1L).otherwise(0L)).as("wau"),
+        count(lit(1)).as("mau"),
+        first("d0").as("d0"))
+      .select(col("day"), col("dau"), col("wau"), col("mau"),
+        (col("dau").cast("double") / col("mau")).as("stickiness"),
+        (col("day") >= col("d0") + 27L).as("full_window"))
+  }
+
+  val stickinessSql: String =
+    s"""WITH act AS (
+       |  SELECT DISTINCT user_id, $duckTsS // 86400 AS day FROM events
+       |), bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM act),
+       |pud AS (
+       |  SELECT user_id, day + off AS day, MIN(off) AS min_off,
+       |    MIN(d0) AS d0
+       |  FROM act, bounds,
+       |    (SELECT unnest(range(0, 28)) AS off)
+       |  WHERE day + off <= d1
+       |  GROUP BY user_id, day + off
+       |)
+       |SELECT day,
+       |  CAST(SUM(CASE WHEN min_off = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS dau,
+       |  CAST(SUM(CASE WHEN min_off < 7 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS wau,
+       |  COUNT(*) AS mau,
+       |  CAST(SUM(CASE WHEN min_off = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*) AS stickiness,
+       |  MIN(day) >= MIN(d0) + 27 AS full_window
+       |FROM pud GROUP BY day""".stripMargin
+
   // ------------------------------------------------------- #224 RFM
 
   /** #224: RFM customer segmentation (Hughes 1994; the recency/

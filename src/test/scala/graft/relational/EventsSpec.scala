@@ -702,4 +702,29 @@ class EventsSpec extends AnyFunSuite {
       && got.groupBy(_._3).values.forall(_.map(_._6).distinct.length == 1),
       "nearest-rank scoring must give tied values the same score")
   }
+
+  test("stickiness: dau/wau/mau equal brute trailing-window distincts, " +
+      "containment holds, full_window labels the complete-lookback days") {
+    val act = Events.eventsS(spark, TestSpark.sf)
+      .select($"user_id", ($"ts_s" / 86400L).cast("long").as("day"))
+      .distinct().as[(Long, Long)].collect().toSeq
+    val (d0, d1) = (act.map(_._2).min, act.map(_._2).max)
+    def window(d: Long, w: Long): Long =
+      act.filter(r => r._2 <= d && r._2 > d - w).map(_._1).distinct.size.toLong
+    val got = Events.stickiness(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    // one row per day a 28-day window can land on, clamped to the span
+    assert(got.map(_._1).toSeq == (d0 to d1))
+    got.foreach { case (d, dau, wau, mau, s, full) =>
+      assert(dau == window(d, 1) && wau == window(d, 7) && mau == window(d, 28),
+        s"windows at day $d")
+      assert(dau <= wau && wau <= mau, "containment")
+      assert(s == dau.toDouble / mau)
+      assert(full == (d >= d0 + 27))
+    }
+    assert(got.exists(_._6) && got.exists(!_._6),
+      "span should cover both partial and full lookback days")
+    // stickiness must compress: some day's MAU strictly exceeds its DAU
+    assert(got.exists(r => r._4 > r._2))
+  }
 }

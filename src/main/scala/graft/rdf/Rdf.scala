@@ -373,4 +373,110 @@ object Rdf {
        |                  WHERE e.sid = c.neg_sid AND e.pid = c.pid
        |                    AND e.oid = c.neg_oid)""".stripMargin
   }
+
+  // ------------------------------- #227 self-adversarial neg weighting
+
+  /** Negatives drawn per positive for the adversarial weighting. */
+  val AdvK = 4
+  /** Self-adversarial temperature α (dyadic — the α·Δ product stays a
+    * single correctly-rounded op).
+    */
+  val AdvAlpha = 0.5
+
+  /** #227: SELF-ADVERSARIAL negative weighting (Sun et al. 2019,
+    * RotatE) — the sampler refinement that made uniform corruption
+    * obsolete for modern KGE training: most uniform negatives are
+    * trivially false and contribute vanishing gradient, so each of a
+    * positive's K negatives is weighted by the MODEL'S OWN belief in
+    * it, p_k = softmax_α(score_k) — hard negatives dominate the
+    * gradient, easy ones fade. Composes the house pieces: the #12
+    * deterministic hash corruption (K salted draws per positive), the
+    * #13 TransE scorer over the dyadic embedding tables.
+    *
+    * Exactness: scores are exact (dyadic products, order-free plain
+    * SUM in the oracle — the #13 argument); the softmax is stabilized
+    * by the per-positive MAX (exact comparison of exact doubles), so
+    * each exponent α·(s_k − max) is one subtraction and one dyadic
+    * product, both correctly rounded; exp() outputs — the only
+    * transcendental — quantize 1e-6 (the #203 ln discipline), making
+    * the denominator an order-free scaled-integer sum and each weight
+    * ONE division of engine-identical doubles. The max trick also
+    * pins exp(0) = 1 exactly for the hardest negative.
+    *
+    * Plan: slice ×K map-side fan-out, the same bucketed entity join as
+    * every scorer (neg-object embedding attach keyed on neg_oid), a
+    * broadcast relation join, then two windows partitioned per
+    * positive (K rows each). At 100 TB this is the training-time
+    * shape: sampler and scorer share one shuffle keyed on entity id.
+    */
+  def negSampleAdversarial(spark: SparkSession, dir: String): DataFrame = {
+    import graft.kge.Embeddings
+    import graft.functions.VectorFolds
+    import graft.core.Exact
+    import org.apache.spark.sql.expressions.Window
+    val e = Embeddings.entityEmb(spark, dir)
+    val n = Dict.entities(spark, dir).agg(count(lit(1)).as("n_ent"))
+    val raw = PortableHash.pHash(concat_ws("|", lit("adv"),
+      col("sid"), col("pid"), col("oid"), col("k"))) % col("n_ent")
+    val negs = Embeddings.encodedSample(spark, dir, Embeddings.ScoreMod)
+      .crossJoin(broadcast(n))
+      .select(col("sid"), col("pid"), col("oid"), col("n_ent"),
+        explode(sequence(lit(0L), lit(AdvK - 1L))).as("k"))
+      .withColumn("neg_oid",
+        when(raw === col("oid"), (raw + 1) % col("n_ent")).otherwise(raw))
+    val scored = negs
+      .join(e.select(col("id").as("sid"), col("v").as("h")), "sid")
+      .join(broadcast(Embeddings.relationEmb(spark, dir)
+        .select(col("id").as("pid"), col("v").as("r"))), "pid")
+      .join(e.select(col("id").as("neg_oid"), col("v").as("t")), "neg_oid")
+      .withColumn("score",
+        -VectorFolds.transeSqSum(col("h"), col("r"), col("t")))
+    val byPos = Window.partitionBy("sid", "pid", "oid")
+    scored
+      .withColumn("mx", max("score").over(byPos))
+      .withColumn("term",
+        Exact.roundS(exp(lit(AdvAlpha) * (col("score") - col("mx"))), 6))
+      .withColumn("denom",
+        sum(floor(col("term") * 1e6 + 0.5).cast("long")).over(byPos)
+          .cast("double") / 1e6)
+      .select(col("sid"), col("pid"), col("oid"), col("k"), col("neg_oid"),
+        col("score"), (col("term") / col("denom")).as("weight"))
+  }
+
+  val negSampleAdversarialSql: String = {
+    import graft.kge.Embeddings
+    import graft.core.Exact
+    val raw = s"${PortableHash.duck(
+      "'adv|' || sid || '|' || pid || '|' || oid || '|' || k")} % n_ent"
+    val he = Embeddings.duckEl("E", "sid", "i")
+    val re = Embeddings.duckEl("R", "pid", "i")
+    val tn = Embeddings.duckEl("E", "neg_oid", "i")
+    s"""${Dict.preludeCtes},
+       |${Dict.sampleEncodedCte(Embeddings.ScoreMod)},
+       |n AS (SELECT COUNT(*) AS n_ent FROM entities),
+       |negs AS MATERIALIZED (
+       |  SELECT sid, pid, oid, k,
+       |    CASE WHEN ($raw) = oid THEN (($raw) + 1) % n_ent
+       |         ELSE ($raw) END AS neg_oid
+       |  FROM test_enc, (SELECT unnest(range(0, $AdvK)) AS k), n
+       |),
+       |scored AS MATERIALIZED (
+       |  SELECT sid, pid, oid, k, neg_oid,
+       |    -SUM((($he + $re) - $tn) * (($he + $re) - $tn)) AS score
+       |  FROM negs, (SELECT unnest(range(0, ${Embeddings.D})) AS i)
+       |  GROUP BY sid, pid, oid, k, neg_oid
+       |),
+       |terms AS (
+       |  SELECT *, ${Exact.duckRoundS(
+                s"exp($AdvAlpha * (score - mx))", 6)} AS term
+       |  FROM (SELECT *,
+       |          MAX(score) OVER (PARTITION BY sid, pid, oid) AS mx
+       |        FROM scored)
+       |)
+       |SELECT sid, pid, oid, k, neg_oid, score,
+       |  term / (CAST(SUM(CAST(floor(term * 1000000.0 + 0.5) AS BIGINT))
+       |    OVER (PARTITION BY sid, pid, oid) AS DOUBLE) / 1000000.0)
+       |    AS weight
+       |FROM terms""".stripMargin
+  }
 }

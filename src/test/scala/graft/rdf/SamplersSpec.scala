@@ -78,4 +78,47 @@ class SamplersSpec extends AnyFunSuite {
     val headShare = out.count(_._4 == 0L).toDouble / out.length
     assert(headShare > 0.35 && headShare < 0.65)
   }
+
+  test("adversarial: scores equal the exact TransE recompute, weights " +
+      "are the stabilized softmax, hardest negative carries max weight") {
+    import graft.kge.Embeddings
+    val emb = Embeddings.entityEmb(spark, TestSpark.sf)
+      .as[(Long, Seq[Double])].collect().toMap
+    val rel = Embeddings.relationEmb(spark, TestSpark.sf)
+      .as[(Long, Seq[Double])].collect().toMap
+    def score(s: Long, p: Long, o: Long): Double =
+      -emb(s).indices.map { i =>
+        val d = emb(s)(i) + rel(p)(i) - emb(o)(i); d * d
+      }.sum
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val got = Rdf.negSampleAdversarial(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+    val byPos = got.groupBy(r => (r._1, r._2, r._3))
+    assert(byPos.nonEmpty)
+    byPos.foreach { case ((s, p, o), rows) =>
+      assert(rows.length == Rdf.AdvK, s"K draws per positive ($s,$p,$o)")
+      assert(rows.map(_._4).sorted.toSeq == (0L until Rdf.AdvK.toLong),
+        "one row per salt")
+      rows.foreach(r => assert(r._6 == score(s, p, r._5),
+        s"score of neg ${r._5}"))
+      assert(rows.forall(_._5 != o), "the true object is never a negative")
+      val mx = rows.map(_._6).max
+      val terms = rows.map(r => r._4 -> q6(
+        math.exp(Rdf.AdvAlpha * (r._6 - mx)))).toMap
+      val denom =
+        terms.values.map(t => math.floor(t * 1e6 + 0.5).toLong).sum / 1e6
+      rows.foreach(r => assert(r._7 == terms(r._4) / denom,
+        s"weight of draw ${r._4}"))
+      // the hardest (max-score) negative is the softmax argmax: its
+      // term is exp(0) = 1 exactly, strictly ≥ every other term
+      val hard = rows.maxBy(_._6)
+      assert(rows.forall(_._7 <= hard._7))
+      // weights form a distribution up to the 1e-6 term quantization
+      assert(math.abs(rows.map(_._7).sum - 1.0) < 1e-4)
+    }
+    // adversarial weighting must actually DISCRIMINATE somewhere:
+    // some positive's weights are not uniform
+    assert(byPos.values.exists(rs =>
+      rs.map(_._7).max - rs.map(_._7).min > 0.1))
+  }
 }

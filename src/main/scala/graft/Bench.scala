@@ -93,7 +93,9 @@ object Bench {
     "events_ab_test", "sample_neyman_alloc", "events_power_analysis",
     "dedup_containment", "dq_benford", "dq_k_anonymity",
     "events_survival", "rec_item_neighbors", "graph_scc", "events_rfm",
-    "feat_woe_iv", "events_stickiness", "neg_sample_adversarial")
+    "feat_woe_iv", "events_stickiness", "neg_sample_adversarial",
+    "q6_forecast", "q7_volume", "q10_returned", "q14_promo",
+    "q18_large_orders")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

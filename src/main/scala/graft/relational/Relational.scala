@@ -617,4 +617,218 @@ object Relational {
       |  AND c_custkey NOT IN (
       |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
       |GROUP BY c_mktsegment""".stripMargin
+
+  // -------------------------- #228-232 TPC-H classics: Q6/Q7/Q10/Q14/Q18
+
+  /** #228: TPC-H Q6 — the forecasting-revenue-change query: revenue
+    * that WOULD have been earned had discounts in a band been dropped,
+    * over one ship-year. The canonical scan benchmark: a pure
+    * filter + 1-row aggregate with NO join — at 100 TB it measures
+    * nothing but scan/pushdown efficiency, which is exactly why every
+    * engine publishes it. Predicates land in PushedFilters; revenue =
+    * Σ extendedprice·discount on the quantized grid (one product per
+    * row — correctly rounded in both engines — then the order-free
+    * scaled-integer sum). Discount-band literals are exact binary
+    * comparisons of identical doubles.
+    */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24.0)
+      .agg(Exact.decSum(col("l_extendedprice") * col("l_discount"))
+        .as("revenue"), count(lit(1)).as("n_items"))
+
+  val q6Sql: String =
+    s"""SELECT
+       |  ${Exact.duckSum("l_extendedprice * l_discount")} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01'
+       |  AND l_discount >= 0.05 AND l_discount <= 0.07
+       |  AND l_quantity < 24.0""".stripMargin
+
+  /** #229: TPC-H Q7 — volume shipping between two nations, by flow
+    * direction and ship year: the classic multi-join with a
+    * DISJUNCTIVE nation-pair predicate ((s=A ∧ c=B) ∨ (s=B ∧ c=A))
+    * that defeats naive single-sided pushdown. Spark-first: both
+    * dimension sides filter to the two nations BEFORE any data-scale
+    * join (selectivity 2/25 applied at the scan), supplier+nation
+    * broadcast, and only lineitem⋈orders⋈customer shuffle — the pair
+    * disjunction runs map-side over broadcast-joined nation names.
+    * Revenue per (supp_nation, cust_nation, year) cell on the exact
+    * grid; year is integer EXTRACT on both engines.
+    */
+  def q7Volume(spark: SparkSession, dir: String): DataFrame = {
+    val (na, nb) = ("NATION_3", "NATION_8")
+    val nat = Tables.nation(spark, dir)
+      .filter(col("n_name").isin(na, nb))
+      .select(col("n_nationkey"), col("n_name"))
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1998-01-01 00:00:00"))
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_shipdate")
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === na && col("cust_nation") === nb) ||
+        (col("supp_nation") === nb && col("cust_nation") === na))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(Exact.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+  }
+
+  val q7Sql: String =
+    s"""SELECT supp_nation, cust_nation, l_year,
+       |  ${Exact.duckSum("volume")} AS revenue
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |    CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       |    l_extendedprice * (1.0::DOUBLE - l_discount) AS volume
+       |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+       |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+       |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+       |    AND c_nationkey = n2.n_nationkey
+       |    AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+       |      OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+       |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate < TIMESTAMP '1998-01-01'
+       |)
+       |GROUP BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** #230: TPC-H Q10 — the returned-item reporting query: the top 20
+    * customers by revenue LOST to returns in one quarter, the
+    * complaint-desk triage list. Lineitem filters to returnflag 'R'
+    * and orders to the quarter before the data-scale joins; nation
+    * broadcast; the top-k is ORDER BY the quantized revenue with a
+    * custkey tiebreak → TakeOrderedAndProject (heap per partition +
+    * driver merge of 20 rows — never a global sort), the #63
+    * discipline. Revenue on the exact grid so the ranking is
+    * cross-engine deterministic.
+    */
+  def q10Returned(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1996-04-01 00:00:00"))
+      .select("o_orderkey", "o_custkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir)
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(Exact.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+       |  ${Exact.duckSum("l_extendedprice * (1.0::DOUBLE - l_discount)")}
+       |    AS revenue
+       |FROM customer, orders, lineitem, nation
+       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1996-04-01'
+       |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** #231: TPC-H Q14 — promotion effect: the promo share of one ship
+    * month's revenue. Part dimension broadcast; the share is
+    * 100·promo/total where BOTH sums are order-free quantized — the
+    * numerator a conditional decSum — and the final expression is two
+    * fixed ops (multiply then divide) over engine-identical doubles.
+    * (p_type here is a flat category, so the promo test is equality,
+    * not the reference benchmark's LIKE prefix — same plan shape.)
+    */
+  def q14Promo(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1996-02-01 00:00:00"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(broadcast(Tables.part(spark, dir).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        Exact.decSum(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .otherwise(0.0)).as("promo_revenue"),
+        Exact.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        (lit(100.0) * col("promo_revenue") / col("total_revenue"))
+          .as("promo_share"))
+
+  val q14Sql: String = {
+    val rev = "l_extendedprice * (1.0::DOUBLE - l_discount)"
+    s"""WITH s AS (
+       |  SELECT
+       |    ${Exact.duckSum(s"CASE WHEN p_type = 'PROMO' THEN $rev ELSE 0.0::DOUBLE END")}
+       |      AS promo_revenue,
+       |    ${Exact.duckSum(rev)} AS total_revenue
+       |  FROM lineitem, part
+       |  WHERE l_partkey = p_partkey
+       |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate < TIMESTAMP '1996-02-01'
+       |)
+       |SELECT promo_revenue, total_revenue,
+       |  100.0::DOUBLE * promo_revenue / total_revenue AS promo_share
+       |FROM s""".stripMargin
+  }
+
+  /** Q18 total-quantity threshold (TPC-H's 300 scaled to this data's
+    * basket sizes — 288 qualifying orders at sf0.001).
+    */
+  val Q18MinQty = 150L
+
+  /** #232: TPC-H Q18 — large-volume ("big basket") customers: orders
+    * whose total quantity exceeds a threshold, with their customer.
+    * The classic groupBy-HAVING-then-join: the quantity rollup runs
+    * FIRST (map-side-combining onto orderkey, the narrowest possible
+    * shuffle) and only qualifying orderkeys — a tiny fraction — join
+    * back to orders and customer. Quantities are whole numbers stored
+    * as doubles; they cast to BIGINT before summing so the threshold
+    * test and output are pure integers.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity").cast("long").as("q"))
+      .groupBy("l_orderkey").agg(sum("q").as("total_qty"))
+      .filter(col("total_qty") > Q18MinQty)
+    big.join(Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+  }
+
+  val q18Sql: String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey,
+       |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+       |  FROM lineitem GROUP BY 1
+       |  HAVING SUM(CAST(l_quantity AS BIGINT)) > $Q18MinQty
+       |)
+       |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       |  total_qty
+       |FROM big, orders, customer
+       |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey""".stripMargin
 }

@@ -1,0 +1,109 @@
+package graft.relational
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** #228-232: the TPC-H classics Q6/Q7/Q10/Q14/Q18, each checked against
+  * a driver recompute of the query's defining semantics (not the SQL).
+  */
+class TpchClassicsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def q6(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+
+  private lazy val lineitem = graft.core.Tables
+    .lineitem(spark, TestSpark.sf)
+    .select($"l_orderkey", $"l_suppkey", $"l_partkey",
+      $"l_quantity", $"l_extendedprice", $"l_discount", $"l_returnflag",
+      $"l_shipdate".cast("string"))
+    .as[(Long, Long, Long, Double, Double, Double, String, String)]
+    .collect().toSeq
+
+  test("q6: revenue equals the scaled-integer recompute over the band") {
+    val in = lineitem.filter(r => r._8 >= "1996-01-01" &&
+      r._8 < "1997-01-01" && r._6 >= 0.05 && r._6 <= 0.07 && r._4 < 24.0)
+    val expect = in.map(r => q6(r._5 * r._6)).sum / 1e6
+    val (rev, n) = Relational.q6Forecast(spark, TestSpark.sf)
+      .as[(Double, Long)].collect().head
+    assert(rev == expect && n == in.length)
+    assert(n > 0, "the band must select something at the test SF")
+  }
+
+  test("q7: both flow directions present, revenue cells equal recompute") {
+    val nat = graft.core.Tables.nation(spark, TestSpark.sf)
+      .select($"n_nationkey".cast("long"), $"n_name")
+      .as[(Long, String)].collect().toMap
+    val supp = graft.core.Tables.supplier(spark, TestSpark.sf)
+      .select($"s_suppkey".cast("long"), $"s_nationkey".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val cust = graft.core.Tables.customer(spark, TestSpark.sf)
+      .select($"c_custkey".cast("long"), $"c_nationkey".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val custOf = graft.core.Tables.orders(spark, TestSpark.sf)
+      .select($"o_orderkey".cast("long"), $"o_custkey".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val pair = Set("NATION_3", "NATION_8")
+    val cells = lineitem
+      .filter(r => r._8 >= "1996-01-01" && r._8 < "1998-01-01")
+      .flatMap { r =>
+        val sn = nat(supp(r._2)); val cn = nat(cust(custOf(r._1)))
+        if (pair(sn) && pair(cn) && sn != cn)
+          Some(((sn, cn, r._8.take(4).toLong), q6(r._5 * (1.0 - r._6))))
+        else None
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum / 1e6).toMap
+    val got = Relational.q7Volume(spark, TestSpark.sf)
+      .as[(String, String, Long, Double)].collect()
+    assert(got.length == cells.size)
+    got.foreach { case (sn, cn, y, rev) =>
+      assert(rev == cells((sn, cn, y)), s"cell ($sn,$cn,$y)")
+    }
+    assert(got.map(_._1).distinct.length == 2,
+      "both flow directions must appear")
+  }
+
+  test("q10: exactly the top 20 by (revenue desc, custkey), values exact") {
+    val custOf = graft.core.Tables.orders(spark, TestSpark.sf)
+      .filter($"o_orderdate" >= lit("1996-01-01") &&
+        $"o_orderdate" < lit("1996-04-01"))
+      .select($"o_orderkey".cast("long"), $"o_custkey".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val perCust = lineitem
+      .filter(r => r._7 == "R" && custOf.contains(r._1))
+      .groupBy(r => custOf(r._1)).view
+      .mapValues(_.map(r => q6(r._5 * (1.0 - r._6))).sum / 1e6).toMap
+    val expectTop = perCust.toSeq.sortBy { case (ck, rev) => (-rev, ck) }
+      .take(20)
+    val got = Relational.q10Returned(spark, TestSpark.sf)
+      .as[(Long, String, Double, String, Double)].collect()
+    assert(got.length == math.min(20, perCust.size))
+    assert(got.map(r => (r._1, r._5)).toSeq == expectTop)
+  }
+
+  test("q14: promo share equals recompute; promo < total; share in (0,100)") {
+    val part = graft.core.Tables.part(spark, TestSpark.sf)
+      .select($"p_partkey".cast("long"), $"p_type")
+      .as[(Long, String)].collect().toMap
+    val in = lineitem.filter(r => r._8 >= "1996-01-01" && r._8 < "1996-02-01")
+    val promo = in.map(r =>
+      if (part(r._3) == "PROMO") q6(r._5 * (1.0 - r._6)) else q6(0.0)).sum / 1e6
+    val total = in.map(r => q6(r._5 * (1.0 - r._6))).sum / 1e6
+    val (gp, gt, gs) = Relational.q14Promo(spark, TestSpark.sf)
+      .as[(Double, Double, Double)].collect().head
+    assert(gp == promo && gt == total && gs == 100.0 * promo / total)
+    assert(gp > 0.0 && gp < gt && gs > 0.0 && gs < 100.0)
+  }
+
+  test("q18: exactly the orders over the threshold, quantities integer") {
+    val perOrder = lineitem.groupBy(_._1).view
+      .mapValues(_.map(_._4.toLong).sum)
+      .filter(_._2 > Relational.Q18MinQty).toMap
+    val got = Relational.q18LargeOrders(spark, TestSpark.sf)
+      .select($"o_orderkey", $"total_qty").as[(Long, Long)].collect().toMap
+    assert(got == perOrder)
+    assert(got.nonEmpty && got.values.forall(_ > Relational.Q18MinQty))
+  }
+}

@@ -1620,6 +1620,108 @@ object Events {
        |    AS survival
        |FROM ex""".stripMargin
 
+  // -------------------------------------------- #233 Holt linear trend
+
+  /** #233: HOLT'S LINEAR TREND method (double exponential smoothing,
+    * Holt 1957) over the per-type daily value stream — the fourth
+    * forecast-family member and the one with STATE the others lack:
+    * #198's EWMA tracks a level only, so it lags every ramp; Holt
+    * carries (level, trend) and extrapolates, which is what a capacity
+    * planner actually wants from a daily revenue series. α = β = 1/2
+    * keeps every smoothing weight a power of two (the #198 argument),
+    * so each step is halvings (exponent shifts, never rounding) plus
+    * correctly-rounded adds/subs in a FIXED sequential order — the
+    * house ordered-fold discipline: the per-type daily table collapses
+    * to ONE sorted dictionary-sized list, and the recursion
+    * l_t = ½y_t + ½(l+b), b_t = ½(l_t−l) + ½b (init l₁=y₁, b₁=y₂−y₁,
+    * Hyndman's convention) runs as a left fold whose IEEE sequence is
+    * identical in Spark `aggregate` and the oracle's RECURSIVE-CTE row
+    * recursion (NOT list_reduce — see [[holtSql]]: DuckDB 1.0.0's
+    * struct-accumulator lambda was probed mixing pure and in-place
+    * field semantics ACROSS STEPS of one fold, unusable for mutually-
+    * recursive state). The trend update duplicates the new-level
+    * expression textually on both sides, so the engines evaluate the
+    * identical pure expression tree on identical inputs.
+    * The recursion steps over OBSERVED days (gap handling documented:
+    * #198 owns calendar normalization; Holt here is the trend member).
+    *
+    * Plan: one map-side-combining collapse onto the bounded
+    * (type, day) space, one 5-key list aggregate, then per-type
+    * dictionary-sized algebra. Emits level/trend/7-step-ahead forecast
+    * in dollars (three mirrored single divisions).
+    */
+  def holt(spark: SparkSession, dir: String): DataFrame = {
+    val daily = eventsS(spark, dir)
+      .select(col("event_type"), expr("ts_s DIV 86400").as("day"),
+        col("value"))
+      .groupBy("event_type", "day")
+      .agg(sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("sv"))
+    val one = daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("sv"))))
+        .as("lst"), count(lit(1)).as("n_days"))
+      .filter(col("n_days") >= 2)
+    val folded = one.withColumn("st",
+      aggregate(
+        expr("slice(lst, 2, size(lst) - 1)"),
+        struct(
+          element_at(col("lst"), 1).getField("sv").cast("double").as("l"),
+          (element_at(col("lst"), 2).getField("sv").cast("double") -
+            element_at(col("lst"), 1).getField("sv").cast("double"))
+            .as("b")),
+        (a, x) => {
+          def lNew = lit(0.5) * x.getField("sv").cast("double") +
+            lit(0.5) * (a.getField("l") + a.getField("b"))
+          struct(
+            lNew.as("l"),
+            (lit(0.5) * (lNew - a.getField("l")) +
+              lit(0.5) * a.getField("b")).as("b"))
+        }))
+    folded.select(col("event_type"), col("n_days"),
+      element_at(col("lst"), -1).getField("day").as("last_day"),
+      (col("st.l") / 100.0).as("level"),
+      (col("st.b") / 100.0).as("trend"),
+      ((col("st.l") + lit(7.0) * col("st.b")) / 100.0).as("forecast_7d"))
+  }
+
+  // The oracle iterates the recursion as a RECURSIVE CTE, not
+  // list_reduce: DuckDB 1.0.0's list_reduce over multi-field struct
+  // accumulators was probed to mix pure and in-place field semantics
+  // ACROSS STEPS of the same fold (step 1 pure, step 2 sequential on a
+  // 3-element probe) — unusable for a mutually-recursive (level, trend)
+  // state. Plain SQL row-to-row recursion has guaranteed pure
+  // semantics; the new-level expression is duplicated textually in the
+  // trend update, exactly the Spark lambda's expression tree.
+  val holtSql: String =
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type, $duckTsS // 86400 AS day,
+       |    CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+       |      AS sv
+       |  FROM events GROUP BY 1, 2
+       |), dd AS (
+       |  SELECT event_type, CAST(sv AS DOUBLE) AS y,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+       |    MAX(day) OVER (PARTITION BY event_type) AS last_day
+       |  FROM daily
+       |), rec AS (
+       |  SELECT event_type, n_days, last_day, CAST(1 AS BIGINT) AS rn,
+       |    y AS l,
+       |    (SELECT d2.y FROM dd d2
+       |     WHERE d2.event_type = dd.event_type AND d2.rn = 2) - y AS b
+       |  FROM dd WHERE rn = 1 AND n_days >= 2
+       |  UNION ALL
+       |  SELECT r.event_type, r.n_days, r.last_day, r.rn + 1,
+       |    0.5::DOUBLE * d.y + 0.5::DOUBLE * (r.l + r.b) AS l,
+       |    0.5::DOUBLE * ((0.5::DOUBLE * d.y + 0.5::DOUBLE * (r.l + r.b))
+       |      - r.l) + 0.5::DOUBLE * r.b AS b
+       |  FROM rec r JOIN dd d
+       |    ON d.event_type = r.event_type AND d.rn = r.rn + 1
+       |)
+       |SELECT event_type, n_days, last_day,
+       |  l / 100.0::DOUBLE AS level, b / 100.0::DOUBLE AS trend,
+       |  (l + 7.0::DOUBLE * b) / 100.0::DOUBLE AS forecast_7d
+       |FROM rec WHERE rn = n_days""".stripMargin
+
   // ------------------------------------------- #226 DAU/WAU/MAU ratio
 
   /** #226: engagement STICKINESS — the DAU/WAU/MAU report and the

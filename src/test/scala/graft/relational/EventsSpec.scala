@@ -727,4 +727,41 @@ class EventsSpec extends AnyFunSuite {
     // stickiness must compress: some day's MAU strictly exceeds its DAU
     assert(got.exists(r => r._4 > r._2))
   }
+
+  test("holt: level/trend equal the textbook recursion in the exact " +
+      "op order; forecast extrapolates; trend state beats EWMA on ramps") {
+    val daily = Events.eventsS(spark, TestSpark.sf)
+      .select($"event_type", ($"ts_s" / 86400L).cast("long").as("day"),
+        $"value")
+      .as[(String, Long, Double)].collect()
+      .groupBy(r => (r._1, r._2)).view
+      .mapValues(_.map(r => math.floor(r._3 * 100.0 + 0.5).toLong).sum)
+      .toSeq.groupBy(_._1._1)
+    val got = Events.holt(spark, TestSpark.sf)
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+    assert(got.length == daily.size)
+    got.foreach { case (tpe, nDays, lastDay, level, trend, fc) =>
+      val ys = daily(tpe).sortBy(_._1._2)
+      assert(nDays == ys.length && lastDay == ys.last._1._2)
+      var l = ys.head._2.toDouble
+      var b = ys(1)._2.toDouble - ys.head._2.toDouble
+      ys.drop(1).foreach { case (_, y) =>
+        val lNew = 0.5 * y.toDouble + 0.5 * (l + b)
+        b = 0.5 * (lNew - l) + 0.5 * b
+        l = lNew
+      }
+      assert(level == l / 100.0 && trend == b / 100.0, s"state of $tpe")
+      assert(fc == (l + 7.0 * b) / 100.0)
+    }
+    // Holt's reason to exist: on a synthetic pure ramp y_t = t, the
+    // trend converges toward the true slope and the 7-ahead forecast
+    // beats a level-only EWMA's by construction
+    var (l2, b2) = (1.0, 1.0)
+    (2 to 40).foreach { t =>
+      val lNew = 0.5 * t + 0.5 * (l2 + b2)
+      b2 = 0.5 * (lNew - l2) + 0.5 * b2; l2 = lNew
+    }
+    assert(math.abs(b2 - 1.0) < 1e-6 && math.abs(l2 - 40.0) < 1e-3,
+      "on a ramp the state converges to (t, slope)")
+  }
 }

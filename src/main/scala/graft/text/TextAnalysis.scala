@@ -436,4 +436,113 @@ object TextAnalysis {
        |  CAST(top_w AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_frac,
        |  CAST(top_g AS DOUBLE) / CAST(n_bg AS DOUBLE) AS top_bigram_frac
        |FROM wstat JOIN bstat ON wstat.doc_id = bstat.doc_id""".stripMargin
+
+  // ---------------------------------------------- #234 RAKE keywords
+
+  /** RAKE phrase-boundary stopwords — the corpus's function words (the
+    * synthetic vocabulary carries exactly these two; a natural corpus
+    * would use the standard ~500-word list, same plan).
+    */
+  val RakeStops: Seq[String] = Seq("the", "a")
+  /** Keywords emitted. */
+  val RakeTopK = 50
+
+  /** #234: RAKE keyword extraction (Rose et al. 2010 — Rapid Automatic
+    * Keyword Extraction, the unsupervised keyphrase baseline every
+    * document-understanding pipeline starts from): split each document
+    * into candidate phrases at stopword boundaries, score each word by
+    * degree/frequency over the phrase graph (degree = Σ length of
+    * phrases containing it — co-occurrence mass; frequency = raw
+    * occurrences; the ratio favors words that appear in LONG
+    * multi-word phrases over ubiquitous singletons), then score a
+    * phrase as the sum of its word scores and report the corpus top-K.
+    *
+    * Exactness: phrase segmentation is integer (a running stopword
+    * count partitions each doc's position sequence; the window is
+    * per-doc, bounded by doc length); degree and frequency are exact
+    * integers; the word score is ONE division quantized 1e-6; the
+    * phrase score an order-free decSum of quantized word scores; the
+    * top-K orders by (quantized score, phrase) — fully deterministic
+    * cross-engine. Identical phrases share a score by construction, so
+    * the report aggregates occurrences rather than duplicating rows.
+    *
+    * Plan: one posexplode, one per-doc running-count window, one
+    * (doc, phrase) rollup, one word-keyed aggregate joined back
+    * broadcast-sized (vocabulary), TakeOrdered for the top-K — the
+    * phrase fan-out never exceeds the word count, and nothing
+    * data-scale sorts globally.
+    */
+  def rake(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Exact
+    val pos = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
+    val isStop = col("w").isin(RakeStops: _*)
+    val wRun = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val memb = pos
+      .withColumn("grp", sum(when(isStop, 1L).otherwise(0L)).over(wRun))
+      .filter(!isStop)
+    val phrases = memb.groupBy("doc_id", "grp")
+      .agg(sort_array(collect_list(struct(col("pos"), col("w")))).as("pw"))
+      .select(col("doc_id"), col("grp"),
+        expr("transform(pw, x -> x.w)").as("words"),
+        size(col("pw")).cast("long").as("plen"))
+    val members = phrases.select(col("doc_id"), col("grp"), col("plen"),
+      explode(col("words")).as("w"))
+    val wscore = members.groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("degree"))
+      .select(col("w"), Exact.roundS(
+        col("degree").cast("double") / col("freq"), 6).as("wscore"))
+    val pscore = members.join(broadcast(wscore), "w")
+      .groupBy("doc_id", "grp")
+      .agg(Exact.decSum(col("wscore"), 6).as("score"))
+    phrases.join(pscore, Seq("doc_id", "grp"))
+      .select(concat_ws(" ", col("words")).as("phrase"), col("plen"),
+        col("score"))
+      .groupBy("phrase")
+      .agg(max("plen").as("plen"), count(lit(1)).as("n_occurrences"),
+        max("score").as("score"))
+      .orderBy(col("score").desc, col("phrase").asc)
+      .limit(RakeTopK)
+  }
+
+  val rakeSql: String = {
+    import graft.core.Exact
+    val stops = RakeStops.map(s => s"'$s'").mkString("(", ", ", ")")
+    s"""WITH d AS (SELECT doc_id, $duckWords AS ws FROM documents),
+       |pos AS (
+       |  SELECT doc_id, x.pos AS pos, x.w AS w FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+       |      i -> struct_pack(pos := i, w := ws[i]))) AS x
+       |    FROM d)
+       |), memb AS (
+       |  SELECT doc_id, pos, w, grp FROM (
+       |    SELECT *, SUM(CASE WHEN w IN $stops THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |    FROM pos)
+       |  WHERE w NOT IN $stops
+       |), phr AS (
+       |  SELECT doc_id, grp, list(w ORDER BY pos) AS words,
+       |    COUNT(*) AS plen
+       |  FROM memb GROUP BY 1, 2
+       |), wsc AS (
+       |  SELECT w, ${Exact.duckRoundS(
+                "CAST(degree AS DOUBLE) / freq", 6)} AS wscore
+       |  FROM (
+       |    SELECT m.w, COUNT(*) AS freq,
+       |      CAST(SUM(p.plen) AS BIGINT) AS degree
+       |    FROM memb m JOIN phr p USING (doc_id, grp)
+       |    GROUP BY 1)
+       |), ps AS (
+       |  SELECT doc_id, grp, ${Exact.duckSum("wscore", 6)} AS score
+       |  FROM memb JOIN wsc USING (w) GROUP BY 1, 2
+       |)
+       |SELECT array_to_string(words, ' ') AS phrase,
+       |  CAST(MAX(plen) AS BIGINT) AS plen,
+       |  COUNT(*) AS n_occurrences, MAX(score) AS score
+       |FROM phr JOIN ps USING (doc_id, grp)
+       |GROUP BY 1
+       |ORDER BY score DESC, phrase ASC LIMIT $RakeTopK""".stripMargin
+  }
 }

@@ -157,4 +157,43 @@ class TextSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("rake: top-K phrases equal the driver RAKE recompute") {
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val docs = graft.core.Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val stops = TextAnalysis.RakeStops.toSet
+    // phrase segmentation: runs of non-stopwords
+    val phrases = docs.flatMap { case (id, text) =>
+      val ws = text.trim.split("\\s+").toSeq
+      val runs = scala.collection.mutable.Buffer[Seq[String]]()
+      var cur = scala.collection.mutable.Buffer[String]()
+      ws.foreach { w =>
+        if (stops(w)) { if (cur.nonEmpty) { runs += cur.toSeq; cur.clear() } }
+        else cur += w
+      }
+      if (cur.nonEmpty) runs += cur.toSeq
+      runs.map(id -> _)
+    }
+    val freq = phrases.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.length.toLong)
+    val degree = phrases.flatMap { case (_, p) => p.map(_ -> p.length.toLong) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+    val wscore = freq.keys.map(w =>
+      w -> q6(degree(w).toDouble / freq(w))).toMap
+    val scored = phrases.map { case (_, p) =>
+      (p.mkString(" "), p.length.toLong,
+        p.map(w => math.floor(wscore(w) * 1e6 + 0.5).toLong).sum / 1e6)
+    }
+    val agg = scored.groupBy(_._1).map { case (ph, rs) =>
+      (ph, rs.head._2, rs.length.toLong, rs.head._3)
+    }.toSeq
+    val expect = agg.sortBy(r => (-r._4, r._1)).take(TextAnalysis.RakeTopK)
+    val got = TextAnalysis.rake(spark, TestSpark.sf)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == expect, "RAKE top-K differs from the driver recompute")
+    // multi-word phrases must rank above ubiquitous singletons somewhere
+    assert(got.take(10).exists(_._2 >= 2),
+      "degree/freq should favor phrases in the head of the ranking")
+  }
 }

@@ -91,6 +91,18 @@ object Embeddings {
       Dict.relations(spark, dir).select(col("rid").as("id"),
         emb("R", col("rid")).as("vr"), emb("RI", col("rid")).as("vi")))
 
+  /** TransR relation-space dimension (k in the k×d projection). */
+  val DTransR = 8
+
+  /** Materialized TransR projection-matrix table (id, m: k×d row-major,
+    * family MR) — dictionary-sized, always broadcastable.
+    */
+  def transrM(spark: SparkSession, dir: String): DataFrame =
+    tableCache.getOrElseUpdate((spark, dir, "MR"))(
+      Dict.relations(spark, dir)
+        .select(col("rid").as("id"),
+          emb("MR", col("rid"), DTransR * D).as("m")))
+
   /** Materialized RESCAL relation-matrix table (id, w: d² row-major). */
   def rescalW(spark: SparkSession, dir: String): DataFrame =
     tableCache.getOrElseUpdate((spark, dir, "W"))(

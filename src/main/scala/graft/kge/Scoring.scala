@@ -357,4 +357,62 @@ object Scoring {
        |    / 1000000000000.0) AS score
        |FROM res GROUP BY sid, pid, oid""".stripMargin
   }
+
+  /** #235: TransR score = −‖M_r h + r − M_r t‖² (Lin et al. 2015) —
+    * the third translational rung: TransE forces ONE space, TransH a
+    * per-relation hyperplane inside it, TransR a full per-relation
+    * SPACE — a k×d projection matrix M_r maps entities (d = 16) into
+    * an 8-dim relation space before translating, so a relation can
+    * weigh entity dimensions arbitrarily, not just mask one normal
+    * direction.
+    *
+    * Exactness — the nice case of the family: dyadic entries are
+    * k/128 with |k| ≤ 100 (7 significant bits), so every projection
+    * component Σ_j M_ij·e_j is a sum of 16 exact 1/16384-grid products
+    * (≤ 18 bits), the residual stays on the grid, its square needs
+    * ≤ 38 bits and the 8-term score sum ≤ 41 — EVERYTHING below 2^53,
+    * so unlike TransH no quantized fold is needed: the oracle is plain
+    * SUMs and the result bit-exact in any evaluation order.
+    *
+    * Plan: the family's shared cached slice join (h, r, t already
+    * attached) + ONE broadcast join of the dictionary-sized projection
+    * table; both projections and the distance are array math inside a
+    * single projection over materialized columns (the [[Embeddings
+    * .emb]] HOF warning honored — no generator in the lambda).
+    */
+  def transrScore(spark: SparkSession, dir: String): DataFrame = {
+    import Embeddings.DTransR
+    slicedEmb(spark, dir)
+      .join(broadcast(Embeddings.transrM(spark, dir)
+        .select(col("id").as("pid"), col("m"))), "pid")
+      .withColumn("score", -Embeddings.dFold(
+        transform(sequence(lit(0), lit(DTransR - 1)), i => {
+          def proj(e: Column) =
+            aggregate(sequence(lit(0), lit(D - 1)), lit(0.0),
+              (a, j) => a +
+                element_at(col("m"), i * D + j + 1) * element_at(e, j + 1))
+          val u = proj(col("h")) + element_at(col("r"), i + 1) -
+            proj(col("t"))
+          u * u
+        })))
+      .select("sid", "pid", "oid", "score")
+  }
+
+  val transrScoreSql: String = {
+    val me = duckEl("MR", "pid", s"(i * ${D} + j)")
+    val he = duckEl("E", "sid", "j"); val te = duckEl("E", "oid", "j")
+    val re = duckEl("R", "pid", "i")
+    s"""${prelude(ScoreMod)},
+       |proj AS (
+       |  SELECT sid, pid, oid, i,
+       |    SUM($me * $he) AS hp, SUM($me * $te) AS tp
+       |  FROM test_enc,
+       |    (SELECT unnest(range(0, ${Embeddings.DTransR})) AS i),
+       |    (SELECT unnest(range(0, ${D})) AS j)
+       |  GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT sid, pid, oid,
+       |  -SUM(((hp + $re) - tp) * ((hp + $re) - tp)) AS score
+       |FROM proj GROUP BY sid, pid, oid""".stripMargin
+  }
 }

@@ -219,4 +219,42 @@ class ScoringSpec extends AnyFunSuite {
       .agg(max("count")).head().getLong(0)
     assert(hr.filter($"rank" < 1 || $"rank" > maxCand).count() == 0)
   }
+
+  test("transr: every score equals the driver projection recompute " +
+      "exactly, and the projection genuinely reorders TransE") {
+    def dyad(seed: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(seed.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      ((java.lang.Long.parseLong(hex.substring(0, 15), 16) % 201) - 100).toDouble / 128.0
+    }
+    val rows = Scoring.transrScore(spark, TestSpark.sf)
+      .select($"sid", $"pid", $"oid", $"score")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (sid, pid, oid, score) =>
+      val h = (0 until Embeddings.D).map(j => dyad(s"E|$sid|$j"))
+      val t = (0 until Embeddings.D).map(j => dyad(s"E|$oid|$j"))
+      val r = (0 until Embeddings.DTransR).map(i => dyad(s"R|$pid|$i"))
+      val m = (0 until Embeddings.DTransR * Embeddings.D)
+        .map(k => dyad(s"MR|$pid|$k"))
+      val expect = -(0 until Embeddings.DTransR).map { i =>
+        val hp = (0 until Embeddings.D)
+          .map(j => m(i * Embeddings.D + j) * h(j)).sum
+        val tp = (0 until Embeddings.D)
+          .map(j => m(i * Embeddings.D + j) * t(j)).sum
+        val u = hp + r(i) - tp
+        u * u
+      }.sum
+      assert(score == expect, s"transr($sid,$pid,$oid)")
+    }
+    // the per-relation space must CHANGE the geometry: the transr
+    // ranking of the slice differs from the plain TransE ranking
+    val te = Scoring.transeScore(spark, TestSpark.sf)
+      .select($"sid", $"pid", $"oid", $"score")
+      .as[(Long, Long, Long, Double)].collect()
+      .sortBy(r => (-r._4, r._1, r._2, r._3)).map(r => (r._1, r._2, r._3))
+    val tr = rows.sortBy(r => (-r._4, r._1, r._2, r._3))
+      .map(r => (r._1, r._2, r._3))
+    assert(te.toSeq != tr.toSeq, "projection should reorder the slice")
+  }
 }

@@ -329,4 +329,60 @@ object Sampling {
        |  COALESCE(d.n_drawn, 0) AS n_drawn
        |FROM alloc a LEFT JOIN drawn d ON d.lang = a.lang""".stripMargin
   }
+
+  // --------------------------------- #236 weighted reservoir (A-ES)
+
+  /** Weighted-reservoir sample size. */
+  val WresN = 100
+  /** Uniform-variate modulus (2^40; the 60-bit pHash folds onto it). */
+  val WresMod = 1099511627776L
+
+  /** #236: WEIGHTED sampling without replacement via exponential keys
+    * (Efraimidis & Spirakis 2006, A-ES — the distributed-weighted-
+    * reservoir algorithm): draw [[WresN]] documents with inclusion
+    * probability ∝ n_chars by keying each doc with e_i = −ln(u_i)/w_i
+    * (an Exponential(w_i) variate) and keeping the n SMALLEST keys —
+    * the importance-weighted draw a curation pipeline uses when long
+    * documents should anchor the sample ("sample by token mass, not by
+    * document count"), and the one primitive the sampler family lacked:
+    * #52/#154 draw uniformly, #68/#180 reweight DISTRIBUTIONS, A-ES
+    * draws WITHOUT replacement under per-item weights.
+    *
+    * Determinism/exactness: u_i = (pHash % 2^40 + 1)/(2^40+1) — an
+    * exact integer ratio in (0,1), one correctly-rounded division; the
+    * ln is the only transcendental and its output quantizes 1e-12 (the
+    * #203 discipline) after ONE division by the integer weight; the
+    * top-n orders by (quantized key, doc_id) — cross-engine stable.
+    *
+    * Plan: map-side key computation, TakeOrdered n — per-partition
+    * heaps + an n-row driver merge, the same shape as #154's uniform
+    * reservoir; no global sort, nothing data-scale shuffles.
+    */
+  def sampleWeightedReservoir(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Exact
+    import org.apache.spark.sql.expressions.Window
+    val u = (PortableHash.pHash(concat(lit("wres"), col("doc_id")))
+      % WresMod + 1L).cast("double") / (WresMod + 1L).toDouble
+    Tables.documents(spark, dir)
+      .filter(col("n_chars") > 0L)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        Exact.roundS(-log(u) / col("n_chars"), 12).as("k"))
+      .orderBy(col("k"), col("doc_id")).limit(WresN)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("k"), col("doc_id"))))
+  }
+
+  val sampleWeightedReservoirSql: String = {
+    import graft.core.Exact
+    val u = s"(CAST(${PortableHash.duck("'wres' || doc_id")} % $WresMod + 1" +
+      s" AS DOUBLE) / ${(WresMod + 1L).toDouble})"
+    s"""SELECT doc_id, lang, n_chars, k,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) AS INT) AS rank
+       |FROM (
+       |  SELECT doc_id, lang, n_chars,
+       |    ${Exact.duckRoundS(s"-ln($u) / n_chars", 12)} AS k
+       |  FROM documents WHERE n_chars > 0
+       |  ORDER BY k, doc_id LIMIT $WresN
+       |)""".stripMargin
+  }
 }

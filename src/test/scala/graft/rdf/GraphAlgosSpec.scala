@@ -471,4 +471,37 @@ class GraphAlgosSpec extends AnyFunSuite {
       "peel depth must be exercised")
     assert(truth(1L) == Set(1L, 2L, 3L) && truth(20L) == Set(20L, 21L))
   }
+
+  test("katz: walk counts equal the brute enumeration, score is the " +
+      "exact dyadic combination, and katz diverges from pagerank") {
+    import spark.implicits._
+    val edges = Dict.encodedTriples(spark, TestSpark.sf)
+      .select($"sid", $"oid").distinct().as[(Long, Long)].collect()
+    val inTo: Map[Long, Seq[Long]] =
+      edges.groupBy(_._2).view.mapValues(_.map(_._1).toSeq).toMap
+    val nodes = Dict.entities(spark, TestSpark.sf)
+      .select($"id").as[Long].collect()
+    var p = nodes.map(_ -> 1L).toMap
+    val walks = (1 to GraphAlgos.KatzIters).map { _ =>
+      p = nodes.map(v =>
+        v -> inTo.getOrElse(v, Seq.empty[Long])
+          .map(u => p.getOrElse(u, 0L)).sum).toMap
+      p
+    }
+    val got = GraphAlgos.katz(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.length == nodes.length)
+    got.foreach { case (id, p1, p2, p3, k) =>
+      assert(p1 == walks(0)(id) && p2 == walks(1)(id) && p3 == walks(2)(id),
+        s"walk counts of $id")
+      assert(k == (p1 * 16L + p2 * 4L + p3).toDouble / 64.0)
+    }
+    // the measure must DIFFER from pagerank's rationed flow: the two
+    // top-20 node sets are not identical
+    val kTop = got.sortBy(r => (-r._5, r._1)).take(20).map(_._1).toSet
+    val prTop = GraphAlgos.pagerank(spark, TestSpark.sf)
+      .select($"id", $"pr").as[(Long, Double)].collect()
+      .sortBy(r => (-r._2, r._1)).take(20).map(_._1).toSet
+    assert(kTop != prTop, "katz should rank differently from pagerank")
+  }
 }

@@ -309,6 +309,93 @@ object Relational {
        |FROM rules
        |ORDER BY lift DESC, ante ASC, cons ASC LIMIT $RuleTopN""".stripMargin
 
+  // ------------------------------------- #238 frequent 3-itemsets
+
+  /** Triples reported. */
+  val TripleTopN = 20
+
+  /** #238: frequent 3-ITEMSETS — the Apriori LEVEL the basket block
+    * stopped short of (Agrawal & Srikant 1994 run size-2 AND size-3+;
+    * #93/#161 cover pairs): supported part triples with their 3-way
+    * lift P(abc)/(P(a)P(b)P(c)) — the signal that finds BUNDLES a pair
+    * scan structurally misses (three items each pairwise-common but
+    * jointly rare score pair-lift ≈ 1 everywhere yet triple-lift ≪ 1,
+    * and a true 3-bundle scores high only here).
+    *
+    * Exactness: supports are exact integers; the lift is a fixed
+    * literal IEEE tree over casts of exact integers (two multiplies
+    * per side, one division — mirrored in literal order; the integer
+    * PRODUCTS are not formed, so nothing can exceed 2^53 at any
+    * scale); ranking by (lift, p1, p2, p3) is a total order.
+    *
+    * Plan: triples generate MAP-SIDE from the per-order basket set
+    * (fan-out C(basket,3), bounded by basket size never catalog —
+    * the #93 argument one level up), one triple-keyed count with the
+    * support floor applied BEFORE the three item-count joins, a 1-row
+    * broadcast scalar, TakeOrdered. The oracle is the brute 3-way
+    * self-join, so the hash match machine-checks the map-side
+    * generation's completeness.
+    */
+  def basketTriples(spark: SparkSession, dir: String): DataFrame = {
+    val lp = lpCache.getOrElseUpdate((spark, dir))(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct())
+    val tripleCnt = lp
+      .groupBy("l_orderkey")
+      .agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(filter(
+        flatten(transform(col("ps"), x =>
+          flatten(transform(col("ps"), y =>
+            transform(col("ps"), z =>
+              struct(x.as("p1"), y.as("p2"), z.as("p3"))))))),
+        s => s.getField("p1") < s.getField("p2") &&
+          s.getField("p2") < s.getField("p3"))).as("t"))
+      .groupBy(col("t.p1").as("p1"), col("t.p2").as("p2"),
+        col("t.p3").as("p3"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= RuleMinSupport)
+    val itemCnt = lp.groupBy(col("l_partkey").as("p"))
+      .agg(count(lit(1)).as("n_item"))
+    val n = lp.select("l_orderkey").distinct().agg(count(lit(1)).as("n"))
+    tripleCnt
+      .join(itemCnt.select(col("p").as("p1"), col("n_item").as("c1")), "p1")
+      .join(itemCnt.select(col("p").as("p2"), col("n_item").as("c2")), "p2")
+      .join(itemCnt.select(col("p").as("p3"), col("n_item").as("c3")), "p3")
+      .crossJoin(broadcast(n))
+      .select(col("p1"), col("p2"), col("p3"), col("n_orders"),
+        ((col("n_orders").cast("double") * col("n").cast("double")
+          * col("n").cast("double")) /
+          (col("c1").cast("double") * col("c2").cast("double")
+            * col("c3").cast("double"))).as("lift3"))
+      .orderBy(col("lift3").desc, col("p1"), col("p2"), col("p3"))
+      .limit(TripleTopN)
+  }
+
+  val basketTriplesSql: String =
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |tc AS (
+       |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3,
+       |    COUNT(*) AS n_orders
+       |  FROM lp a
+       |  JOIN lp b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey
+       |  JOIN lp c ON b.l_orderkey = c.l_orderkey
+       |    AND b.l_partkey < c.l_partkey
+       |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= $RuleMinSupport
+       |),
+       |ic AS (SELECT l_partkey AS p, COUNT(*) AS n_item FROM lp GROUP BY 1),
+       |nn AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM lp)
+       |SELECT p1, p2, p3, n_orders,
+       |  (CAST(n_orders AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+       |    / (CAST(i1.n_item AS DOUBLE) * CAST(i2.n_item AS DOUBLE)
+       |       * CAST(i3.n_item AS DOUBLE)) AS lift3
+       |FROM tc
+       |JOIN ic i1 ON i1.p = p1
+       |JOIN ic i2 ON i2.p = p2
+       |JOIN ic i3 ON i3.p = p3
+       |CROSS JOIN nn
+       |ORDER BY lift3 DESC, p1, p2, p3 LIMIT $TripleTopN""".stripMargin
+
   // --------------------------------------- #222 item-item neighbors
 
   /** Neighbors kept per item in the serving table. */

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
+// #238 spec appended below the rules spec.
 import graft.core.Tables
 
 /** Association-rule guarantees beyond the oracle: the full top-20 rule
@@ -82,5 +83,32 @@ class BasketRulesSpec extends AnyFunSuite {
     }
     // cosine in (0, 1]; symmetric cooc consistency
     got.foreach(r => assert(r._6 > 0.0 && r._6 <= 1.0))
+  }
+
+  test("triples: supports and 3-way lift equal the brute driver " +
+      "recompute; top-N ordering exact") {
+    val lp = graft.core.Tables.lineitem(spark, TestSpark.sf)
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .as[(Long, Long)].collect()
+    val baskets = lp.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.sorted.toSeq).toMap
+    val n = baskets.size.toLong
+    val item = lp.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val support = baskets.values.flatMap(_.combinations(3))
+      .map(c => (c(0), c(1), c(2)))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= Relational.RuleMinSupport).toMap
+    val scored = support.toSeq.map { case ((a, b, c), s) =>
+      val lift = (s.toDouble * n.toDouble * n.toDouble) /
+        (item(a).toDouble * item(b).toDouble * item(c).toDouble)
+      (a, b, c, s, lift)
+    }
+    val expect = scored.sortBy(r => (-r._5, r._1, r._2, r._3))
+      .take(Relational.TripleTopN)
+    val got = Relational.basketTriples(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == expect, "triple table differs from brute recompute")
+    assert(got.nonEmpty && got.forall(r =>
+      r._1 < r._2 && r._2 < r._3 && r._4 >= Relational.RuleMinSupport))
   }
 }

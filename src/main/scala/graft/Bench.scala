@@ -96,7 +96,8 @@ object Bench {
     "feat_woe_iv", "events_stickiness", "neg_sample_adversarial",
     "q6_forecast", "q7_volume", "q10_returned", "q14_promo",
     "q18_large_orders", "events_holt", "text_rake", "kge_transr_score",
-    "sample_weighted_reservoir", "graph_katz", "basket_triples")
+    "sample_weighted_reservoir", "graph_katz", "basket_triples",
+    "media_scene_cuts")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

@@ -89,4 +89,37 @@ class MediaSpec extends AnyFunSuite {
     val splits = got.groupBy(_._7).view.mapValues(_.size).toMap
     assert(splits.getOrElse("train", 0) > 0 && splits.getOrElse("val", 0) > 0)
   }
+
+  test("scene cuts: signatures, hamming and scene ids equal the driver " +
+      "recompute; scenes segment every video; cuts actually occur") {
+    val docs = graft.core.Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val expect = docs.flatMap { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val n = bytes.length
+      val nFrames = 1L + n % 24L
+      val stride = math.max(1, n / 16)
+      val sigs = (0L until nFrames).map { idx =>
+        val codes = Array.tabulate(16)(k =>
+          bytes(((idx + k * stride) % n).toInt) & 0xff)
+        val s = codes.sum
+        (0 until 16).map(k => if (codes(k) * 16 > s) 1 << k else 0).sum
+      }
+      var scene = 0L
+      sigs.zipWithIndex.map { case (sig, i) =>
+        val ham = if (i == 0) None
+          else Some(java.lang.Integer.bitCount(sig ^ sigs(i - 1)).toLong)
+        if (ham.exists(_ > Media.SceneCutBits)) scene += 1
+        (id, i.toLong, i * Media.FrameMs, ham, scene)
+      }
+    }.sortBy(r => (r._1, r._2)).toSeq
+    val got = Media.sceneCuts(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Option[Long], Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got == expect, "scene table differs from the driver recompute")
+    // every video starts in scene 0 with a NULL hamming
+    assert(got.filter(_._2 == 0L).forall(r => r._4.isEmpty && r._5 == 0L))
+    // the statistic must fire: some video has >1 scene
+    assert(got.exists(_._5 >= 1L), "no scene cut detected anywhere")
+  }
 }

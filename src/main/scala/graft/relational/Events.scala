@@ -1620,6 +1620,90 @@ object Events {
        |    AS survival
        |FROM ex""".stripMargin
 
+  // ---------------------------------------------- #240 top session paths
+
+  /** Leading events per session that define its path. */
+  val PathLen = 3
+  /** Paths reported. */
+  val PathTopN = 20
+
+  /** #240: top SESSION PATHS — the "how do sessions start" journey
+    * report product analytics reads next to the funnel: the funnel
+    * (#89) checks ONE hypothesized order; the path table enumerates
+    * the orders users actually take, as the first [[PathLen]] event
+    * types of every session joined into a path string, counted and
+    * shared over all sessions. The standard Sankey-diagram input.
+    *
+    * Exactness: session assignment is #5's integer gap rule verbatim
+    * (same windows, same tie rule); the leading slice is a row_number
+    * filter; the path string is an order-pinned join of the (rank,
+    * type) list; counts are integers, the share one division; top-N
+    * by (n DESC, path) is a total order.
+    *
+    * Scale: the two user-keyed windows share ONE user_id partitioning
+    * (the sessionize argument); the path rollup collapses map-side
+    * onto the bounded path keyspace (|event types|^[[PathLen]]); the
+    * session total is a 1-row broadcast.
+    */
+  def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    val sess = eventsS(spark, dir)
+      .withColumn("prev_ts", lag("ts_s", 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_ts").isNull || col("ts_s") - col("prev_ts") > GapS)
+          .cast("int"))
+      .withColumn("session_seq",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    val bySess = Window.partitionBy("user_id", "session_seq")
+      .orderBy("ts_s", "event_id")
+    val paths = sess
+      .withColumn("rn", row_number().over(bySess))
+      .filter(col("rn") <= PathLen)
+      .groupBy("user_id", "session_seq")
+      .agg(sort_array(collect_list(struct(col("rn"), col("event_type"))))
+        .as("pe"))
+      .select(concat_ws(">", expr("transform(pe, x -> x.event_type)"))
+        .as("path"))
+    val tot = paths.agg(count(lit(1)).as("n_sessions"))
+    paths.groupBy("path").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("path"), col("n"),
+        (col("n").cast("double") / col("n_sessions").cast("double"))
+          .as("share"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(PathTopN)
+  }
+
+  val topPathsSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, $duckTsS AS ts_s FROM events
+       |), flagged AS (
+       |  SELECT *, CASE WHEN prev_ts IS NULL OR ts_s - prev_ts > $GapS
+       |                 THEN 1 ELSE 0 END AS new_session
+       |  FROM (SELECT *, LAG(ts_s) OVER w AS prev_ts FROM e
+       |        WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id))
+       |), numbered AS (
+       |  SELECT *, CAST(SUM(new_session) OVER
+       |    (PARTITION BY user_id ORDER BY ts_s, event_id) AS BIGINT)
+       |    AS session_seq
+       |  FROM flagged
+       |), sliced AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER
+       |      (PARTITION BY user_id, session_seq ORDER BY ts_s, event_id)
+       |      AS rn
+       |    FROM numbered)
+       |  WHERE rn <= $PathLen
+       |), paths AS (
+       |  SELECT array_to_string(list(event_type ORDER BY rn), '>') AS path
+       |  FROM sliced GROUP BY user_id, session_seq
+       |), tot AS (SELECT COUNT(*) AS n_sessions FROM paths)
+       |SELECT path, COUNT(*) AS n,
+       |  CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n_sessions) AS DOUBLE) AS share
+       |FROM paths, tot
+       |GROUP BY path
+       |ORDER BY n DESC, path LIMIT $PathTopN""".stripMargin
+
   // -------------------------------------------- #233 Holt linear trend
 
   /** #233: HOLT'S LINEAR TREND method (double exponential smoothing,

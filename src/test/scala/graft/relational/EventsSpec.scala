@@ -764,4 +764,36 @@ class EventsSpec extends AnyFunSuite {
     assert(math.abs(b2 - 1.0) < 1e-6 && math.abs(l2 - 40.0) < 1e-3,
       "on a ramp the state converges to (t, slope)")
   }
+
+  test("top paths: the path table equals a driver sessionize-and-slice " +
+      "recompute; shares sum to at most 1; multi-step paths exist") {
+    val evs = Events.eventsS(spark, TestSpark.sf)
+      .select($"user_id", $"event_id", $"event_type", $"ts_s")
+      .as[(Long, Long, String, Long)].collect()
+    val paths = evs.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._4, r._2))
+      val sessions = scala.collection.mutable.Buffer[Seq[String]]()
+      var cur = scala.collection.mutable.Buffer[String]()
+      var prev = Long.MinValue
+      sorted.foreach { r =>
+        if (prev == Long.MinValue || r._4 - prev > Events.GapS) {
+          if (cur.nonEmpty) sessions += cur.toSeq
+          cur = scala.collection.mutable.Buffer[String]()
+        }
+        cur += r._3; prev = r._4
+      }
+      if (cur.nonEmpty) sessions += cur.toSeq
+      sessions.map(_.take(Events.PathLen).mkString(">"))
+    }.toSeq
+    val nSessions = paths.length
+    val expect = paths.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.map { case (p, n) =>
+        (p, n, n.toDouble / nSessions.toDouble)
+      }.sortBy(r => (-r._2, r._1)).take(Events.PathTopN)
+    val got = Events.topPaths(spark, TestSpark.sf)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == expect, "path table differs from the driver recompute")
+    assert(got.map(_._3).sum <= 1.0 + 1e-9)
+    assert(got.exists(_._1.contains(">")), "multi-event paths must appear")
+  }
 }

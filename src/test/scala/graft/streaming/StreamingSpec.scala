@@ -653,4 +653,54 @@ class StreamingSpec extends AnyFunSuite {
       ("view", 2L) -> 1L, ("view", 4L) -> 1L))
     q.stop()
   }
+
+  test("streaming funnel: first-occurrence state is replay-stable — a " +
+      "LATE-arriving earlier view requalifies the chain, per the " +
+      "order-free contract") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Chg]
+    val out = graft.streaming.FunnelState.funnelStream(
+      stream.toDF().selectExpr("user_id", "event_type", "ts_s"))
+    val q = out.writeStream.format("memory").queryName("spec_funnel")
+      .outputMode("update").start()
+    def rows(): Seq[(Long, Option[Long], Option[Long], Option[Long], Int)] =
+      spark.table("spec_funnel")
+        .as[(Long, Option[Long], Option[Long], Option[Long], Int)]
+        .collect().toSeq
+    // batch 1: user 1 clicks at 200 with NO view yet (stage 0 — the
+    // chain can't start); user 2 completes view→click in order
+    stream.addData(
+      Chg(200L, 1L, 1L, "click", 0.0),
+      Chg(100L, 2L, 2L, "view", 0.0),
+      Chg(150L, 2L, 3L, "click", 0.0))
+    q.processAllAvailable()
+    val e1 = rows()
+    assert(e1.toSet == Set(
+      (1L, None, Some(200L), None, 0),
+      (2L, Some(100L), Some(150L), None, 2)))
+    // batch 2: user 1's EARLIER view arrives LATE (ts 100 < click 200)
+    // — exactly the replay hazard a chain machine mishandles; the
+    // first-occurrence state requalifies the already-seen click
+    stream.addData(Chg(100L, 1L, 4L, "view", 0.0))
+    q.processAllAvailable()
+    val e2 = rows().diff(e1)
+    assert(e2 == Seq((1L, Some(100L), Some(200L), None, 2)),
+      s"late view must lift user 1 to stage 2, got $e2")
+    // batch 3: a purchase BEFORE the click (ts 180) must NOT advance
+    // the chain (ordering test), while one after (ts 300) must
+    stream.addData(Chg(180L, 2L, 5L, "purchase", 9.0))
+    q.processAllAvailable()
+    val e3 = rows().diff(e1 ++ e2)
+    assert(e3 == Seq((2L, Some(100L), Some(150L), Some(180L), 3)),
+      s"purchase at 180 > click 150 completes user 2, got $e3")
+    // and a pre-click purchase genuinely blocks: user 1 buys at 150
+    // (before their click at 200) — stage stays 2
+    stream.addData(Chg(150L, 1L, 6L, "purchase", 9.0))
+    q.processAllAvailable()
+    val e4 = rows().diff(e1 ++ e2 ++ e3)
+    assert(e4 == Seq((1L, Some(100L), Some(200L), Some(150L), 2)),
+      s"pre-click purchase must not advance user 1, got $e4")
+    q.stop()
+  }
 }

@@ -97,7 +97,8 @@ object Bench {
     "q6_forecast", "q7_volume", "q10_returned", "q14_promo",
     "q18_large_orders", "events_holt", "text_rake", "kge_transr_score",
     "sample_weighted_reservoir", "graph_katz", "basket_triples",
-    "media_scene_cuts", "events_top_paths", "streaming_funnel")
+    "media_scene_cuts", "events_top_paths", "streaming_funnel",
+    "price_elasticity")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

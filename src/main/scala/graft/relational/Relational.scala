@@ -396,6 +396,70 @@ object Relational {
        |CROSS JOIN nn
        |ORDER BY lift3 DESC, p1, p2, p3 LIMIT $TripleTopN""".stripMargin
 
+  // ------------------------------------------ #242 price elasticity
+
+  /** #242: PRICE ELASTICITY of demand per brand — the econometric
+    * log-log regression every pricing team runs: elasticity =
+    * d ln(qty)/d ln(unit price), estimated as the least-squares slope
+    * of ln(l_quantity) on ln(effective unit price) over a brand's
+    * line items (discount variation supplies the price dispersion —
+    * the TPC-H-shaped data's natural experiment). Same closed-form
+    * machinery as #204's Zipf fit, applied per group: elastic brands
+    * (slope < −1) lose revenue to price rises; the report is the
+    * input to that decision.
+    *
+    * Exactness (the #204 chain, group-keyed): the unit price is one
+    * fixed IEEE tree (multiply, subtract, divide); both lns quantize
+    * 1e-6; products of quantized doubles are single correctly-rounded
+    * ops summed order-free on the 1e-12 grid; the slope is a
+    * literal-order expression over exact sums, mirrored verbatim.
+    *
+    * Plan: one lineitem scan + a broadcast brand attach, map-side
+    * quantized terms, one map-side-combining aggregate onto the
+    * bounded brand keyspace, then 1-row-per-brand algebra.
+    */
+  def priceElasticity(spark: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 0.0)
+      .join(broadcast(Tables.part(spark, dir)
+        .select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        Exact.roundS(log(col("l_extendedprice") *
+          (lit(1.0) - col("l_discount")) / col("l_quantity")), 6).as("x"),
+        Exact.roundS(log(col("l_quantity")), 6).as("y"))
+    obs.groupBy("brand")
+      .agg(count(lit(1)).as("n_obs"),
+        Exact.decSum(col("x"), 6).as("sx"),
+        Exact.decSum(col("y"), 6).as("sy"),
+        Exact.decSum(col("x") * col("y"), 12).as("sxy"),
+        Exact.decSum(col("x") * col("x"), 12).as("sxx"))
+      .select(col("brand"), col("n_obs"),
+        ((col("n_obs") * col("sxy") - col("sx") * col("sy")) /
+         (col("n_obs") * col("sxx") - col("sx") * col("sx")))
+          .as("elasticity"))
+  }
+
+  val priceElasticitySql: String = {
+    val price = "l_extendedprice * (1.0::DOUBLE - l_discount) / l_quantity"
+    s"""WITH obs AS (
+       |  SELECT p_brand AS brand,
+       |    ${Exact.duckRoundS(s"ln($price)", 6)} AS x,
+       |    ${Exact.duckRoundS("ln(l_quantity)", 6)} AS y
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE l_quantity > 0.0
+       |), s AS (
+       |  SELECT brand, COUNT(*) AS n_obs,
+       |    ${Exact.duckSum("x", 6)} AS sx, ${Exact.duckSum("y", 6)} AS sy,
+       |    ${Exact.duckSum("x * y", 12)} AS sxy,
+       |    ${Exact.duckSum("x * x", 12)} AS sxx
+       |  FROM obs GROUP BY brand
+       |)
+       |SELECT brand, n_obs,
+       |  (n_obs * sxy - sx * sy) / (n_obs * sxx - sx * sx) AS elasticity
+       |FROM s""".stripMargin
+  }
+
   // --------------------------------------- #222 item-item neighbors
 
   /** Neighbors kept per item in the serving table. */

@@ -106,4 +106,35 @@ class TpchClassicsSpec extends AnyFunSuite {
     assert(got == perOrder)
     assert(got.nonEmpty && got.values.forall(_ > Relational.Q18MinQty))
   }
+
+  test("elasticity: per-brand slope equals the quantized closed-form " +
+      "least squares; every brand covered") {
+    def q(x: Double, s: Double) = math.floor(x * s + 0.5) / s
+    val brand = graft.core.Tables.part(spark, TestSpark.sf)
+      .select($"p_partkey".cast("long"), $"p_brand")
+      .as[(Long, String)].collect().toMap
+    val obs = lineitem.filter(_._4 > 0.0).map { r =>
+      val x = q(math.log(r._5 * (1.0 - r._6) / r._4), 1e6)
+      val y = q(math.log(r._4), 1e6)
+      (brand(r._3), x, y)
+    }
+    val expect = obs.groupBy(_._1).map { case (b, rs) =>
+      val n = rs.length.toLong
+      def dsum(vs: Seq[Double], s: Double) =
+        vs.map(v => math.floor(v * s + 0.5).toLong).sum / s
+      val sx = dsum(rs.map(_._2).toSeq, 1e6)
+      val sy = dsum(rs.map(_._3).toSeq, 1e6)
+      val sxy = dsum(rs.map(r => r._2 * r._3).toSeq, 1e12)
+      val sxx = dsum(rs.map(r => r._2 * r._2).toSeq, 1e12)
+      b -> ((n, (n * sxy - sx * sy) / (n * sxx - sx * sx)))
+    }
+    val got = Relational.priceElasticity(spark, TestSpark.sf)
+      .as[(String, Long, Double)].collect()
+    assert(got.length == expect.size)
+    got.foreach { case (b, n, e) =>
+      assert((n, e) == expect(b), s"brand $b")
+    }
+    assert(got.map(_._1).toSet == brand.values.toSet,
+      "every brand with sales must appear")
+  }
 }

@@ -873,4 +873,154 @@ object Ann {
        |UNION ALL
        |${variant("ivfpq_refined", refineRerankSql)}""".stripMargin
   }
+
+  // ----------------------------------------------- #243 MMR rerank
+
+  /** Selections per query in the diversified list. */
+  val MmrK = 3
+
+  /** #243: MAXIMAL MARGINAL RELEVANCE reranking (Carbonell & Goldstein
+    * 1998) — the diversification pass between retrieval and serving
+    * that every search/RAG stack runs: a pure top-k by relevance
+    * returns near-duplicates of one best hit; MMR greedily picks
+    * argmax λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s), trading
+    * relevance against redundancy with what's already chosen. λ = 1/2
+    * (dyadic — both weights are halvings, exact).
+    *
+    * Exactness: relevance and candidate-pair similarities are the
+    * SAME ordered-fold cosine the #29 brute top-k hash-matches on, so
+    * both engines hold bit-identical doubles; each MMR score is two
+    * exact halvings and one correctly-rounded subtract; greatest() of
+    * identical doubles is exact; every argmax breaks ties on vec_id.
+    * The [[MmrK]]-round greedy is UNROLLED (the wcc/scc discipline),
+    * one window argmax per round — no iterative driver loop, one lazy
+    * plan, oracle-checkable.
+    *
+    * Scale: the candidate frame is the #29 result (K per query);
+    * pairwise sims are K² per query, generated by a q_id-keyed
+    * self-join of the candidate slice — bounded by K²·|Q|, never
+    * corpus-squared; each round's argmax is a K-row window per query.
+    */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val lam = 0.5
+    val cands = bruteTopK(spark, dir)
+      .select(col("q_id"), col("vec_id"), col("cosine").as("rel"))
+      .localCheckpoint(false)
+    val e = vecs(spark, dir)
+    val withV = cands.join(e, "vec_id")
+      .select(col("q_id"), col("vec_id"), col("v"))
+    val pair = withV.as("a").join(withV.as("b"),
+        col("a.q_id") === col("b.q_id") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.q_id").as("q_id"), col("a.vec_id").as("da"),
+        col("b.vec_id").as("db"),
+        VectorLsh.cosine(col("a.v"), col("b.v")).as("sim"))
+      .localCheckpoint(false)
+    val w = Window.partitionBy("q_id")
+    def argmax(df: DataFrame, score: String): DataFrame =
+      df.withColumn("r", row_number().over(
+          w.orderBy(col(score).desc, col("vec_id").asc)))
+        .filter(col("r") === 1).drop("r")
+    val sel1 = argmax(cands, "rel")
+      .select(col("q_id"), col("vec_id").as("s1"), col("rel").as("rel1"))
+    val sc2 = cands.join(sel1, "q_id").filter(col("vec_id") =!= col("s1"))
+      .join(pair.select(col("q_id"), col("da").as("vec_id"),
+        col("db").as("s1"), col("sim").as("sim1")),
+        Seq("q_id", "vec_id", "s1"))
+      .withColumn("mmr",
+        lit(lam) * col("rel") - lit(lam) * col("sim1"))
+    val sel2 = argmax(sc2, "mmr")
+      .select(col("q_id"), col("vec_id").as("s2"), col("rel").as("rel2"),
+        col("mmr").as("mmr2"))
+    val sc3 = cands.join(sel1, "q_id").join(sel2, "q_id")
+      .filter(col("vec_id") =!= col("s1") && col("vec_id") =!= col("s2"))
+      .join(pair.select(col("q_id"), col("da").as("vec_id"),
+        col("db").as("s1"), col("sim").as("sim1")),
+        Seq("q_id", "vec_id", "s1"))
+      .join(pair.select(col("q_id"), col("da").as("vec_id"),
+        col("db").as("s2"), col("sim").as("sim2")),
+        Seq("q_id", "vec_id", "s2"))
+      .withColumn("mmr",
+        lit(lam) * col("rel") -
+          lit(lam) * greatest(col("sim1"), col("sim2")))
+    val sel3 = argmax(sc3, "mmr")
+      .select(col("q_id"), col("vec_id").as("s3"), col("rel").as("rel3"),
+        col("mmr").as("mmr3"))
+    sel1.select(col("q_id"), lit(1).as("mmr_rank"),
+        col("s1").as("vec_id"), col("rel1").as("relevance"),
+        col("rel1").as("mmr_score"))
+      .unionByName(sel2.select(col("q_id"), lit(2).as("mmr_rank"),
+        col("s2").as("vec_id"), col("rel2").as("relevance"),
+        col("mmr2").as("mmr_score")))
+      .unionByName(sel3.select(col("q_id"), lit(3).as("mmr_rank"),
+        col("s3").as("vec_id"), col("rel3").as("relevance"),
+        col("mmr3").as("mmr_score")))
+  }
+
+  val mmrRerankSql: String = {
+    val cos = s"${VectorLsh.duckFold("a.v[i] * b.v[i]")} / " +
+      s"(sqrt(${VectorLsh.duckFold("a.v[i] * a.v[i]")}) * " +
+      s"sqrt(${VectorLsh.duckFold("b.v[i] * b.v[i]")}))"
+    val qcos = s"${VectorLsh.duckFold("q.v[i] * e.v[i]")} / " +
+      s"(sqrt(${VectorLsh.duckFold("q.v[i] * q.v[i]")}) * " +
+      s"sqrt(${VectorLsh.duckFold("e.v[i] * e.v[i]")}))"
+    s"""WITH ve AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+       |    AS v
+       |  FROM embeddings
+       |), cands AS MATERIALIZED (
+       |  SELECT q_id, vec_id, rel FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS vec_id, $qcos AS rel,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY $qcos DESC, e.vec_id ASC) AS rnk
+       |    FROM ve q JOIN ve e ON e.vec_id <> q.vec_id
+       |    WHERE q.vec_id % $QueryMod = 0
+       |  ) WHERE rnk <= $K
+       |), pair AS MATERIALIZED (
+       |  SELECT ca.q_id, ca.vec_id AS da, cb.vec_id AS db, $cos AS sim
+       |  FROM cands ca JOIN cands cb
+       |    ON ca.q_id = cb.q_id AND ca.vec_id <> cb.vec_id
+       |  JOIN ve a ON a.vec_id = ca.vec_id
+       |  JOIN ve b ON b.vec_id = cb.vec_id
+       |), sel1 AS MATERIALIZED (
+       |  SELECT q_id, vec_id AS s1, rel AS rel1 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY rel DESC, vec_id ASC) AS r FROM cands
+       |  ) WHERE r = 1
+       |), sc2 AS (
+       |  SELECT c.q_id, c.vec_id, c.rel, s.s1, s.rel1,
+       |    0.5::DOUBLE * c.rel - 0.5::DOUBLE * p.sim AS mmr
+       |  FROM cands c
+       |  JOIN sel1 s ON s.q_id = c.q_id AND c.vec_id <> s.s1
+       |  JOIN pair p ON p.q_id = c.q_id AND p.da = c.vec_id
+       |    AND p.db = s.s1
+       |), sel2 AS MATERIALIZED (
+       |  SELECT q_id, vec_id AS s2, rel AS rel2, mmr AS mmr2 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY mmr DESC, vec_id ASC) AS r FROM sc2
+       |  ) WHERE r = 1
+       |), sc3 AS (
+       |  SELECT c.q_id, c.vec_id, c.rel,
+       |    0.5::DOUBLE * c.rel
+       |      - 0.5::DOUBLE * greatest(p1.sim, p2.sim) AS mmr
+       |  FROM cands c
+       |  JOIN sel1 s1 ON s1.q_id = c.q_id AND c.vec_id <> s1.s1
+       |  JOIN sel2 s2 ON s2.q_id = c.q_id AND c.vec_id <> s2.s2
+       |  JOIN pair p1 ON p1.q_id = c.q_id AND p1.da = c.vec_id
+       |    AND p1.db = s1.s1
+       |  JOIN pair p2 ON p2.q_id = c.q_id AND p2.da = c.vec_id
+       |    AND p2.db = s2.s2
+       |), sel3 AS (
+       |  SELECT q_id, vec_id AS s3, rel AS rel3, mmr AS mmr3 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY mmr DESC, vec_id ASC) AS r FROM sc3
+       |  ) WHERE r = 1
+       |)
+       |SELECT q_id, CAST(1 AS INT) AS mmr_rank, s1 AS vec_id,
+       |  rel1 AS relevance, rel1 AS mmr_score FROM sel1
+       |UNION ALL
+       |SELECT q_id, CAST(2 AS INT), s2, rel2, mmr2 FROM sel2
+       |UNION ALL
+       |SELECT q_id, CAST(3 AS INT), s3, rel3, mmr3 FROM sel3""".stripMargin
+  }
 }

@@ -279,4 +279,51 @@ class AnnSpec extends AnyFunSuite {
     val trained = out.map(r => (r._1, r._2)).toSet
     assert(trained != untrained, "swept codebook must re-rank some query")
   }
+
+  test("mmr: the greedy selection equals a driver recompute over the " +
+      "brute candidates, and diversification genuinely reorders") {
+    import spark.implicits._
+    val cands = Ann.bruteTopK(spark, TestSpark.sf)
+      .select($"q_id", $"vec_id", $"cosine")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val vecs = graft.core.Tables.embeddings(spark, TestSpark.sf)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      def fold(f: Int => Double) = (0 until a.length)
+        .foldLeft(0.0)((acc, i) => acc + f(i))
+      fold(i => a(i) * b(i)) /
+        (math.sqrt(fold(i => a(i) * a(i))) *
+          math.sqrt(fold(i => b(i) * b(i))))
+    }
+    val expect = cands.toSeq.flatMap { case (q, rel) =>
+      var selected = Vector.empty[(Long, Double, Double)]
+      (1 to Ann.MmrK).foreach { _ =>
+        val remaining = rel.keySet -- selected.map(_._1)
+        val scored = remaining.toSeq.map { d =>
+          val mmr = if (selected.isEmpty) rel(d)
+            else 0.5 * rel(d) - 0.5 * selected
+              .map(s => cos(vecs(d), vecs(s._1))).max
+          (d, rel(d), mmr)
+        }
+        val pick = scored.minBy(r => (-r._3, r._1))
+        selected :+= pick
+      }
+      selected.zipWithIndex.map { case ((d, r, m), i) =>
+        (q, i + 1, d, r, m)
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = Ann.mmrRerank(spark, TestSpark.sf)
+      .as[(Long, Int, Long, Double, Double)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got == expect, "MMR selection differs from the driver greedy")
+    // diversification must bite: for some query the MMR list is not
+    // just the top-3 by relevance
+    val top3 = cands.view.mapValues(_.toSeq.sortBy(r => (-r._2, r._1))
+      .take(Ann.MmrK).map(_._1).toSet).toMap
+    assert(got.groupBy(_._1).exists { case (q, rows) =>
+      rows.map(_._3).toSet != top3(q)
+    }, "MMR should reorder at least one query's head")
+  }
 }

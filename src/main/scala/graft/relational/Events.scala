@@ -779,6 +779,94 @@ object Events {
        |    CAST(CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS DOUBLE) AS p
        |FROM cnt""".stripMargin
 
+  // -------------------------------------- #244 Markov stationary dist
+
+  /** Power-iteration steps for the stationary distribution. */
+  val MarkovIters = 4
+
+  /** #244: the STATIONARY DISTRIBUTION of the user-journey Markov
+    * chain (#181's transition matrix): where the chain SETTLES — the
+    * long-run share of attention each event type commands if users
+    * keep behaving as observed, the number the transition matrix only
+    * implies. π = πP by [[MarkovIters]] power steps from uniform (the
+    * PageRank recursion on the behavioral chain; the event-type state
+    * space is dictionary-sized so every frame here is tiny).
+    *
+    * Exactness: transition probabilities are the #181 single
+    * divisions (bit-identical); each step's π_j = Σ_i π_i·p_ij uses
+    * one correctly-rounded product per term and the order-free
+    * decSum(12) grid (the PageRank discipline — a 5-term double sum
+    * is still order-sensitive); states with no outgoing transitions
+    * get an explicit self-loop so no mass leaks (documented, mirrored).
+    *
+    * Plan: dictionary-sized joins end to end — the one data-scale
+    * stage is #181's transition count itself (shared shape).
+    */
+  def markovStationary(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Exact
+    val p = markovTransitions(spark, dir)
+      .select("from_type", "to_type", "p")
+    val states = p.select(col("from_type").as("s"))
+      .unionByName(p.select(col("to_type").as("s"))).distinct()
+    val noOut = states
+      .join(p.select(col("from_type").as("s")).distinct(), Seq("s"),
+        "left_anti")
+      .select(col("s").as("from_type"), col("s").as("to_type"),
+        lit(1.0).as("p"))
+    val pFull = p.unionByName(noOut)
+    val ns = states.agg(count(lit(1)).as("ns"))
+    var pi = states.crossJoin(broadcast(ns))
+      .select(col("s"), (lit(1.0) / col("ns")).as("pi"))
+    (1 to MarkovIters).foreach { _ =>
+      pi = pFull.join(pi.select(col("s").as("from_type"), col("pi")),
+          "from_type")
+        .groupBy(col("to_type"))
+        .agg(Exact.decSum(col("pi") * col("p"), 12).as("pi"))
+        .select(col("to_type").as("s"), col("pi"))
+    }
+    pi.select(col("s").as("state"), col("pi"))
+  }
+
+  val markovStationarySql: String = {
+    import graft.core.Exact
+    def step(k: Int): String =
+      s"""pi$k AS (
+         |  SELECT to_type AS s, ${Exact.duckSum("pi * p", 12)} AS pi
+         |  FROM pfull JOIN pi${k - 1} ON pfull.from_type = pi${k - 1}.s
+         |  GROUP BY to_type
+         |)""".stripMargin
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type,
+       |    LEAD(event_type) OVER (
+       |      PARTITION BY user_id ORDER BY $duckTsS, event_id) AS next_type
+       |  FROM events
+       |), cnt AS (
+       |  SELECT event_type AS from_type, next_type AS to_type,
+       |    COUNT(*) AS n
+       |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+       |), pm AS (
+       |  SELECT from_type, to_type,
+       |    CAST(n AS DOUBLE) /
+       |      CAST(CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+       |        AS DOUBLE) AS p
+       |  FROM cnt
+       |), states AS (
+       |  SELECT DISTINCT s FROM (
+       |    SELECT from_type AS s FROM pm
+       |    UNION ALL SELECT to_type FROM pm)
+       |), pfull AS MATERIALIZED (
+       |  SELECT from_type, to_type, p FROM pm
+       |  UNION ALL
+       |  SELECT s, s, 1.0::DOUBLE FROM states
+       |  WHERE s NOT IN (SELECT DISTINCT from_type FROM pm)
+       |), pi0 AS (
+       |  SELECT s, 1.0::DOUBLE / (SELECT COUNT(*) FROM states) AS pi
+       |  FROM states
+       |),
+       |${(1 to MarkovIters).map(step).mkString(",\n")}
+       |SELECT s AS state, pi FROM pi$MarkovIters""".stripMargin
+  }
+
   val interarrivalSql: String =
     s"""WITH g AS (
        |  SELECT event_type,

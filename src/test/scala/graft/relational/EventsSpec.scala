@@ -796,4 +796,32 @@ class EventsSpec extends AnyFunSuite {
     assert(got.map(_._3).sum <= 1.0 + 1e-9)
     assert(got.exists(_._1.contains(">")), "multi-event paths must appear")
   }
+
+  test("markov stationary: the power iteration equals the driver " +
+      "recompute in the exact quantized op order; mass conserved; " +
+      "iteration moves away from uniform") {
+    def q12(x: Double) = math.floor(x * 1e12 + 0.5).toLong
+    val trans = Events.markovTransitions(spark, TestSpark.sf)
+      .select($"from_type", $"to_type", $"p")
+      .as[(String, String, Double)].collect()
+    val states = (trans.map(_._1) ++ trans.map(_._2)).distinct.sorted
+    val hasOut = trans.map(_._1).toSet
+    val pFull = trans ++ states.filterNot(hasOut)
+      .map(s => (s, s, 1.0))
+    var pi = states.map(_ -> 1.0 / states.length).toMap
+    (1 to Events.MarkovIters).foreach { _ =>
+      pi = pFull.groupBy(_._2).map { case (to, rows) =>
+        to -> rows.map(r => q12(pi(r._1) * r._3)).sum / 1e12
+      }
+    }
+    val got = Events.markovStationary(spark, TestSpark.sf)
+      .as[(String, Double)].collect().toMap
+    assert(got.keySet == pi.keySet)
+    got.foreach { case (s, p) => assert(p == pi(s), s"pi($s)") }
+    // mass conserved to the quantization grid
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // the chain is not uniform: iteration must move the distribution
+    assert(got.values.max - got.values.min > 1e-3,
+      "stationary distribution should differ across event types")
+  }
 }

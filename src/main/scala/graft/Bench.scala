@@ -98,7 +98,8 @@ object Bench {
     "q18_large_orders", "events_holt", "text_rake", "kge_transr_score",
     "sample_weighted_reservoir", "graph_katz", "basket_triples",
     "media_scene_cuts", "events_top_paths", "streaming_funnel",
-    "price_elasticity", "search_mmr_rerank", "events_markov_stationary")
+    "price_elasticity", "search_mmr_rerank", "events_markov_stationary",
+    "text_burstiness")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

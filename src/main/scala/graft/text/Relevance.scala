@@ -422,6 +422,66 @@ object Relevance {
       .select(col("n"), col("slope"), (-col("slope")).as("zipf_exponent"))
   }
 
+  // ------------------------------------------- #245 term burstiness
+
+  /** Terms reported in the burstiness table. */
+  val BurstTopN = 50
+
+  /** #245: term BURSTINESS — the variance-to-mean ratio of per-doc
+    * term counts over the WHOLE corpus including the zero docs
+    * (Church & Gale 1995): a Poisson word (VMR ≈ 1) sprinkles itself
+    * independently — the function-word signature; a bursty word
+    * (VMR ≫ 1) arrives in clumps — the content-word signature. The
+    * statistic IDF can't give: two terms with identical df can differ
+    * 10× in burstiness, and burstiness (not rarity) is what makes a
+    * term a keyword candidate. Complements #204's Zipf (corpus shape)
+    * and #54's TF-IDF (per-doc salience) with per-TERM dispersion.
+    *
+    * Exactness: cf = Σtf, cf2 = Σtf² and df are exact integers; N is
+    * a 1-row broadcast; VMR = (cf2/N − (cf/N)²)/(cf/N) is a fixed
+    * literal IEEE tree over casts of exact integers, mirrored
+    * verbatim; top-N orders by (VMR, term) — VMR identical doubles
+    * cross-engine, term the tiebreak.
+    *
+    * Plan: one (doc, term) collapse (shared shape with TF-IDF), one
+    * term-keyed map-side-combining aggregate onto the vocabulary
+    * keyspace, a 1-row broadcast, TakeOrdered. The zero docs never
+    * materialize — their contribution is algebraic (cf/N uses the
+    * corpus N, not df).
+    */
+  def burstiness(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
+    termFreq(spark, dir)
+      .groupBy("term")
+      .agg(sum("tf").as("cf"), sum(col("tf") * col("tf")).as("cf2"),
+        count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .select(col("term"), col("cf"), col("df"),
+        ((col("cf2").cast("double") / col("n").cast("double") -
+          (col("cf").cast("double") / col("n").cast("double")) *
+            (col("cf").cast("double") / col("n").cast("double"))) /
+          (col("cf").cast("double") / col("n").cast("double")))
+          .as("vmr"))
+      .orderBy(col("vmr").desc, col("term").asc)
+      .limit(BurstTopN)
+  }
+
+  val burstinessSql: String =
+    s"""WITH $termFreqCte,
+       |nn AS (SELECT COUNT(*) AS n FROM documents),
+       |st AS (
+       |  SELECT term, CAST(SUM(tf) AS BIGINT) AS cf,
+       |    CAST(SUM(tf * tf) AS BIGINT) AS cf2, COUNT(*) AS df
+       |  FROM tf GROUP BY term
+       |)
+       |SELECT term, cf, df,
+       |  (CAST(cf2 AS DOUBLE) / CAST(n AS DOUBLE)
+       |    - (CAST(cf AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * (CAST(cf AS DOUBLE) / CAST(n AS DOUBLE)))
+       |  / (CAST(cf AS DOUBLE) / CAST(n AS DOUBLE)) AS vmr
+       |FROM st, nn
+       |ORDER BY vmr DESC, term ASC LIMIT $BurstTopN""".stripMargin
+
   val zipfFitSql: String =
     s"""WITH $termFreqCte,
        |freq AS (

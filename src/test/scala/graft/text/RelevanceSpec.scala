@@ -118,4 +118,36 @@ class RelevanceSpec extends AnyFunSuite {
     // broad Zipf band (negative, order −0.3..−2), not flat or positive
     assert(slope < -0.1 && slope > -3.0, s"slope $slope outside Zipf band")
   }
+
+  test("burstiness: VMR equals the zero-inclusive driver recompute and " +
+      "every reported term is genuinely super-Poisson") {
+    val docs = graft.core.Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val n = docs.length.toLong
+    val perTerm = docs.flatMap { case (id, text) =>
+      text.trim.split("\\s+").groupBy(identity).map {
+        case (t, os) => (t, os.length.toLong)
+      }
+    }.groupBy(_._1).map { case (t, rows) =>
+      val cf = rows.map(_._2).sum
+      val cf2 = rows.map(r => r._2 * r._2).sum
+      val df = rows.length.toLong
+      val vmr = (cf2.toDouble / n.toDouble -
+        (cf.toDouble / n.toDouble) * (cf.toDouble / n.toDouble)) /
+        (cf.toDouble / n.toDouble)
+      (t, cf, df, vmr)
+    }
+    val expect = perTerm.toSeq.sortBy(r => (-r._4, r._1))
+      .take(Relevance.BurstTopN)
+    val got = Relevance.burstiness(spark, TestSpark.sf)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == expect, "burstiness table differs from driver recompute")
+    // the head of the table must be super-Poisson and the corpus must
+    // also CONTAIN near-Poisson terms the table correctly excludes
+    assert(got.forall(_._4 > 1.0), "reported terms should clump")
+    assert(got.length == math.min(Relevance.BurstTopN, perTerm.size))
+    // dispersion must DISCRIMINATE: the band is not flat
+    assert(got.head._4 > got.last._4 * 1.05,
+      "VMR should separate clumpy terms from sprinkled ones")
+  }
 }

@@ -460,6 +460,74 @@ object Relational {
        |FROM s""".stripMargin
   }
 
+  // --------------------------------------------- #246 order lead time
+
+  /** #246: fulfillment LEAD-TIME distribution per order priority — the
+    * operations SLO report a commerce pipeline watches: days from
+    * order placement to line-item shipment, summarized as exact
+    * p50/p90/max/mean per priority class. The check the priority
+    * field exists to support: do urgent orders actually ship faster?
+    *
+    * Exactness: lead days are integer epoch-day differences (DIV
+    * arithmetic on positive epochs — truncation ≡ floor on both
+    * engines); percentiles are the #108 nearest-rank integer histogram
+    * (cum windows per priority over the bounded lead-day keyspace);
+    * the mean is one division of exact integer sums.
+    *
+    * Plan: the lineitem⋈orders equi-join is the one data-scale
+    * shuffle; everything after runs on the (priority, lead_day)
+    * histogram, bounded by the calendar not the fact table.
+    */
+  def ordersLeadTime(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lead = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        expr("unix_timestamp(l_shipdate) DIV 86400" +
+          " - unix_timestamp(o_orderdate) DIV 86400").as("d"))
+    val hist = lead.groupBy("priority", "d")
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("priority").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("priority")
+    hist
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wAll))
+      .groupBy("priority")
+      .agg(max("n").as("n_items"),
+        min(when(col("cum") >= expr("(n * 50 + 99) DIV 100"), col("d")))
+          .as("p50_days"),
+        min(when(col("cum") >= expr("(n * 90 + 99) DIV 100"), col("d")))
+          .as("p90_days"),
+        max("d").as("max_days"),
+        (sum(col("d") * col("c")).cast("double") / max("n").cast("double"))
+          .as("mean_days"))
+  }
+
+  val ordersLeadTimeSql: String =
+    s"""WITH lead AS (
+       |  SELECT o_orderpriority AS priority,
+       |    (epoch_ms(l_shipdate) // 1000) // 86400
+       |      - (epoch_ms(o_orderdate) // 1000) // 86400 AS d
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |), h AS (
+       |  SELECT priority, d, COUNT(*) AS c FROM lead GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT priority, d, c,
+       |    SUM(c) OVER (PARTITION BY priority ORDER BY d) AS cum,
+       |    SUM(c) OVER (PARTITION BY priority) AS n
+       |  FROM h
+       |)
+       |SELECT priority, CAST(MAX(n) AS BIGINT) AS n_items,
+       |  MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN d END) AS p50_days,
+       |  MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN d END) AS p90_days,
+       |  MAX(d) AS max_days,
+       |  CAST(SUM(d * c) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS mean_days
+       |FROM cum GROUP BY priority""".stripMargin
+
   // --------------------------------------- #222 item-item neighbors
 
   /** Neighbors kept per item in the serving table. */

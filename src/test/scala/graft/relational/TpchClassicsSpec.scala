@@ -137,4 +137,34 @@ class TpchClassicsSpec extends AnyFunSuite {
     assert(got.map(_._1).toSet == brand.values.toSet,
       "every brand with sales must appear")
   }
+
+  test("lead time: per-priority percentiles/mean equal the driver " +
+      "nearest-rank recompute; ordering p50 <= p90 <= max holds") {
+    val orders = graft.core.Tables.orders(spark, TestSpark.sf)
+      .select($"o_orderkey".cast("long"), $"o_orderpriority",
+        ($"o_orderdate".cast("long") / 86400L).cast("long"))
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val leads = graft.core.Tables.lineitem(spark, TestSpark.sf)
+      .select($"l_orderkey".cast("long"),
+        ($"l_shipdate".cast("long") / 86400L).cast("long"))
+      .as[(Long, Long)].collect().map { case (ok, sd) =>
+        val (pri, od) = orders(ok)
+        (pri, sd - od)
+      }
+    val expect = leads.groupBy(_._1).map { case (pri, rs) =>
+      val ds = rs.map(_._2).sorted
+      val n = ds.length.toLong
+      def nr(k: Long) = ds(((n * k + 99) / 100 - 1).toInt)
+      pri -> ((n, nr(50), nr(90), ds.last,
+        ds.sum.toDouble / n.toDouble))
+    }
+    val got = Relational.ordersLeadTime(spark, TestSpark.sf)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(got.length == expect.size)
+    got.foreach { case (pri, n, p50, p90, mx, mean) =>
+      assert((n, p50, p90, mx, mean) == expect(pri), s"priority $pri")
+      assert(p50 <= p90 && p90 <= mx)
+    }
+  }
 }

@@ -422,6 +422,111 @@ object Relevance {
       .select(col("n"), col("slope"), (-col("slope")).as("zipf_exponent"))
   }
 
+  // ---------------------------------------------- #247 Heaps' law fit
+
+  /** Vocabulary-growth checkpoints. */
+  val HeapsPoints = 20
+
+  /** #247: HEAPS' LAW fit — vocabulary growth V(N) ≈ K·N^β over
+    * cumulative corpus prefixes (Heaps 1978): the companion diagnostic
+    * to #204's Zipf (the two laws are duals — a Zipfian corpus grows
+    * vocabulary sublinearly): β ≈ 0.5 is natural text; β → 1 means
+    * unbounded novel tokens (OCR noise, ids, markup — a tokenizer-
+    * budget alarm); β → 0 means a closed vocabulary (template spam).
+    * Fit: ln V on ln N at [[HeapsPoints]] doc-id-threshold prefixes,
+    * via the #204 closed-form least squares.
+    *
+    * Exactness: checkpoints are integer doc-id buckets (k = id·P DIV
+    * (max+1)); per-bucket token sums and first-occurrence vocabulary
+    * counts are exact integers; the cumulation over the P-row bucket
+    * frame is a dictionary SELF-JOIN (j ≤ k), not an unpartitioned
+    * window; both lns quantize 1e-6, products sum on the 1e-12 grid,
+    * slope/intercept literal-order over exact sums; K = exp(intercept)
+    * quantized 1e-6 (the one transcendental inversion).
+    *
+    * Plan: one (doc, term) pass feeding BOTH the per-doc token counts
+    * and the term-keyed first-occurrence aggregate; both collapse
+    * map-side onto bounded keyspaces; everything after is a P-row
+    * frame.
+    */
+  def heapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(words).as("n_tok"))
+    val mx = docs.agg(max("doc_id").as("mx"))
+    val db = docs.crossJoin(broadcast(mx))
+      .select(expr(s"doc_id * $HeapsPoints DIV (mx + 1)").as("k"),
+        col("n_tok"))
+      .groupBy("k").agg(sum("n_tok").as("toks"))
+    val vb = termFreq(spark, dir)
+      .groupBy("term").agg(min("doc_id").as("first_doc"))
+      .crossJoin(broadcast(mx))
+      .select(expr(s"first_doc * $HeapsPoints DIV (mx + 1)").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("nv"))
+    val buckets = db.join(vb, Seq("k"), "left").na.fill(0L, Seq("nv"))
+    val pts = buckets.as("a")
+      .join(buckets.select(col("k").as("j"), col("toks").as("tj"),
+        col("nv").as("vj")), col("j") <= col("a.k"))
+      .groupBy(col("a.k"))
+      .agg(sum("tj").as("cn"), sum("vj").as("cv"))
+      .select(
+        Exact.roundS(log(col("cn").cast("double")), 6).as("x"),
+        Exact.roundS(log(col("cv").cast("double")), 6).as("y"))
+    pts.agg(
+        count(lit(1)).as("n_points"),
+        Exact.decSum(col("x"), 6).as("sx"),
+        Exact.decSum(col("y"), 6).as("sy"),
+        Exact.decSum(col("x") * col("y"), 12).as("sxy"),
+        Exact.decSum(col("x") * col("x"), 12).as("sxx"))
+      .select(col("n_points"),
+        ((col("n_points") * col("sxy") - col("sx") * col("sy")) /
+         (col("n_points") * col("sxx") - col("sx") * col("sx")))
+          .as("beta"),
+        col("sx"), col("sy"))
+      .select(col("n_points"), col("beta"),
+        Exact.roundS(exp((col("sy") - col("beta") * col("sx")) /
+          col("n_points")), 6).as("k_coef"))
+  }
+
+  val heapsLawSql: String =
+    s"""WITH $termFreqCte,
+       |docs AS (
+       |  SELECT doc_id, len($duckWords) AS n_tok FROM documents
+       |), mx AS (SELECT MAX(doc_id) AS mx FROM docs),
+       |db AS (
+       |  SELECT doc_id * $HeapsPoints // (mx + 1) AS k,
+       |    CAST(SUM(n_tok) AS BIGINT) AS toks
+       |  FROM docs, mx GROUP BY 1
+       |), vb AS (
+       |  SELECT first_doc * $HeapsPoints // (mx + 1) AS k,
+       |    COUNT(*) AS nv
+       |  FROM (SELECT term, MIN(doc_id) AS first_doc FROM tf GROUP BY 1),
+       |    mx
+       |  GROUP BY 1
+       |), buckets AS (
+       |  SELECT db.k, db.toks, COALESCE(vb.nv, 0) AS nv
+       |  FROM db LEFT JOIN vb ON vb.k = db.k
+       |), pts AS (
+       |  SELECT ${Exact.duckRoundS("ln(CAST(cn AS DOUBLE))", 6)} AS x,
+       |    ${Exact.duckRoundS("ln(CAST(cv AS DOUBLE))", 6)} AS y
+       |  FROM (
+       |    SELECT a.k, CAST(SUM(b.toks) AS BIGINT) AS cn,
+       |      CAST(SUM(b.nv) AS BIGINT) AS cv
+       |    FROM buckets a JOIN buckets b ON b.k <= a.k
+       |    GROUP BY a.k)
+       |), s AS (
+       |  SELECT COUNT(*) AS n_points, ${Exact.duckSum("x", 6)} AS sx,
+       |    ${Exact.duckSum("y", 6)} AS sy,
+       |    ${Exact.duckSum("x * y", 12)} AS sxy,
+       |    ${Exact.duckSum("x * x", 12)} AS sxx
+       |  FROM pts
+       |)
+       |SELECT n_points,
+       |  (n_points * sxy - sx * sy) / (n_points * sxx - sx * sx) AS beta,
+       |  ${Exact.duckRoundS(
+            "exp((sy - ((n_points * sxy - sx * sy) / " +
+            "(n_points * sxx - sx * sx)) * sx) / n_points)", 6)} AS k_coef
+       |FROM s""".stripMargin
+
   // ------------------------------------------- #245 term burstiness
 
   /** Terms reported in the burstiness table. */

@@ -150,4 +150,43 @@ class RelevanceSpec extends AnyFunSuite {
     assert(got.head._4 > got.last._4 * 1.05,
       "VMR should separate clumpy terms from sprinkled ones")
   }
+
+  test("heaps: beta and K equal the driver prefix-fit recompute; the " +
+      "bounded-vocabulary corpus reads as closed (beta near 0)") {
+    def q(x: Double, s: Double) = math.floor(x * s + 0.5) / s
+    val docs = graft.core.Tables.documents(spark, TestSpark.sf)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val mx = docs.map(_._1).max
+    val P = Relevance.HeapsPoints
+    def bucket(id: Long) = id * P / (mx + 1)
+    val toks = docs.groupBy(r => bucket(r._1)).view
+      .mapValues(_.map(_._2.trim.split("\\s+").length.toLong).sum).toMap
+    val firstDoc = docs.flatMap { case (id, t) =>
+      t.trim.split("\\s+").map(_ -> id)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val nv = firstDoc.values.groupBy(bucket).view
+      .mapValues(_.size.toLong).toMap
+    val ks = toks.keys.toSeq.sorted
+    val pts = ks.map { k =>
+      val cn = ks.filter(_ <= k).map(toks).sum
+      val cv = ks.filter(_ <= k).map(j => nv.getOrElse(j, 0L)).sum
+      (q(math.log(cn.toDouble), 1e6), q(math.log(cv.toDouble), 1e6))
+    }
+    def dsum(vs: Seq[Double], s: Double) =
+      vs.map(v => math.floor(v * s + 0.5).toLong).sum / s
+    val n = pts.length.toLong
+    val sx = dsum(pts.map(_._1), 1e6); val sy = dsum(pts.map(_._2), 1e6)
+    val sxy = dsum(pts.map(p => p._1 * p._2), 1e12)
+    val sxx = dsum(pts.map(p => p._1 * p._1), 1e12)
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val kCoef = q(math.exp((sy - beta * sx) / n), 1e6)
+    val (gn, gb, gk) = Relevance.heapsLaw(spark, TestSpark.sf)
+      .as[(Long, Double, Double)].collect().head
+    assert(gn == n && gb == beta && gk == kCoef)
+    // corpus-health read: this synthetic corpus has a CLOSED ~50-word
+    // vocabulary, so Heaps must diagnose it (β far below natural
+    // text's ~0.5) — exactly the template-spam signature the op exists
+    // to flag
+    assert(gb >= 0.0 && gb < 0.2, s"closed vocabulary should fit flat, got $gb")
+  }
 }

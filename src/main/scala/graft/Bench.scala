@@ -99,7 +99,8 @@ object Bench {
     "sample_weighted_reservoir", "graph_katz", "basket_triples",
     "media_scene_cuts", "events_top_paths", "streaming_funnel",
     "price_elasticity", "search_mmr_rerank", "events_markov_stationary",
-    "text_burstiness", "orders_lead_time", "text_heaps_law")
+    "text_burstiness", "orders_lead_time", "text_heaps_law",
+    "events_entropy_rate")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

@@ -867,6 +867,80 @@ object Events {
        |SELECT s AS state, pi FROM pi$MarkovIters""".stripMargin
   }
 
+  // --------------------------------------- #248 chain entropy rate
+
+  /** #248: ENTROPY RATE of the user-journey chain — how PREDICTABLE
+    * the next event is, the single number that grades a next-action
+    * model's ceiling: H = Σ_i π_i · H_i where H_i = −Σ_j p_ij ln p_ij
+    * is each state's exit entropy and π is #244's stationary weight —
+    * the long-run bits-per-step of user behavior (Shannon; Cover &
+    * Thomas ch. 4). A next-event recommender cannot beat 1/e^H
+    * average likelihood; shipping one without this number is how
+    * "the model barely beats marginal frequency" goes unnoticed.
+    * Emits per-state exit entropy + weight + the one-row rate.
+    *
+    * Exactness: p_ij are #181's single divisions (bit-identical); each
+    * −p·ln p term quantizes 1e-9 (ln the only transcendental) and
+    * sums order-free on the scaled-integer grid per state; π is #244's
+    * quantized power iteration verbatim; the rate is Σ of one
+    * correctly-rounded product per state, quantized 1e-9, decSum'd —
+    * all over the dictionary-sized state space.
+    */
+  def entropyRate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Exact
+    val p = markovTransitions(spark, dir)
+      .select("from_type", "to_type", "p")
+    val hExit = p.groupBy("from_type")
+      .agg(Exact.decSum(Exact.roundS(-(col("p") * log(col("p"))), 9), 9)
+        .as("h_exit"))
+    val pi = markovStationary(spark, dir)
+      .select(col("state").as("from_type"), col("pi"))
+    val rows = hExit.join(pi, "from_type")
+    val rate = rows.agg(
+      Exact.decSum(Exact.roundS(col("pi") * col("h_exit"), 9), 9)
+        .as("entropy_rate"))
+    rows.crossJoin(broadcast(rate))
+      .select(col("from_type").as("state"), col("h_exit"), col("pi"),
+        col("entropy_rate"))
+  }
+
+  val entropyRateSql: String = {
+    import graft.core.Exact
+    // the #244 chain, verbatim, then the entropy head
+    val stationary = markovStationarySql
+    s"""WITH pi_full AS MATERIALIZED (
+       |  $stationary
+       |), seq2 AS (
+       |  SELECT user_id, event_type,
+       |    LEAD(event_type) OVER (
+       |      PARTITION BY user_id ORDER BY $duckTsS, event_id) AS next_type
+       |  FROM events
+       |), cnt2 AS (
+       |  SELECT event_type AS from_type, next_type AS to_type,
+       |    COUNT(*) AS n
+       |  FROM seq2 WHERE next_type IS NOT NULL GROUP BY 1, 2
+       |), pm2 AS (
+       |  SELECT from_type, to_type,
+       |    CAST(n AS DOUBLE) /
+       |      CAST(CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+       |        AS DOUBLE) AS p
+       |  FROM cnt2
+       |), hx AS (
+       |  SELECT from_type,
+       |    ${Exact.duckSum(Exact.duckRoundS("-(p * ln(p))", 9), 9)}
+       |      AS h_exit
+       |  FROM pm2 GROUP BY from_type
+       |), rows_ AS (
+       |  SELECT hx.from_type AS state, hx.h_exit, pf.pi
+       |  FROM hx JOIN pi_full pf ON pf.state = hx.from_type
+       |), rate AS (
+       |  SELECT ${Exact.duckSum(Exact.duckRoundS("pi * h_exit", 9), 9)}
+       |    AS entropy_rate
+       |  FROM rows_
+       |)
+       |SELECT state, h_exit, pi, entropy_rate FROM rows_, rate""".stripMargin
+  }
+
   val interarrivalSql: String =
     s"""WITH g AS (
        |  SELECT event_type,

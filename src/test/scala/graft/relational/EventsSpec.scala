@@ -824,4 +824,32 @@ class EventsSpec extends AnyFunSuite {
     assert(got.values.max - got.values.min > 1e-3,
       "stationary distribution should differ across event types")
   }
+
+  test("entropy rate: per-state exit entropies and the weighted rate " +
+      "equal the driver recompute; the rate sits inside the per-state " +
+      "envelope and below the uniform ceiling") {
+    def q9(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    def dsum9(vs: Iterable[Double]) =
+      vs.map(v => math.floor(v * 1e9 + 0.5).toLong).sum / 1e9
+    val trans = Events.markovTransitions(spark, TestSpark.sf)
+      .select($"from_type", $"to_type", $"p")
+      .as[(String, String, Double)].collect()
+    val hExit = trans.groupBy(_._1).view.mapValues(rs =>
+      dsum9(rs.map(r => q9(-(r._3 * math.log(r._3)))))).toMap
+    val pi = Events.markovStationary(spark, TestSpark.sf)
+      .as[(String, Double)].collect().toMap
+    val rate = dsum9(hExit.map { case (s, h) => q9(pi(s) * h) })
+    val got = Events.entropyRate(spark, TestSpark.sf)
+      .as[(String, Double, Double, Double)].collect()
+    assert(got.length == hExit.size)
+    got.foreach { case (s, h, p, r) =>
+      assert(h == hExit(s) && p == pi(s) && r == rate, s"state $s")
+    }
+    // the rate is a π-weighted average of exit entropies, and every
+    // exit entropy is below ln(n_states) (uniform ceiling)
+    val hs = got.map(_._2)
+    assert(rate >= hs.min - 1e-9 && rate <= hs.max + 1e-9)
+    assert(hs.forall(_ <= math.log(got.length.toDouble) + 1e-9))
+    assert(rate > 0.0, "a stochastic journey has positive entropy")
+  }
 }

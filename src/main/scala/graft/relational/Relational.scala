@@ -528,6 +528,126 @@ object Relational {
        |  CAST(SUM(d * c) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS mean_days
        |FROM cum GROUP BY priority""".stripMargin
 
+  // ------------------------------------- #249 revenue concentration
+
+  /** #249: REVENUE CONCENTRATION per market segment — the Gini
+    * coefficient and top-decile share of per-customer spend, THE
+    * business-concentration statistic ("10% of customers drive X% of
+    * revenue") and the risk number a revenue team tracks next to the
+    * totals: two segments with equal revenue and opposite Gini need
+    * opposite playbooks. Lorenz/Gini computed on the whole-dollar
+    * spend grid (the #224 argument: cents never move a concentration
+    * curve, and the grid bounds the histogram by dollar range, not
+    * customer count).
+    *
+    * Exactness: per-customer spend sums are exact integers off one
+    * custkey collapse; the (segment, dollars) histogram is bounded;
+    * cumulative users/revenue are integer window sums per segment
+    * (the #108 partitioned-window discipline); the Gini is the exact
+    * trapezoid over grouped data — 1 − Σ(q_k+q_{k-1})(p_k−p_{k-1}) —
+    * with each trapezoid one fixed IEEE tree over single divisions of
+    * exact integers, quantized 1e-12 and summed order-free; the
+    * top-decile share is a nearest-rank cut (integer ceil) and one
+    * division.
+    *
+    * Plan: one data-scale shuffle (the custkey collapse) + a
+    * broadcast segment attach; everything after runs on the bounded
+    * (segment, dollars) histogram.
+    */
+  def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spend = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("vc"))
+      .groupBy("o_custkey").agg(sum("vc").as("cents"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("segment"), expr("cents DIV 100").as("usd"))
+    val hist = spend.groupBy("segment", "usd")
+      .agg(count(lit(1)).as("nu"), sum("usd").as("rev_cell"))
+    val wCum = Window.partitionBy("segment").orderBy("usd")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("segment")
+    val wLag = Window.partitionBy("segment").orderBy("usd")
+    val cum = hist
+      .withColumn("cu", sum("nu").over(wCum))
+      .withColumn("cr", sum(col("usd") * col("nu")).over(wCum))
+      .withColumn("n", sum("nu").over(wAll))
+      .withColumn("r", sum(col("usd") * col("nu")).over(wAll))
+      .withColumn("pu", coalesce(lag("cu", 1).over(wLag), lit(0L)))
+      .withColumn("pr", coalesce(lag("cr", 1).over(wLag), lit(0L)))
+    val trap = graft.core.Exact.roundS(
+      (col("cr").cast("double") / col("r").cast("double") +
+        col("pr").cast("double") / col("r").cast("double")) *
+        (col("cu").cast("double") / col("n").cast("double") -
+          col("pu").cast("double") / col("n").cast("double")), 12)
+    val gini = cum
+      .select(col("segment"), col("n"), col("r"), trap.as("t"))
+      .groupBy("segment")
+      .agg(max("n").as("n_cust"),
+        max("r").cast("double").as("rev_usd"),
+        (lit(1.0) - graft.core.Exact.decSum(col("t"), 12)).as("gini"))
+    val top = cum
+      .filter(col("cu") <= expr("(n * 90 + 99) DIV 100"))
+      .groupBy("segment")
+      .agg((lit(1.0) -
+        max("cr").cast("double") / max("r").cast("double"))
+        .as("top10_share"))
+    gini.join(top, Seq("segment"), "left")
+      .select(col("segment"), col("n_cust"), col("rev_usd"), col("gini"),
+        coalesce(col("top10_share"), lit(1.0)).as("top10_share"))
+  }
+
+  val revenueConcentrationSql: String = {
+    import graft.core.Exact
+    val trap = Exact.duckRoundS(
+      """(CAST(cr AS DOUBLE) / CAST(r AS DOUBLE)
+        | + CAST(pr AS DOUBLE) / CAST(r AS DOUBLE))
+        | * (CAST(cu AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - CAST(pu AS DOUBLE) / CAST(n AS DOUBLE))""".stripMargin, 12)
+    s"""WITH spend AS (
+       |  SELECT c_mktsegment AS segment, cents // 100 AS usd
+       |  FROM (
+       |    SELECT o_custkey,
+       |      CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+       |        AS BIGINT) AS cents
+       |    FROM orders GROUP BY o_custkey
+       |  ) s JOIN customer ON c_custkey = s.o_custkey
+       |), h AS (
+       |  SELECT segment, usd, COUNT(*) AS nu FROM spend GROUP BY 1, 2
+       |), cum0 AS (
+       |  SELECT segment, usd, nu,
+       |    SUM(nu) OVER w AS cu,
+       |    SUM(usd * nu) OVER w AS cr,
+       |    SUM(nu) OVER (PARTITION BY segment) AS n,
+       |    SUM(usd * nu) OVER (PARTITION BY segment) AS r
+       |  FROM h
+       |  WINDOW w AS (PARTITION BY segment ORDER BY usd)
+       |), cum AS (
+       |  SELECT *,
+       |    COALESCE(LAG(cu) OVER wo, 0) AS pu,
+       |    COALESCE(LAG(cr) OVER wo, 0) AS pr
+       |  FROM cum0
+       |  WINDOW wo AS (PARTITION BY segment ORDER BY usd)
+       |), gini AS (
+       |  SELECT segment, CAST(MAX(n) AS BIGINT) AS n_cust,
+       |    CAST(MAX(r) AS DOUBLE) AS rev_usd,
+       |    1.0::DOUBLE - ${Exact.duckSum("t", 12)} AS gini
+       |  FROM (SELECT segment, n, r, $trap AS t FROM cum)
+       |  GROUP BY segment
+       |), top AS (
+       |  SELECT segment,
+       |    1.0::DOUBLE - CAST(MAX(cr) AS DOUBLE) / CAST(MAX(r) AS DOUBLE)
+       |      AS top10_share
+       |  FROM cum WHERE cu <= (n * 90 + 99) // 100
+       |  GROUP BY segment
+       |)
+       |SELECT segment, n_cust, rev_usd, gini.gini,
+       |  COALESCE(top.top10_share, 1.0::DOUBLE) AS top10_share
+       |FROM gini LEFT JOIN top USING (segment)""".stripMargin
+  }
+
   // --------------------------------------- #222 item-item neighbors
 
   /** Neighbors kept per item in the serving table. */

@@ -167,4 +167,44 @@ class TpchClassicsSpec extends AnyFunSuite {
       assert(p50 <= p90 && p90 <= mx)
     }
   }
+
+  test("concentration: per-segment Gini and top-decile share equal the " +
+      "driver Lorenz recompute; Gini in [0,1); top10 >= 0.1") {
+    def q12l(x: Double) = math.floor(x * 1e12 + 0.5).toLong
+    val spendByCust = graft.core.Tables.orders(spark, TestSpark.sf)
+      .select($"o_custkey".cast("long"),
+        $"o_totalprice".cast("double")).as[(Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(
+        _.map(r => math.floor(r._2 * 100.0 + 0.5).toLong).sum / 100L)
+    val seg = graft.core.Tables.customer(spark, TestSpark.sf)
+      .select($"c_custkey".cast("long"), $"c_mktsegment")
+      .as[(Long, String)].collect().toMap
+    val expect = spendByCust.toSeq.groupBy(r => seg(r._1)).map {
+      case (s, custs) =>
+        val hist = custs.map(_._2).groupBy(identity).view
+          .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+        val n = custs.size.toLong
+        val r = hist.map(h => h._1 * h._2).sum
+        var cu = 0L; var cr = 0L; var terms = 0L
+        var top: Option[Double] = None
+        val cut = (n * 90 + 99) / 100
+        hist.foreach { case (usd, nu) =>
+          val (pu, pr) = (cu, cr)
+          cu += nu; cr += usd * nu
+          terms += q12l((cr.toDouble / r.toDouble +
+            pr.toDouble / r.toDouble) *
+            (cu.toDouble / n.toDouble - pu.toDouble / n.toDouble))
+          if (cu <= cut) top = Some(1.0 - cr.toDouble / r.toDouble)
+        }
+        s -> ((n, r.toDouble, 1.0 - terms / 1e12, top.getOrElse(1.0)))
+    }
+    val got = Relational.revenueConcentration(spark, TestSpark.sf)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(got.length == expect.size)
+    got.foreach { case (s, n, rev, gini, t10) =>
+      assert((n, rev, gini, t10) == expect(s), s"segment $s")
+      assert(gini >= 0.0 && gini < 1.0)
+      assert(t10 >= 0.1 - 1e-9, "top decile holds at least its weight")
+    }
+  }
 }

@@ -864,6 +864,51 @@ object GraphAlgos {
          .mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  // ----------------------------------------- #250 DeepWalk skip-grams
+
+  /** Skip-gram context window over walk positions. */
+  val WalkWin = 2
+
+  /** #250: DeepWalk SKIP-GRAM PAIR construction (Perozzi et al. 2014)
+    * — the data-prep step that turns #158's random walks into a
+    * word2vec training corpus: every (center, context) node pair
+    * within [[WalkWin]] positions on the same walk, counted. This IS
+    * the "graph embeddings at scale" pipeline shape — the trainer
+    * consumes exactly this weighted pair table (and its row counts
+    * set the epoch budget), so the table is the serving artifact, not
+    * an intermediate.
+    *
+    * Exactness: walks are the #158 hash-driven deterministic walks
+    * verbatim (same CTE chain in the oracle); pair generation is an
+    * integer position self-join (0 < |i−j| ≤ W) and the weights are
+    * exact counts. All-integer end to end.
+    *
+    * Scale: the self-join is keyed on walk_id with per-walk fan-out
+    * ≤ (L+1)·2W — bounded by the walk shape, never the graph; the
+    * pair count collapses map-side onto the co-occurrence keyspace.
+    */
+  def walkPairs(spark: SparkSession, dir: String): DataFrame = {
+    val w = walks(spark, dir)
+      .select(col("walk_id"), col("step"), col("node"))
+      .localCheckpoint(false)
+    w.as("a").join(w.as("b"),
+        col("a.walk_id") === col("b.walk_id") &&
+          col("a.step") =!= col("b.step") &&
+          abs(col("a.step") - col("b.step")) <= WalkWin)
+      .groupBy(col("a.node").as("center"), col("b.node").as("context"))
+      .agg(count(lit(1)).as("n_cooc"))
+  }
+
+  val walkPairsSql: String =
+    s"""WITH w0 AS MATERIALIZED (
+       |  $walksSql
+       |)
+       |SELECT a.node AS center, b.node AS context, COUNT(*) AS n_cooc
+       |FROM w0 a JOIN w0 b
+       |  ON a.walk_id = b.walk_id AND a.step <> b.step
+       |  AND abs(a.step - b.step) <= $WalkWin
+       |GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------ #135 link prediction
 
   val LpQMod = 50 // every 50th part is a link-prediction query vertex

@@ -504,4 +504,33 @@ class GraphAlgosSpec extends AnyFunSuite {
       .sortBy(r => (-r._2, r._1)).take(20).map(_._1).toSet
     assert(kTop != prTop, "katz should rank differently from pagerank")
   }
+
+  test("walk pairs: the skip-gram table equals a driver window-pair " +
+      "recompute over the deterministic walks; symmetric; counts " +
+      "conserve the pair-slot budget") {
+    import spark.implicits._
+    val w = GraphAlgos.walks(spark, TestSpark.sf)
+      .select($"walk_id", $"step", $"node")
+      .as[(Long, Int, Long)].collect()
+    val byWalk: Map[Long, Seq[(Long, Int, Long)]] =
+      w.groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    val expect = byWalk.values.toSeq.flatMap { steps =>
+      for {
+        a <- steps; b <- steps
+        if a._2 != b._2 && math.abs(a._2 - b._2) <= GraphAlgos.WalkWin
+      } yield (a._3, b._3)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = GraphAlgos.walkPairs(spark, TestSpark.sf)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == expect, "pair table differs from driver recompute")
+    // skip-gram symmetry: (a, b) and (b, a) carry equal weight
+    assert(got.forall { case ((a, b), n) => got((b, a)) == n })
+    // slot conservation: total pair slots = Σ per-walk ordered pairs
+    val slots = byWalk.values.map { steps =>
+      steps.map(a => steps.count(b => a._2 != b._2 &&
+        math.abs(a._2 - b._2) <= GraphAlgos.WalkWin)).sum.toLong
+    }.sum
+    assert(got.values.sum == slots)
+  }
 }

@@ -100,7 +100,8 @@ object Bench {
     "media_scene_cuts", "events_top_paths", "streaming_funnel",
     "price_elasticity", "search_mmr_rerank", "events_markov_stationary",
     "text_burstiness", "orders_lead_time", "text_heaps_law",
-    "events_entropy_rate", "revenue_concentration", "graph_walk_pairs")
+    "events_entropy_rate", "revenue_concentration", "graph_walk_pairs",
+    "events_dow_uniformity")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

@@ -867,6 +867,71 @@ object Events {
        |SELECT s AS state, pi FROM pi$MarkovIters""".stripMargin
   }
 
+  // ----------------------------------- #251 day-of-week uniformity
+
+  /** χ² critical value at 6 degrees of freedom, α = 0.05 (fixed
+    * literal, shipped identically to the oracle).
+    */
+  val Chi6Crit = 12.591587
+
+  /** #251: DAY-OF-WEEK traffic uniformity — the χ² goodness-of-fit
+    * test against the uniform week, per event type: the seasonality
+    * PRE-TEST the forecast family assumes an answer to (#193's
+    * seasonal-naive lag only helps if weekday structure EXISTS; this
+    * op is the test that says so, with a decision gate instead of an
+    * eyeballed histogram). The #219 Benford machinery pointed at the
+    * calendar: observed counts per (type, dow), expected n/7, χ² =
+    * Σ(o−e)²/e against the 6-dof critical value.
+    *
+    * Exactness: dow = epoch-day mod 7 (pure integers, no timezone or
+    * locale — dow 0 is the epoch's weekday, documented); counts exact;
+    * each χ² term one fixed IEEE tree over single divisions of exact
+    * integers, quantized 1e-6, summed order-free over SEVEN terms;
+    * the verdict an exact compare against the shipped literal.
+    *
+    * Plan: one scan collapsing map-side onto the (type, dow) keyspace
+    * (35 cells), then dictionary algebra — shuffle bytes constant in
+    * stream size.
+    */
+  def dowUniformity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Exact
+    val cells = eventsS(spark, dir)
+      .select(col("event_type"), expr("(ts_s DIV 86400) % 7").as("dow"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+    val tot = cells.groupBy("event_type").agg(sum("o").as("n"))
+    val term = Exact.roundS(
+      (col("o").cast("double") - col("n").cast("double") / 7.0) *
+        (col("o").cast("double") - col("n").cast("double") / 7.0) /
+        (col("n").cast("double") / 7.0), 6)
+    cells.join(tot, "event_type")
+      .select(col("event_type"), col("n"), term.as("t"))
+      .groupBy("event_type")
+      .agg(max("n").as("n_events"), Exact.decSum(col("t"), 6).as("chi2"))
+      .withColumn("seasonal", col("chi2") > Chi6Crit)
+  }
+
+  val dowUniformitySql: String = {
+    import graft.core.Exact
+    val term = Exact.duckRoundS(
+      """(CAST(o AS DOUBLE) - CAST(n AS DOUBLE) / 7.0::DOUBLE)
+        | * (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) / 7.0::DOUBLE)
+        | / (CAST(n AS DOUBLE) / 7.0::DOUBLE)""".stripMargin, 6)
+    s"""WITH cells AS (
+       |  SELECT event_type, ($duckTsS // 86400) % 7 AS dow, COUNT(*) AS o
+       |  FROM events GROUP BY 1, 2
+       |), tot AS (
+       |  SELECT event_type, CAST(SUM(o) AS BIGINT) AS n
+       |  FROM cells GROUP BY 1
+       |)
+       |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+       |  ${Exact.duckSum("t", 6)} AS chi2,
+       |  ${Exact.duckSum("t", 6)} > CAST('$Chi6Crit' AS DOUBLE) AS seasonal
+       |FROM (
+       |  SELECT cells.event_type, n, $term AS t
+       |  FROM cells JOIN tot USING (event_type))
+       |GROUP BY event_type""".stripMargin
+  }
+
   // --------------------------------------- #248 chain entropy rate
 
   /** #248: ENTROPY RATE of the user-journey chain — how PREDICTABLE

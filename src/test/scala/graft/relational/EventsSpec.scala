@@ -852,4 +852,37 @@ class EventsSpec extends AnyFunSuite {
     assert(hs.forall(_ <= math.log(got.length.toDouble) + 1e-9))
     assert(rate > 0.0, "a stochastic journey has positive entropy")
   }
+
+  test("dow uniformity: chi-square equals the driver recompute; a " +
+      "synthetic skewed week fires the gate a uniform one passes") {
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val cells = Events.eventsS(spark, TestSpark.sf)
+      .select($"event_type", (($"ts_s" / 86400L).cast("long") % 7).as("dow"))
+      .as[(String, Long)].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expect = cells.keys.map(_._1).toSeq.distinct.map { tpe =>
+      val os = (0L to 6L).map(d => cells.getOrElse((tpe, d), 0L))
+        .filter(_ > 0L)
+      val n = os.sum
+      val e = n.toDouble / 7.0
+      val chi2 = os.map(o => math.floor(
+        ((o.toDouble - e) * (o.toDouble - e) / e) * 1e6 + 0.5).toLong)
+        .sum / 1e6
+      tpe -> ((n, chi2, chi2 > Events.Chi6Crit))
+    }.toMap
+    val got = Events.dowUniformity(spark, TestSpark.sf)
+      .as[(String, Long, Double, Boolean)].collect()
+    assert(got.length == expect.size)
+    got.foreach { case (t, n, c, s) =>
+      assert((n, c, s) == expect(t), s"type $t")
+    }
+    // the test discriminates: driver-side, a flat week passes and a
+    // weekend-heavy week fires
+    def chi(os: Seq[Long]) = {
+      val e = os.sum.toDouble / 7.0
+      os.map(o => q6((o - e) * (o - e) / e)).sum
+    }
+    assert(chi(Seq(100, 100, 100, 100, 100, 100, 100)) < Events.Chi6Crit)
+    assert(chi(Seq(50, 50, 50, 50, 50, 200, 250)) > Events.Chi6Crit)
+  }
 }

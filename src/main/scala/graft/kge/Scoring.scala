@@ -358,6 +358,53 @@ object Scoring {
        |FROM res GROUP BY sid, pid, oid""".stripMargin
   }
 
+  /** #252: PairRE score = −‖h∘rᴴ − t∘rᵀ‖² (Chao et al. 2021) — the
+    * modern translational variant the family lacked: TransE translates,
+    * TransH/TransR project, RotatE rotates; PairRE SCALES each side
+    * with its own relation vector (paired elementwise products), which
+    * is what lets one relation encode 1-N/N-1 fan-out by shrinking the
+    * many-side's norm — the reason it took the OGB leaderboards. Two
+    * fresh dyadic relation families (RH, RT).
+    *
+    * Exactness — the #235 bit-budget argument, one step shorter:
+    * h_i·rᴴ_i is a product of two 7-bit dyadics (≤14 bits on the
+    * 1/16384 grid), the difference stays on-grid (≤15 bits), its
+    * square ≤30, and the 16-term sum ≤34 — everything exact, plain-SUM
+    * oracle, no quantization.
+    *
+    * Plan: the family's shared cached slice join + ONE broadcast of
+    * the dictionary-sized paired-relation table; the score is a single
+    * fused array projection.
+    */
+  def pairreScore(spark: SparkSession, dir: String): DataFrame = {
+    val rel = tablePairre(spark, dir)
+    slicedEmb(spark, dir)
+      .join(broadcast(rel), "pid")
+      .withColumn("score", -Embeddings.dFold(
+        transform(sequence(lit(0), lit(D - 1)), i => {
+          val u = element_at(col("h"), i + 1) * element_at(col("rh"), i + 1) -
+            element_at(col("t"), i + 1) * element_at(col("rt"), i + 1)
+          u * u
+        })))
+      .select("sid", "pid", "oid", "score")
+  }
+
+  private def tablePairre(spark: SparkSession, dir: String): DataFrame =
+    Dict.relations(spark, dir).select(col("rid").as("pid"),
+      Embeddings.emb("RH", col("rid")).as("rh"),
+      Embeddings.emb("RT", col("rid")).as("rt"))
+
+  val pairreScoreSql: String = {
+    val he = duckEl("E", "sid", "i"); val te = duckEl("E", "oid", "i")
+    val rh = duckEl("RH", "pid", "i"); val rt = duckEl("RT", "pid", "i")
+    s"""${prelude(ScoreMod)}
+       |SELECT sid, pid, oid,
+       |  -SUM((($he * $rh) - ($te * $rt)) * (($he * $rh) - ($te * $rt)))
+       |    AS score
+       |FROM test_enc, (SELECT unnest(range(0, ${D})) AS i)
+       |GROUP BY sid, pid, oid""".stripMargin
+  }
+
   /** #235: TransR score = −‖M_r h + r − M_r t‖² (Lin et al. 2015) —
     * the third translational rung: TransE forces ONE space, TransH a
     * per-relation hyperplane inside it, TransR a full per-relation

@@ -257,4 +257,32 @@ class ScoringSpec extends AnyFunSuite {
       .map(r => (r._1, r._2, r._3))
     assert(te.toSeq != tr.toSeq, "projection should reorder the slice")
   }
+
+  test("pairre: every score equals the exact dyadic recompute, and the " +
+      "paired scaling genuinely reorders TransE") {
+    def dyad(seed: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(seed.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      ((java.lang.Long.parseLong(hex.substring(0, 15), 16) % 201) - 100).toDouble / 128.0
+    }
+    val rows = Scoring.pairreScore(spark, TestSpark.sf)
+      .select($"sid", $"pid", $"oid", $"score")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (sid, pid, oid, score) =>
+      val expect = -(0 until Embeddings.D).map { i =>
+        val u = dyad(s"E|$sid|$i") * dyad(s"RH|$pid|$i") -
+          dyad(s"E|$oid|$i") * dyad(s"RT|$pid|$i")
+        u * u
+      }.sum
+      assert(score == expect, s"pairre($sid,$pid,$oid)")
+    }
+    val te = Scoring.transeScore(spark, TestSpark.sf)
+      .select($"sid", $"pid", $"oid", $"score")
+      .as[(Long, Long, Long, Double)].collect()
+      .sortBy(r => (-r._4, r._1, r._2, r._3)).map(r => (r._1, r._2, r._3))
+    val pr = rows.sortBy(r => (-r._4, r._1, r._2, r._3))
+      .map(r => (r._1, r._2, r._3))
+    assert(te.toSeq != pr.toSeq, "paired scaling should reorder the slice")
+  }
 }

@@ -101,7 +101,8 @@ object Bench {
     "price_elasticity", "search_mmr_rerank", "events_markov_stationary",
     "text_burstiness", "orders_lead_time", "text_heaps_law",
     "events_entropy_rate", "revenue_concentration", "graph_walk_pairs",
-    "events_dow_uniformity", "kge_pairre_score", "embed_lang_centroids")
+    "events_dow_uniformity", "kge_pairre_score", "embed_lang_centroids",
+    "events_bounce")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

@@ -1847,6 +1847,81 @@ object Events {
        |    AS survival
        |FROM ex""".stripMargin
 
+  // -------------------------------------------- #254 bounce / landing
+
+  /** #254: BOUNCE-RATE landing report — per session ENTRY event type:
+    * how many sessions start there, how many BOUNCE (one-event
+    * sessions — the canonical engagement-failure metric), and the mean
+    * session depth. The landing-page quality table web analytics leads
+    * with, here keyed by the entry event type; reads next to #240's
+    * paths (paths say where sessions GO, bounce says whether they go
+    * ANYWHERE).
+    *
+    * Exactness: sessions are #5's integer gap rule verbatim; the
+    * entry type is the rank-1 row of the same (ts, event_id) total
+    * order; bounce and depth are exact integers; the two ratios are
+    * single divisions. Scale: the session windows share the ONE
+    * user_id partitioning; the rollup collapses map-side onto the
+    * event-type keyspace.
+    */
+  def bounce(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    val sess = eventsS(spark, dir)
+      .withColumn("prev_ts", lag("ts_s", 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_ts").isNull || col("ts_s") - col("prev_ts") > GapS)
+          .cast("int"))
+      .withColumn("session_seq",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    val bySess = Window.partitionBy("user_id", "session_seq")
+      .orderBy("ts_s", "event_id")
+    sess.withColumn("rn", row_number().over(bySess))
+      .groupBy("user_id", "session_seq")
+      .agg(min(when(col("rn") === 1, col("event_type"))).as("entry_type"),
+        count(lit(1)).as("depth"))
+      .groupBy("entry_type")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("depth") === 1L, 1L).otherwise(0L)).as("n_bounce"),
+        sum("depth").as("total_depth"))
+      .select(col("entry_type"), col("n_sessions"), col("n_bounce"),
+        (col("n_bounce").cast("double") / col("n_sessions").cast("double"))
+          .as("bounce_rate"),
+        (col("total_depth").cast("double") / col("n_sessions").cast("double"))
+          .as("mean_depth"))
+  }
+
+  val bounceSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type, $duckTsS AS ts_s FROM events
+       |), flagged AS (
+       |  SELECT *, CASE WHEN prev_ts IS NULL OR ts_s - prev_ts > $GapS
+       |                 THEN 1 ELSE 0 END AS new_session
+       |  FROM (SELECT *, LAG(ts_s) OVER w AS prev_ts FROM e
+       |        WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id))
+       |), numbered AS (
+       |  SELECT *, CAST(SUM(new_session) OVER
+       |    (PARTITION BY user_id ORDER BY ts_s, event_id) AS BIGINT)
+       |    AS session_seq
+       |  FROM flagged
+       |), sess AS (
+       |  SELECT user_id, session_seq,
+       |    MIN(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+       |    COUNT(*) AS depth
+       |  FROM (SELECT *, ROW_NUMBER() OVER
+       |      (PARTITION BY user_id, session_seq ORDER BY ts_s, event_id)
+       |      AS rn
+       |    FROM numbered)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT entry_type, COUNT(*) AS n_sessions,
+       |  CAST(SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_bounce,
+       |  CAST(SUM(CASE WHEN depth = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS bounce_rate,
+       |  CAST(SUM(depth) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |    AS mean_depth
+       |FROM sess GROUP BY entry_type""".stripMargin
+
   // ---------------------------------------------- #240 top session paths
 
   /** Leading events per session that define its path. */

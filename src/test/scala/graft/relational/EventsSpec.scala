@@ -885,4 +885,40 @@ class EventsSpec extends AnyFunSuite {
     assert(chi(Seq(100, 100, 100, 100, 100, 100, 100)) < Events.Chi6Crit)
     assert(chi(Seq(50, 50, 50, 50, 50, 200, 250)) > Events.Chi6Crit)
   }
+
+  test("bounce: per-entry-type rates equal a driver sessionize " +
+      "recompute; session budget conserved") {
+    val evs = Events.eventsS(spark, TestSpark.sf)
+      .select($"user_id", $"event_id", $"event_type", $"ts_s")
+      .as[(Long, Long, String, Long)].collect()
+    val sessions = evs.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._4, r._2))
+      val out = scala.collection.mutable.Buffer[Seq[String]]()
+      var cur = scala.collection.mutable.Buffer[String]()
+      var prev = Long.MinValue
+      sorted.foreach { r =>
+        if (prev != Long.MinValue && r._4 - prev > Events.GapS) {
+          out += cur.toSeq; cur = scala.collection.mutable.Buffer[String]()
+        }
+        cur += r._3; prev = r._4
+      }
+      if (cur.nonEmpty) out += cur.toSeq
+      out
+    }.toSeq
+    val expect = sessions.groupBy(_.head).map { case (t, ss) =>
+      val n = ss.length.toLong
+      val b = ss.count(_.length == 1).toLong
+      val d = ss.map(_.length.toLong).sum
+      t -> ((n, b, b.toDouble / n.toDouble, d.toDouble / n.toDouble))
+    }
+    val got = Events.bounce(spark, TestSpark.sf)
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(got.length == expect.size)
+    got.foreach { case (t, n, b, br, md) =>
+      assert((n, b, br, md) == expect(t), s"entry $t")
+      assert(br >= 0.0 && br <= 1.0 && md >= 1.0)
+    }
+    // budget: Σ sessions over entry types = total session count
+    assert(got.map(_._2).sum == sessions.length.toLong)
+  }
 }

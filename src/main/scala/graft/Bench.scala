@@ -102,7 +102,8 @@ object Bench {
     "text_burstiness", "orders_lead_time", "text_heaps_law",
     "events_entropy_rate", "revenue_concentration", "graph_walk_pairs",
     "events_dow_uniformity", "kge_pairre_score", "embed_lang_centroids",
-    "events_bounce")
+    "events_bounce",
+    "q15_top_supplier", "q19_brackets", "q21_late_supplier", "q8_mkt_share")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

@@ -1170,4 +1170,250 @@ object Relational {
        |  total_qty
        |FROM big, orders, customer
        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey""".stripMargin
+
+  // ------------------------- #255-258 TPC-H classics: Q15/Q19/Q21/Q8
+
+  /** #255: TPC-H Q15 — top supplier: the supplier(s) whose shipped
+    * revenue over one quarter equals the MAXIMUM over all suppliers.
+    * The benchmark phrases it as a view + a scalar `= (SELECT MAX...)`
+    * subquery; Spark-first the view is one map-side-combining rollup
+    * onto the supplier keyspace and the scalar max is a 1-row frame
+    * broadcast back (the house scalar-crossJoin pattern) — never a
+    * per-row probe, and the only data-scale work is the filtered scan
+    * feeding the rollup.
+    *
+    * Exactness: revenue per supplier is an order-free quantized sum,
+    * so the max and the `=` comparison are bit-deterministic in both
+    * engines (ties — none in this data, but well-defined — would all
+    * be emitted, exactly as the benchmark specifies).
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1996-04-01 00:00:00"))
+      .groupBy(col("l_suppkey"))
+      .agg(Exact.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  val q15Sql: String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey,
+       |    ${Exact.duckSum("l_extendedprice * (1.0::DOUBLE - l_discount)")}
+       |      AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate < TIMESTAMP '1996-04-01'
+       |  GROUP BY 1
+       |), mx AS (SELECT MAX(total_revenue) AS max_revenue FROM rev)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM rev, mx, supplier
+       |WHERE total_revenue = max_revenue AND l_suppkey = s_suppkey""".stripMargin
+
+  /** #256: TPC-H Q19 — discounted revenue under a DISJUNCTION of
+    * brand/size/quantity brackets: each disjunct constrains BOTH join
+    * sides at once, the shape that defeats naive pushdown (no single
+    * conjunct applies to either table alone). Spark-first: derive the
+    * pushable ENVELOPE of the disjunction per side — part prunes to
+    * the three brands, lineitem to the union quantity range — so each
+    * scan reads only candidate rows, then the exact OR evaluates
+    * map-side above a broadcast part join (Catalyst's CNF extraction
+    * does part of this; deriving the envelope explicitly documents
+    * the plan we need at 100 TB, where the lineitem envelope is the
+    * difference between scanning 2% and 100% of the fact table).
+    *
+    * Exactness: bracket bounds are whole-number doubles compared
+    * exactly; revenue is the order-free quantized sum. (p_container /
+    * shipmode don't exist in this schema; size brackets stand in —
+    * same disjunctive cross-table shape.)
+    */
+  def q19Brackets(spark: SparkSession, dir: String): DataFrame = {
+    val brands = Seq("Brand#1", "Brand#2", "Brand#3")
+    val p = Tables.part(spark, dir)
+      .filter(col("p_brand").isin(brands: _*))
+      .select("p_partkey", "p_brand", "p_size")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 1.0 && col("l_quantity") <= 40.0)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1.0, 20.0)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 30) &&
+          col("l_quantity").between(10.0, 30.0)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 50) &&
+          col("l_quantity").between(20.0, 40.0)))
+      .agg(Exact.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  val q19Sql: String =
+    s"""SELECT
+       |  ${Exact.duckSum("l_extendedprice * (1.0::DOUBLE - l_discount)")}
+       |    AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem, part
+       |WHERE l_partkey = p_partkey AND (
+       |  (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       |    AND l_quantity BETWEEN 1.0 AND 20.0)
+       |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30
+       |    AND l_quantity BETWEEN 10.0 AND 30.0)
+       |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
+       |    AND l_quantity BETWEEN 20.0 AND 40.0))""".stripMargin
+
+  /** Days after order placement past which a shipment counts late
+    * (#257; the schema has no commit/receipt dates — ship lag over
+    * the order date is the same lateness semantics, cf. #246).
+    */
+  val Q21LateDays = 60L
+
+  /** #257: TPC-H Q21 — suppliers who kept orders waiting: for
+    * finished ('F') orders with MULTIPLE distinct suppliers, count per
+    * supplier the orders where they shipped late and NO other supplier
+    * did — the benchmark's EXISTS + NOT EXISTS double-correlation,
+    * the hardest decorrelation in the suite. Spark-first both
+    * correlated subqueries collapse into ONE orderkey-grained
+    * aggregate: per (orderkey, suppkey) an any-late flag, per
+    * orderkey the supplier count and the late-supplier count; a
+    * supplier qualifies on an order iff late ∧ n_supp > 1 ∧
+    * n_late = 1. The pair collapse, the order rollup, and the
+    * join-back all share the SAME orderkey partitioning — one
+    * data-scale exchange per side where the naive plan runs two extra
+    * correlated probes of lineitem.
+    *
+    * Exactness: lateness is an integer epoch-day comparison (#246's
+    * DIV idiom); everything downstream is counting; the top-20 is a
+    * (numwait DESC, s_name) total order → TakeOrderedAndProject.
+    */
+  def q21LateSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val pair = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max((expr("unix_timestamp(l_shipdate) DIV 86400" +
+        " - unix_timestamp(o_orderdate) DIV 86400") > Q21LateDays)
+        .cast("int")).as("late"))
+    val perOrder = pair.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"), sum("late").as("n_late"))
+    pair.join(perOrder, "l_orderkey")
+      .filter(col("late") === 1 && col("n_supp") > 1L && col("n_late") === 1L)
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  val q21Sql: String =
+    s"""WITH pair AS (
+       |  SELECT l_orderkey, l_suppkey,
+       |    MAX(CASE WHEN (epoch_ms(l_shipdate) // 1000) // 86400
+       |          - (epoch_ms(o_orderdate) // 1000) // 86400 > $Q21LateDays
+       |        THEN 1 ELSE 0 END) AS late
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE o_orderstatus = 'F'
+       |  GROUP BY 1, 2
+       |), per_order AS (
+       |  SELECT l_orderkey, COUNT(*) AS n_supp,
+       |    CAST(SUM(late) AS BIGINT) AS n_late
+       |  FROM pair GROUP BY 1
+       |)
+       |SELECT s_suppkey, s_name, COUNT(*) AS numwait
+       |FROM pair JOIN per_order USING (l_orderkey)
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE late = 1 AND n_supp > 1 AND n_late = 1
+       |GROUP BY 1, 2
+       |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+
+  /** #258: TPC-H Q8 — national market share: within one region's
+    * customers and one part type, the share of yearly revenue
+    * supplied by one nation. The widest join tree in the suite
+    * (lineitem⋈orders⋈customer⋈part + two nation lookups + region),
+    * and the classic two-level aggregate: the share is a conditional
+    * sum over the same cells as the total, so ONE rollup computes
+    * both — never two scans.
+    *
+    * Spark-first: part (type-filtered), supplier→nation, and the
+    * region-pruned customer-nation frame all broadcast; only
+    * lineitem⋈orders⋈customer shuffles. Both year buckets and the
+    * nation test evaluate map-side. Exactness: both sums are
+    * order-free quantized; the share is ONE division of exact
+    * doubles; year is integer EXTRACT.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val shareNation = "NATION_3"
+    val nat = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(nat
+        .join(broadcast(Tables.region(spark, dir)
+          .filter(col("r_name") === "ASIA").select("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nat.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount")
+      .join(broadcast(Tables.part(spark, dir)
+        .filter(col("p_type") === "STANDARD").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir)
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1998-01-01 00:00:00"))
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        Exact.decSum(when(col("supp_nation") === shareNation,
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .otherwise(0.0)).as("nation_revenue"),
+        Exact.decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("total_revenue"))
+      .select(col("o_year"), col("nation_revenue"), col("total_revenue"),
+        (col("nation_revenue") / col("total_revenue")).as("mkt_share"))
+  }
+
+  val q8Sql: String =
+    s"""WITH cells AS (
+       |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       |    ${Exact.duckSum(
+             "CASE WHEN n1.n_name = 'NATION_3' THEN " +
+             "l_extendedprice * (1.0::DOUBLE - l_discount) " +
+             "ELSE 0.0::DOUBLE END")} AS nation_revenue,
+       |    ${Exact.duckSum("l_extendedprice * (1.0::DOUBLE - l_discount)")}
+       |      AS total_revenue
+       |  FROM lineitem, orders, customer, part, supplier,
+       |    nation n1, nation n2, region
+       |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+       |    AND l_partkey = p_partkey AND l_suppkey = s_suppkey
+       |    AND s_nationkey = n1.n_nationkey
+       |    AND c_nationkey = n2.n_nationkey
+       |    AND n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+       |    AND p_type = 'STANDARD'
+       |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |    AND o_orderdate < TIMESTAMP '1998-01-01'
+       |  GROUP BY 1
+       |)
+       |SELECT o_year, nation_revenue, total_revenue,
+       |  nation_revenue / total_revenue AS mkt_share
+       |FROM cells""".stripMargin
 }

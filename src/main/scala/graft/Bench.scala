@@ -103,7 +103,8 @@ object Bench {
     "events_entropy_rate", "revenue_concentration", "graph_walk_pairs",
     "events_dow_uniformity", "kge_pairre_score", "embed_lang_centroids",
     "events_bounce",
-    "q15_top_supplier", "q19_brackets", "q21_late_supplier", "q8_mkt_share")
+    "q15_top_supplier", "q19_brackets", "q21_late_supplier", "q8_mkt_share",
+    "events_acf", "events_funnel_latency", "events_pivot")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

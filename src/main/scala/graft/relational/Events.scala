@@ -2357,4 +2357,257 @@ object Events {
        |  END AS segment
        |FROM u, cr""".stripMargin
   }
+
+  // --------------------------------------------- #259 autocorrelation
+
+  /** ACF lags reported (1 = momentum, 2 = short memory, 7 = the weekly
+    * period #193's seasonal-naive forecast assumes).
+    */
+  val AcfLags = Seq(1, 2, 7)
+
+  /** #259: AUTOCORRELATION of the per-type daily volume series at lags
+    * 1/2/7 — the Box–Jenkins model-identification diagnostic the
+    * forecast family reads FIRST: #193 assumes a lag-7 season and #251
+    * tests weekday uniformity; the ACF is the statistic that says
+    * which lags carry signal at all (r₇ high → seasonal-naive is
+    * justified; r₁ high → yesterday beats last week).
+    *
+    * The series is the daily event COUNT on the COMPLETE calendar —
+    * missing days are true zeros of a volume series, and skipping them
+    * (row-offset lag) is #193's calendar-corruption bug. Sample ACF:
+    * r_k = Σ_{d≤n−k}(x_d−x̄)(x_{d+k}−x̄) / Σ_d(x_d−x̄)².
+    *
+    * Exactness: counts are integers; x̄ is ONE division quantized at
+    * 1e-6 (both engines then hold the bit-identical mean); each
+    * deviation and each product is a single correctly-rounded IEEE op
+    * over exact values; the sums quantize at 1e-4 order-free; r_k is
+    * one division of exact sums. Scale: events collapse map-side onto
+    * the bounded (type, day) keyspace; the calendar completion, the
+    * per-type windows (frames bounded by the day span) and the final
+    * 5-key rollup all run on the daily frame, never on events.
+    */
+  def acf(spark: SparkSession, dir: String): DataFrame = {
+    val daily = eventsS(spark, dir)
+      .groupBy(col("event_type"), expr("ts_s DIV 86400").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val span = daily.agg(min("day").as("d0"), max("day").as("d1"))
+    val series = daily.select("event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("c"), lit(0L)).cast("double").as("x"))
+    val byType = Window.partitionBy("event_type")
+    val byDay = byType.orderBy("day")
+    val dev = series
+      .withColumn("m", Exact.roundS(
+        sum("x").over(byType) / count(lit(1)).over(byType).cast("double")))
+      .withColumn("dev", col("x") - col("m"))
+      .withColumn("dev1", lead("dev", 1).over(byDay))
+      .withColumn("dev2", lead("dev", 2).over(byDay))
+      .withColumn("dev7", lead("dev", 7).over(byDay))
+    val sums = dev.groupBy("event_type").agg(
+      count(lit(1)).as("n_days"),
+      Exact.decSum(col("dev") * col("dev"), 4).as("s0"),
+      Exact.decSum(when(col("dev1").isNotNull, col("dev") * col("dev1"))
+        .otherwise(0.0), 4).as("s1"),
+      Exact.decSum(when(col("dev2").isNotNull, col("dev") * col("dev2"))
+        .otherwise(0.0), 4).as("s2"),
+      Exact.decSum(when(col("dev7").isNotNull, col("dev") * col("dev7"))
+        .otherwise(0.0), 4).as("s7"))
+    sums.select(col("event_type"), col("n_days"), col("s0"),
+      explode(array(
+        struct(lit(1L).as("lag"), col("s1").as("num")),
+        struct(lit(2L).as("lag"), col("s2").as("num")),
+        struct(lit(7L).as("lag"), col("s7").as("num")))).as("r"))
+      .select(col("event_type"), col("r.lag").as("lag"),
+        col("n_days"), (col("n_days") - col("r.lag")).as("n_pairs"),
+        (col("r.num") / col("s0")).as("acf"))
+  }
+
+  val acfSql: String = {
+    def devp(k: Int) =
+      s"""${Exact.duckSum(
+        s"CASE WHEN dev$k IS NOT NULL THEN dev * dev$k ELSE 0.0::DOUBLE END",
+        4)}"""
+    s"""WITH d AS (
+       |  SELECT event_type, $duckTsS // 86400 AS day, COUNT(*) AS c
+       |  FROM events GROUP BY 1, 2
+       |), span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d),
+       |grid AS (
+       |  SELECT t.event_type, UNNEST(generate_series(d0, d1)) AS day
+       |  FROM (SELECT DISTINCT event_type FROM d) t, span
+       |), s AS (
+       |  SELECT g.event_type, g.day,
+       |    CAST(COALESCE(d.c, 0) AS DOUBLE) AS x
+       |  FROM grid g LEFT JOIN d
+       |    ON g.event_type = d.event_type AND g.day = d.day
+       |), dv AS (
+       |  SELECT event_type, day,
+       |    x - ${Exact.duckRoundS(
+                "SUM(x) OVER (PARTITION BY event_type) " +
+                "/ CAST(COUNT(*) OVER (PARTITION BY event_type) AS DOUBLE)")}
+       |      AS dev,
+       |    LEAD(x, 1) OVER w AS x1, LEAD(x, 2) OVER w AS x2,
+       |    LEAD(x, 7) OVER w AS x7,
+       |    ${Exact.duckRoundS(
+                "SUM(x) OVER (PARTITION BY event_type) " +
+                "/ CAST(COUNT(*) OVER (PARTITION BY event_type) AS DOUBLE)")}
+       |      AS m
+       |  FROM s WINDOW w AS (PARTITION BY event_type ORDER BY day)
+       |), dvl AS (
+       |  SELECT event_type, dev,
+       |    x1 - m AS dev1, x2 - m AS dev2, x7 - m AS dev7
+       |  FROM dv
+       |), sums AS (
+       |  SELECT event_type, COUNT(*) AS n_days,
+       |    ${Exact.duckSum("dev * dev", 4)} AS s0,
+       |    ${devp(1)} AS s1, ${devp(2)} AS s2, ${devp(7)} AS s7
+       |  FROM dvl GROUP BY 1
+       |)
+       |SELECT event_type, r.lag, n_days, n_days - r.lag AS n_pairs,
+       |  r.num / s0 AS acf
+       |FROM sums, UNNEST([{'lag': 1::BIGINT, 'num': s1},
+       |  {'lag': 2::BIGINT, 'num': s2},
+       |  {'lag': 7::BIGINT, 'num': s7}]) AS t(r)""".stripMargin
+  }
+
+  // --------------------------------------- #260 funnel stage latency
+
+  /** #260: FUNNEL STAGE LATENCY — the time-to-convert distribution per
+    * funnel transition: #89 counts WHO converts view→click→purchase in
+    * order; this reports HOW LONG each transition takes (p50/p90/max
+    * hours + mean seconds), the number that turns a funnel into an SLO
+    * ("median click within 2 h of first view") and decides
+    * re-engagement timing.
+    *
+    * Stage times are #89's per-user earliest-stage chain verbatim
+    * (exact-ns conditional mins); each lag is an integer second
+    * difference, bucketed to integer HOURS for the #108 nearest-rank
+    * histogram (the hour keyspace is calendar-bounded where raw
+    * seconds would scale with the span); the mean stays on exact
+    * second sums — one division. Scale: all three stage aggregates and
+    * both joins share the ONE user_id partitioning (the #89 argument);
+    * the histograms and percentile windows run on the bounded
+    * (stage, hour) frame.
+    */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val ns = tsNanos(e)
+    val ev = e.select(col("user_id"), col("event_type"),
+      expr(s"$ns DIV 1000000000").as("ts_s"))
+    val s1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_s").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts_s") > col("t1"))
+      .groupBy("user_id").agg(min("ts_s").as("t2"), min("t1").as("t1"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts_s") > col("t2"))
+      .groupBy("user_id").agg(min("ts_s").as("t3"), min("t2").as("t2"))
+    val lags = s2.select(lit("view_to_click").as("stage"),
+        (col("t2") - col("t1")).as("lag_s"))
+      .unionAll(s3.select(lit("click_to_purchase").as("stage"),
+        (col("t3") - col("t2")).as("lag_s")))
+      .withColumn("h", expr("lag_s DIV 3600"))
+    val hist = lags.groupBy("stage", "h")
+      .agg(count(lit(1)).as("c"), sum("lag_s").as("ssum"))
+    val wCum = Window.partitionBy("stage").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("stage")
+    hist
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wAll))
+      .groupBy("stage")
+      .agg(max("n").as("n_users"),
+        min(when(col("cum") >= expr("(n * 50 + 99) DIV 100"), col("h")))
+          .as("p50_h"),
+        min(when(col("cum") >= expr("(n * 90 + 99) DIV 100"), col("h")))
+          .as("p90_h"),
+        max("h").as("max_h"),
+        (sum("ssum").cast("double") / max("n").cast("double"))
+          .as("mean_s"))
+  }
+
+  val funnelLatencySql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, $duckTsS AS ts_s FROM events
+       |), s1 AS (
+       |  SELECT user_id, MIN(ts_s) AS t1 FROM e WHERE event_type = 'view'
+       |  GROUP BY 1
+       |), s2 AS (
+       |  SELECT e.user_id, MIN(ts_s) AS t2, MIN(t1) AS t1
+       |  FROM e JOIN s1 USING (user_id)
+       |  WHERE event_type = 'click' AND ts_s > t1 GROUP BY 1
+       |), s3 AS (
+       |  SELECT e.user_id, MIN(ts_s) AS t3, MIN(t2) AS t2
+       |  FROM e JOIN s2 USING (user_id)
+       |  WHERE event_type = 'purchase' AND ts_s > t2 GROUP BY 1
+       |), lags AS (
+       |  SELECT 'view_to_click' AS stage, t2 - t1 AS lag_s FROM s2
+       |  UNION ALL
+       |  SELECT 'click_to_purchase' AS stage, t3 - t2 AS lag_s FROM s3
+       |), h AS (
+       |  SELECT stage, lag_s // 3600 AS h, COUNT(*) AS c,
+       |    CAST(SUM(lag_s) AS BIGINT) AS ssum
+       |  FROM lags GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT stage, h, c, ssum,
+       |    SUM(c) OVER (PARTITION BY stage ORDER BY h) AS cum,
+       |    SUM(c) OVER (PARTITION BY stage) AS n
+       |  FROM h
+       |)
+       |SELECT stage, CAST(MAX(n) AS BIGINT) AS n_users,
+       |  MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN h END) AS p50_h,
+       |  MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN h END) AS p90_h,
+       |  MAX(h) AS max_h,
+       |  CAST(SUM(ssum) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) AS mean_s
+       |FROM cum GROUP BY stage""".stripMargin
+
+  // ------------------------------------------------- #261 pivot report
+
+  /** The pivot's pinned column list — pivoting an UNBOUNDED column is
+    * a schema explosion; a production pivot always pins its values
+    * (Spark's own API docs make the same point: the values-given form
+    * skips the distinct-scan AND bounds the schema).
+    */
+  val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** #261: PIVOT — the daily wide-table activity report: one row per
+    * day, one COLUMN per event type, plus the daily total. The
+    * relational reshape every BI export ends with (long→wide), done
+    * with Spark's first-class `groupBy().pivot(col, values)` operator.
+    *
+    * Spark-first: with the value list pinned ([[PivotTypes]]), pivot
+    * compiles to ONE map-side-combining aggregate of conditional
+    * counts onto the day keyspace — a single shuffle of 7-column
+    * partials, no Expand, no distinct pre-scan, no per-type pass.
+    * Absent (day, type) cells surface as exact zero counts.
+    * Exactness: pure integer counting on integer epoch-days.
+    */
+  def pivotDaily(spark: SparkSession, dir: String): DataFrame = {
+    val wide = eventsS(spark, dir)
+      .select(expr("ts_s DIV 86400").as("day"), col("event_type"))
+      .groupBy("day")
+      .pivot("event_type", PivotTypes)
+      .agg(count(lit(1)))
+    PivotTypes.foldLeft(wide) { (df, t) =>
+        df.withColumn(s"n_$t", coalesce(col(s"`$t`"), lit(0L))).drop(t)
+      }
+      .withColumn("n_total",
+        PivotTypes.map(t => col(s"n_$t")).reduce(_ + _))
+  }
+
+  val pivotDailySql: String = {
+    val cells = PivotTypes.map(t =>
+      s"CAST(SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t")
+      .mkString(",\n       |  ")
+    val total = PivotTypes.map(t => s"n_$t").mkString(" + ")
+    s"""SELECT day, ${PivotTypes.map(t => s"n_$t").mkString(", ")},
+       |  $total AS n_total
+       |FROM (
+       |  SELECT $duckTsS // 86400 AS day,
+       |    $cells
+       |  FROM events GROUP BY 1
+       |)""".stripMargin
+  }
 }

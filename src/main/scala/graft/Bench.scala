@@ -104,7 +104,10 @@ object Bench {
     "events_dow_uniformity", "kge_pairre_score", "embed_lang_centroids",
     "events_bounce",
     "q15_top_supplier", "q19_brackets", "q21_late_supplier", "q8_mkt_share",
-    "events_acf", "events_funnel_latency", "events_pivot")
+    "events_acf", "events_funnel_latency", "events_pivot",
+    // round-6 session-9 additions
+    "sketch_moments", "events_audience_overlap",
+    "events_seasonal_decompose", "events_concurrency")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

@@ -2610,4 +2610,289 @@ object Events {
        |  FROM events GROUP BY 1
        |)""".stripMargin
   }
+
+  // --------------------------------------------- #263 audience overlap
+
+  /** #263: AUDIENCE OVERLAP — for every pair of event types, how many
+    * users do both, and the Jaccard of the two audiences: the
+    * audience-overlap matrix growth teams read to decide which surface
+    * drives which ("do purchasers click, or arrive cold?"), and the
+    * co-occurrence input to feature-adoption maps. The funnel (#89)
+    * imposes an order; this is the ORDER-FREE co-audience view.
+    *
+    * Spark-first scale shape: the whole corpus collapses in ONE
+    * map-side-combining aggregate to a per-user TYPE BITMASK (5 pinned
+    * types → bits 0-4, the [[PivotTypes]] order), the mask histogram
+    * is ≤ 32 rows forever, and all 10 pair cells are conditional sums
+    * over that histogram — events are touched once, pairs never see
+    * data-scale rows. (The naive distinct-pair self-join shuffles the
+    * corpus twice; the bitmask form is why audience matrices stay
+    * cheap at any scale.) Exactness: pure integer counting; the
+    * Jaccard is one division of exact BIGINTs.
+    */
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val flags = PivotTypes.zipWithIndex.map { case (t, i) =>
+      max(when(col("event_type") === t, 1L).otherwise(0L)).as(s"f$i")
+    }
+    val mask = PivotTypes.indices
+      .map(i => col(s"f$i") * lit(1L << i)).reduce(_ + _)
+    val hist = Tables.events(spark, dir)
+      .groupBy("user_id").agg(flags.head, flags.tail: _*)
+      .select(mask.as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("c"))
+    val pairs = for {
+      a <- PivotTypes.indices; b <- PivotTypes.indices if a < b
+    } yield struct(lit(a).as("ai"), lit(b).as("bi"))
+    val names = array(PivotTypes.map(lit): _*)
+    hist
+      .select(explode(array(pairs: _*)).as("p"), col("mask"), col("c"))
+      .select(col("p.ai").as("ai"), col("p.bi").as("bi"),
+        col("mask"), col("c"))
+      .select(col("ai"), col("bi"), col("c"),
+        expr("shiftright(mask, ai) & 1").as("ba"),
+        expr("shiftright(mask, bi) & 1").as("bb"))
+      .groupBy("ai", "bi")
+      .agg(sum(col("ba") * col("c")).as("n_a"),
+        sum(col("bb") * col("c")).as("n_b"),
+        sum(col("ba") * col("bb") * col("c")).as("n_both"))
+      .filter(col("n_both") > 0L)
+      .select(
+        element_at(names, col("ai").cast("int") + 1).as("type_a"),
+        element_at(names, col("bi").cast("int") + 1).as("type_b"),
+        col("n_a"), col("n_b"), col("n_both"),
+        (col("n_both").cast("double")
+          / (col("n_a") + col("n_b") - col("n_both"))).as("jaccard"))
+  }
+
+  /** Oracle: the definitional form — distinct (user, type) pairs
+    * self-joined on the user — over the SAME pair universe; the bitmask
+    * is a plan optimization, never a semantics change.
+    */
+  val audienceOverlapSql: String =
+    s"""WITH d AS (
+       |  SELECT DISTINCT user_id, event_type FROM events
+       |), c AS (
+       |  SELECT event_type, COUNT(*) AS n FROM d GROUP BY 1
+       |), b AS (
+       |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+       |    COUNT(*) AS n_both
+       |  FROM d x JOIN d y
+       |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+       |  GROUP BY 1, 2
+       |)
+       |SELECT type_a, type_b, ca.n AS n_a, cb.n AS n_b, n_both,
+       |  CAST(n_both AS DOUBLE) / (ca.n + cb.n - n_both) AS jaccard
+       |FROM b
+       |JOIN c ca ON ca.event_type = type_a
+       |JOIN c cb ON cb.event_type = type_b""".stripMargin
+
+  // --------------------------------------- #267 seasonal decomposition
+
+  /** #267: CLASSICAL SEASONAL DECOMPOSITION (additive, weekly) of each
+    * event type's daily volume series: x_d = trend + seasonal + remainder
+    * — the Makridakis/Hyndman "classical decomposition" that turns one
+    * noisy series into the three questions that matter (is volume
+    * growing? which weekday carries it? what's left to alarm on?). The
+    * ACF (#259) says WHETHER a weekly season exists; this op extracts
+    * it. The remainder is what #97/#140-style anomaly detection should
+    * run on — alarming on raw volume confuses Sunday with an outage.
+    *
+    * Construction, all on the COMPLETE calendar (missing days are true
+    * zeros, the #193/#259 discipline):
+    *   trend_d    = centered 7-term moving average (defined only where
+    *                all 7 neighbors exist — the standard edge rule);
+    *   seasonal_w = quantized mean of (x − trend) per day-of-week,
+    *                recentred so the seven indices sum to zero (the
+    *                additive-model identifiability constraint);
+    *   remainder  = x − trend − seasonal.
+    *
+    * Exactness: x is an integer count; the 7-term sum is an exact
+    * BIGINT, trend = one division by 7.0; detrended values quantize at
+    * 1e-6 into order-free sums, the per-dow mean and the recentring
+    * mean are each ONE quantized division ([[Exact.roundS]]), so both
+    * engines hold bit-identical seasonal indices; the remainder is two
+    * correctly-rounded subtractions of identical doubles.
+    *
+    * Scale: events collapse map-side onto the bounded (type, day)
+    * keyspace; every window partitions by event_type over the bounded
+    * calendar frame (never the corpus); the dow profile is a 35-key
+    * aggregate. Output: one row per (type, day) with defined trend —
+    * calendar-bounded.
+    */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val daily = eventsS(spark, dir)
+      .groupBy(col("event_type"), expr("ts_s DIV 86400").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val span = daily.agg(min("day").as("d0"), max("day").as("d1"))
+    val series = daily.select("event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("c"), lit(0L)).as("x"))
+    val w7 = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-3, 3)
+    val trended = series
+      .withColumn("s7", sum("x").over(w7))
+      .withColumn("n7", count(lit(1)).over(w7))
+      .withColumn("trend",
+        when(col("n7") === 7, col("s7").cast("double") / 7.0))
+      .withColumn("dow", pmod(col("day"), lit(7)))
+    val dowIdx = trended.filter(col("trend").isNotNull)
+      .groupBy("event_type", "dow")
+      .agg((Exact.decSum(col("x") - col("trend"), 6)
+        / count(lit(1))).as("raw_idx"))
+      .withColumn("raw_idx", Exact.roundS(col("raw_idx")))
+    val meanIdx = dowIdx.groupBy("event_type")
+      .agg(Exact.roundS(Exact.decSum(col("raw_idx"), 6) / lit(7.0))
+        .as("mean_idx"))
+    val centred = dowIdx.join(broadcast(meanIdx), "event_type")
+      .select(col("event_type"), col("dow"),
+        (col("raw_idx") - col("mean_idx")).as("seasonal"))
+    trended.filter(col("trend").isNotNull)
+      .join(centred, Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("dow"), col("x"),
+        col("trend"), col("seasonal"),
+        (col("x") - col("trend") - col("seasonal")).as("remainder"))
+  }
+
+  val seasonalDecomposeSql: String =
+    s"""WITH d AS (
+       |  SELECT event_type, $duckTsS // 86400 AS day, COUNT(*) AS c
+       |  FROM events GROUP BY 1, 2
+       |), span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d),
+       |grid AS (
+       |  SELECT t.event_type, UNNEST(generate_series(d0, d1)) AS day
+       |  FROM (SELECT DISTINCT event_type FROM d) t, span
+       |), s AS (
+       |  SELECT g.event_type, g.day, COALESCE(d.c, 0) AS x
+       |  FROM grid g LEFT JOIN d
+       |    ON g.event_type = d.event_type AND g.day = d.day
+       |), tr AS (
+       |  SELECT event_type, day, x, day % 7 AS dow,
+       |    CASE WHEN COUNT(*) OVER w7 = 7
+       |         THEN CAST(SUM(x) OVER w7 AS DOUBLE) / 7.0 END AS trend
+       |  FROM s WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+       |), raw AS (
+       |  SELECT event_type, dow,
+       |    ${Exact.duckRoundS(
+             Exact.duckSum("CAST(x AS DOUBLE) - trend") + " / COUNT(*)")}
+       |      AS raw_idx
+       |  FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2
+       |), mi AS (
+       |  SELECT event_type,
+       |    ${Exact.duckRoundS(Exact.duckSum("raw_idx") + " / 7.0")}
+       |      AS mean_idx
+       |  FROM raw GROUP BY 1
+       |), ctr AS (
+       |  SELECT r.event_type, r.dow, r.raw_idx - m.mean_idx AS seasonal
+       |  FROM raw r JOIN mi m ON r.event_type = m.event_type
+       |)
+       |SELECT t.event_type, t.day, t.dow, t.x, t.trend, c.seasonal,
+       |  t.x - t.trend - c.seasonal AS remainder
+       |FROM tr t JOIN ctr c
+       |  ON t.event_type = c.event_type AND t.dow = c.dow
+       |WHERE t.trend IS NOT NULL""".stripMargin
+
+  // ------------------------------------------- #268 session concurrency
+
+  /** #268: PEAK CONCURRENCY — per day, the maximum number of sessions
+    * active at the same instant (plus sessions started and the
+    * end-of-day level): the capacity number — connection pools, rate
+    * limits, on-call staffing — that no per-day COUNT can produce,
+    * because concurrency is a property of OVERLAP, not volume. The
+    * classic sweep-line: +1 at each session start, −1 one second after
+    * its end (sessions are inclusive-second intervals, so back-to-back
+    * sessions at t and t′=end overlap at the boundary), and the peak
+    * is the maximum of the running sum.
+    *
+    * Spark-first scale shape — the DISTRIBUTED PREFIX SUM: a global
+    * ordered running sum does not partition, so boundaries collapse
+    * first onto per-second net deltas keyed by DAY (map-side combine),
+    * the within-day cumulative runs under a day-partitioned window,
+    * and the cross-day carry is a triangular join over the PER-DAY
+    * TOTALS frame — calendar-bounded, broadcast, never data-scale.
+    * That two-level scan (local scan + small carry table) is exactly
+    * how parallel prefix sums are built; corpus rows shuffle once,
+    * onto the session keyspace they already use (#5's user_id
+    * partitioning feeds the interval extraction).
+    *
+    * Exactness: everything is BIGINT counting on integer seconds;
+    * day peak = carry + max(0, max within-day cumulative) evaluated at
+    * boundary seconds (concurrency only changes there), with the
+    * carried level itself a candidate (a quiet day can peak at its
+    * inherited level). Days with no boundary events are not emitted —
+    * their constant level is the previous emitted day's eod_conc.
+    */
+  def concurrency(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    val sess = eventsS(spark, dir)
+      .withColumn("prev_ts", lag("ts_s", 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_ts").isNull || col("ts_s") - col("prev_ts") > GapS)
+          .cast("int"))
+      .withColumn("session_seq",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_seq")
+      .agg(min("ts_s").as("s"), max("ts_s").as("e"))
+    val bounds = sess.select(col("s").as("t"), lit(1L).as("d"))
+      .unionAll(sess.select((col("e") + 1L).as("t"), lit(-1L).as("d")))
+    val net = bounds
+      .groupBy(expr("t DIV 86400").as("day"), col("t"))
+      .agg(sum("d").as("net"),
+        sum(when(col("d") > 0L, col("d")).otherwise(0L)).as("starts"))
+    val wDay = Window.partitionBy("day").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val intra = net.withColumn("cum_in", sum("net").over(wDay))
+    val dayTot = intra.groupBy("day")
+      .agg(sum("net").as("tot"), sum("starts").as("n_starts"),
+        max("cum_in").as("max_in"))
+    val carry = dayTot
+      .join(broadcast(dayTot.select(col("day").as("pd"), col("tot").as("ptot"))),
+        col("pd") < col("day"), "left")
+      .groupBy("day", "tot", "n_starts", "max_in")
+      .agg(coalesce(sum(col("ptot")), lit(0L)).as("carry"))
+    carry.select(col("day"), col("n_starts"),
+      greatest(col("carry"), col("carry") + col("max_in")).as("peak_conc"),
+      (col("carry") + col("tot")).as("eod_conc"))
+  }
+
+  /** Oracle: the definitional single global running sum (fine for an
+    * oracle; the Spark side is the two-level partitioned form), with
+    * the carried-in level recovered per day as arg_min_t(conc − net).
+    */
+  val concurrencySql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, $duckTsS AS ts_s FROM events
+       |), flagged AS (
+       |  SELECT *, CASE WHEN prev_ts IS NULL OR ts_s - prev_ts > $GapS
+       |                 THEN 1 ELSE 0 END AS new_session
+       |  FROM (SELECT *, LAG(ts_s) OVER w AS prev_ts FROM e
+       |        WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id))
+       |), numbered AS (
+       |  SELECT *, CAST(SUM(new_session) OVER
+       |    (PARTITION BY user_id ORDER BY ts_s, event_id
+       |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+       |  FROM flagged
+       |), sess AS (
+       |  SELECT user_id, session_seq, MIN(ts_s) AS s, MAX(ts_s) AS e2
+       |  FROM numbered GROUP BY 1, 2
+       |), b AS (
+       |  SELECT s AS t, 1 AS d FROM sess
+       |  UNION ALL SELECT e2 + 1, -1 FROM sess
+       |), net AS (
+       |  SELECT t // 86400 AS day, t, CAST(SUM(d) AS BIGINT) AS net,
+       |    CAST(SUM(CASE WHEN d > 0 THEN d ELSE 0 END) AS BIGINT) AS starts
+       |  FROM b GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT day, t, net, starts,
+       |    CAST(SUM(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS conc
+       |  FROM net
+       |)
+       |SELECT day, CAST(SUM(starts) AS BIGINT) AS n_starts,
+       |  GREATEST(arg_min(conc - net, t), MAX(conc)) AS peak_conc,
+       |  arg_max(conc, t) AS eod_conc
+       |FROM cum GROUP BY day""".stripMargin
 }

@@ -3,7 +3,7 @@ package graft.relational
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.{PortableHash, Tables}
+import graft.core.{Exact, PortableHash, Tables}
 
 /** Distributed streaming sketches over the event log — the two
   * fixed-memory primitives a 100 TB pipeline leans on when exact
@@ -500,5 +500,105 @@ object Sketches {
     s"""SELECT CAST(h % $KmvM AS INT) AS bucket, MIN(h) AS minh
        |FROM (SELECT $h AS h FROM events)
        |GROUP BY 1""".stripMargin
+  }
+
+  // ----------------------------------------------- #262 moments sketch
+
+  /** #262: MOMENTS SKETCH — the power-sum summary (n, Σx, Σx², Σx³,
+    * Σx⁴) per event type, and the shape statistics it determines:
+    * mean, variance, skewness, excess kurtosis. This is the EXACT
+    * member of the sketch family (#91/#92/#154/#201 approximate;
+    * power sums are lossless for moments): five numbers per group
+    * capture the full moment profile, and — the sketch property —
+    * they merge by plain ADDITION, so per-executor partials, shard
+    * unions and day-over-day rollups compose with no error term at
+    * all (SketchesSpec proves shard-merge ≡ monolithic). The Gan et
+    * al. VLDB'18 "Moment-based quantile sketches" aggregator is this
+    * state + a quantile solver; the state is what a warehouse stores.
+    *
+    * Exactness: `value` sits on the cents grid (≤ 490.02), so the
+    * per-row powers are correctly-rounded IEEE products bounded by
+    * 490.02⁴ ≈ 5.8e10 — quantized per the house scaled-double rule at
+    * scales (2, 4, 3, 2), every scaled power stays under 2^53 and the
+    * BIGINT group sums have 10+ orders of headroom at sf0.1. The
+    * derived statistics are a handful of IEEE ops on bit-identical
+    * exact sums — order-free by construction. Variance/skew/kurtosis
+    * use the population (biased) form, the one power sums determine
+    * directly: µ_k = m_k − f(m_{<k}) via the binomial expansion.
+    *
+    * Scale: ONE map-side-combining aggregate onto the 5-key event-type
+    * space — shuffle bytes constant in corpus size, the sketch
+    * guarantee. No second pass: central moments come from raw moments,
+    * never from re-scanning deviations (the textbook two-pass form
+    * shuffles the corpus twice for nothing).
+    */
+  private[graft] def momentState(events: DataFrame): DataFrame = {
+    def qsum(c: Column, scale: Double) =
+      sum(floor(c * scale + 0.5).cast("long"))
+    events.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      qsum(col("value"), 1e2).as("q1"),
+      qsum(col("value") * col("value"), 1e4).as("q2"),
+      qsum(col("value") * col("value") * col("value"), 1e3).as("q3"),
+      qsum(col("value") * col("value") * col("value")
+        * col("value"), 1e2).as("q4"))
+  }
+
+  def moments(spark: SparkSession, dir: String): DataFrame =
+    momentStats(momentState(Tables.events(spark, dir)))
+
+  /** Shape stats from the power-sum state (shared with the merge spec).
+    * The persisted/merged state is the SCALED BIGINT sums — integers
+    * add exactly under any shard split; the divide-back to value units
+    * happens only here, at read time (dividing first and summing the
+    * doubles would lose the merge law in the last ulp — measured).
+    */
+  private[graft] def momentStats(state: DataFrame): DataFrame =
+    state
+      .withColumn("s1", col("q1").cast("double") / 1e2)
+      .withColumn("s2", col("q2").cast("double") / 1e4)
+      .withColumn("s3", col("q3").cast("double") / 1e3)
+      .withColumn("s4", col("q4").cast("double") / 1e2)
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("m2", col("s2") / col("n") - col("mean") * col("mean"))
+      .withColumn("m3", col("s3") / col("n")
+        - lit(3.0) * col("mean") * (col("s2") / col("n"))
+        + lit(2.0) * col("mean") * col("mean") * col("mean"))
+      .withColumn("m4", col("s4") / col("n")
+        - lit(4.0) * col("mean") * (col("s3") / col("n"))
+        + lit(6.0) * col("mean") * col("mean") * (col("s2") / col("n"))
+        - lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+      .select(col("event_type"), col("n"), col("s1"), col("s2"),
+        col("s3"), col("s4"), col("mean"),
+        col("m2").as("variance"),
+        (col("m3") / sqrt(col("m2") * col("m2") * col("m2"))).as("skewness"),
+        (col("m4") / (col("m2") * col("m2")) - lit(3.0)).as("kurtosis_ex"))
+
+  val momentsSql: String = {
+    val s1 = Exact.duckSum("value", 2)
+    val s2 = Exact.duckSum("value * value", 4)
+    val s3 = Exact.duckSum("value * value * value", 3)
+    val s4 = Exact.duckSum("value * value * value * value", 2)
+    s"""WITH st AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |    $s1 AS s1, $s2 AS s2, $s3 AS s3, $s4 AS s4
+       |  FROM events GROUP BY 1
+       |), d AS (
+       |  SELECT *, s1 / n AS mean FROM st
+       |), m AS (
+       |  SELECT *,
+       |    s2 / n - mean * mean AS m2,
+       |    s3 / n - 3.0 * mean * (s2 / n)
+       |      + 2.0 * mean * mean * mean AS m3,
+       |    s4 / n - 4.0 * mean * (s3 / n)
+       |      + 6.0 * mean * mean * (s2 / n)
+       |      - 3.0 * mean * mean * mean * mean AS m4
+       |  FROM d
+       |)
+       |SELECT event_type, n, s1, s2, s3, s4, mean,
+       |  m2 AS variance,
+       |  m3 / sqrt(m2 * m2 * m2) AS skewness,
+       |  m4 / (m2 * m2) - 3.0 AS kurtosis_ex
+       |FROM m""".stripMargin
   }
 }

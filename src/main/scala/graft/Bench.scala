@@ -107,7 +107,8 @@ object Bench {
     "events_acf", "events_funnel_latency", "events_pivot",
     // round-6 session-9 additions
     "sketch_moments", "events_audience_overlap",
-    "events_seasonal_decompose", "events_concurrency")
+    "events_seasonal_decompose", "events_concurrency",
+    "kge_simple_score", "kge_quate_score")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

@@ -110,6 +110,32 @@ object Embeddings {
         .select(col("rid").as("id"),
           emb("W", col("rid"), DRescal * DRescal).as("w")))
 
+  /** SimplE entity table — head-role (family E, shared with the other
+    * models) and tail-role (family ET) vectors in ONE frame, the
+    * [[complexEnt]] one-join-per-side trick.
+    */
+  def simpleEnt(spark: SparkSession, dir: String): DataFrame =
+    tableCache.getOrElseUpdate((spark, dir, "SE"))(
+      Dict.entities(spark, dir).select(col("id"),
+        emb("E", col("id")).as("he"), emb("ET", col("id")).as("te")))
+
+  /** SimplE relation table — forward (family R, shared) and inverse
+    * (family RV) vectors; dictionary-sized, always broadcastable.
+    */
+  def simpleRel(spark: SparkSession, dir: String): DataFrame =
+    tableCache.getOrElseUpdate((spark, dir, "SR"))(
+      Dict.relations(spark, dir).select(col("rid").as("id"),
+        emb("R", col("rid")).as("r"), emb("RV", col("rid")).as("rv")))
+
+  /** QuatE raw relation quaternions (family QR, D components = D/4
+    * quaternion units) — normalization happens in the score expression
+    * so both engines derive it from the same dyadic state.
+    */
+  def quateRel(spark: SparkSession, dir: String): DataFrame =
+    tableCache.getOrElseUpdate((spark, dir, "QE"))(
+      Dict.relations(spark, dir)
+        .select(col("rid").as("id"), emb("QR", col("rid")).as("q")))
+
   /** DuckDB scalar equivalent of emb(kind, id)[i]. */
   def duckEl(kind: String, idExpr: String, iExpr: String): String =
     PortableHash.duckDyadic(s"'$kind' || '|' || $idExpr || '|' || $iExpr")

@@ -462,4 +462,125 @@ object Scoring {
        |  -SUM(((hp + $re) - tp) * ((hp + $re) - tp)) AS score
        |FROM proj GROUP BY sid, pid, oid""".stripMargin
   }
+
+  /** #264: SimplE score = ½(⟨hᵉ_s, r_p, tᵉ_o⟩ + ⟨hᵉ_o, r⁻¹_p, tᵉ_s⟩)
+    * (Kazemi & Poole, NeurIPS 2018) — the FULLY-EXPRESSIVE bilinear the
+    * family lacked: DistMult (#14) is forced symmetric (score(s,p,o) =
+    * score(o,p,s) always — it cannot represent `placedBy` having a
+    * direction); SimplE fixes that with the canonical-polyadic trick of
+    * giving every entity a HEAD-role and a TAIL-role vector and every
+    * relation an inverse, averaging the forward and inverse-direction
+    * products. Two fresh dyadic families (ET, RV); the head-role and
+    * forward-relation families are the shared E/R.
+    *
+    * Exactness: each term is a triple product of 7-bit dyadics —
+    * on the 1/2²¹ grid with ≤20-bit numerators, a 16-term sum ≤25 bits,
+    * the two-sum total ≤26 and the half is a dyadic halving — ALL exact,
+    * plain-SUM oracle, no quantization anywhere.
+    *
+    * Plan: two entity-table joins (one per side, both roles ride ONE
+    * frame — the [[Embeddings.complexEnt]] trick) + ONE broadcast of the
+    * paired-relation table; both folds are fused codegen loops.
+    */
+  def simpleScore(spark: SparkSession, dir: String): DataFrame = {
+    val e = simpleEnt(spark, dir)
+    sliced(spark, dir)
+      .join(e.select(col("id").as("sid"),
+        col("he").as("hs"), col("te").as("ts2")), "sid")
+      .join(e.select(col("id").as("oid"),
+        col("he").as("ho"), col("te").as("to2")), "oid")
+      .join(broadcast(simpleRel(spark, dir)
+        .select(col("id").as("pid"), col("r"), col("rv"))), "pid")
+      .withColumn("score",
+        (VectorFolds.dot3(col("hs"), col("r"), col("to2"))
+          + VectorFolds.dot3(col("ho"), col("rv"), col("ts2"))) / 2.0)
+      .select("sid", "pid", "oid", "score")
+  }
+
+  val simpleScoreSql: String = {
+    val hs = duckEl("E", "sid", "i"); val ho = duckEl("E", "oid", "i")
+    val ts = duckEl("ET", "sid", "i"); val to = duckEl("ET", "oid", "i")
+    val re = duckEl("R", "pid", "i"); val rv = duckEl("RV", "pid", "i")
+    s"""${prelude(ScoreMod)}
+       |SELECT sid, pid, oid,
+       |  (SUM(($hs * $re) * $to) + SUM(($ho * $rv) * $ts)) / 2.0 AS score
+       |FROM test_enc, (SELECT unnest(range(0, ${D})) AS i)
+       |GROUP BY sid, pid, oid""".stripMargin
+  }
+
+  /** #265: QuatE score = Σ_u ⟨h_u ⊗ ŵ_u, t_u⟩ (Zhang et al., NeurIPS
+    * 2019) — the hypercomplex rung above RotatE: entities and relations
+    * are QUATERNIONS (D = 16 → 4 units of (a,b,c,d)); the relation is
+    * normalized to unit norm per unit and applied by the HAMILTON
+    * product, a genuine 4-D rotation with two planes of freedom where
+    * RotatE's complex product has one — which is what lets QuatE model
+    * composition AND inversion with one representation. Fresh dyadic
+    * family QR for the raw relation quaternions.
+    *
+    * Exactness — the TransH/RotatE normalization argument: the unit
+    * norm is √(a²+b²+c²+d²) of exact dyadics (exact sum, one
+    * correctly-rounded sqrt), each normalized component ONE division —
+    * both engines hold bit-identical ŵ. The Hamilton components and
+    * the final dot are then a FIXED LITERAL IEEE TREE (all index
+    * ranges unrolled at plan time — no data-dependent fold order
+    * anywhere), so the score is bit-identical with NO quantized fold:
+    * the oracle is the same expression text over the same scalars.
+    *
+    * Plan: the family's shared cached slice join + ONE broadcast of the
+    * dictionary-sized quaternion table; the whole score is one codegen
+    * projection (element_at over materialized arrays — the
+    * [[Embeddings.emb]] HOF warning honored).
+    */
+  def quateScore(spark: SparkSession, dir: String): DataFrame =
+    slicedEmb(spark, dir)
+      .join(broadcast(quateRel(spark, dir)
+        .select(col("id").as("pid"), col("q"))), "pid")
+      .withColumn("score", quateExpr(col("h"), col("q"), col("t")))
+      .select("sid", "pid", "oid", "score")
+
+  /** The unrolled per-unit Hamilton-product score tree (shared shape
+    * with [[quateScoreSql]] — both sides parse to the same IEEE tree).
+    */
+  private def quateExpr(h: Column, q: Column, t: Column): Column = {
+    val units = (0 until D / 4).map { u =>
+      val b = 4 * u
+      def el(c: Column, k: Int) = element_at(c, b + k + 1)
+      val (qa, qb, qc, qd) = (el(q, 0), el(q, 1), el(q, 2), el(q, 3))
+      val nrm = sqrt(qa * qa + qb * qb + qc * qc + qd * qd)
+      val (wa, wb, wc, wd) = (qa / nrm, qb / nrm, qc / nrm, qd / nrm)
+      val (ha, hb, hc, hd) = (el(h, 0), el(h, 1), el(h, 2), el(h, 3))
+      val (ta, tb, tc, td) = (el(t, 0), el(t, 1), el(t, 2), el(t, 3))
+      val pa = ha * wa - hb * wb - hc * wc - hd * wd
+      val pb = ha * wb + hb * wa + hc * wd - hd * wc
+      val pc = ha * wc - hb * wd + hc * wa + hd * wb
+      val pd = ha * wd + hb * wc - hc * wb + hd * wa
+      pa * ta + pb * tb + pc * tc + pd * td
+    }
+    units.reduce(_ + _)
+  }
+
+  val quateScoreSql: String = {
+    def unit(u: Int): String = {
+      val b = 4 * u
+      def he(k: Int) = duckEl("E", "sid", s"${b + k}")
+      def te(k: Int) = duckEl("E", "oid", s"${b + k}")
+      def qe(k: Int) = duckEl("QR", "pid", s"${b + k}")
+      val nrm = s"sqrt(${qe(0)} * ${qe(0)} + ${qe(1)} * ${qe(1)}" +
+        s" + ${qe(2)} * ${qe(2)} + ${qe(3)} * ${qe(3)})"
+      def w(k: Int) = s"(${qe(k)} / $nrm)"
+      val pa = s"(${he(0)} * ${w(0)} - ${he(1)} * ${w(1)}" +
+        s" - ${he(2)} * ${w(2)} - ${he(3)} * ${w(3)})"
+      val pb = s"(${he(0)} * ${w(1)} + ${he(1)} * ${w(0)}" +
+        s" + ${he(2)} * ${w(3)} - ${he(3)} * ${w(2)})"
+      val pc = s"(${he(0)} * ${w(2)} - ${he(1)} * ${w(3)}" +
+        s" + ${he(2)} * ${w(0)} + ${he(3)} * ${w(1)})"
+      val pd = s"(${he(0)} * ${w(3)} + ${he(1)} * ${w(2)}" +
+        s" - ${he(2)} * ${w(1)} + ${he(3)} * ${w(0)})"
+      s"($pa * ${te(0)} + $pb * ${te(1)} + $pc * ${te(2)} + $pd * ${te(3)})"
+    }
+    s"""${prelude(ScoreMod)}
+       |SELECT sid, pid, oid,
+       |  ${(0 until D / 4).map(unit).mkString("\n  + ")} AS score
+       |FROM test_enc""".stripMargin
+  }
 }

@@ -108,7 +108,9 @@ object Bench {
     // round-6 session-9 additions
     "sketch_moments", "events_audience_overlap",
     "events_seasonal_decompose", "events_concurrency",
-    "kge_simple_score", "kge_quate_score")
+    "kge_simple_score", "kge_quate_score",
+    "graph_clustering_coeff", "text_readability",
+    "text_score_correlation", "embed_isotropy", "dedup_novelty")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

@@ -704,4 +704,51 @@ object Dedup {
        |    (CASE WHEN b.first_in_batch < b.doc_id THEN b.first_in_batch END)
        |    IS NULL AS keep
        |FROM batch b LEFT JOIN base USING (h)""".stripMargin
+
+  // ------------------------------------------------------ #272 novelty
+
+  /** #272: SHINGLE NOVELTY — per document, how many of its distinct
+    * word-3-gram shingles appear for the FIRST time in the corpus
+    * (first = minimal doc_id, the append order): the marginal-content
+    * curve the dedup family reports in aggregate but not per document.
+    * Pairwise dedup (#25/#27) asks "is this a copy of THAT"; novelty
+    * asks the streaming-curation question "how much does this doc add
+    * on top of EVERYTHING before it" — near-0 novelty flags mosaic
+    * duplicates stitched from many sources, which no single pair
+    * crosses a Jaccard threshold to catch.
+    *
+    * Scale shape: the shared shingle cache feeds ONE shingle-keyed
+    * min-aggregate (the same keyspace the MinHash signatures shuffle
+    * on), the first-occurrence table joins back ON THAT SAME KEY —
+    * partitioning reused, no second data-scale keyspace — and the
+    * per-doc rollup is the only other shuffle. Exact integers; the
+    * novelty ratio is one division.
+    */
+  def novelty(spark: SparkSession, dir: String): DataFrame = {
+    val ex = shingled(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    val first = ex.groupBy("g").agg(min("doc_id").as("first_doc"))
+    ex.join(first, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles")).as("novelty"))
+  }
+
+  val noveltySql: String =
+    s"""WITH $duckShingles,
+       |ex AS (SELECT doc_id, unnest(sh) AS g FROM shd),
+       |fst AS (SELECT g, MIN(doc_id) AS fd FROM ex GROUP BY g),
+       |agg AS (
+       |  SELECT e.doc_id, COUNT(*) AS n_shingles,
+       |    CAST(SUM(CASE WHEN f.fd = e.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_novel
+       |  FROM ex e JOIN fst f ON f.g = e.g
+       |  GROUP BY 1
+       |)
+       |SELECT doc_id, n_shingles, n_novel,
+       |  CAST(n_novel AS DOUBLE) / n_shingles AS novelty
+       |FROM agg""".stripMargin
 }

@@ -432,18 +432,26 @@ object GraphAlgos {
         .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
     }
 
-  def triangles(spark: SparkSession, dir: String): DataFrame = {
-    val eu = copurchEdges(spark, dir)
-    val deg = copurchDeg(spark, dir)
+  /** Closed triangles as (s, x, y) corner rows, each triangle emitted
+    * exactly once at its degree-minimal vertex (shared by #157 and the
+    * per-node clustering coefficients #266).
+    */
+  private def copurchTriangles(spark: SparkSession, dir: String): DataFrame = {
     val eo = copurchOriented(spark, dir)
     val wedges = eo.as("e1").join(eo.as("e2"),
         col("e1.s") === col("e2.s") &&
           (col("e1.dt") < col("e2.dt") ||
             (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
       .select(col("e1.s").as("s"), col("e1.t").as("x"), col("e2.t").as("y"))
-    val tri = wedges.join(
+    wedges.join(
       eo.select(col("s").as("x"), col("t").as("y")), Seq("x", "y"),
       "left_semi")
+  }
+
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val eu = copurchEdges(spark, dir)
+    val deg = copurchDeg(spark, dir)
+    val tri = copurchTriangles(spark, dir)
     val ne = eu.agg(count(lit(1)).as("n_edges"))
     val nw = deg.agg(sum(expr("d * (d - 1) DIV 2")).as("n_wedges"))
     val nt = tri.agg(count(lit(1)).as("n_triangles"))
@@ -463,6 +471,69 @@ object GraphAlgos {
       .agg(max("od")).head.getLong(0)
     (maxOut, m)
   }
+
+  /** #266: LOCAL CLUSTERING COEFFICIENTS — per co-purchase node: degree,
+    * triangle membership count, and C_v = 2T_v / (d_v(d_v−1)) (Watts &
+    * Strogatz 1998): the per-node "how cliquish is this part's
+    * neighborhood" table behind community features and recommendation
+    * diversity checks, where #157 reports only the global transitivity.
+    * A high-degree low-C_v node is a BRIDGE (hub spanning communities);
+    * high-C_v nodes sit inside dense substitutable-product clusters.
+    *
+    * Spark-first: reuses #157's degree-oriented triangle enumeration
+    * verbatim (each triangle found ONCE at its degree-minimal vertex,
+    * wedge fan-out √(2m)-bounded — the Suri–Vassilvitskii shape), then
+    * attributes each triangle to its THREE corners with a 3-way corner
+    * union and counts per node — one map-side-combining aggregate on
+    * the vertex key, against the degree frame the orientation already
+    * built. Exactness: pure integer counting; C_v is one division of
+    * exact integers; degree-1 nodes carry NULL (undefined, the
+    * convention that keeps averages honest).
+    */
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val tri = copurchTriangles(spark, dir)
+    val corners = tri.select(col("s").as("v"))
+      .unionAll(tri.select(col("x").as("v")))
+      .unionAll(tri.select(col("y").as("v")))
+    val tc = corners.groupBy("v").agg(count(lit(1)).as("t"))
+    copurchDeg(spark, dir).join(tc, Seq("v"), "left")
+      .select(col("v"), col("d"),
+        coalesce(col("t"), lit(0L)).as("n_tri"),
+        when(col("d") >= 2,
+          lit(2.0) * coalesce(col("t"), lit(0L))
+            / (col("d") * (col("d") - 1))).as("coeff"))
+  }
+
+  /** Oracle: the definitional a<b<c enumeration attributed to all three
+    * corners — orientation must change the plan, never any count.
+    */
+  val clusteringCoeffSql: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |eu AS MATERIALIZED (
+       |  SELECT x.p AS a, y.p AS b FROM li x JOIN li y
+       |  ON x.o = y.o AND x.p < y.p GROUP BY 1, 2
+       |),
+       |deg AS (
+       |  SELECT v, COUNT(*) AS d
+       |  FROM (SELECT a AS v FROM eu UNION ALL SELECT b FROM eu) GROUP BY v
+       |),
+       |tri AS (
+       |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+       |  FROM eu e1 JOIN eu e2 ON e2.a = e1.b
+       |       JOIN eu e3 ON e3.a = e1.a AND e3.b = e2.b
+       |),
+       |tc AS (
+       |  SELECT v, COUNT(*) AS t FROM (
+       |    SELECT a AS v FROM tri
+       |    UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri
+       |  ) GROUP BY v
+       |)
+       |SELECT deg.v, deg.d, COALESCE(tc.t, 0) AS n_tri,
+       |  CASE WHEN deg.d >= 2
+       |       THEN 2.0 * COALESCE(tc.t, 0) / (deg.d * (deg.d - 1)) END
+       |    AS coeff
+       |FROM deg LEFT JOIN tc ON tc.v = deg.v""".stripMargin
 
   val trianglesSql: String =
     s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

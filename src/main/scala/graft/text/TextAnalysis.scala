@@ -545,4 +545,165 @@ object TextAnalysis {
        |GROUP BY 1
        |ORDER BY score DESC, phrase ASC LIMIT $RakeTopK""".stripMargin
   }
+
+  // ------------------------------------------------ #269 readability
+
+  /** #269: READABILITY — Flesch reading ease and Flesch–Kincaid grade
+    * per document, from the two classic per-doc ratios words/sentences
+    * and syllables/words (Flesch 1948; Kincaid 1975): the curation
+    * signal that separates fluent prose from keyword soup and legalese,
+    * orthogonal to #32's stopword/diversity score (a keyword list can
+    * have perfect uniq_ratio and no sentences at all).
+    *
+    * Pinned heuristics (a readability score is its formula + its
+    * counters — both engines run the identical pinned definitions):
+    * sentences = maximal runs of [.!?] (clamped to ≥1 so fragment-only
+    * docs stay defined); syllables = maximal vowel-group runs
+    * [aeiouy]+ over the lowercased text (the standard vowel-run
+    * approximation; zero-vowel tokens contribute none). Both are
+    * simple character-class regexes with identical semantics in
+    * Java's engine and DuckDB's RE2.
+    *
+    * Exactness: all three counters are integers; both scores are fixed
+    * literal IEEE trees of two divisions each. Scale: map-only over
+    * documents — no shuffle at all; the regex work fuses into the scan
+    * stage inside whole-stage codegen.
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"), words.as("ws"))
+      .select(col("doc_id"), col("lang"),
+        size(col("ws")).cast("long").as("n_words"),
+        greatest(expr("size(regexp_extract_all(text, '[.!?]+', 0))")
+          .cast("long"), lit(1L)).as("n_sentences"),
+        expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))")
+          .cast("long").as("n_syllables"))
+      .select(col("doc_id"), col("lang"), col("n_words"),
+        col("n_sentences"), col("n_syllables"),
+        (lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")))
+          .as("flesch"),
+        (lit(0.39) * (col("n_words").cast("double") / col("n_sentences"))
+          + lit(11.8) * (col("n_syllables").cast("double") / col("n_words"))
+          - lit(15.59)).as("fk_grade"))
+
+  val readabilitySql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len($duckWords) AS BIGINT) AS n_words,
+       |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+       |      AS BIGINT) AS n_sentences,
+       |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+       |      AS BIGINT) AS n_syllables
+       |  FROM documents
+       |)
+       |SELECT doc_id, lang, n_words, n_sentences, n_syllables,
+       |  206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+       |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) AS flesch,
+       |  0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+       |    + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+       |    - 15.59 AS fk_grade
+       |FROM d""".stripMargin
+
+  // ------------------------------------- #271 score rank correlation
+
+  /** #271: SPEARMAN RANK CORRELATION between the quality score (#32)
+    * and document length, per language — the metric-redundancy audit a
+    * curation pipeline runs before stacking filters: if two signals
+    * rank the corpus near-identically (|ρ| → 1) the second filter adds
+    * thresholds, not information; near 0 they prune independent
+    * failure modes. Spearman (Pearson on ranks) rather than Pearson on
+    * values because quality is bounded and length heavy-tailed —
+    * monotone association is the honest question.
+    *
+    * Exactness and scale by the #108/#224 HISTOGRAM-RANK method —
+    * never a data-scale sort window: quality lives on its 1e-6
+    * roundS grid and length is already integer, so both metrics rank
+    * through bounded (lang, value) histograms; the AVERAGE rank of a
+    * tie group (the Spearman tie convention) is cum_before +
+    * (cnt+1)/2 — integer window arithmetic over the bounded frame
+    * plus one exact division. Ranks normalize by n (one division of
+    * exact values — affine-invariant for ρ, and it bounds the
+    * quantized moment sums at ANY corpus size: x ≤ 1 keeps scale-9
+    * sums inside 2^53 to ~9e6 docs per language); the five moment
+    * sums quantize order-free; ρ is one fixed literal IEEE tree.
+    * Corpus rows shuffle twice onto bounded histogram keyspaces and
+    * once onto the 5-key moment rollup; the rank tables broadcast
+    * back map-side.
+    */
+  def scoreCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Exact
+    val scored = Tables.documents(spark, dir)
+      .select(col("lang"), col("n_chars"), words.as("ws"))
+      .select(col("lang"), col("n_chars").cast("long").as("c"),
+        Exact.roundS(quality).as("qv"))
+    def ranks(frame: DataFrame, key: String): DataFrame = {
+      val w = Window.partitionBy("lang").orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      frame.groupBy("lang", key).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", coalesce(sum("cnt").over(w), lit(0L)))
+        .select(col("lang"), col(key),
+          (col("cum") + (col("cnt") + 1) / lit(2.0)).as(s"r_$key"))
+    }
+    val n = scored.groupBy("lang").agg(count(lit(1)).as("n"))
+    scored
+      .join(broadcast(ranks(scored, "qv")), Seq("lang", "qv"))
+      .join(broadcast(ranks(scored, "c")), Seq("lang", "c"))
+      .join(broadcast(n), "lang")
+      .select(col("lang"), col("n"),
+        (col("r_qv") / col("n")).as("x"), (col("r_c") / col("n")).as("y"))
+      .groupBy("lang")
+      .agg(max("n").as("n"),
+        Exact.decSum(col("x"), 9).as("sx"),
+        Exact.decSum(col("y"), 9).as("sy"),
+        Exact.decSum(col("x") * col("x"), 9).as("sxx"),
+        Exact.decSum(col("y") * col("y"), 9).as("syy"),
+        Exact.decSum(col("x") * col("y"), 9).as("sxy"))
+      .select(col("lang"), col("n"),
+        ((col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n")))
+          / sqrt((col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")))
+            * (col("syy") / col("n") - (col("sy") / col("n")) * (col("sy") / col("n")))))
+          .as("rho"))
+  }
+
+  val scoreCorrelationSql: String = {
+    import graft.core.Exact
+    def rankCte(key: String): String =
+      s"""SELECT lang, $key,
+         |    COALESCE(CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY $key
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |      0) + (cnt + 1) / 2.0 AS r_$key
+         |  FROM (SELECT lang, $key, COUNT(*) AS cnt FROM s GROUP BY 1, 2)"""
+        .stripMargin
+    s"""WITH d AS (
+       |  SELECT lang, n_chars, $duckWords AS ws FROM documents
+       |), s AS (
+       |  SELECT lang, CAST(n_chars AS BIGINT) AS c,
+       |    ${Exact.duckRoundS(duckQuality)} AS qv
+       |  FROM d
+       |), rq AS (
+       |  ${rankCte("qv")}
+       |), rc AS (
+       |  ${rankCte("c")}
+       |), nn AS (SELECT lang, COUNT(*) AS n FROM s GROUP BY 1),
+       |xy AS (
+       |  SELECT s.lang, nn.n, rq.r_qv / nn.n AS x, rc.r_c / nn.n AS y
+       |  FROM s JOIN rq ON rq.lang = s.lang AND rq.qv = s.qv
+       |         JOIN rc ON rc.lang = s.lang AND rc.c = s.c
+       |         JOIN nn ON nn.lang = s.lang
+       |), m AS (
+       |  SELECT lang, MAX(n) AS n,
+       |    ${Exact.duckSum("x", 9)} AS sx, ${Exact.duckSum("y", 9)} AS sy,
+       |    ${Exact.duckSum("x * x", 9)} AS sxx,
+       |    ${Exact.duckSum("y * y", 9)} AS syy,
+       |    ${Exact.duckSum("x * y", 9)} AS sxy
+       |  FROM xy GROUP BY 1
+       |)
+       |SELECT lang, n,
+       |  (sxy / n - (sx / n) * (sy / n))
+       |    / sqrt((sxx / n - (sx / n) * (sx / n))
+       |      * (syy / n - (sy / n) * (sy / n))) AS rho
+       |FROM m""".stripMargin
+  }
 }

@@ -110,7 +110,8 @@ object Bench {
     "events_seasonal_decompose", "events_concurrency",
     "kge_simple_score", "kge_quate_score",
     "graph_clustering_coeff", "text_readability",
-    "text_score_correlation", "embed_isotropy", "dedup_novelty")
+    "text_score_correlation", "embed_isotropy", "dedup_novelty",
+    "streaming_topk", "text_chunk_windows")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

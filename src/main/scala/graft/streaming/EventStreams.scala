@@ -582,4 +582,43 @@ object EventStreams {
        |  event_type AS last_type, value AS last_value
        |FROM r WHERE rn = 1""".stripMargin
   }
+
+  // --------------------------------------------- #273 streaming top-k
+
+  /** #273: STREAMING TOP-K — per tumbling hour, the 3 most frequent
+    * event types (the live "trending now" tile). The STREAMING state is
+    * the (window, type) count table — the same complete-mode aggregate
+    * discipline as #36/#112: bounded by hours×types, merged across
+    * micro-batches by plain addition. The rank is the DASHBOARD-SIDE
+    * read over that state (streaming cannot stack a rank window on a
+    * complete-mode aggregate, and shouldn't — the state is live, the
+    * pick is O(cells) per refresh); the tie order (count desc, type
+    * asc) is total, so the read is deterministic. Oracle: the batch
+    * windowed rank over the same corpus.
+    */
+  def topk(spark: SparkSession, dir: String): DataFrame = {
+    val state = runToMemory(
+      eventStream(spark, dir)
+        .groupBy((col("ts_s") - (col("ts_s") % 3600)).as("win_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n")),
+      "graft_stream_topk")
+    state.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("win_start")
+          .orderBy(col("n").desc, col("event_type").asc)))
+      .filter(col("rank") <= 3)
+  }
+
+  val topkSql: String = {
+    val tsS = graft.relational.Events.duckTsS
+    s"""WITH c AS (
+       |  SELECT $tsS - ($tsS % 3600) AS win_start, event_type,
+       |    COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |)
+       |SELECT win_start, event_type, n, CAST(ROW_NUMBER() OVER (
+       |  PARTITION BY win_start ORDER BY n DESC, event_type ASC) AS INT)
+       |  AS rank
+       |FROM c QUALIFY rank <= 3""".stripMargin
+  }
 }

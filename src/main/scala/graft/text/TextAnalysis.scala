@@ -706,4 +706,69 @@ object TextAnalysis {
        |      * (syy / n - (sy / n) * (sy / n))) AS rho
        |FROM m""".stripMargin
   }
+
+  // --------------------------------------------- #274 chunk windows
+
+  /** Chunk width / stride in words (overlap = W − S = 16). */
+  val ChunkW = 64
+  val ChunkS = 48
+
+  /** #274: OVERLAPPING CHUNK WINDOWS — split every document into
+    * fixed-width word windows with overlap (W=64, stride 48): the
+    * retrieval/packing chunker every RAG index and every
+    * context-window-bounded training pipeline runs ahead of embedding
+    * (#29's vectors are per-chunk in production, not per-doc). Stride
+    * semantics pinned: chunk i covers words [i·S+1, i·S+W], the tail
+    * chunk keeps the remainder (never re-aligned — re-aligned tails
+    * duplicate content nondeterministically under appends), and
+    * n_chunks = 1 for docs within one window else ⌈(n−W)/S⌉+1 in
+    * integer arithmetic, which covers every word: the law
+    * Σ chunk_words = n + (n_chunks−1)·(W−S) is spec-pinned per doc.
+    * Chunks are emitted as (index, start, length, md5 of the joined
+    * window) — the hash stands in for the chunk payload so the
+    * verified surface is the full chunk CONTENT without data-scale
+    * string output.
+    *
+    * Scale: map-side generate — the explode fan-out is bounded by
+    * doc length / stride, no shuffle at all; at 100 TB this is the
+    * classic scan→explode→write pipeline stage.
+    */
+  def chunkWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), words.as("ws"))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("n_words") <= ChunkW, 1L)
+          .otherwise(
+            expr(s"(n_words - $ChunkW + $ChunkS - 1) DIV $ChunkS") + 1L))
+      .select(col("doc_id"), col("n_words"), col("n_chunks"), col("ws"),
+        explode(expr("sequence(0L, n_chunks - 1)")).as("ci"))
+      .select(col("doc_id"), col("ci").as("chunk_idx"), col("n_words"),
+        col("n_chunks"), (col("ci") * ChunkS).as("start_word"),
+        size(expr(s"slice(ws, ci * $ChunkS + 1, $ChunkW)")).cast("long")
+          .as("chunk_words"),
+        md5(concat_ws(" ", expr(s"slice(ws, ci * $ChunkS + 1, $ChunkW)")))
+          .as("chunk_hash"))
+
+  val chunkWindowsSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, $duckWords AS ws FROM documents
+       |), m AS (
+       |  SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_words,
+       |    CASE WHEN len(ws) <= $ChunkW THEN CAST(1 AS BIGINT)
+       |         ELSE CAST((len(ws) - $ChunkW + ${ChunkS - 1}) // $ChunkS
+       |              + 1 AS BIGINT) END AS n_chunks
+       |  FROM d
+       |), ex AS (
+       |  SELECT doc_id, n_words, n_chunks, ws,
+       |    UNNEST(range(0, n_chunks)) AS ci
+       |  FROM m
+       |)
+       |SELECT doc_id, ci AS chunk_idx, n_words, n_chunks,
+       |  ci * $ChunkS AS start_word,
+       |  CAST(len(ws[ci * $ChunkS + 1 : ci * $ChunkS + $ChunkW]) AS BIGINT)
+       |    AS chunk_words,
+       |  md5(array_to_string(ws[ci * $ChunkS + 1 : ci * $ChunkS + $ChunkW],
+       |    ' ')) AS chunk_hash
+       |FROM ex""".stripMargin
 }

@@ -26,6 +26,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "streaming_join", "streaming_anomaly", "streaming_bloom",
     "streaming_latest_state", "streaming_ams", "streaming_kmv",
     "streaming_user_state", "streaming_drift", "streaming_funnel",
+    "streaming_topk",
     // trainers execute eagerly (multi-job loops), not a single plan
     "kge_transe_train", "kge_transe_train_adagrad", "kge_transe_train_adam",
     "kge_distmult_train", "kge_hole_train", "kge_complex_train",

@@ -111,7 +111,8 @@ object Bench {
     "kge_simple_score", "kge_quate_score",
     "graph_clustering_coeff", "text_readability",
     "text_score_correlation", "embed_isotropy", "dedup_novelty",
-    "streaming_topk", "text_chunk_windows")
+    "streaming_topk", "text_chunk_windows",
+    "kge_transe_train_step_adamw", "events_holt_winters")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

@@ -49,6 +49,9 @@ object TransETrainer {
   val Beta1 = 0.9
   val Beta2 = 0.999
 
+  /** AdamW decoupled weight-decay coefficient λ. */
+  val Wd = 0.01
+
   /** Corruptions per positive per epoch in freshNegs mode. */
   val FreshNegK = 4
 
@@ -74,6 +77,19 @@ object TransETrainer {
     */
   def trainAdam(spark: SparkSession, dir: String): DataFrame =
     trainImpl(spark, dir, "adam")
+
+  /** #275: AdamW — Adam with DECOUPLED weight decay (Loshchilov &
+    * Hutter, ICLR 2019): the decay term `lr·λ·θ` subtracts directly
+    * from the parameter instead of entering the gradient (L2-in-the-
+    * gradient gets rescaled by Adam's 1/√v̂ — large-gradient
+    * coordinates end up under-regularized, the paper's whole point).
+    * For embeddings the decay is the norm control the reference applies
+    * by projection (`normalize`, param.py:108-121) expressed as the
+    * modern optimizer default. Same co-partitioned slot state as Adam;
+    * the decay is one more fused term in the update expression.
+    */
+  def trainAdamW(spark: SparkSession, dir: String): DataFrame =
+    trainImpl(spark, dir, "adamw")
 
   private def trainImpl(spark: SparkSession, dir: String, optimizer: String): DataFrame = {
     import spark.implicits._
@@ -115,6 +131,14 @@ object TransETrainer {
   def trainStepAdam(spark: SparkSession, dir: String): DataFrame =
     trainStepFor(spark, dir, "adam")
 
+  /** #276: the AdamW first step, oracle-pinned like #81 — the closed
+    * form is Adam's plus the decoupled decay `− lr·λ·θ₀`, so the decay
+    * path (the one piece of optimizer algebra Adam's row cannot see)
+    * gets its own hash-matched CORRECTNESS row.
+    */
+  def trainStepAdamW(spark: SparkSession, dir: String): DataFrame =
+    trainStepFor(spark, dir, "adamw")
+
   private def trainStepFor(spark: SparkSession, dir: String,
       optimizer: String): DataFrame = {
     val (ent, _, _) = trainFrames(spark, dir, optimizer, 1, Lr)
@@ -137,11 +161,21 @@ object TransETrainer {
       val bc2 = 1.0 - math.pow(Beta2, 1)
       s"e0.v - $Lr * (((($c1) * gm.g) / $bc1) / " +
         s"(sqrt((($c2) * (gm.g * gm.g)) / $bc2) + $Eps))"
+    case "adamw" =>
+      // Adam's step, then the decoupled decay subtraction — the same
+      // left-associated tree the Spark lambda builds.
+      val c1 = 1 - Beta1; val c2 = 1 - Beta2
+      val bc1 = 1.0 - math.pow(Beta1, 1)
+      val bc2 = 1.0 - math.pow(Beta2, 1)
+      s"e0.v - $Lr * (((($c1) * gm.g) / $bc1) / " +
+        s"(sqrt((($c2) * (gm.g * gm.g)) / $bc2) + $Eps)) - " +
+        s"${Lr * Wd} * e0.v"
   }
 
   val trainStepSql: String = trainStepSqlFor("sgd")
   val trainStepAdagradSql: String = trainStepSqlFor("adagrad")
   val trainStepAdamSql: String = trainStepSqlFor("adam")
+  val trainStepAdamWSql: String = trainStepSqlFor("adamw")
 
   private def trainStepSqlFor(optimizer: String): String = {
     val mbHash = PortableHash.duck("'mb|' || sid || '|' || pid || '|' || oid")
@@ -382,6 +416,29 @@ object TransETrainer {
                     (m, v) => (m / lit(bc1)) /
                       (sqrt(v / lit(bc2)) + lit(Eps))), col("vec"),
                     (step, vv) => vv - lit(lr) * step)).as("vec"),
+                col("s1n").as("s1"), col("s2n").as("s2"))
+          case "adamw" =>
+            // Adam's moments verbatim + the decoupled decay `− lr·λ·θ`
+            // fused into the update (decay applies ONLY where a gradient
+            // touched the row this epoch — the sparse-AdamW convention:
+            // decaying untouched embeddings would shrink the whole
+            // table every epoch regardless of the batch).
+            val bc1 = 1.0 - math.pow(Beta1, epoch)
+            val bc2 = 1.0 - math.pow(Beta2, epoch)
+            joinedF
+              .withColumn("s1n", when(col("gvec").isNull, col("s1"))
+                .otherwise(zip_with(col("s1"), col("gvec"),
+                  (m, g) => lit(Beta1) * m + lit(1 - Beta1) * g)))
+              .withColumn("s2n", when(col("gvec").isNull, col("s2"))
+                .otherwise(zip_with(col("s2"), col("gvec"),
+                  (v, g) => lit(Beta2) * v + lit(1 - Beta2) * (g * g))))
+              .select(col("id"),
+                when(col("gvec").isNull, col("vec")).otherwise(
+                  zip_with(zip_with(col("s1n"), col("s2n"),
+                    (m, v) => (m / lit(bc1)) /
+                      (sqrt(v / lit(bc2)) + lit(Eps))), col("vec"),
+                    (step, vv) =>
+                      vv - lit(lr) * step - lit(lr * Wd) * vv)).as("vec"),
                 col("s1n").as("s1"), col("s2n").as("s2"))
         }
       }

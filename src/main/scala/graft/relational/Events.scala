@@ -2895,4 +2895,127 @@ object Events {
        |  GREATEST(arg_min(conc - net, t), MAX(conc)) AS peak_conc,
        |  arg_max(conc, t) AS eod_conc
        |FROM cum GROUP BY day""".stripMargin
+
+  // ------------------------------------------ #277 Holt-Winters seasonal
+
+  /** #277: HOLT–WINTERS additive triple exponential smoothing of the
+    * per-type daily revenue series — the final rung of the smoothing
+    * ladder (#198 EWMA smooths a level, #233 Holt adds a trend, this
+    * adds the WEEKLY SEASONAL the decomposition #267 measures
+    * post-hoc): ℓ_t = α(y_t − s_{t−7}) + (1−α)(ℓ+b),
+    * b_t = β(ℓ_t − ℓ) + (1−β)b, s_t = γ(y_t − (ℓ+b)) + (1−γ)s_{t−7}
+    * (Hyndman's additive form), α = β = γ = ½ so every smoothing
+    * weight is a halving. Seasonal slots are keyed by CALENDAR
+    * day-of-week (day mod 7), not step parity — a gap day advances the
+    * season correctly where positional indexing would rotate it.
+    * Init pinned: ℓ₁ = y₁, b₁ = y₂ − y₁ (the #233 convention),
+    * seasonals zero — the recursion is the operator; #267 is the
+    * better initializer a production run would feed in.
+    *
+    * Exactness — the #233 argument with a 9-field state: the fold is
+    * ONE sequential left fold per type over the sorted dictionary-sized
+    * daily list, every step a fixed tree of halvings and
+    * correctly-rounded adds/subs; the oracle iterates the identical
+    * recursion as a RECURSIVE CTE (l and b duplicate the new-level
+    * expression textually; each seasonal slot updates through a CASE
+    * on the same dow), so both engines execute the same IEEE sequence.
+    * Slot lookups are value reads, not arithmetic — no rounding enters
+    * through the array/column representation difference.
+    *
+    * Plan: one map-side collapse onto (type, day), one 5-key list
+    * aggregate, then per-type dictionary-sized algebra. Emits level /
+    * trend / the 7 seasonal indices / 7-day-ahead forecast in dollars.
+    */
+  def holtWinters(spark: SparkSession, dir: String): DataFrame = {
+    val daily = eventsS(spark, dir)
+      .select(col("event_type"), expr("ts_s DIV 86400").as("day"),
+        col("value"))
+      .groupBy("event_type", "day")
+      .agg(sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("sv"))
+    val one = daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("sv"))))
+        .as("lst"), count(lit(1)).as("n_days"))
+      .filter(col("n_days") >= 2)
+    val zeros7 = array((0 until 7).map(_ => lit(0.0)): _*)
+    val folded = one.withColumn("st",
+      aggregate(
+        expr("slice(lst, 2, size(lst) - 1)"),
+        struct(
+          element_at(col("lst"), 1).getField("sv").cast("double").as("l"),
+          (element_at(col("lst"), 2).getField("sv").cast("double") -
+            element_at(col("lst"), 1).getField("sv").cast("double"))
+            .as("b"),
+          zeros7.as("s")),
+        (a, x) => {
+          def y = x.getField("sv").cast("double")
+          def dow = pmod(x.getField("day"), lit(7L))
+          def sOld = element_at(a.getField("s"), (dow + 1).cast("int"))
+          def lNew = lit(0.5) * (y - sOld) +
+            lit(0.5) * (a.getField("l") + a.getField("b"))
+          struct(
+            lNew.as("l"),
+            (lit(0.5) * (lNew - a.getField("l")) +
+              lit(0.5) * a.getField("b")).as("b"),
+            transform(sequence(lit(0), lit(6)), k =>
+              when(k.cast("long") === dow,
+                lit(0.5) * (y - (a.getField("l") + a.getField("b"))) +
+                  lit(0.5) * sOld)
+                .otherwise(element_at(a.getField("s"), k + 1))).as("s"))
+        }))
+    val sCols = (0 until 7).map(k =>
+      (element_at(col("st.s"), k + 1) / 100.0).as(s"s$k"))
+    folded.select(Seq(col("event_type"), col("n_days"),
+      element_at(col("lst"), -1).getField("day").as("last_day"),
+      (col("st.l") / 100.0).as("level"),
+      (col("st.b") / 100.0).as("trend")) ++ sCols :+
+      ((col("st.l") + lit(7.0) * col("st.b") +
+        element_at(col("st.s"),
+          (pmod(element_at(col("lst"), -1).getField("day"), lit(7L)) + 1)
+            .cast("int"))) / 100.0).as("forecast_7d"): _*)
+  }
+
+  val holtWintersSql: String = {
+    def sCase(ref: String) =
+      s"CASE d.dow" + (0 until 7).map(k =>
+        s" WHEN $k THEN r.s$k").mkString + " END"
+    val lNew = s"0.5::DOUBLE * (d.y - ${sCase("r")}) + " +
+      "0.5::DOUBLE * (r.l + r.b)"
+    val sUpd = (0 until 7).map(k =>
+      s"""CASE WHEN d.dow = $k
+         |      THEN 0.5::DOUBLE * (d.y - (r.l + r.b)) + 0.5::DOUBLE * r.s$k
+         |      ELSE r.s$k END AS s$k""".stripMargin).mkString(",\n    ")
+    val sLast = "CASE last_day % 7" + (0 until 7).map(k =>
+      s" WHEN $k THEN s$k").mkString + " END"
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type, $duckTsS // 86400 AS day,
+       |    CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+       |      AS sv
+       |  FROM events GROUP BY 1, 2
+       |), dd AS (
+       |  SELECT event_type, day % 7 AS dow, CAST(sv AS DOUBLE) AS y,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+       |    MAX(day) OVER (PARTITION BY event_type) AS last_day
+       |  FROM daily
+       |), rec AS (
+       |  SELECT event_type, n_days, last_day, CAST(1 AS BIGINT) AS rn,
+       |    y AS l,
+       |    (SELECT d2.y FROM dd d2
+       |     WHERE d2.event_type = dd.event_type AND d2.rn = 2) - y AS b,
+       |    ${(0 until 7).map(k => s"0.0::DOUBLE AS s$k").mkString(", ")}
+       |  FROM dd WHERE rn = 1 AND n_days >= 2
+       |  UNION ALL
+       |  SELECT r.event_type, r.n_days, r.last_day, r.rn + 1,
+       |    $lNew AS l,
+       |    0.5::DOUBLE * (($lNew) - r.l) + 0.5::DOUBLE * r.b AS b,
+       |    $sUpd
+       |  FROM rec r JOIN dd d
+       |    ON d.event_type = r.event_type AND d.rn = r.rn + 1
+       |)
+       |SELECT event_type, n_days, last_day,
+       |  l / 100.0::DOUBLE AS level, b / 100.0::DOUBLE AS trend,
+       |  ${(0 until 7).map(k => s"s$k / 100.0::DOUBLE AS s$k").mkString(", ")},
+       |  (l + 7.0::DOUBLE * b + $sLast) / 100.0::DOUBLE AS forecast_7d
+       |FROM rec WHERE rn = n_days""".stripMargin
+  }
 }

@@ -29,6 +29,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "streaming_topk",
     // trainers execute eagerly (multi-job loops), not a single plan
     "kge_transe_train", "kge_transe_train_adagrad", "kge_transe_train_adam",
+    "kge_transe_train_adamw",
     "kge_distmult_train", "kge_hole_train", "kge_complex_train",
     "kge_rescal_train",
     "cp_als", "rescal_als",
@@ -40,6 +41,7 @@ class PlanGuardSpec extends AnyFunSuite {
     // runs the cached TransE training loop before the eval plan exists
     "kge_train_eval", "kge_transe_train_step",
     "kge_transe_train_step_adagrad", "kge_transe_train_step_adam",
+    "kge_transe_train_step_adamw",
     // executes eagerly too (label-propagation loop of localCheckpoints);
     // the final labels frame's plan is trivial, so inspecting it here
     // would be vacuous while silently running ~20 Spark jobs (ADVICE r3)

@@ -47,6 +47,19 @@ class TrainerSpec extends AnyFunSuite {
     losses.sliding(2).foreach { case Array(a, b) => assert(b < a) }
   }
 
+  test("TransE AdamW training decreases the margin loss and its " +
+      "trajectory genuinely differs from plain Adam's (the decoupled " +
+      "decay is live, not a no-op)") {
+    val lossesW = graft.kge.TransETrainer.trainAdamW(spark, TestSpark.sf)
+      .orderBy("epoch").as[(Int, Double)].collect().map(_._2)
+    assert(lossesW.length == graft.kge.TransETrainer.Epochs + 1)
+    lossesW.sliding(2).foreach { case Array(a, b) => assert(b < a) }
+    val lossesA = graft.kge.TransETrainer.trainAdam(spark, TestSpark.sf)
+      .orderBy("epoch").as[(Int, Double)].collect().map(_._2)
+    assert(lossesW.last != lossesA.last,
+      "decoupled decay had no effect — AdamW degenerated to Adam")
+  }
+
   test("HolE training decreases the margin loss") {
     val losses = graft.kge.HolETrainer.train(spark, TestSpark.sf)
       .orderBy("epoch").as[(Int, Double)].collect().map(_._2)

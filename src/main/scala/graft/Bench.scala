@@ -112,7 +112,8 @@ object Bench {
     "graph_clustering_coeff", "text_readability",
     "text_score_correlation", "embed_isotropy", "dedup_novelty",
     "streaming_topk", "text_chunk_windows",
-    "kge_transe_train_step_adamw", "events_holt_winters")
+    "kge_transe_train_step_adamw", "events_holt_winters",
+    "media_audio_energy", "text_llr_collocations")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

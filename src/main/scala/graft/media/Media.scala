@@ -417,4 +417,114 @@ object Media {
        |  CAST(SUM(CASE WHEN hamming > $SceneCutBits THEN 1 ELSE 0 END)
        |    OVER (PARTITION BY doc_id ORDER BY idx) AS BIGINT) AS scene_id
        |FROM ham""".stripMargin
+
+  // ---------------------------------------------- #278 audio energy
+
+  /** Audio frame size in bytes and the per-sample silence threshold
+    * (mean squared amplitude below which a frame counts as silence).
+    */
+  val AudioFrame = 256
+  val SilenceT = 4000L
+
+  /** Typed output of the audio-energy decode stage. */
+  final case class AudioMeta(doc_id: Long, n_bytes: Long, n_frames: Long,
+      n_silent: Long, peak_frame: Long, peak_energy: Long,
+      total_energy: Long)
+
+  /** STUB audio decode: a real implementation would decode PCM samples
+    * from the container; this treats the payload bytes as centered
+    * 8-bit samples (b − 128) — the identical energy math on the raw
+    * byte stream, keeping the operator oracle-checkable end-to-end
+    * (corpus is ASCII: byte ≡ codepoint, the #199 premise).
+    */
+  private def audioStub(m: MediaIn): AudioMeta = {
+    val bytes = m.media
+    var f = 0; var i = 0
+    var nSilent = 0L; var peakF = 0L; var peakE = -1L; var total = 0L
+    var nFrames = 0L
+    while (i < bytes.length) {
+      val end = math.min(i + AudioFrame, bytes.length)
+      var e = 0L
+      var j = i
+      while (j < end) {
+        val v = (bytes(j) & 0xff) - 128
+        e += (v * v).toLong
+        j += 1
+      }
+      val flen = (end - i).toLong
+      if (e < SilenceT * flen) nSilent += 1
+      if (e > peakE) { peakE = e; peakF = f.toLong } // strict >: first max wins
+      total += e
+      nFrames += 1
+      f += 1; i = end
+    }
+    AudioMeta(m.doc_id, bytes.length.toLong, nFrames, nSilent, peakF,
+      peakE, total)
+  }
+
+  /** #278: AUDIO ENERGY / SILENCE profile over the binary media column —
+    * the audio third of the multimodal block (#35/#49/#239 cover
+    * image-shaped metadata, frames and scene cuts): per payload, the
+    * frame count, the silent-frame count (the VAD-style pre-filter a
+    * speech pipeline runs before transcription — silent-heavy payloads
+    * are skipped, saving the expensive model), the peak-energy frame
+    * (clip-detection / thumbnail pick) and the exact mean per-sample
+    * energy. Frames are [[AudioFrame]]-byte windows; silence is the
+    * integer cross-multiplied compare esum < T·flen — no division
+    * enters the decision.
+    *
+    * Scale: the house media discipline — one `mapPartitions` decode
+    * stage (codec init amortizes per batch), payload bytes never leave
+    * the executor, only the 7-field meta row moves; map-only, zero
+    * shuffle. Exactness: all counters are integer; the peak tie-break
+    * is pinned (first frame at the maximum); the mean is one division
+    * of exact BIGINTs.
+    */
+  def audioEnergy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), lit("pcm8").as("fmt"),
+        encode(col("text"), "UTF-8").as("media"))
+      .as[MediaIn]
+      .mapPartitions(_.map(audioStub)) // payload bytes stop here
+      .toDF()
+      .select(col("doc_id"), col("n_bytes"), col("n_frames"),
+        col("n_silent"), col("peak_frame"), col("peak_energy"),
+        (col("total_energy").cast("double") / col("n_bytes"))
+          .as("mean_energy"))
+  }
+
+  /** Oracle: the same framing over codepoints (ASCII ⇒ byte values),
+    * peak recovered as MIN(frame) at MAX(energy) — the pinned
+    * first-max tie-break.
+    */
+  val audioEnergySql: String =
+    s"""WITH bx AS (
+       |  SELECT doc_id, (i - 1) // $AudioFrame AS f,
+       |    unicode(text[i:i]) - 128 AS v
+       |  FROM (
+       |    SELECT doc_id, text,
+       |      UNNEST(range(1, octet_length(encode(text)) + 1)) AS i
+       |    FROM documents)
+       |), fr AS (
+       |  SELECT doc_id, f, CAST(SUM(v * v) AS BIGINT) AS esum,
+       |    COUNT(*) AS flen
+       |  FROM bx GROUP BY 1, 2
+       |), agg AS (
+       |  SELECT doc_id, CAST(SUM(flen) AS BIGINT) AS n_bytes,
+       |    COUNT(*) AS n_frames,
+       |    CAST(SUM(CASE WHEN esum < $SilenceT * flen THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_silent,
+       |    MAX(esum) AS peak_energy,
+       |    CAST(SUM(esum) AS BIGINT) AS total
+       |  FROM fr GROUP BY 1
+       |), pk AS (
+       |  SELECT fr.doc_id, MIN(fr.f) AS peak_frame
+       |  FROM fr JOIN agg ON agg.doc_id = fr.doc_id
+       |    AND fr.esum = agg.peak_energy
+       |  GROUP BY 1
+       |)
+       |SELECT agg.doc_id, n_bytes, n_frames, n_silent, peak_frame,
+       |  peak_energy, CAST(total AS DOUBLE) / n_bytes AS mean_energy
+       |FROM agg JOIN pk ON pk.doc_id = agg.doc_id""".stripMargin
 }

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{PortableHash, Tables}
@@ -167,4 +167,101 @@ object Features {
        |  CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS INT) AS rnk
        |FROM scored
        |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT $PmiTopN""".stripMargin
+
+  // ------------------------------------------- #279 LLR collocations
+
+  val LlrMinCount = 5
+  val LlrTopN = 50
+
+  /** #279: DUNNING LOG-LIKELIHOOD-RATIO collocations (Dunning 1993) —
+    * the statistically-grounded sibling of #170's PMI: PMI explodes for
+    * rare pairs (a hapax bigram of two hapax words maxes the score),
+    * which is why Dunning's G² — the likelihood-ratio test on the full
+    * 2×2 bigram contingency (k11 pair, k12/k21 one-side-only, k22
+    * neither) — is what real collocation extractors rank by: it grows
+    * with EVIDENCE, not just lift. G² = 2(Σ xlx(cell) + xlx(N) −
+    * Σ xlx(margin)) with xlx(k) = k·ln k, the entropy identity that
+    * needs no expected-count division.
+    *
+    * Exactness: all nine xlx inputs are EXACT integers off three
+    * bigram-stream aggregates (pair counts + positional marginals —
+    * NOT #170's unigram counts: the test is on the bigram table, so
+    * its margins must be positional); ln is the one transcendental —
+    * output grid-quantized at 1e-6 per the house rule — and each xlx
+    * term is one correctly-rounded product, summed in a FIXED literal
+    * tree mirrored textually. Top-K by (G², w1, w2) — a total order.
+    *
+    * Scale: one explode over adjacent pairs feeds the (w1,w2) count
+    * and both vocab-sized marginals; candidates floor at
+    * [[LlrMinCount]] before any join; the final rank is TakeOrdered
+    * (per-partition heaps), never a global sort.
+    */
+  def llrCollocations(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Exact
+    val ws = split(trim(col("text")), "\\s+")
+    val pairsCol = zip_with(
+      slice(col("ws"), lit(1), size(col("ws")) - 1),
+      slice(col("ws"), lit(2), size(col("ws")) - 1),
+      (x, y) => struct(x.as("w1"), y.as("w2")))
+    val pairs = Tables.documents(spark, dir).select(ws.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(pairsCol).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val cb = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("k11"))
+      .filter(col("k11") >= LlrMinCount)
+    val r = pairs.groupBy("w1").agg(count(lit(1)).as("r1"))
+    val c = pairs.groupBy("w2").agg(count(lit(1)).as("c1"))
+    val n = pairs.agg(count(lit(1)).as("nn"))
+    def xlx(k: Column): Column =
+      when(k > 0L, k.cast("double") *
+        Exact.roundS(log(k.cast("double")), 6)).otherwise(lit(0.0))
+    cb.join(r, "w1").join(c, "w2").crossJoin(broadcast(n))
+      .withColumn("k12", col("r1") - col("k11"))
+      .withColumn("k21", col("c1") - col("k11"))
+      .withColumn("k22", col("nn") - col("r1") - col("c1") + col("k11"))
+      .withColumn("llr", lit(2.0) *
+        (xlx(col("k11")) + xlx(col("k12")) + xlx(col("k21"))
+          + xlx(col("k22")) + xlx(col("nn"))
+          - xlx(col("r1")) - xlx(col("nn") - col("r1"))
+          - xlx(col("c1")) - xlx(col("nn") - col("c1"))))
+      .orderBy(col("llr").desc, col("w1").asc, col("w2").asc)
+      .limit(LlrTopN)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("llr").desc, col("w1").asc, col("w2").asc)))
+      .select("w1", "w2", "k11", "r1", "c1", "llr", "rnk")
+  }
+
+  val llrCollocationsSql: String = {
+    def xlx(k: String): String =
+      s"CASE WHEN ($k) > 0 THEN CAST(($k) AS DOUBLE) * " +
+        s"(floor(ln(CAST(($k) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) " +
+        "ELSE 0.0::DOUBLE END"
+    s"""WITH d AS (
+       |  SELECT regexp_split_to_array(trim(text), '\\s+') AS ws
+       |  FROM documents
+       |), p AS (
+       |  SELECT ws[i] AS w1, ws[i + 1] AS w2
+       |  FROM (SELECT ws, UNNEST(range(1, len(ws))) AS i FROM d
+       |        WHERE len(ws) >= 2)
+       |), cb AS (
+       |  SELECT w1, w2, COUNT(*) AS k11 FROM p GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $LlrMinCount
+       |), r AS (SELECT w1, COUNT(*) AS r1 FROM p GROUP BY 1),
+       |c AS (SELECT w2, COUNT(*) AS c1 FROM p GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS nn FROM p),
+       |sc AS (
+       |  SELECT w1, w2, k11, r1, c1,
+       |    2.0 * (${xlx("k11")} + ${xlx("r1 - k11")} + ${xlx("c1 - k11")}
+       |      + ${xlx("nn - r1 - c1 + k11")} + ${xlx("nn")}
+       |      - ${xlx("r1")} - ${xlx("nn - r1")}
+       |      - ${xlx("c1")} - ${xlx("nn - c1")}) AS llr
+       |  FROM cb JOIN r USING (w1) JOIN c USING (w2), n
+       |)
+       |SELECT w1, w2, k11, r1, c1, llr,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY llr DESC, w1 ASC, w2 ASC) AS INT)
+       |    AS rnk
+       |FROM sc
+       |ORDER BY llr DESC, w1 ASC, w2 ASC LIMIT $LlrTopN""".stripMargin
+  }
 }

@@ -113,7 +113,8 @@ object Bench {
     "text_score_correlation", "embed_isotropy", "dedup_novelty",
     "streaming_topk", "text_chunk_windows",
     "kge_transe_train_step_adamw", "events_holt_winters",
-    "media_audio_energy", "text_llr_collocations")
+    "media_audio_energy", "text_llr_collocations",
+    "q9_profit", "events_xcorr")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

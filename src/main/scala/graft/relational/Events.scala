@@ -3018,4 +3018,115 @@ object Events {
        |  (l + 7.0::DOUBLE * b + $sLast) / 100.0::DOUBLE AS forecast_7d
        |FROM rec WHERE rn = n_days""".stripMargin
   }
+
+  // ------------------------------------------ #281 cross-correlation
+
+  /** Pinned lead–lag pairs (x leads y) and the maximum lag probed. */
+  val XcorrPairs = Seq(("view", "click"), ("view", "purchase"),
+    ("click", "purchase"))
+  val XcorrMaxLag = 7
+
+  /** #281: LAGGED CROSS-CORRELATION between event types' daily volume
+    * series — the lead–lag detector: does view volume today predict
+    * purchase volume k days out? #259's ACF asks this of a series
+    * against ITSELF; the funnel (#89/#260) answers it per user; this is
+    * the population-level version marketing mix and capacity models
+    * consume (peak lag = conversion latency at the aggregate level).
+    * r_k = Σ(x_t−x̄)(y_{t+k}−ȳ) / √(Σ(x−x̄)²·Σ(y−ȳ)²), lags 0..7 over
+    * the three pinned funnel-ordered pairs.
+    *
+    * The series discipline is #259's verbatim: COMPLETE calendar
+    * (missing days are true zeros), quantized means so both engines
+    * hold bit-identical centers, deviation products quantized 1e-4
+    * order-free; the denominators are the FULL-series sums (the
+    * #259 normalization convention, so r_k shrinks as the overlap
+    * thins rather than inflating at the edges); one division + one
+    * sqrt at the end.
+    *
+    * Scale: events collapse map-side onto (type, day); the pair×lag
+    * expansion (3×8) and the shifted join run on the bounded daily
+    * frame keyed by day — never on events.
+    */
+  def xcorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = eventsS(spark, dir)
+      .groupBy(col("event_type"), expr("ts_s DIV 86400").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val span = daily.agg(min("day").as("d0"), max("day").as("d1"))
+    val series = daily.select("event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("c"), lit(0L)).cast("double").as("x"))
+    val byType = Window.partitionBy("event_type")
+    val dev = series
+      .withColumn("m", Exact.roundS(
+        sum("x").over(byType) / count(lit(1)).over(byType).cast("double")))
+      .select(col("event_type"), col("day"),
+        (col("x") - col("m")).as("dev"))
+    val s0 = dev.groupBy("event_type")
+      .agg(Exact.decSum(col("dev") * col("dev"), 4).as("ss"))
+    val pairLit = array(XcorrPairs.map { case (x, y) =>
+      struct(lit(x).as("tx"), lit(y).as("ty")) }: _*)
+    val xside = dev
+      .select(explode(pairLit).as("p"), col("event_type"), col("day"),
+        col("dev").as("dx"))
+      .filter(col("p.tx") === col("event_type"))
+      .select(col("p.tx").as("tx"), col("p.ty").as("ty"), col("day"),
+        col("dx"), explode(expr(s"sequence(0L, ${XcorrMaxLag}L)")).as("lag"))
+    val yside = dev.select(col("event_type").as("ty"),
+      col("day").as("dayy"), col("dev").as("dy"))
+    xside.join(yside,
+        xside("ty") === yside("ty") &&
+          yside("dayy") === xside("day") + xside("lag"))
+      .groupBy(xside("tx").as("tx"), xside("ty").as("ty"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        Exact.decSum(col("dx") * col("dy"), 4).as("sxy"))
+      .join(broadcast(s0.select(col("event_type").as("tx"),
+        col("ss").as("sxx"))), "tx")
+      .join(broadcast(s0.select(col("event_type").as("ty"),
+        col("ss").as("syy"))), "ty")
+      .select(col("tx"), col("ty"), col("lag"), col("n_pairs"),
+        (col("sxy") / sqrt(col("sxx") * col("syy"))).as("xcorr"))
+  }
+
+  val xcorrSql: String = {
+    val pairVals = XcorrPairs.map { case (x, y) => s"('$x', '$y')" }
+      .mkString(", ")
+    s"""WITH d AS (
+       |  SELECT event_type, $duckTsS // 86400 AS day, COUNT(*) AS c
+       |  FROM events GROUP BY 1, 2
+       |), span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM d),
+       |grid AS (
+       |  SELECT t.event_type, UNNEST(generate_series(d0, d1)) AS day
+       |  FROM (SELECT DISTINCT event_type FROM d) t, span
+       |), s AS (
+       |  SELECT g.event_type, g.day,
+       |    CAST(COALESCE(d.c, 0) AS DOUBLE) AS x
+       |  FROM grid g LEFT JOIN d
+       |    ON g.event_type = d.event_type AND g.day = d.day
+       |), dv AS (
+       |  SELECT event_type, day,
+       |    x - ${Exact.duckRoundS(
+              "SUM(x) OVER (PARTITION BY event_type) " +
+              "/ CAST(COUNT(*) OVER (PARTITION BY event_type) AS DOUBLE)")}
+       |      AS dev
+       |  FROM s
+       |), s0 AS (
+       |  SELECT event_type, ${Exact.duckSum("dev * dev", 4)} AS ss
+       |  FROM dv GROUP BY 1
+       |), pr AS (SELECT * FROM (VALUES $pairVals) t(tx, ty)),
+       |lg AS (SELECT unnest(range(0, ${XcorrMaxLag + 1})) AS lag),
+       |sums AS (
+       |  SELECT pr.tx, pr.ty, lg.lag, COUNT(*) AS n_pairs,
+       |    ${Exact.duckSum("a.dev * b.dev", 4)} AS sxy
+       |  FROM pr, lg, dv a, dv b
+       |  WHERE a.event_type = pr.tx AND b.event_type = pr.ty
+       |    AND b.day = a.day + lg.lag
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT tx, ty, lag, n_pairs, sxy / sqrt(x0.ss * y0.ss) AS xcorr
+       |FROM sums JOIN s0 x0 ON x0.event_type = tx
+       |  JOIN s0 y0 ON y0.event_type = ty""".stripMargin
+  }
 }

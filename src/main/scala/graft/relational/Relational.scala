@@ -1416,4 +1416,57 @@ object Relational {
        |SELECT o_year, nation_revenue, total_revenue,
        |  nation_revenue / total_revenue AS mkt_share
        |FROM cells""".stripMargin
+
+  // ------------------------------------------------ #280 Q9 (adapted)
+
+  /** #280: TPC-H Q9 — product-type PROFIT by supplier nation and order
+    * year: amount = revenue − supply cost, rolled up over the
+    * lineitem⋈orders⋈part⋈supplier⋈nation tree for parts matching a
+    * name pattern. ADAPTATION, pinned identically in the oracle: this
+    * schema ships no partsupp, so unit supply cost reads from the
+    * part's retail price (p_retailprice·l_quantity) — the join tree,
+    * the amount expression shape, the name-pattern pushdown and the
+    * (nation, year) rollup are Q9's; only the cost column's source
+    * table differs (the #196/#221-style documented adaptation).
+    *
+    * Spark-first: the name filter prunes part BEFORE any data join and
+    * the filtered part table broadcasts, as do supplier⋈nation; only
+    * lineitem⋈orders shuffles, on the orderkey both sides already key
+    * by. Exactness: the amount is two products of on-grid prices in a
+    * fixed tree, quantized order-free per row; year is integer
+    * EXTRACT; output bounded by nations × years.
+    */
+  def q9Profit(spark: SparkSession, dir: String): DataFrame = {
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .join(broadcast(Tables.part(spark, dir)
+        .filter(col("p_name").contains("widget"))
+        .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(Exact.decSum(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          - col("p_retailprice") * col("l_quantity")).as("sum_profit"))
+  }
+
+  val q9Sql: String =
+    s"""SELECT n_name AS nation,
+       |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       |  ${Exact.duckSum(
+           "l_extendedprice * (1.0::DOUBLE - l_discount) " +
+           "- p_retailprice * l_quantity")} AS sum_profit
+       |FROM lineitem, part, supplier, orders, nation
+       |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+       |  AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey
+       |  AND p_name LIKE '%widget%'
+       |GROUP BY 1, 2""".stripMargin
 }

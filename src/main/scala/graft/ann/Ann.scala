@@ -1023,4 +1023,60 @@ object Ann {
        |UNION ALL
        |SELECT q_id, CAST(3 AS INT), s3, rel3, mmr3 FROM sel3""".stripMargin
   }
+
+  // ----------------------------------------------------- #282 MIPS
+
+  /** #282: MAXIMUM INNER PRODUCT SEARCH — exact top-k by raw dot
+    * product per query. MIPS is NOT cosine (#29): the inner product
+    * rewards vector NORM, which is exactly what retrieval/reco scoring
+    * wants when magnitude encodes popularity or confidence (matrix-
+    * factorization serving, two-tower retrieval logits, reranker
+    * scores). The test corpus ships unit-normalized vectors — MIPS ≡
+    * cosine there up to ulps — so the norm-sensitive semantics are
+    * spec-pinned on a norm-perturbed copy instead (rankings genuinely
+    * diverge once norms vary). The classic reduction (Shrivastava
+    * & Li, NeurIPS 2014): augment items with √(M²−‖v‖²) so dot order
+    * becomes cosine order and the whole #30/#38 ANN ladder applies —
+    * the EQUIVALENCE is spec-pinned (augmented-cosine ranking ≡ MIPS
+    * ranking), making this op the bridge that lets every
+    * cosine-shaped index on the board serve inner-product workloads.
+    *
+    * Exactness: the dot is the house ordered fold — identical IEEE
+    * sequence both engines, no grid. Scale: the #29 two-phase salted
+    * heaps verbatim — per-(query, salt) partial top-k then a k·S-row
+    * global pick; the scored frame never globally sorts.
+    */
+  def mipsTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("dot", VectorLsh.dot(col("qv"), col("v")))
+      .withColumn("salt", pmod(col("vec_id"), lit(NSalt)))
+    val partial = scored.withColumn("prank", row_number().over(
+        Window.partitionBy("q_id", "salt")
+          .orderBy(col("dot").desc, col("vec_id").asc)))
+      .filter(col("prank") <= K)
+    partial.withColumn("rank", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("dot").desc, col("vec_id").asc)))
+      .filter(col("rank") <= K)
+      .select("q_id", "vec_id", "dot", "rank")
+  }
+
+  val mipsTopKSql: String =
+    s"""WITH ve AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), s AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+       |    ${VectorLsh.duckFold("q.v[i] * e.v[i]")} AS dot
+       |  FROM ve q JOIN ve e ON e.vec_id <> q.vec_id
+       |  WHERE q.vec_id % $QueryMod = 0
+       |)
+       |SELECT q_id, vec_id, dot, rank FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY dot DESC, vec_id ASC) AS INT) AS rank
+       |  FROM s
+       |) WHERE rank <= $K""".stripMargin
 }

@@ -412,4 +412,75 @@ object RankingEval {
        |UNION ALL
        |${row("ranks_h", "head")}""".stripMargin
   }
+
+  // ----------------------------------------------- #283 bootstrap CI
+
+  /** Bootstrap replicate count and the nearest-rank CI indices. */
+  val CiB = 32
+  private val CiLoIdx = (CiB * 5 + 99) / 100   // ⌈0.05·B⌉ = 2
+  private val CiHiIdx = (CiB * 95 + 99) / 100  // ⌈0.95·B⌉ = 31
+
+  /** #283: MRR with a BOOTSTRAP CONFIDENCE INTERVAL — the uncertainty
+    * quantification the eval family reports without: a point MRR off a
+    * few hundred test triples moves run to run, and model comparisons
+    * need to know whether a delta clears the noise (the #215 lesson —
+    * a readout without an interval invites overclaiming — applied to
+    * ranking eval). Deterministic HALF-SAMPLING bootstrap: replicate b
+    * keeps the test triples with pHash("bs"|s|p|o|b) even — [[CiB]]
+    * subsample replicates whose membership is a pure hash function
+    * (reproducible across engines and runs, no RNG state), each
+    * replicate's MRR is the house quantized mean, and the 90% interval
+    * is the nearest-rank [⌈0.05B⌉, ⌈0.95B⌉] pick over the B sorted
+    * replicate values.
+    *
+    * Scale: the rank frame is computed ONCE (the session-cached #18
+    * frame); the replicate expansion is a bounded ×B map-side
+    * generate over test-slice rows (never candidates), collapsing to
+    * B keys; the CI pick runs on a B-element sorted list. Exactness:
+    * membership is integer hash parity; each replicate MRR is exact;
+    * the sorted-list picks are value reads.
+    */
+  def mrrCi(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.{Exact, PortableHash}
+    val r = ranks(spark, dir)
+    val reps = r.select(col("sid"), col("pid"), col("oid"), col("rank"),
+        explode(sequence(lit(0), lit(CiB - 1))).as("b"))
+      .filter(PortableHash.pHash(concat_ws("|", lit("bs"), col("sid"),
+        col("pid"), col("oid"), col("b"))) % 2 === 0)
+      .groupBy("b")
+      .agg(Exact.decAvg(lit(1.0) / col("rank")).as("mrr_b"))
+    val ci = reps.agg(sort_array(collect_list(col("mrr_b"))).as("ms"),
+      count(lit(1)).as("n_replicates"))
+    ranks(spark, dir).agg(
+        count(lit(1)).as("n_test"),
+        Exact.decAvg(lit(1.0) / col("rank")).as("mrr"))
+      .crossJoin(broadcast(ci))
+      .select(col("n_test"), col("mrr"), col("n_replicates"),
+        element_at(col("ms"), CiLoIdx).as("mrr_lo"),
+        element_at(col("ms"), CiHiIdx).as("mrr_hi"))
+  }
+
+  val mrrCiSql: String = {
+    import graft.core.{Exact, PortableHash}
+    val h = PortableHash.duck(
+      "'bs|' || sid || '|' || pid || '|' || oid || '|' || b")
+    s"""$baseCtes,
+       |$tailCtes,
+       |reps AS (
+       |  SELECT b, ${Exact.duckAvg("CAST(1 AS DOUBLE) / rank")} AS mrr_b
+       |  FROM ranks, (SELECT unnest(range(0, $CiB)) AS b)
+       |  WHERE $h % 2 = 0
+       |  GROUP BY b
+       |), ms AS (
+       |  SELECT list_sort(list(mrr_b)) AS l, COUNT(*) AS n_replicates
+       |  FROM reps
+       |), f AS (
+       |  SELECT COUNT(*) AS n_test,
+       |    ${Exact.duckAvg("CAST(1 AS DOUBLE) / rank")} AS mrr
+       |  FROM ranks
+       |)
+       |SELECT n_test, mrr, n_replicates,
+       |  l[$CiLoIdx] AS mrr_lo, l[$CiHiIdx] AS mrr_hi
+       |FROM f, ms""".stripMargin
+  }
 }

@@ -11,6 +11,7 @@ class SmokeSpec extends AnyFunSuite {
 
   private val slow = Set("cp_als", "rescal_als", "kge_transe_train",
     "kge_transe_train_adagrad", "kge_transe_train_adam",
+    "kge_transe_train_adamw",
     "kge_distmult_train", "kge_hole_train", "kge_complex_train",
     "kge_rescal_train",
     // train→eval composition: iterative too, deep spec in TrainEvalSpec

@@ -114,7 +114,8 @@ object Bench {
     "streaming_topk", "text_chunk_windows",
     "kge_transe_train_step_adamw", "events_holt_winters",
     "media_audio_energy", "text_llr_collocations",
-    "q9_profit", "events_xcorr", "ann_mips_topk", "kge_eval_mrr_ci")
+    "q9_profit", "events_xcorr", "ann_mips_topk", "kge_eval_mrr_ci",
+    "events_stl_anomaly", "dq_ks_test")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

@@ -1,9 +1,10 @@
 package graft.relational
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Exact, Tables}
 
 /** Declarative data-quality validation (the Deequ/Great-Expectations
   * contract, as Spark-first aggregation): a suite of named constraints —
@@ -606,5 +607,108 @@ object DataQuality {
        |       WHEN iv < 0.5 THEN 'strong'
        |       ELSE 'suspicious' END AS strength
        |FROM rows_ JOIN iv USING (feature)""".stripMargin
+  }
+
+  // ------------------------------------------------ #285 KS drift test
+
+  /** #285: KOLMOGOROV–SMIRNOV source drift — per document source, the
+    * two-sample KS statistic D = max_t |F_src(t) − F_rest(t)| of the
+    * quality-score distribution against the rest of the corpus, with
+    * the α=0.05 decision threshold c·√((n+m)/nm), c = 1.358. The
+    * distribution-FREE member of the drift family: #173's PSI needs
+    * binning choices and sees only binned mass shifts; KS compares the
+    * entire empirical CDFs and its threshold is exact regardless of
+    * the underlying shape — the test a curation pipeline runs when a
+    * source's crawler changed and the quality histogram "looks the
+    * same" in coarse bins.
+    *
+    * Exactness: quality lives on its 1e-6 roundS grid, so both
+    * empirical CDFs are integer cumulative counts over the SAME
+    * value-bounded cell frame ([0,1]/1e-6 — bounded by the GRID, not
+    * the corpus); each D-candidate is two integer divisions and one
+    * subtraction of identical doubles; the max and the threshold
+    * compare are value-exact. Scale: docs collapse onto (source, qv)
+    * and (qv) histograms; the source×cell completion joins the
+    * broadcast 20-row source list onto the grid frame; cum windows
+    * partition by source over grid-bounded frames; output one row per
+    * source.
+    */
+  def ksTest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    val scored = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars"), TextAnalysis.words.as("ws"))
+      .select(col("source"), Exact.roundS(TextAnalysis.quality).as("qv"))
+    val hs = scored.groupBy("source", "qv").agg(count(lit(1)).as("c"))
+    val g = scored.groupBy("qv").agg(count(lit(1)).as("ct"))
+    val srcs = scored.select("source").distinct()
+    val full = g.crossJoin(broadcast(srcs))
+      .join(hs, Seq("source", "qv"), "left")
+      .select(col("source"), col("qv"), col("ct"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val w = Window.partitionBy("source").orderBy("qv")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ns = hs.groupBy("source").agg(sum("c").as("n_s"))
+    val nt = scored.agg(count(lit(1)).as("n_t"))
+    full
+      .withColumn("cum_s", sum("c").over(w))
+      .withColumn("cum_t", sum("ct").over(w))
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(nt))
+      .select(col("source"), col("n_s"), col("n_t"),
+        abs(col("cum_s").cast("double") / col("n_s")
+          - (col("cum_t") - col("cum_s")).cast("double")
+            / (col("n_t") - col("n_s"))).as("d_cell"))
+      .groupBy("source")
+      .agg(max("n_s").as("n_docs"), max("n_t").as("n_t"),
+        max("d_cell").as("d_stat"))
+      .select(col("source"), col("n_docs"),
+        col("d_stat"),
+        (lit(1.358) * sqrt((col("n_t")).cast("double")
+          / (col("n_docs") * (col("n_t") - col("n_docs")))))
+          .as("crit_05"),
+        (col("d_stat") > lit(1.358) * sqrt((col("n_t")).cast("double")
+          / (col("n_docs") * (col("n_t") - col("n_docs")))))
+          .as("drifted"))
+  }
+
+  val ksTestSql: String = {
+    import graft.text.TextAnalysis
+    s"""WITH d0 AS (
+       |  SELECT source, n_chars,
+       |    ${TextAnalysis.duckWords} AS ws
+       |  FROM documents
+       |), s AS (
+       |  SELECT source, ${Exact.duckRoundS(TextAnalysis.duckQuality)} AS qv
+       |  FROM d0
+       |), hs AS (
+       |  SELECT source, qv, COUNT(*) AS c FROM s GROUP BY 1, 2
+       |), g AS (SELECT qv, COUNT(*) AS ct FROM s GROUP BY 1),
+       |srcs AS (SELECT DISTINCT source FROM s),
+       |fl AS (
+       |  SELECT srcs.source, g.qv, g.ct, COALESCE(hs.c, 0) AS c
+       |  FROM g CROSS JOIN srcs
+       |  LEFT JOIN hs ON hs.source = srcs.source AND hs.qv = g.qv
+       |), ns AS (
+       |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM hs GROUP BY 1
+       |), nt AS (SELECT COUNT(*) AS n_t FROM s),
+       |cells AS (
+       |  SELECT f.source, ns.n_s, nt.n_t,
+       |    abs(CAST(SUM(f.c) OVER w AS DOUBLE) / ns.n_s
+       |      - CAST(SUM(f.ct) OVER w - SUM(f.c) OVER w AS DOUBLE)
+       |        / (nt.n_t - ns.n_s)) AS d_cell
+       |  FROM fl f JOIN ns ON ns.source = f.source, nt
+       |  WINDOW w AS (PARTITION BY f.source ORDER BY f.qv
+       |    ROWS UNBOUNDED PRECEDING)
+       |), agg AS (
+       |  SELECT source, MAX(n_s) AS n_docs, MAX(n_t) AS n_t,
+       |    MAX(d_cell) AS d_stat
+       |  FROM cells GROUP BY 1
+       |)
+       |SELECT source, n_docs, d_stat,
+       |  1.358 * sqrt(CAST(n_t AS DOUBLE) / (n_docs * (n_t - n_docs)))
+       |    AS crit_05,
+       |  d_stat > 1.358 * sqrt(CAST(n_t AS DOUBLE)
+       |    / (n_docs * (n_t - n_docs))) AS drifted
+       |FROM agg""".stripMargin
   }
 }

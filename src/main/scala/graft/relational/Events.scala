@@ -3129,4 +3129,58 @@ object Events {
        |FROM sums JOIN s0 x0 ON x0.event_type = tx
        |  JOIN s0 y0 ON y0.event_type = ty""".stripMargin
   }
+
+  // ------------------------------------------- #284 STL-residual alarm
+
+  /** #284: SEASONALLY-ADJUSTED ANOMALY FLAGS — the 3σ monitor run on
+    * the #267 REMAINDER instead of raw volume, closing the loop #267's
+    * doc opens: raw-volume alarms confuse Sunday with an outage, so the
+    * monitored series must first shed trend and weekday profile. One
+    * row per decomposed (type, day) with the residual z-inputs and the
+    * flag — emitting all rows (not just alarms) keeps the artifact
+    * joinable and the threshold auditable.
+    *
+    * Exactness: the decomposition is #267 verbatim (bit-identical
+    * remainders in both engines); the residual center is ONE quantized
+    * division, the σ is the #97 moment form √(s2/n − m²) over
+    * quantized sums, and the flag compares |r − m| against 3σ — a
+    * fixed tree over identical doubles, so the boolean itself is
+    * bit-deterministic. Scale: everything after #267 is a 5-key moment
+    * rollup + a broadcast join back onto the calendar-bounded frame.
+    */
+  def stlAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val dec = seasonalDecompose(spark, dir)
+    val stats = dec.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      Exact.roundS(Exact.decSum(col("remainder"), 6) / count(lit(1)))
+        .as("resid_mean"),
+      Exact.decSum(col("remainder") * col("remainder"), 4).as("s2"))
+      .select(col("event_type"), col("n"), col("resid_mean"),
+        sqrt(col("s2") / col("n") - col("resid_mean") * col("resid_mean"))
+          .as("resid_sd"))
+    dec.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("day"), col("x"), col("remainder"),
+        col("resid_mean"), col("resid_sd"),
+        (abs(col("remainder") - col("resid_mean"))
+          > lit(3.0) * col("resid_sd")).as("is_anomaly"))
+  }
+
+  val stlAnomalySql: String =
+    s"""WITH dec AS (
+       |  $seasonalDecomposeSql
+       |), st AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |    ${Exact.duckRoundS(Exact.duckSum("remainder") + " / COUNT(*)")}
+       |      AS resid_mean,
+       |    ${Exact.duckSum("remainder * remainder", 4)} AS s2
+       |  FROM dec GROUP BY 1
+       |), sd AS (
+       |  SELECT event_type, n, resid_mean,
+       |    sqrt(s2 / n - resid_mean * resid_mean) AS resid_sd
+       |  FROM st
+       |)
+       |SELECT d.event_type, d.day, d.x, d.remainder,
+       |  s.resid_mean, s.resid_sd,
+       |  abs(d.remainder - s.resid_mean) > 3.0 * s.resid_sd AS is_anomaly
+       |FROM dec d JOIN sd s ON s.event_type = d.event_type""".stripMargin
 }

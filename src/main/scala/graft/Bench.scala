@@ -115,7 +115,8 @@ object Bench {
     "kge_transe_train_step_adamw", "events_holt_winters",
     "media_audio_energy", "text_llr_collocations",
     "q9_profit", "events_xcorr", "ann_mips_topk", "kge_eval_mrr_ci",
-    "events_stl_anomaly", "dq_ks_test")
+    "events_stl_anomaly", "dq_ks_test",
+    "graph_conductance", "table_compact_plan")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

@@ -492,9 +492,11 @@ object GraphAlgos {
     */
   def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
     val tri = copurchTriangles(spark, dir)
-    val corners = tri.select(col("s").as("v"))
-      .unionAll(tri.select(col("x").as("v")))
-      .unionAll(tri.select(col("y").as("v")))
+    // ONE pass over the triangle stream: explode the three corners in
+    // place (a 3-way unionAll re-planned the wedge join per branch —
+    // measured 13.6 s vs ~5 s at sf0.1 before this explode).
+    val corners = tri.select(explode(
+      array(col("s"), col("x"), col("y"))).as("v"))
     val tc = corners.groupBy("v").agg(count(lit(1)).as("t"))
     copurchDeg(spark, dir).join(tc, Seq("v"), "left")
       .select(col("v"), col("d"),
@@ -1631,5 +1633,118 @@ object GraphAlgos {
        |FROM nodes0 n
        |LEFT JOIN settled s ON s.id = n.d
        |LEFT JOIN sizes z ON z.scc_id = s.scc_id""".stripMargin
+  }
+
+  // ---------------------------------------------- #286 conductance
+
+  /** #286: COMMUNITY CONDUCTANCE over the CO-PURCHASE graph — per LPA
+    * community: φ(c) = cut(c) / min(vol(c), vol(V∖c)) — the
+    * boundary-quality metric #172's modularity cannot substitute for:
+    * modularity scores the PARTITION globally against a degree-
+    * preserving null; conductance scores EACH community's own boundary
+    * (low φ = a real module, φ → 1 = a label that leaks), the
+    * per-community health check community output feeds downstream.
+    *
+    * Graph choice is load-bearing: the TPC-H triple graph is LAYERED
+    * (orders→parts/suppliers/customers — near-bipartite), so
+    * synchronous LPA oscillates into independent-set labels and every
+    * φ reads exactly 1 — a vacuous report (measured; the spec pins the
+    * opposite here). The co-purchase graph has triangles (#157), so
+    * its LPA communities carry real internal edges and φ discriminates.
+    * LPA = the #160 deterministic vote rule verbatim ([[lpaStep]]),
+    * run over the doubled co-purchase edge frame.
+    *
+    * Algebra on the DOUBLED frame: vol = Σ degrees, l_in counts each
+    * internal undirected edge twice, cut = vol − l_in counts each
+    * boundary edge once at its community-side endpoint — three integer
+    * aggregates over id-keyed joins the LPA rounds already shuffle.
+    * φ is one division of exact integers; empty min-side reads NULL.
+    */
+  def conductance(spark: SparkSession, dir: String): DataFrame = {
+    val eu = copurchEdges(spark, dir)
+    val e = eu.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(eu.select(col("b").as("src"), col("a").as("dst")))
+    val l0 = copurchDeg(spark, dir)
+      .select(col("v").as("id"), col("v").as("lbl"))
+    val labels = (1 to LpaIters).foldLeft(l0)((l, k) =>
+      cache.getOrElseUpdate((spark, dir, s"cplpa$k"))(
+        lpaStep(l, e).localCheckpoint(false)))
+    val deg = copurchDeg(spark, dir).select(col("v").as("id"), col("d"))
+    val comm = labels.join(deg, Seq("id"), "left")
+      .groupBy("lbl").agg(count(lit(1)).as("n_members"),
+        sum(coalesce(col("d"), lit(0L))).as("volume"))
+    val lin = e
+      .join(labels.select(col("id").as("src"), col("lbl").as("ls")), "src")
+      .join(labels.select(col("id").as("dst"), col("lbl").as("ld")), "dst")
+      .filter(col("ls") === col("ld"))
+      .groupBy(col("ls").as("lbl")).agg(count(lit(1)).as("l_in"))
+    val m = e.agg(count(lit(1)).as("m_total"))
+    comm.join(lin, Seq("lbl"), "left").crossJoin(broadcast(m))
+      .select(col("lbl"), col("n_members"), col("volume"),
+        (col("volume") - coalesce(col("l_in"), lit(0L))).as("cut_edges"),
+        when(least(col("volume"), col("m_total") - col("volume")) > 0L,
+          (col("volume") - coalesce(col("l_in"), lit(0L))).cast("double")
+            / least(col("volume"), col("m_total") - col("volume")))
+          .as("conductance"))
+  }
+
+  /** Oracle: the #160 vote rounds unrolled over the co-purchase frame
+    * (same round text as [[lpaCtes]] — the vote semantics cannot drift).
+    */
+  val conductanceSql: String = {
+    def round(k: Int): String = {
+      val prev = s"p${k - 1}"
+      s"""v$k AS (
+         |  SELECT e.dst AS id, p.lbl, COUNT(*) AS c
+         |  FROM ue e JOIN $prev p ON p.id = e.src GROUP BY 1, 2
+         |),
+         |b$k AS (
+         |  SELECT id, lbl AS nm FROM (
+         |    SELECT id, lbl, ROW_NUMBER() OVER (
+         |      PARTITION BY id ORDER BY c DESC, lbl ASC) AS r
+         |    FROM v$k
+         |  ) WHERE r = 1
+         |),
+         |p$k AS MATERIALIZED (
+         |  SELECT l.id, COALESCE(b.nm, l.lbl) AS lbl
+         |  FROM $prev l LEFT JOIN b$k b USING (id)
+         |)""".stripMargin
+    }
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |eu AS MATERIALIZED (
+       |  SELECT x.p AS a, y.p AS b FROM li x JOIN li y
+       |  ON x.o = y.o AND x.p < y.p GROUP BY 1, 2
+       |),
+       |ue AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM eu
+       |  UNION ALL SELECT b, a FROM eu
+       |),
+       |p0 AS MATERIALIZED (
+       |  SELECT v AS id, v AS lbl FROM
+       |    (SELECT a AS v FROM eu UNION SELECT b FROM eu)
+       |),
+       |${(1 to LpaIters).map(round).mkString(",\n")},
+       |labels AS MATERIALIZED (SELECT id, lbl FROM p$LpaIters),
+       |mm AS (SELECT COUNT(*) AS m_total FROM ue),
+       |degm AS (SELECT src AS id, COUNT(*) AS deg FROM ue GROUP BY 1),
+       |comm AS (
+       |  SELECT l.lbl, COUNT(*) AS n_members,
+       |    CAST(SUM(COALESCE(d.deg, 0)) AS BIGINT) AS volume
+       |  FROM labels l LEFT JOIN degm d USING (id) GROUP BY 1
+       |),
+       |lin AS (
+       |  SELECT ls.lbl, COUNT(*) AS l_in
+       |  FROM ue e
+       |  JOIN labels ls ON ls.id = e.src
+       |  JOIN labels ld ON ld.id = e.dst
+       |  WHERE ls.lbl = ld.lbl GROUP BY 1
+       |)
+       |SELECT c.lbl, c.n_members, c.volume,
+       |  c.volume - COALESCE(l.l_in, 0) AS cut_edges,
+       |  CASE WHEN least(c.volume, mm.m_total - c.volume) > 0
+       |       THEN CAST(c.volume - COALESCE(l.l_in, 0) AS DOUBLE)
+       |            / least(c.volume, mm.m_total - c.volume) END
+       |    AS conductance
+       |FROM comm c LEFT JOIN lin l ON l.lbl = c.lbl, mm""".stripMargin
   }
 }

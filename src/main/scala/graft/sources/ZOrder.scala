@@ -195,4 +195,63 @@ object ZOrder {
        |  OR (dim = 'day' AND d_min < hi AND d_max >= lo)
        |GROUP BY layout, dim""".stripMargin
   }
+
+  // --------------------------------------------- #287 compaction plan
+
+  /** Target rows per compaction group (the row-count proxy for the
+    * Delta/Iceberg target FILE SIZE).
+    */
+  val CompactTarget = 256L
+
+  /** #287: COMPACTION PLAN — the OPTIMIZE planning step the layout
+    * family was missing: #124 writes a clustered layout and #214 reads
+    * one, but a live table accretes SMALL FILES (here simulated as one
+    * file per (day, hour) micro-batch — the shape streaming ingestion
+    * actually produces), and the compactor must group them into
+    * target-sized units WITHOUT crossing partition boundaries
+    * (cross-partition groups would break partition pruning — the rule
+    * every production OPTIMIZE follows). The plan: within each day,
+    * accumulate files in hour order and open a new group each time the
+    * running size passes [[CompactTarget]] — the greedy cumulative-fill
+    * bin assignment, as one day-partitioned window cumsum: group =
+    * cum_before DIV target.
+    *
+    * Exactness: pure integer arithmetic end to end. Scale: events
+    * collapse map-side onto the (day, hour) file frame; the window
+    * partitions by day over ≤24-row frames; output one row per
+    * compaction group with the hour span a reader would coalesce.
+    */
+  def compactPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val files = graft.relational.Events.eventsS(spark, dir)
+      .groupBy(expr("ts_s DIV 86400").as("day"),
+        expr("(ts_s DIV 3600) % 24").as("hour"))
+      .agg(count(lit(1)).as("n_rows"))
+    val w = Window.partitionBy("day").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("cum_before", coalesce(sum("n_rows").over(w), lit(0L)))
+      .withColumn("grp", expr(s"cum_before DIV $CompactTarget"))
+      .groupBy("day", "grp")
+      .agg(count(lit(1)).as("n_files"), sum("n_rows").as("n_rows"),
+        min("hour").as("h_min"), max("hour").as("h_max"))
+  }
+
+  val compactPlanSql: String =
+    s"""WITH f AS (
+       |  SELECT ${graft.relational.Events.duckTsS} // 86400 AS day,
+       |    (${graft.relational.Events.duckTsS} // 3600) % 24 AS hour,
+       |    COUNT(*) AS n_rows
+       |  FROM events GROUP BY 1, 2
+       |), c AS (
+       |  SELECT day, hour, n_rows,
+       |    COALESCE(CAST(SUM(n_rows) OVER (PARTITION BY day ORDER BY hour
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |      0) AS cum_before
+       |  FROM f
+       |)
+       |SELECT day, cum_before // $CompactTarget AS grp,
+       |  COUNT(*) AS n_files, CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       |  MIN(hour) AS h_min, MAX(hour) AS h_max
+       |FROM c GROUP BY 1, 2""".stripMargin
 }

@@ -116,7 +116,8 @@ object Bench {
     "media_audio_energy", "text_llr_collocations",
     "q9_profit", "events_xcorr", "ann_mips_topk", "kge_eval_mrr_ci",
     "events_stl_anomaly", "dq_ks_test",
-    "graph_conductance", "table_compact_plan")
+    "graph_conductance", "table_compact_plan",
+    "embed_pq_distortion", "dedup_jaccard_hist")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

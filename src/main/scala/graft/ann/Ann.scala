@@ -1079,4 +1079,83 @@ object Ann {
        |    PARTITION BY q_id ORDER BY dot DESC, vec_id ASC) AS INT) AS rank
        |  FROM s
        |) WHERE rank <= $K""".stripMargin
+
+  // ------------------------------------------- #288 PQ distortion
+
+  /** #288: PQ DISTORTION report — per subspace and overall, the mean
+    * quantization error of the #59 product code: the compression-
+    * quality artifact that decides M and NCent before anyone trusts PQ
+    * recall (a subspace with outsized distortion is where recall dies,
+    * and the fix — more centroids there, or an OPQ rotation — starts
+    * from exactly this table). Because PQ assigns each sub-block its
+    * NEAREST centroid, the per-block distortion IS min_c d(v_m, c) —
+    * so the report needs no explicit reconstruction: per block, the
+    * minimum over the 8 centroid fold-distances the encoder already
+    * defines; overall = the 8-term fixed-order sum per vector.
+    *
+    * Exactness: each sub-distance is the house ordered fold; `least`
+    * is a value pick; the per-vector total is a fixed left-assoc
+    * 8-term tree; means are quantized order-free at 1e-12. Scale:
+    * map-only over vectors (the codebook is a plan-time literal) +
+    * one 9-key rollup — scan speed at any corpus size.
+    */
+  def pqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val vf = graft.functions.VectorFolds
+    import graft.core.Exact
+    def blockDist(m: Int) = least((0 until PqNCent).map { c =>
+      val cent = array((0 until PqSubDim).map(i =>
+        lit(pqFlatCodebook(m * PqNCent * PqSubDim + c * PqSubDim + i))): _*)
+      vf.subVecSqDist(col("v"), cent, lit(m * PqSubDim))
+    }: _*)
+    val dists = vecs(spark, dir)
+      .select(Seq(col("vec_id")) ++
+        (0 until PqM).map(m => blockDist(m).as(s"d$m")): _*)
+    val perBlock = dists
+      .select(explode(array((0 until PqM).map(m =>
+        struct(lit(m.toLong).as("m"), col(s"d$m").as("d"))): _*)).as("p"))
+      .groupBy(col("p.m").as("m"))
+      .agg(count(lit(1)).as("n_vecs"),
+        Exact.decAvg(col("p.d"), 12).as("mean_dist"))
+    val overall = dists
+      .select((0 until PqM).map(m => col(s"d$m")).reduce(_ + _).as("t"))
+      .agg(count(lit(1)).as("n_vecs"),
+        Exact.decAvg(col("t"), 12).as("mean_dist"))
+      .select(lit(-1L).as("m"), col("n_vecs"), col("mean_dist"))
+    perBlock.unionByName(overall)
+  }
+
+  val pqDistortionSql: String = {
+    val centEl = graft.core.PortableHash.duckDyadic(
+      "'PQ|' || m || '|' || c || '|' || (i - 1)")
+    val subFold = s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(1, ${PqSubDim + 1}), i -> " +
+      s"(v[(m * $PqSubDim) + i] - cv[i]) * (v[(m * $PqSubDim) + i] - cv[i]))), (acc, x) -> acc + x)"
+    val tot = (1 to PqM).map(m => s"l[$m]").mkString(" + ")
+    s"""WITH ve AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), cents AS MATERIALIZED (
+       |  SELECT m, c, list($centEl ORDER BY i) AS cv
+       |  FROM (SELECT unnest(range(0, $PqM)) AS m),
+       |       (SELECT unnest(range(0, $PqNCent)) AS c),
+       |       (SELECT unnest(range(1, ${PqSubDim + 1})) AS i)
+       |  GROUP BY m, c
+       |), bd AS MATERIALIZED (
+       |  SELECT vec_id, m, MIN($subFold) AS d
+       |  FROM ve, cents GROUP BY 1, 2
+       |), per_block AS (
+       |  SELECT m, COUNT(*) AS n_vecs,
+       |    ${graft.core.Exact.duckAvg("d", 12)} AS mean_dist
+       |  FROM bd GROUP BY 1
+       |), tv AS (
+       |  SELECT vec_id, $tot AS t
+       |  FROM (SELECT vec_id, list(d ORDER BY m) AS l FROM bd GROUP BY 1)
+       |), overall AS (
+       |  SELECT CAST(-1 AS BIGINT) AS m, COUNT(*) AS n_vecs,
+       |    ${graft.core.Exact.duckAvg("t", 12)} AS mean_dist
+       |  FROM tv
+       |)
+       |SELECT CAST(m AS BIGINT) AS m, n_vecs, mean_dist FROM per_block
+       |UNION ALL SELECT m, n_vecs, mean_dist FROM overall""".stripMargin
+  }
 }

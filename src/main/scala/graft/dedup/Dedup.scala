@@ -751,4 +751,62 @@ object Dedup {
        |SELECT doc_id, n_shingles, n_novel,
        |  CAST(n_novel AS DOUBLE) / n_shingles AS novelty
        |FROM agg""".stripMargin
+
+  // --------------------------------------------- #289 threshold curve
+
+  val JacBins = 10
+
+  /** #289: JACCARD THRESHOLD CURVE — the verified-similarity histogram
+    * over ALL MinHash candidate pairs (no τ cut): per 0.1-wide Jaccard
+    * bin, how many candidate pairs verify there, and how many sit at
+    * or above the bin — the tuning artifact behind #25's τ: a dedup
+    * threshold is a policy choice, and this curve is what the policy
+    * is chosen FROM (how many pairs a τ of 0.5 vs 0.7 would merge).
+    * Bins with zero pairs at-or-above are omitted (the curve's support
+    * ends where candidates end).
+    *
+    * Scale: the candidate generation and exact verification are #25's
+    * banded machinery verbatim (bucketed, skew-capped — never
+    * all-pairs); the histogram is a ≤10-key aggregate and the
+    * cumulative tail is a bounded ≤10×10 explode — nothing data-scale
+    * moves after verification. Exactness: the Jaccard is the exact
+    * integer-set ratio; binning is floor of an identical double;
+    * counts integer.
+    */
+  def jaccardHist(spark: SparkSession, dir: String): DataFrame = {
+    val binned = withJaccard(candidatePairs(spark, dir), shingled(spark, dir))
+      .select(least(floor(col("jaccard") * JacBins),
+        lit((JacBins - 1).toDouble)).cast("long").as("bin"))
+    val counts = binned.groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+    val cum = counts
+      .select(explode(expr("sequence(0L, bin)")).as("bin"), col("n_pairs"))
+      .groupBy("bin").agg(sum("n_pairs").as("n_pairs_ge"))
+    cum.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        (col("bin").cast("double") / JacBins).as("jaccard_lo"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        col("n_pairs_ge"))
+  }
+
+  val jaccardHistSql: String =
+    s"""WITH $minhashCtes,
+       |alljac AS (
+       |  SELECT CAST(least(floor(jc * $JacBins), ${JacBins - 1})
+       |    AS BIGINT) AS bin
+       |  FROM (
+       |    SELECT CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) /
+       |      (len(s1.sh) + len(s2.sh)
+       |        - CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE)) AS jc
+       |    FROM pairs JOIN shd s1 ON s1.doc_id = d1
+       |      JOIN shd s2 ON s2.doc_id = d2)
+       |), counts AS (
+       |  SELECT bin, COUNT(*) AS n_pairs FROM alljac GROUP BY 1
+       |), cum AS (
+       |  SELECT t AS bin, CAST(SUM(n_pairs) AS BIGINT) AS n_pairs_ge
+       |  FROM (SELECT UNNEST(range(0, bin + 1)) AS t, n_pairs FROM counts)
+       |  GROUP BY 1
+       |)
+       |SELECT cum.bin, CAST(cum.bin AS DOUBLE) / $JacBins AS jaccard_lo,
+       |  COALESCE(c.n_pairs, 0) AS n_pairs, cum.n_pairs_ge
+       |FROM cum LEFT JOIN counts c ON c.bin = cum.bin""".stripMargin
 }

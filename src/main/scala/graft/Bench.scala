@@ -142,7 +142,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.sessionConfigs.foreach { case (k, v) => spark.conf.set(k, v) }
 
-    val names = headline.filter(SparkEntry.queries.contains).sorted
+    // Optional subset (comma list) for bounded scale smokes: the
+    // synthetic-sf1 run (tools/BenchScale) grew past a session budget
+    // once the eval-family headliners joined — their filtered-ranking
+    // pair space is ~100× sf0.1's at sf1 — so the scale artifact runs
+    // a representative subset there while sf0.1 keeps the full set.
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    val names = headline.filter(SparkEntry.queries.contains)
+      .filter(n => only.isEmpty || only(n)).sorted
     names.foreach { name =>
       try run(SparkEntry.queries(name)(spark, sfDir))
       catch { case _: Throwable => () }

@@ -64,4 +64,37 @@ object Split {
        |  FROM canon
        |)
        |GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------- #290 k-fold CV
+
+  val KFolds = 5
+
+  /** #290: K-FOLD CROSS-VALIDATION assignment — the splitter the
+    * quality-classifier block (#151/#152) evaluates with: fold =
+    * pHash("fold"|doc_id) % K, so membership is a pure function of the
+    * id (append-stable — new docs never move old ones; reproducible
+    * from the corpus alone, no assignment table to store) and folds
+    * are disjoint and complete BY CONSTRUCTION. Emits the per-(fold,
+    * lang) accounting table — the artifact a CV harness reads to
+    * confirm the folds are balanced enough per stratum before trusting
+    * the variance of the cross-validated metric.
+    *
+    * Scale: assignment is map-only; the report is one
+    * map-side-combining aggregate onto the K×|langs| keyspace. Pure
+    * integer counting.
+    */
+  def kfold(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        (PortableHash.pHash(concat_ws("|", lit("fold"),
+          col("doc_id"))) % KFolds).cast("int").as("fold"))
+      .groupBy("fold", "lang")
+      .agg(count(lit(1)).as("n_docs"))
+
+  val kfoldSql: String = {
+    val h = PortableHash.duck("'fold|' || doc_id")
+    s"""SELECT CAST($h % $KFolds AS INT) AS fold, lang,
+       |  COUNT(*) AS n_docs
+       |FROM documents GROUP BY 1, 2""".stripMargin
+  }
 }

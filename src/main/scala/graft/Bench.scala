@@ -117,7 +117,9 @@ object Bench {
     "q9_profit", "events_xcorr", "ann_mips_topk", "kge_eval_mrr_ci",
     "events_stl_anomaly", "dq_ks_test",
     "graph_conductance", "table_compact_plan",
-    "embed_pq_distortion", "dedup_jaccard_hist", "split_kfold")
+    "embed_pq_distortion", "dedup_jaccard_hist", "split_kfold",
+    // round-7 additions
+    "kge_eval_both_bounded")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

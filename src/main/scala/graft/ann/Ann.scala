@@ -402,39 +402,18 @@ object Ann {
     * semantically deduplicated embedding set (the exact analog of
     * #111's text-side canonical mapping, on the embedding side).
     *
-    * Plan: #129's graph filtered map-side, then min-label propagation
-    * to fixpoint (the #48 loop — one join + min-combine per round,
-    * localCheckpoint lineage discipline; semantic-dup clusters are tiny
-    * cliques, so 2-3 rounds converge), then ONE left join of the vector
-    * ids against the tiny component frame (broadcasts at scale).
+    * Plan: #129's graph filtered map-side, then [[graft.core.Components]]
+    * (min-label propagation with pointer doubling — the #48 loop,
+    * O(log diameter) rounds since round 7), then ONE left join of the
+    * vector ids against the tiny component frame (broadcasts at scale).
     */
   def semanticClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = knnGraph(spark, dir)
       .filter(col("cosine") >= SemTau)
       .select("src", "dst").localCheckpoint()
-    val edges = pairs
-      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("lab", col("v")).localCheckpoint()
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 20) {
-      val prop = edges.join(labels.withColumnRenamed("v", "src"), "src")
-        .select(col("dst").as("v"), col("lab"))
-        .groupBy("v").agg(min("lab").as("plab"))
-      val next = labels.join(prop, Seq("v"), "left")
-        .select(col("v"),
-          least(col("lab"), coalesce(col("plab"), col("lab"))).as("lab"),
-          (coalesce(col("plab"), col("lab")) < col("lab")).as("changed"))
-        .localCheckpoint()
-      converged = next.filter(col("changed")).isEmpty
-      labels = next.select("v", "lab")
-      iter += 1
-    }
-    if (!converged) throw new IllegalStateException(
-      s"semantic_clusters: not converged after $iter rounds")
+    val labels = graft.core.Components.run(pairs, "semantic_clusters")
     vecs(spark, dir).select(col("vec_id"))
-      .join(labels.select(col("v").as("vec_id"), col("lab")),
+      .join(labels.select(col("node").as("vec_id"), col("lab")),
         Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("lab"), col("vec_id")).as("cluster_id"))

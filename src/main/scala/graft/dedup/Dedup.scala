@@ -389,51 +389,17 @@ object Dedup {
     * (component = min doc_id): the step that turns pair detection into
     * "keep one copy" in a real training-data pipeline.
     *
-    * Spark-first: min-label propagation to fixpoint — per iteration one
-    * join (labels ⋈ edges) + one groupBy(min), both keyed on doc —
-    * O(diameter) rounds; near-dup graphs are overwhelmingly tiny cliques
-    * so 2-3 rounds converge. `localCheckpoint` truncates the iterative
-    * lineage. At 100 TB this is the standard alternating join/agg CC
-    * (large-star/small-star has the same plan shape with fewer rounds
-    * on adversarial chains).
+    * Spark-first: [[graft.core.Components]] — min-label propagation
+    * with pointer doubling (round 7; one edge-keyed join/min-combine +
+    * one node-keyed label self-join per round), O(log diameter) rounds,
+    * so the ADVICE-r3 loud failure on chain-shaped near-dup graphs
+    * (mosaic stitching) is now unreachable for any real input.
     */
   def components(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashPairs(spark, dir)
       .select("d1", "d2").localCheckpoint()
-    // symmetric closure of the cheap checkpointed pair set — no second
-    // checkpoint job needed
-    val edges = pairs
-      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-    var labels = edges.select(col("d1").as("doc")).distinct()
-      .withColumn("lab", col("doc")).localCheckpoint()
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 20) {
-      // min over propagated neighbor labels; every edge endpoint already
-      // carries a label, so labels ∪ prop → groupBy(min) is equivalent to
-      // a left join + least(). Carrying a `changed` flag INSIDE the
-      // checkpointed frame makes the convergence test a cheap scan of
-      // local blocks instead of a second join job per iteration.
-      val prop = edges.join(labels.withColumnRenamed("doc", "d1"), "d1")
-        .select(col("d2").as("doc"), col("lab"))
-        .groupBy("doc").agg(min("lab").as("plab"))
-      val next = labels.join(prop, Seq("doc"), "left")
-        .select(col("doc"),
-          least(col("lab"), coalesce(col("plab"), col("lab"))).as("lab"),
-          (coalesce(col("plab"), col("lab")) < col("lab")).as("changed"))
-        .localCheckpoint()
-      converged = next.filter(col("changed")).isEmpty
-      labels = next.select("doc", "lab")
-      iter += 1
-    }
-    // A chain-shaped near-dup graph with diameter > the iteration cap
-    // would exit unconverged with WRONG labels — fail loudly rather than
-    // return them (ADVICE r3); near-dup graphs are tiny cliques, so
-    // hitting this means the input is adversarial and needs the
-    // large-star/small-star O(log n) variant.
-    if (!converged) throw new IllegalStateException(
-      s"dedup_components: min-label propagation not converged after $iter rounds")
-    labels.select(col("doc").as("doc_id"), col("lab").as("component"))
+    graft.core.Components.run(pairs, "dedup_components")
+      .select(col("node").as("doc_id"), col("lab").as("component"))
   }
 
   /** Oracle: recursive min-label reachability (undirected edges), same

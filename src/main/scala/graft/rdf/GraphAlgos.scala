@@ -1075,9 +1075,10 @@ object GraphAlgos {
     * is produced by the SAME literal-order IEEE sequence in both
     * engines (l/m − (d/m)·(d/m); total uses Σl/m − Σd²/m/m — two
     * successive divisions rather than m·m, which also dodges the m²
-    * overflow past M≈3e9). Σd_c² stays under 2^53 up to M≈9e7 edges;
-    * beyond that the total row needs a DECIMAL sum (the per-community
-    * rows never do).
+    * overflow past M≈3e9). Σd_c² is a DECIMAL(38,0) / HUGEINT sum
+    * (round 7): exact to d_c≈1e19, so the total row survives any
+    * realistic edge count (the per-community rows never widen — their
+    * q_term divides before squaring).
     *
     * Scale: the within-community edge count is the SAME two
     * edge-scale label joins (src then dst) each lpaStep already pays —
@@ -1123,10 +1124,16 @@ object GraphAlgos {
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("n_nodes").desc, col("lbl").asc)))
       .select("rnk", "lbl", "n_nodes", "deg_sum", "l_in", "q_term")
+    // Σd_c² as DECIMAL(38,0) (round 7, VERDICT r6 item 3): the BIGINT
+    // product overflows past d_c≈3e9 and the plain-long sum loses
+    // exactness past 2^53 (M≈9e7 edges); (19,0)² → (38,0) holds ~1e38.
+    // The one double cast at the end is exact below 2^53 (all test SFs)
+    // and correct-to-ulp beyond — never silently wrapped.
     val total = full.groupBy("m")
       .agg(sum("n_nodes").as("n_nodes"), sum("deg_sum").as("deg_sum"),
         sum("l_in").as("l_in"),
-        sum(col("deg_sum") * col("deg_sum")).as("d2"))
+        sum(col("deg_sum").cast("decimal(19,0)") *
+          col("deg_sum").cast("decimal(19,0)")).as("d2"))
       .select(lit(0).as("rnk"), lit(-1L).as("lbl"),
         col("n_nodes"), col("deg_sum"), col("l_in"),
         (col("l_in").cast("double") / col("m") -
@@ -1169,7 +1176,7 @@ object GraphAlgos {
        |    CAST(SUM(deg_sum) AS BIGINT) AS deg_sum,
        |    CAST(SUM(l_in) AS BIGINT) AS l_in,
        |    CAST(SUM(l_in) AS DOUBLE) / ANY_VALUE(m)
-       |      - CAST(SUM(deg_sum * deg_sum) AS DOUBLE) / ANY_VALUE(m) / ANY_VALUE(m) AS q_term
+       |      - CAST(SUM(CAST(deg_sum AS HUGEINT) * deg_sum) AS DOUBLE) / ANY_VALUE(m) / ANY_VALUE(m) AS q_term
        |  FROM fullc, mm
        |)
        |SELECT * FROM tot UNION ALL SELECT * FROM topc""".stripMargin

@@ -91,4 +91,22 @@ class LpaSpec extends AnyFunSuite {
       assert(qt == li.toDouble / m - r * r)
     }
   }
+
+  test("total-row Σd² is exact past 2^53 (the DECIMAL widening bites)") {
+    // Community degree sums at the scale a multi-billion-edge graph
+    // produces: each square exceeds 2^53 (double-sum loses integers)
+    // and their long products overflow int64 — the regime VERDICT r6
+    // item 3 asked the total row to survive. Same aggregate expression
+    // as modularity's total row.
+    val ds = Seq(3000000007L, 2999999993L, 1234567891L, 987654321L)
+    val df = ds.toDF("deg_sum")
+    val d2Str = df.agg(sum(col("deg_sum").cast("decimal(19,0)") *
+        col("deg_sum").cast("decimal(19,0)")).as("d2"))
+      .select(col("d2").cast("string")).as[String].head()
+    val exact = ds.map(d => BigInt(d) * BigInt(d)).sum
+    assert(BigInt(d2Str) == exact, "wide sum must be integer-exact")
+    // and the pre-fix long-product path genuinely wraps here
+    val wrapped = ds.map(d => d * d).sum
+    assert(BigInt(wrapped) != exact, "spec premise: int64 would overflow")
+  }
 }

@@ -12,12 +12,12 @@ class AudioLlrSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("audio energy: frames, silence, peak (first-max tie), and mean " +
-      "equal a byte-level recompute; frame budget conserves n_bytes") {
+      "equal a byte-level recompute; frame budget conserves n_samples") {
     val docs = graft.core.Tables.documents(spark, TestSpark.sf)
       .select($"doc_id", $"text").as[(Long, String)].collect()
     val got = Media.audioEnergy(spark, TestSpark.sf)
-      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
-      .map(r => r._1 -> r).toMap
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
     assert(got.size == docs.length)
     docs.foreach { case (id, text) =>
       val bytes = text.getBytes("UTF-8")
@@ -25,15 +25,63 @@ class AudioLlrSpec extends AnyFunSuite {
       val es = frames.map(_.map(b => { val v = (b & 0xff) - 128; (v * v).toLong }).sum)
       val silent = frames.indices.count(i =>
         es(i) < Media.SilenceT * frames(i).length)
-      val peakF = es.indices.maxBy(i => (es(i), -i))
-      val (_, nb, nf, ns, pf, pe, me) = got(id)
-      assert(nb == bytes.length.toLong, s"bytes of $id")
+      val (_, sr, nb, nsamp, nf, ns, pf, pe, me) = got(id)
+      assert(sr == 8000L + (id % 5) * 2000L, s"rate of $id")
+      assert(nb == bytes.length.toLong + 44L, s"container bytes of $id")
+      assert(nsamp == bytes.length.toLong, s"samples of $id")
       assert(nf == frames.length.toLong, s"frames of $id")
       assert(ns == silent.toLong, s"silence of $id")
-      assert(pf == peakF.toLong && pe == es(peakF), s"peak of $id")
-      assert(me == es.sum.toDouble / bytes.length, s"mean of $id")
+      if (bytes.nonEmpty) {
+        val peakF = es.indices.maxBy(i => (es(i), -i))
+        assert(pf == peakF.toLong && pe == es(peakF), s"peak of $id")
+        assert(me == es.sum.toDouble / bytes.length, s"mean of $id")
+      } else assert(pf == 0L && pe == 0L && me == 0.0, s"empty row of $id")
       assert(frames.map(_.length).sum == bytes.length, s"budget of $id")
     }
+  }
+
+  test("WAV decode reads REAL header bytes: tampered rate is returned, " +
+      "unknown chunks are walked, empty data pins the zero row") {
+    // canonical container round-trips
+    val content = "hello audio".getBytes("UTF-8")
+    val wav = Media.buildWav(12000, content)
+    val (rate, ch, bits, dOff, dLen) = Media.parseWav(wav)
+    assert(rate == 12000 && ch == 1 && bits == 8 && dLen == content.length)
+    assert(wav.slice(dOff, dOff + dLen).toSeq == content.toSeq)
+    // the parser reads BYTES, not construction arithmetic: tamper the
+    // little-endian rate field and the parsed value follows the bytes
+    val tampered = wav.clone()
+    tampered(24) = 0x22.toByte; tampered(25) = 0x56.toByte // 22050 LE
+    assert(Media.parseWav(tampered)._1 == 22050)
+    // chunk walking: an unknown word-aligned chunk before data is skipped
+    val junk = Array.fill[Byte](10)(7)
+    val withList = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write(wav, 0, 36) // RIFF..fmt chunk
+      b.write("LIST".getBytes("US-ASCII")); b.write(Array[Byte](10, 0, 0, 0))
+      b.write(junk) // even length: no RIFF pad byte
+      b.write(wav, 36, wav.length - 36) // data chunk
+      b.toByteArray
+    }
+    val (r2, _, _, dOff2, dLen2) = Media.parseWav(withList)
+    assert(r2 == 12000 && dLen2 == content.length)
+    assert(withList.slice(dOff2, dOff2 + dLen2).toSeq == content.toSeq)
+    // non-WAV fails loudly
+    intercept[IllegalArgumentException](Media.parseWav("BMnot".getBytes))
+  }
+
+  test("BMP decode reads REAL header bytes: round-trip, tamper, " +
+      "and a valid 54-byte layout") {
+    val bmp = Media.buildBmp(17, 9, "pixels!".getBytes("UTF-8"))
+    // 17px × 3B = 51 → padded row 52; 54 + 52·9
+    assert(bmp.length == 54 + 52 * 9)
+    assert(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte)
+    val (w, h, bpp) = Media.parseBmp(bmp)
+    assert(w == 17 && h == 9 && bpp == 24)
+    // tampered width field → parsed value follows the bytes
+    val t = bmp.clone(); t(18) = 0x2a // 42
+    assert(Media.parseBmp(t)._1 == 42)
+    intercept[IllegalArgumentException](Media.parseBmp(Array[Byte](1, 2, 3)))
   }
 
   test("LLR collocations: the top-50 equals a contingency recompute " +

@@ -38,4 +38,23 @@ class DictSpec extends AnyFunSuite {
     val nEnt = Dict.entities(spark, TestSpark.sf).count()
     assert(enc.filter($"sid" >= nEnt || $"oid" >= nEnt || $"sid" < 0 || $"oid" < 0).count() == 0)
   }
+
+  test("persisted dictionary artifact: save -> load is the identity, and " +
+      "encoding through the LOADED artifact equals the session encode") {
+    val sess = Dict.entities(spark, TestSpark.sf)
+      .as[(String, Long)].collect().toMap
+    val loaded = Dict.persistRoundtrip(spark, TestSpark.sf)
+    val got = loaded.as[(String, Long)].collect().toMap
+    assert(got == sess, "artifact roundtrip must be value-identical")
+    // re-encode the triples via the loaded artifact: same ids everywhere
+    import org.apache.spark.sql.functions._
+    val t = graft.core.TpchGraph.triples(spark, TestSpark.sf)
+    val viaLoaded = t
+      .join(loaded.withColumnRenamed("uri", "s").withColumnRenamed("id", "sid"), "s")
+      .join(loaded.withColumnRenamed("uri", "o").withColumnRenamed("id", "oid"), "o")
+      .select("sid", "oid").as[(Long, Long)].collect().sorted.toSeq
+    val viaSession = Dict.encodedTriples(spark, TestSpark.sf)
+      .select("sid", "oid").as[(Long, Long)].collect().sorted.toSeq
+    assert(viaLoaded == viaSession)
+  }
 }

@@ -214,8 +214,16 @@ object Bench {
     val totalCold = results.flatMap(_._3).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$colds,"total_cold":$totalCold,"errors":$errs,"sf":"$sfDir"}"""
-    println(json)
     Files.writeString(Paths.get(out), json + "\n")
+    // stdout gets a COMPACT line (round 6: the driver records only a
+    // ~2 kB tail of stdout, so the 200+-query line arrived truncated
+    // and parsed as null). Totals + errors + the slowest queries fit
+    // the tail window; the full per-query artifact is the file above.
+    val slow = ok.sortBy(-_._2).take(12)
+      .map { case (k, v, _, _) => jq(k) + ":" + math.round(v * 1000) / 1000.0 }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$slow,"n_queries":${ok.size},"total_cold":$totalCold,"errors":$errs,"sf":"$sfDir","artifact":"$out"}""")
     graft.core.Caches.clearAll()
     spark.stop()
   }

@@ -231,6 +231,87 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((0L, 1L, 1.0), (3600L, 1L, 2.0)))
   }
 
+  test("session_window + watermark (append): closed sessions emit once " +
+    "and are EVICTED from state; late data cannot reopen them") {
+    // The production shape of #37 (EventStreams doc: append + watermark
+    // bounds session state by the delay) — the VERDICT r6 item-7 spec:
+    // emission timing, state-row eviction (asserted via the query
+    // progress state-operator metrics), and late-data behavior.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val sess = stream.toDF()
+      .withColumn("ts", timestamp_seconds(col("ts_s")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), EventStreams.Gap), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum("value").as("v"))
+      .select(col("user_id"),
+        col("session_window.start").cast("long").as("ss"),
+        col("session_window.end").cast("long").as("se"),
+        col("n"), col("v"))
+    val q = sess.writeStream.format("memory").queryName("spec_sess_wm")
+      .outputMode("append").start()
+    // two users open sessions; u1 has two merged events (gap 30 min)
+    stream.addData(Ev(100, 1, 1.0), Ev(700, 1, 2.0), Ev(200, 2, 5.0))
+    q.processAllAvailable()
+    assert(spark.table("spec_sess_wm").count() == 0,
+      "no session may emit before the watermark passes its end")
+    // advance the event clock far past every open session's end + delay
+    stream.addData(Ev(20000, 3, 7.0))
+    q.processAllAvailable()
+    val afterClose = spark.table("spec_sess_wm")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    // u1: [100, 700+1800); u2: [200, 200+1800) — emitted exactly once
+    assert(afterClose == Set(
+      (1L, 100L, 2500L, 2L, 3.0), (2L, 200L, 2000L, 1L, 5.0)))
+    // state eviction: only u3's open session may remain in state
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    assert(stateRows == 1L,
+      s"closed sessions must leave state, got $stateRows rows")
+    // a late event far behind the watermark cannot reopen/re-emit
+    stream.addData(Ev(150, 1, 9.0))
+    q.processAllAvailable()
+    val afterLate = spark.table("spec_sess_wm")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    q.stop()
+    assert(afterLate == afterClose, "late data must be dropped")
+  }
+
+  test("windowed-agg watermark state stays bounded: emitted windows " +
+    "leave state as the watermark advances") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val agg = stream.toDF()
+      .withColumn("ts", timestamp_seconds(col("ts_s")))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("ws"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("spec_wagg_state")
+      .outputMode("append").start()
+    // 6 distinct hourly windows arrive in one feed; processAllAvailable
+    // runs follow-up micro-batches, so the watermark (max ts − 10 min =
+    // 17405) already closes-and-EVICTS the first four windows — only
+    // the last two survive in state: the bounded-state contract.
+    stream.addData((0 until 6).map(h => Ev(h * 3600L + 5, 1, 1.0)): _*)
+    q.processAllAvailable()
+    val open = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    val emitted1 = spark.table("spec_wagg_state").count()
+    assert(emitted1 == 4L, s"watermark 17405 must close 4 windows, got $emitted1")
+    assert(open == 2L, s"state must hold the 2 open windows, got $open")
+    // advance the watermark past the remaining two ends: they emit AND
+    // leave state; only the new event's own window stays resident
+    stream.addData(Ev(30000L, 2, 1.0))
+    q.processAllAvailable()
+    val remaining = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    val emitted = spark.table("spec_wagg_state").count()
+    q.stop()
+    assert(emitted == 6L, s"watermark must close all 6 windows, got $emitted")
+    assert(remaining == 1L,
+      s"state must hold only the open window, got $remaining")
+  }
+
   test("streaming dedup drops cross-batch duplicates from state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

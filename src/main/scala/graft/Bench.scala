@@ -119,7 +119,8 @@ object Bench {
     "graph_conductance", "table_compact_plan",
     "embed_pq_distortion", "dedup_jaccard_hist", "split_kfold",
     // round-7 additions
-    "kge_eval_both_bounded", "dict_persist_roundtrip")
+    "kge_eval_both_bounded", "dict_persist_roundtrip",
+    "kge_transe_train_step2_adamw")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

@@ -139,6 +139,24 @@ object TransETrainer {
   def trainStepAdamW(spark: SparkSession, dir: String): DataFrame =
     trainStepFor(spark, dir, "adamw")
 
+  /** #293: TWO unrolled AdamW steps (round 7, VERDICT r6 item 8) — the
+    * single-step oracles pin the gradient and the from-zero-state
+    * closed forms, but never the piece that makes the full loops
+    * trainers: OPTIMIZER STATE CARRYING ACROSS STEPS. This pins epoch
+    * 2's moment accumulation (m₂ = β₁m₁ + (1−β₁)g₂), the
+    * epoch-dependent bias corrections (1−βᵗ at t=2), the decay
+    * applied to the ALREADY-STEPPED parameter, and the epoch-2
+    * gradient computed from updated (non-dyadic) embeddings — whose
+    * activation test the oracle mirrors through ORDERED list folds
+    * (epoch 1's activation sums are dyadic/order-free; epoch 2's are
+    * not, so the oracle reproduces the trainer's exact left-to-right
+    * fold via `list_reduce`).
+    */
+  def trainStep2AdamW(spark: SparkSession, dir: String): DataFrame = {
+    val (ent, _, _) = trainFrames(spark, dir, "adamw", 2, Lr)
+    ent.select(col("id"), posexplode(col("vec")).as(Seq("i", "v")))
+  }
+
   private def trainStepFor(spark: SparkSession, dir: String,
       optimizer: String): DataFrame = {
     val (ent, _, _) = trainFrames(spark, dir, optimizer, 1, Lr)
@@ -235,6 +253,144 @@ object TransETrainer {
        |SELECT e0.id, CAST(e0.i AS INT) AS i,
        |  COALESCE(${duckUpdate(optimizer)}, e0.v) AS v
        |FROM e0 LEFT JOIN gm ON gm.id = e0.id AND gm.i = e0.i""".stripMargin
+  }
+
+  /** #293 oracle: epoch 1 via the step-1 chain (dyadic, order-free),
+    * epoch 2 with state threaded through and every non-dyadic reduction
+    * mirrored in the trainer's own evaluation order:
+    *  - e1/r1 carry (v, m1, v1) per (id, i); null-grad rows keep v and
+    *    zero slots — exactly applyGrad's when(gvec.isNull) branch;
+    *  - epoch-2 activation: per-triple `list(expr ORDER BY i)` +
+    *    `list_reduce` — the identical left-to-right IEEE sequence as
+    *    the trainer's `aggregate` fold (0.0 + x₁ ≡ x₁);
+    *  - epoch-2 mean gradients through the scale-9 quantized avg
+    *    (order-free), update/bias/decay expressions textual mirrors
+    *    with all constants interpolated from the SAME Scala doubles.
+    */
+  val trainStep2AdamWSql: String = {
+    val mbHash = PortableHash.duck("'mb|' || sid || '|' || pid || '|' || oid")
+    val negHash = PortableHash.duck("'neg|' || sid || '|' || pid || '|' || oid")
+    val c1 = 1 - Beta1; val c2 = 1 - Beta2
+    val bc1a = 1.0 - math.pow(Beta1, 1); val bc2a = 1.0 - math.pow(Beta2, 1)
+    val bc1b = 1.0 - math.pow(Beta1, 2); val bc2b = 1.0 - math.pow(Beta2, 2)
+    val lw = Lr * Wd
+    // epoch-1 AdamW update from zero state over a mean gradient alias
+    def up1(v: String, g: String): String =
+      s"$v - $Lr * (((($c1) * $g) / $bc1a) / " +
+        s"(sqrt((($c2) * ($g * $g)) / $bc2a) + $Eps)) - $lw * $v"
+    // epoch-2 update from carried slots
+    def up2(v: String, m1: String, v1: String, g: String): String =
+      s"$v - $Lr * ((($Beta1 * $m1 + ($c1) * $g) / $bc1b) / " +
+        s"(sqrt(($Beta2 * $v1 + ($c2) * ($g * $g)) / $bc2b) + $Eps)) - " +
+        s"$lw * $v"
+    s"""${Dict.preludeCtes},
+       |n AS (SELECT COUNT(*) AS n_ent FROM entities),
+       |mb AS MATERIALIZED (
+       |  SELECT sid, pid, oid,
+       |    CASE WHEN ($negHash % n_ent) = oid
+       |         THEN (($negHash % n_ent) + 1) % n_ent
+       |         ELSE $negHash % n_ent END AS nid
+       |  FROM encoded, n
+       |  WHERE $mbHash % ${TrainData.Mod} = 0
+       |),
+       |dims AS (SELECT unnest(range(0, $D)) AS i),
+       |eids AS (SELECT DISTINCT id FROM (
+       |  SELECT sid AS id FROM mb
+       |  UNION ALL SELECT oid FROM mb
+       |  UNION ALL SELECT nid FROM mb)),
+       |e0 AS MATERIALIZED (
+       |  SELECT id, i, ${PortableHash.duckDyadic("'TE|' || id || '|' || i")} AS v
+       |  FROM eids, dims
+       |),
+       |r0 AS MATERIALIZED (
+       |  SELECT id, i, ${PortableHash.duckDyadic("'TR|' || id || '|' || i")} AS v
+       |  FROM (SELECT DISTINCT pid AS id FROM mb), dims
+       |),
+       |trip AS MATERIALIZED (
+       |  SELECT mb.sid, mb.pid, mb.oid, mb.nid, eh.i,
+       |    eh.v AS h, r0.v AS r, et.v AS t, en.v AS tn
+       |  FROM mb
+       |  JOIN e0 eh ON eh.id = mb.sid
+       |  JOIN r0 ON r0.id = mb.pid AND r0.i = eh.i
+       |  JOIN e0 et ON et.id = mb.oid AND et.i = eh.i
+       |  JOIN e0 en ON en.id = mb.nid AND en.i = eh.i
+       |),
+       |act AS (
+       |  SELECT sid, pid, oid, nid FROM trip
+       |  GROUP BY 1, 2, 3, 4
+       |  HAVING $Margin + SUM((h + r - t) * (h + r - t))
+       |                 - SUM((h + r - tn) * (h + r - tn)) > 0
+       |),
+       |gc AS (
+       |  SELECT tr.sid AS id, tr.i, 2.0 * (tr.tn - tr.t) AS g
+       |  FROM trip tr JOIN act USING (sid, pid, oid, nid)
+       |  UNION ALL
+       |  SELECT tr.oid, tr.i, -2.0 * (tr.h + tr.r - tr.t)
+       |  FROM trip tr JOIN act USING (sid, pid, oid, nid)
+       |  UNION ALL
+       |  SELECT tr.nid, tr.i, 2.0 * (tr.h + tr.r - tr.tn)
+       |  FROM trip tr JOIN act USING (sid, pid, oid, nid)
+       |),
+       |gm AS (
+       |  SELECT id, i, ${Exact.duckAvg("g", 9)} AS g
+       |  FROM gc GROUP BY id, i
+       |),
+       |gmr AS (
+       |  SELECT tr.pid AS id, tr.i,
+       |    ${Exact.duckAvg("2.0 * (tr.tn - tr.t)", 9)} AS g
+       |  FROM trip tr JOIN act USING (sid, pid, oid, nid)
+       |  GROUP BY tr.pid, tr.i
+       |),
+       |e1 AS MATERIALIZED (
+       |  SELECT e0.id, e0.i,
+       |    CASE WHEN gm.g IS NULL THEN e0.v ELSE ${up1("e0.v", "gm.g")} END AS v,
+       |    COALESCE(($c1) * gm.g, 0.0) AS m1,
+       |    COALESCE(($c2) * (gm.g * gm.g), 0.0) AS v1
+       |  FROM e0 LEFT JOIN gm ON gm.id = e0.id AND gm.i = e0.i
+       |),
+       |r1 AS MATERIALIZED (
+       |  SELECT r0.id, r0.i,
+       |    CASE WHEN gmr.g IS NULL THEN r0.v ELSE ${up1("r0.v", "gmr.g")} END AS v,
+       |    COALESCE(($c1) * gmr.g, 0.0) AS m1,
+       |    COALESCE(($c2) * (gmr.g * gmr.g), 0.0) AS v1
+       |  FROM r0 LEFT JOIN gmr ON gmr.id = r0.id AND gmr.i = r0.i
+       |),
+       |trip2 AS MATERIALIZED (
+       |  SELECT mb.sid, mb.pid, mb.oid, mb.nid, eh.i,
+       |    eh.v AS h, r1.v AS r, et.v AS t, en.v AS tn
+       |  FROM mb
+       |  JOIN e1 eh ON eh.id = mb.sid
+       |  JOIN r1 ON r1.id = mb.pid AND r1.i = eh.i
+       |  JOIN e1 et ON et.id = mb.oid AND et.i = eh.i
+       |  JOIN e1 en ON en.id = mb.nid AND en.i = eh.i
+       |),
+       |act2 AS (
+       |  SELECT sid, pid, oid, nid FROM (
+       |    SELECT sid, pid, oid, nid,
+       |      list((h + r - t) * (h + r - t) ORDER BY i) AS dp,
+       |      list((h + r - tn) * (h + r - tn) ORDER BY i) AS dn
+       |    FROM trip2 GROUP BY 1, 2, 3, 4)
+       |  WHERE $Margin + list_reduce(dp, (a, b) -> a + b)
+       |               - list_reduce(dn, (a, b) -> a + b) > 0
+       |),
+       |gc2 AS (
+       |  SELECT tr.sid AS id, tr.i, 2.0 * (tr.tn - tr.t) AS g
+       |  FROM trip2 tr JOIN act2 USING (sid, pid, oid, nid)
+       |  UNION ALL
+       |  SELECT tr.oid, tr.i, -2.0 * (tr.h + tr.r - tr.t)
+       |  FROM trip2 tr JOIN act2 USING (sid, pid, oid, nid)
+       |  UNION ALL
+       |  SELECT tr.nid, tr.i, 2.0 * (tr.h + tr.r - tr.tn)
+       |  FROM trip2 tr JOIN act2 USING (sid, pid, oid, nid)
+       |),
+       |gm2 AS (
+       |  SELECT id, i, ${Exact.duckAvg("g", 9)} AS g
+       |  FROM gc2 GROUP BY id, i
+       |)
+       |SELECT e1.id, CAST(e1.i AS INT) AS i,
+       |  CASE WHEN gm2.g IS NULL THEN e1.v
+       |       ELSE ${up2("e1.v", "e1.m1", "e1.v1", "gm2.g")} END AS v
+       |FROM e1 LEFT JOIN gm2 ON gm2.id = e1.id AND gm2.i = e1.i""".stripMargin
   }
 
   /** One full training run, cached per (session, dir, optimizer):

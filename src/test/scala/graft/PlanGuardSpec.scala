@@ -122,6 +122,37 @@ class PlanGuardSpec extends AnyFunSuite {
       s"unpartitioned window over unbounded frame in: ${offenders.mkString("; ")}")
   }
 
+  test("no md5 generator is re-inlined inside a consuming HOF lambda " +
+      "(the repeated-md5 trap, VERDICT r6 item 10)") {
+    // The rule (SURVEY §5, hit in rounds 3 and 6): a hash feeding a
+    // multi-element array gets its own projection FIRST. When a
+    // generated md5-array column is instead referenced inside another
+    // higher-order function, Catalyst's projection collapse re-inlines
+    // the whole generator per consuming lambda — d md5 calls become
+    // O(d²)+ at runtime (measured 75 s vs 0.7 s for a score at sf0.1).
+    // Structurally that is an Md5 node nested under ≥ 2 HOF lambdas in
+    // the optimized plan: md5 inside ONE transform is the intended
+    // generator; md5 under two is the trap. Cache-state-independent:
+    // a cached embedding frame simply contributes no md5 at all.
+    import org.apache.spark.sql.catalyst.expressions.{Expression, HigherOrderFunction, Md5}
+    def deepMd5(e: Expression, hofDepth: Int): Boolean = e match {
+      case _: Md5 if hofDepth >= 2 => true
+      case h: HigherOrderFunction =>
+        (h.arguments.exists(deepMd5(_, hofDepth)) ||
+          h.functions.exists(deepMd5(_, hofDepth + 1)))
+      case other => other.children.exists(deepMd5(_, hofDepth))
+    }
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(skip)
+      .filter { name =>
+        val plan = SparkEntry.queries(name)(spark, TestSpark.sf)
+          .queryExecution.optimizedPlan
+        plan.exists(_.expressions.exists(deepMd5(_, 0)))
+      }
+    assert(offenders.isEmpty,
+      s"md5 re-inlined inside a consuming HOF in: ${offenders.mkString(", ")}")
+  }
+
   test("q1_agg keeps filter pushdown and column pruning at the scan") {
     val plan = SparkEntry.queries("q1_agg")(spark, TestSpark.sf)
       .queryExecution.executedPlan.toString

@@ -2702,8 +2702,11 @@ object Events {
     *   trend_d    = centered 7-term moving average (defined only where
     *                all 7 neighbors exist — the standard edge rule);
     *   seasonal_w = quantized mean of (x − trend) per day-of-week,
-    *                recentred so the seven indices sum to zero (the
-    *                additive-model identifiability constraint);
+    *                recentred so the OBSERVED indices sum to zero (the
+    *                additive-model identifiability constraint; the
+    *                recentring mean divides by the dow count actually
+    *                present, so the constraint holds even on a
+    *                <13-day span with missing weekdays — ADVICE r6);
     *   remainder  = x − trend − seasonal.
     *
     * Exactness: x is an integer count; the 7-term sum is an exact
@@ -2743,8 +2746,12 @@ object Events {
       .agg((Exact.decSum(col("x") - col("trend"), 6)
         / count(lit(1))).as("raw_idx"))
       .withColumn("raw_idx", Exact.roundS(col("raw_idx")))
+    // recentring divides by the number of dow indices actually PRESENT
+    // (ADVICE r6): a sub-13-day trend span covers < 7 distinct
+    // weekdays, and a literal /7.0 would leave the observed indices
+    // summing away from zero. Equal to /7.0 whenever all 7 exist.
     val meanIdx = dowIdx.groupBy("event_type")
-      .agg(Exact.roundS(Exact.decSum(col("raw_idx"), 6) / lit(7.0))
+      .agg(Exact.roundS(Exact.decSum(col("raw_idx"), 6) / count(lit(1)))
         .as("mean_idx"))
     val centred = dowIdx.join(broadcast(meanIdx), "event_type")
       .select(col("event_type"), col("dow"),
@@ -2782,7 +2789,7 @@ object Events {
        |  FROM tr WHERE trend IS NOT NULL GROUP BY 1, 2
        |), mi AS (
        |  SELECT event_type,
-       |    ${Exact.duckRoundS(Exact.duckSum("raw_idx") + " / 7.0")}
+       |    ${Exact.duckRoundS(Exact.duckSum("raw_idx") + " / COUNT(*)")}
        |      AS mean_idx
        |  FROM raw GROUP BY 1
        |), ctr AS (

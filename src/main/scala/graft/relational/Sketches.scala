@@ -519,8 +519,13 @@ object Sketches {
     * Exactness: `value` sits on the cents grid (≤ 490.02), so the
     * per-row powers are correctly-rounded IEEE products bounded by
     * 490.02⁴ ≈ 5.8e10 — quantized per the house scaled-double rule at
-    * scales (2, 4, 3, 2), every scaled power stays under 2^53 and the
-    * BIGINT group sums have 10+ orders of headroom at sf0.1. The
+    * scales (2, 4, 3, 2), every scaled power stays under 2^53. Group-
+    * sum widths are WORST-CASE budgeted (ADVICE r6): q1–q3 peak at
+    * ≤ 1.2e8 per row → BIGINT holds ~7.6e10 max-valued rows per group;
+    * q4 peaks at 5.8e12 per row, which BIGINT only carries to ~1.6e6
+    * max-valued rows — so q4 alone accumulates as DECIMAL(30,0)
+    * (~1.7e17 max-valued rows), keeping the merge-by-addition law
+    * exact at any realistic group size. The
     * derived statistics are a handful of IEEE ops on bit-identical
     * exact sums — order-free by construction. Variance/skew/kurtosis
     * use the population (biased) form, the one power sums determine
@@ -540,8 +545,10 @@ object Sketches {
       qsum(col("value"), 1e2).as("q1"),
       qsum(col("value") * col("value"), 1e4).as("q2"),
       qsum(col("value") * col("value") * col("value"), 1e3).as("q3"),
-      qsum(col("value") * col("value") * col("value")
-        * col("value"), 1e2).as("q4"))
+      // q4's per-row magnitude (≤ 5.8e12 scaled) exhausts BIGINT at
+      // ~1.6e6 max-valued rows — wide accumulator (see scaladoc)
+      sum(floor(col("value") * col("value") * col("value")
+        * col("value") * 1e2 + 0.5).cast("decimal(20,0)")).as("q4"))
   }
 
   def moments(spark: SparkSession, dir: String): DataFrame =

@@ -120,7 +120,8 @@ object Bench {
     "embed_pq_distortion", "dedup_jaccard_hist", "split_kfold",
     // round-7 additions
     "kge_eval_both_bounded", "dict_persist_roundtrip",
-    "kge_transe_train_step2_adamw")
+    "kge_transe_train_step2_adamw", "dedup_rate_by_source",
+    "split_temporal", "ann_nprobe_sweep", "kge_score_calibration")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

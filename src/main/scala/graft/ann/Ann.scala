@@ -853,6 +853,122 @@ object Ann {
        |${variant("ivfpq_refined", refineRerankSql)}""".stripMargin
   }
 
+  /** nprobe values swept by #296 — the top includes [[NCells]] so the
+    * curve is anchored at exhaustive scan (recall 1.0 by construction).
+    */
+  val SweepProbes: Seq[Int] = Seq(1, 2, 4, NCells)
+
+  /** #296: NPROBE SWEEP — recall@[[K]] and scanned-candidate cost of
+    * the IVF tier at each probe width: the TUNING CURVE that decides
+    * [[NProbe]], sibling of #288 (PQ distortion) and #289 (Jaccard
+    * threshold curve) in the policy-artifact family. #180 measures the
+    * ladder at its deployed settings; this is the table the setting is
+    * CHOSEN from — recall climbs with nprobe while scanned candidates
+    * grow ~linearly, and the knee is the deployment choice. The last
+    * row probes every cell, so its recall = 1.0 anchors the curve (any
+    * other value would mean the probe/scan machinery itself is broken
+    * — spec-pinned).
+    *
+    * Scale: cells and probe ranks are computed ONCE at the maximum
+    * width (candidates scored once, reused by every narrower width via
+    * a prank filter — narrower sweeps are prefixes); per width, one
+    * bounded per-query top-K window + a semi-join against the K·|Q|
+    * truth frame. Exactness: the cosine is the house ordered fold,
+    * counts are integers, recall/avg_cands one division each.
+    */
+  def nprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val maxP = SweepProbes.max
+    val e = vecs(spark, dir).withColumn("cell", cellOf(col("v")))
+    val probes = vecs(spark, dir).filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        posexplode(array_sort(array((0 until NCells).map(c =>
+          struct(centDist(col("v"), c).as("d"), lit(c).as("c"))): _*)))
+          .as(Seq("pi", "p")))
+      .filter(col("pi") < maxP)
+      .select(col("q_id"), col("qv"), (col("pi") + 1).as("prank"),
+        col("p.c").as("cell"))
+    val cands = e.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", VectorLsh.cosine(col("qv"), col("v")))
+      .select("q_id", "vec_id", "prank", "cosine")
+      .localCheckpoint(false)
+    val truth = bruteTopK(spark, dir).select("q_id", "vec_id")
+    val nq = truth.agg(countDistinct(col("q_id")).as("n_queries"))
+    SweepProbes.map { p =>
+      val mine = cands.filter(col("prank") <= p)
+      val hits = mine
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("q_id")
+            .orderBy(col("cosine").desc, col("vec_id").asc)))
+        .filter(col("rank") <= K)
+        .join(truth, Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val scanned = mine.agg(count(lit(1)).as("n_cands"))
+      hits.crossJoin(broadcast(scanned)).crossJoin(broadcast(nq))
+        .select(lit(p).as("nprobe"), col("n_queries"), col("n_hits"),
+          (col("n_hits").cast("double") /
+            (col("n_queries") * K).cast("double")).as("recall"),
+          (col("n_cands").cast("double") / col("n_queries"))
+            .as("avg_cands"))
+    }.reduce(_ unionByName _)
+  }
+
+  val nprobeSweepSql: String = {
+    val cos =
+      s"""${VectorLsh.duckFold("p.qv[i] * e.v[i]")} /
+         |      (sqrt(${VectorLsh.duckFold("p.qv[i] * p.qv[i]")}) * sqrt(${VectorLsh.duckFold("e.v[i] * e.v[i]")}))""".stripMargin
+    val centEl = graft.core.PortableHash.duckDyadic("'IVF|' || c || '|' || (i - 1)")
+    def row(p: Int): String =
+      s"""SELECT $p AS nprobe, nq.n_queries,
+         |  (SELECT COUNT(*) FROM (
+         |     SELECT q_id, vec_id FROM (
+         |       SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |         ORDER BY cosine DESC, vec_id ASC) AS rank
+         |       FROM cand WHERE prank <= $p) WHERE rank <= $K) t
+         |   JOIN truth USING (q_id, vec_id)) AS n_hits,
+         |  CAST((SELECT COUNT(*) FROM (
+         |     SELECT q_id, vec_id FROM (
+         |       SELECT q_id, vec_id, ROW_NUMBER() OVER (PARTITION BY q_id
+         |         ORDER BY cosine DESC, vec_id ASC) AS rank
+         |       FROM cand WHERE prank <= $p) WHERE rank <= $K) t
+         |   JOIN truth USING (q_id, vec_id)) AS DOUBLE)
+         |    / CAST(nq.n_queries * $K AS DOUBLE) AS recall,
+         |  CAST((SELECT COUNT(*) FROM cand WHERE prank <= $p) AS DOUBLE)
+         |    / nq.n_queries AS avg_cands
+         |FROM nq""".stripMargin
+    s"""WITH ve AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), cents AS MATERIALIZED (
+       |  SELECT c, list($centEl ORDER BY i) AS cv
+       |  FROM (SELECT unnest(range(0, $NCells)) AS c),
+       |       (SELECT unnest(range(1, ${VectorLsh.EmbDim + 1})) AS i)
+       |  GROUP BY c
+       |), dists AS MATERIALIZED (
+       |  SELECT ve.vec_id, ve.v, cents.c,
+       |    ${VectorLsh.duckFold("(v[i] - cv[i]) * (v[i] - cv[i])")} AS d
+       |  FROM ve, cents
+       |), cells AS MATERIALIZED (
+       |  SELECT vec_id, v, c AS cell FROM dists
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) = 1
+       |), probesAll AS MATERIALIZED (
+       |  SELECT vec_id AS q_id, v AS qv, c AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS prank
+       |  FROM dists
+       |  WHERE vec_id % $QueryMod = 0
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c)
+       |    <= ${SweepProbes.max}
+       |), cand AS MATERIALIZED (
+       |  SELECT p.q_id, e.vec_id, p.prank,
+       |    $cos AS cosine
+       |  FROM cells e JOIN probesAll p
+       |    ON e.cell = p.cell AND e.vec_id <> p.q_id
+       |), truth AS MATERIALIZED (
+       |  SELECT q_id, vec_id FROM ($bruteTopKSql)
+       |), nq AS (SELECT COUNT(DISTINCT q_id) AS n_queries FROM truth)
+       |${SweepProbes.map(row).mkString("\nUNION ALL\n")}""".stripMargin
+  }
+
   // ----------------------------------------------- #243 MMR rerank
 
   /** Selections per query in the diversified list. */

@@ -464,6 +464,48 @@ object Dedup {
        |  canonical_id = doc_id AS is_canonical
        |FROM canon""".stripMargin
 
+  /** #294: DEDUP RATE BY SOURCE — the accounting table a data-mix owner
+    * reads after near-dedup: per document source, how many docs
+    * survived as canonical, how many collapse into another copy, the
+    * dedup rate, and the characters the collapse removes. Crawl
+    * sources differ wildly in duplication (a mirror-heavy crawl can
+    * lose half its volume to dedup), and every mixing/budget decision
+    * downstream (#53's rates, #68's temperatures) is made against the
+    * POST-dedup counts this table provides.
+    *
+    * Scale: the component frame is tiny next to the corpus (pairs ⊂
+    * near-dups) and [[canonical]] already broadcasts it; this adds one
+    * map-side-combining aggregate onto the |sources| keyspace. Exact
+    * integer counting; the rate is one division.
+    */
+  def rateBySource(spark: SparkSession, dir: String): DataFrame =
+    graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(canonical(spark, dir), Seq("doc_id"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("is_canonical"), 1L).otherwise(0L)).as("n_canonical"),
+        sum(when(col("is_canonical"), 0L).otherwise(1L)).as("n_dup"),
+        (sum(when(col("is_canonical"), 0L).otherwise(1L)).cast("double") /
+          count(lit(1))).as("dedup_rate"),
+        sum("n_chars").as("chars_total"),
+        sum(when(col("is_canonical"), 0L).otherwise(col("n_chars")))
+          .as("chars_removed"))
+
+  val rateBySourceSql: String =
+    s"""WITH RECURSIVE $canonicalCtes
+       |SELECT d.source,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN c.canonical_id = c.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical,
+       |  CAST(SUM(CASE WHEN c.canonical_id = c.doc_id THEN 0 ELSE 1 END) AS BIGINT) AS n_dup,
+       |  CAST(SUM(CASE WHEN c.canonical_id = c.doc_id THEN 0 ELSE 1 END) AS DOUBLE)
+       |    / COUNT(*) AS dedup_rate,
+       |  CAST(SUM(d.n_chars) AS BIGINT) AS chars_total,
+       |  CAST(SUM(CASE WHEN c.canonical_id = c.doc_id THEN 0 ELSE d.n_chars END) AS BIGINT) AS chars_removed
+       |FROM documents d JOIN canon c ON c.doc_id = d.doc_id
+       |GROUP BY d.source""".stripMargin
+
   // --------------------------------------------------------- #26 SimHash
 
   val SimBits = 60

@@ -238,6 +238,88 @@ object Scoring {
       .select("sid", "pid", "oid", "score")
   }
 
+  // ------------------------------------------ #297 score calibration
+
+  /** #297: SCORE SEPARATION table for the TransE scorer — per integer
+    * score bin, how many POSITIVE (observed) vs NEGATIVE (corrupted)
+    * triples land there, and the positive rate: the reliability curve
+    * a score-threshold consumer (link-prediction triage, KG cleaning)
+    * reads before turning a raw score into a decision — the eval
+    * family (#17/#18/#100) reports RANKS, which say nothing about
+    * where an absolute cut is safe. Negatives corrupt the object with
+    * the SAME hash rule as #12 (`neg\|s\|p\|o` mod N), so the pair set
+    * is the one the loss queries already train against.
+    *
+    * Exactness: the TransE score is an exact dyadic sum (the #13
+    * argument), so floor() bins identically in both engines; counts
+    * are integers, the rate one division. Scale: two map-side scored
+    * passes over the slice (positive and corrupted), one aggregate
+    * onto the bounded integer-bin keyspace (score ∈ [−9D/4, 0] for
+    * dyadic embeddings ⇒ ≤ ~40 bins at D=16).
+    */
+  def scoreCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.PortableHash
+    val e = entityEmb(spark, dir)
+    val n = Dict.entities(spark, dir).agg(count(lit(1)).as("n_ent"))
+    val raw = PortableHash.pHash(concat_ws("|",
+      lit("neg"), col("sid"), col("pid"), col("oid"))) % col("n_ent")
+    val j = sliced(spark, dir).crossJoin(broadcast(n))
+      .withColumn("nid",
+        when(raw === col("oid"), (raw + 1) % col("n_ent")).otherwise(raw))
+      .join(e.select(col("id").as("sid"), col("v").as("h")), "sid")
+      .join(e.select(col("id").as("oid"), col("v").as("t")), "oid")
+      .join(e.select(col("id").as("nid"), col("v").as("tn")), "nid")
+      .join(broadcast(relationEmb(spark, dir)
+        .select(col("id").as("pid"), col("v").as("r"))), "pid")
+    val rows = j.select(
+        floor(-VectorFolds.transeSqSum(col("h"), col("r"), col("t")))
+          .cast("long").as("score_bin"), lit(1L).as("pos"))
+      .unionByName(j.select(
+        floor(-VectorFolds.transeSqSum(col("h"), col("r"), col("tn")))
+          .cast("long").as("score_bin"), lit(0L).as("pos")))
+    rows.groupBy("score_bin")
+      .agg(sum("pos").as("n_pos"),
+        sum(lit(1L) - col("pos")).as("n_neg"),
+        count(lit(1)).as("n_total"))
+      .withColumn("pos_rate",
+        col("n_pos").cast("double") / col("n_total"))
+  }
+
+  val scoreCalibrationSql: String = {
+    import graft.core.PortableHash
+    val negHash = PortableHash.duck("'neg|' || sid || '|' || pid || '|' || oid")
+    val he = duckEl("E", "sid", "i"); val re = duckEl("R", "pid", "i")
+    val te = duckEl("E", "oid", "i"); val ne = duckEl("E", "nid", "i")
+    s"""${Dict.preludeCtes},
+       |${Dict.sampleEncodedCte(ScoreMod)},
+       |n AS (SELECT COUNT(*) AS n_ent FROM entities),
+       |mbc AS MATERIALIZED (
+       |  SELECT sid, pid, oid,
+       |    CASE WHEN ($negHash % n_ent) = oid
+       |         THEN (($negHash % n_ent) + 1) % n_ent
+       |         ELSE $negHash % n_ent END AS nid
+       |  FROM test_enc, n
+       |),
+       |sp AS (
+       |  SELECT sid, pid, oid, nid,
+       |    -SUM((($he + $re) - $te) * (($he + $re) - $te)) AS spos,
+       |    -SUM((($he + $re) - $ne) * (($he + $re) - $ne)) AS sneg
+       |  FROM mbc, (SELECT unnest(range(0, ${D})) AS i)
+       |  GROUP BY 1, 2, 3, 4
+       |),
+       |u AS (
+       |  SELECT CAST(floor(spos) AS BIGINT) AS score_bin, 1 AS pos FROM sp
+       |  UNION ALL
+       |  SELECT CAST(floor(sneg) AS BIGINT), 0 FROM sp
+       |)
+       |SELECT score_bin,
+       |  CAST(SUM(pos) AS BIGINT) AS n_pos,
+       |  CAST(SUM(1 - pos) AS BIGINT) AS n_neg,
+       |  COUNT(*) AS n_total,
+       |  CAST(SUM(pos) AS DOUBLE) / COUNT(*) AS pos_rate
+       |FROM u GROUP BY 1""".stripMargin
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private def prelude(mod: Int): String =

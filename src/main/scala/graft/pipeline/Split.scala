@@ -97,4 +97,74 @@ object Split {
        |  COUNT(*) AS n_docs
        |FROM documents GROUP BY 1, 2""".stripMargin
   }
+
+  // ------------------------------------------- #295 temporal split
+
+  /** #295: TEMPORAL train/test split over the event stream — the split
+    * every forecasting/recommendation eval needs where the hash splits
+    * (#127/#290) would leak the FUTURE into training: train = the first
+    * 4/5 of the observed day span (cutoff = d0 + ⌊(d1−d0)·4/5⌋, pure
+    * integer arithmetic on the span — append-shifted but deterministic
+    * for a snapshot), test = the remainder. Emits the per-event-type
+    * accounting a temporal eval reads before trusting itself: event
+    * counts per side, distinct users per side, and the USER OVERLAP —
+    * `users_both` is not leakage (temporal generalization is usually
+    * WITHIN-user) but it decides which eval applies: near-zero overlap
+    * means the test period is new users and the task is cold-start,
+    * not forecasting.
+    *
+    * Scale: events collapse map-side onto the (type, user) keyspace
+    * (the partitioning the sessionizers already use), then one
+    * |types|-key rollup; the span row broadcasts. Exact integers; the
+    * overlap rate is one division, pinned 0.0 for an empty test side.
+    */
+  def temporal(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.relational.Events.eventsS(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        expr("ts_s DIV 86400").as("day"))
+    val span = e.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(expr("d0 + ((d1 - d0) * 4) DIV 5").as("cutoff_day"))
+    val perUser = e.crossJoin(broadcast(span))
+      .withColumn("tr", when(col("day") <= col("cutoff_day"), 1L).otherwise(0L))
+      .groupBy("event_type", "user_id", "cutoff_day")
+      .agg(sum("tr").as("n_tr"), sum(lit(1L) - col("tr")).as("n_te"))
+    perUser.groupBy("event_type", "cutoff_day")
+      .agg(
+        sum("n_tr").as("n_train"),
+        sum("n_te").as("n_test"),
+        sum(when(col("n_tr") > 0, 1L).otherwise(0L)).as("users_train"),
+        sum(when(col("n_te") > 0, 1L).otherwise(0L)).as("users_test"),
+        sum(when(col("n_tr") > 0 && col("n_te") > 0, 1L).otherwise(0L))
+          .as("users_both"))
+      .withColumn("user_overlap_rate",
+        when(col("users_test") === 0, lit(0.0))
+          .otherwise(col("users_both").cast("double") / col("users_test")))
+      .select("event_type", "cutoff_day", "n_train", "n_test",
+        "users_train", "users_test", "users_both", "user_overlap_rate")
+  }
+
+  val temporalSql: String = {
+    val ts = graft.relational.Events.duckTsS
+    s"""WITH e AS (
+       |  SELECT event_type, user_id, $ts // 86400 AS day FROM events
+       |), span AS (
+       |  SELECT MIN(day) + ((MAX(day) - MIN(day)) * 4) // 5 AS cutoff_day
+       |  FROM e
+       |), u AS (
+       |  SELECT event_type, user_id, cutoff_day,
+       |    CAST(SUM(CASE WHEN day <= cutoff_day THEN 1 ELSE 0 END) AS BIGINT) AS n_tr,
+       |    CAST(SUM(CASE WHEN day <= cutoff_day THEN 0 ELSE 1 END) AS BIGINT) AS n_te
+       |  FROM e, span GROUP BY 1, 2, 3
+       |)
+       |SELECT event_type, cutoff_day,
+       |  CAST(SUM(n_tr) AS BIGINT) AS n_train,
+       |  CAST(SUM(n_te) AS BIGINT) AS n_test,
+       |  CAST(SUM(CASE WHEN n_tr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS users_train,
+       |  CAST(SUM(CASE WHEN n_te > 0 THEN 1 ELSE 0 END) AS BIGINT) AS users_test,
+       |  CAST(SUM(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 ELSE 0 END) AS BIGINT) AS users_both,
+       |  CASE WHEN SUM(CASE WHEN n_te > 0 THEN 1 ELSE 0 END) = 0 THEN 0.0
+       |       ELSE CAST(SUM(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / SUM(CASE WHEN n_te > 0 THEN 1 ELSE 0 END) END AS user_overlap_rate
+       |FROM u GROUP BY 1, 2""".stripMargin
+  }
 }

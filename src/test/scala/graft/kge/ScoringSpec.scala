@@ -285,4 +285,31 @@ class ScoringSpec extends AnyFunSuite {
       .map(r => (r._1, r._2, r._3))
     assert(te.toSeq != pr.toSeq, "paired scaling should reorder the slice")
   }
+
+  test("score calibration: bins equal a recompute from the scored " +
+      "slice, budgets conserve, positives separate upward") {
+    // positive bins must equal floor() of the registered #13 scores
+    val posBins = Scoring.transeScore(spark, TestSpark.sf)
+      .select(floor(col("score")).cast("long")).as[Long].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = Scoring.scoreCalibration(spark, TestSpark.sf)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    got.values.foreach { case (_, nPos, nNeg, nTot, rate) =>
+      assert(nPos + nNeg == nTot)
+      assert(rate == nPos.toDouble / nTot)
+    }
+    assert(got.view.mapValues(_._2).toMap.filter(_._2 > 0) == posBins)
+    val n = posBins.values.sum
+    assert(got.values.map(_._2).sum == n, "positive budget")
+    assert(got.values.map(_._3).sum == n, "one negative per positive")
+    // separation direction: positives score at least as high on average
+    // (observed triples vs random corruptions under the dyadic model)
+    def mean(f: ((Long, Long, Long, Long, Double)) => Long) = {
+      val tot = got.values.map(v => f(v)).sum.toDouble
+      got.values.map(v => v._1 * f(v)).sum / tot
+    }
+    assert(mean(_._2) >= mean(_._3) - 1.0,
+      "positive bin mass should not sit materially below negatives")
+  }
 }

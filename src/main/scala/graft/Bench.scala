@@ -121,7 +121,8 @@ object Bench {
     // round-7 additions
     "kge_eval_both_bounded", "dict_persist_roundtrip",
     "kge_transe_train_step2_adamw", "dedup_rate_by_source",
-    "split_temporal", "ann_nprobe_sweep", "kge_score_calibration")
+    "split_temporal", "ann_nprobe_sweep", "kge_score_calibration",
+    "rdf_path_census", "embed_hard_negatives")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

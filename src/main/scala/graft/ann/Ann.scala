@@ -969,6 +969,63 @@ object Ann {
        |${SweepProbes.map(row).mkString("\nUNION ALL\n")}""".stripMargin
   }
 
+  /** #299: HARD-NEGATIVE MINING — per query vector, the top-[[K]] most
+    * similar vectors carrying a DIFFERENT label: the contrastive /
+    * triplet training miner (high-cosine wrong-label items are exactly
+    * the negatives a two-tower or reranker model learns the most from;
+    * random negatives are too easy and stall training — the standard
+    * in-batch-negatives complaint). Labels are the embedding table's
+    * own label column; the output is the (query, negative) pair table
+    * a trainer joins into its batches.
+    *
+    * Scale: the #29 two-phase salted-heap shape verbatim (per-(query,
+    * salt) partial top-K, then top-K of the K·S survivors) with the
+    * label inequality fused into the scored join — K·S rows shuffle
+    * per query, never the corpus. Exactness: the house ordered-fold
+    * cosine; ranks break ties on vec_id.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"))
+    val scored = e.join(broadcast(q),
+        col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .withColumn("cosine", VectorLsh.cosine(col("qv"), col("v")))
+      .withColumn("salt", pmod(col("vec_id"), lit(NSalt)))
+    val partial = scored.withColumn("prank", row_number().over(
+        Window.partitionBy("q_id", "salt")
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("prank") <= K)
+    partial.withColumn("rank", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("cosine").desc, col("vec_id").asc)))
+      .filter(col("rank") <= K)
+      .select("q_id", "q_label", "vec_id", "label", "cosine", "rank")
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH ve AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), s AS (
+       |  SELECT q.vec_id AS q_id, q.label AS q_label,
+       |    e.vec_id AS vec_id, e.label AS label,
+       |    ${VectorLsh.duckFold("q.v[i] * e.v[i]")} /
+       |      (sqrt(${VectorLsh.duckFold("q.v[i] * q.v[i]")}) * sqrt(${VectorLsh.duckFold("e.v[i] * e.v[i]")})) AS cosine
+       |  FROM ve q JOIN ve e
+       |    ON e.vec_id <> q.vec_id AND e.label <> q.label
+       |  WHERE q.vec_id % $QueryMod = 0
+       |)
+       |SELECT q_id, q_label, vec_id, label, cosine, rank FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY q_id ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+       |  FROM s
+       |) WHERE rank <= $K""".stripMargin
+
   // ----------------------------------------------- #243 MMR rerank
 
   /** Selections per query in the diversified list. */

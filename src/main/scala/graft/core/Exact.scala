@@ -57,6 +57,22 @@ object Exact {
   def duckSum(expr: String, scale: Int = 6): String =
     s"(CAST(SUM(CAST(floor(($expr) * ${p10(scale)} + 0.5) AS BIGINT)) AS DOUBLE) / ${p10(scale)})"
 
+  /** [[decSum]] with a DECIMAL(38,0) accumulator — for group sums whose
+    * SCALED magnitude can exceed int64 (found at the 10× bench: hits'
+    * first-round L1 norm is ~edges·10^12, price-elasticity's Σxy is
+    * ~rows·1.4e14 — both threw ANSI ARITHMETIC_OVERFLOW at sf1).
+    * Value-identical to [[decSum]] wherever that one is defined (the
+    * sum is the same exact integer; the one double cast at the end is
+    * correctly rounded in both engines), and exact to ~1e38 beyond.
+    * The DuckDB mirror is [[duckSum]] UNCHANGED: DuckDB's SUM(BIGINT)
+    * already accumulates as HUGEINT. Costs a decimal aggregate — use
+    * on norm/moment sums that scale with the corpus, not on hot
+    * revenue paths with bounded group budgets.
+    */
+  def decSumWide(c: Column, scale: Int = 6): Column =
+    sum(floor(c * p10(scale) + 0.5).cast("decimal(38,0)"))
+      .cast("double") / p10(scale)
+
   /** Order-independent mean (scaled-integer sum / count). */
   def decAvg(c: Column, scale: Int = 6): Column =
     decSum(c, scale) / count(lit(1))

@@ -1276,7 +1276,7 @@ object GraphAlgos {
       cache.getOrElseUpdate((spark, dir, s"hits$k")) {
         val aRaw = e.join(h, e("sid") === h("id"))
           .groupBy(col("oid").as("id"))
-          .agg(Exact.decSum(col("h"), S).as("ar"))
+          .agg(Exact.decSumWide(col("h"), S).as("ar"))
         // checkpoint the DENSE frames: the L1 normalizer consumes each
         // twice (norm aggregate + divide), so un-checkpointed both
         // consumers recompute the whole contribution shuffle (measured
@@ -1285,16 +1285,16 @@ object GraphAlgos {
         val aDense = nodes.join(aRaw, Seq("id"), "left")
           .select(col("id"), coalesce(col("ar"), lit(0.0)).as("ar"))
           .localCheckpoint(false)
-        val aNorm = aDense.agg(Exact.decSum(col("ar"), S).as("an"))
+        val aNorm = aDense.agg(Exact.decSumWide(col("ar"), S).as("an"))
         val a = aDense.crossJoin(broadcast(aNorm))
           .select(col("id"), Exact.roundS(col("ar") / col("an"), S).as("a"))
         val hRaw = e.join(a, e("oid") === a("id"))
           .groupBy(col("sid").as("id"))
-          .agg(Exact.decSum(col("a"), S).as("hr"))
+          .agg(Exact.decSumWide(col("a"), S).as("hr"))
         val hDense = nodes.join(hRaw, Seq("id"), "left")
           .select(col("id"), coalesce(col("hr"), lit(0.0)).as("hr"))
           .localCheckpoint(false)
-        val hNorm = hDense.agg(Exact.decSum(col("hr"), S).as("hn"))
+        val hNorm = hDense.agg(Exact.decSumWide(col("hr"), S).as("hn"))
         hDense.crossJoin(broadcast(hNorm))
           .select(col("id"), Exact.roundS(col("hr") / col("hn"), S).as("h"))
       }
@@ -1302,11 +1302,11 @@ object GraphAlgos {
     // final authority pass over the last hub vector, emitted together
     val aRaw = e.join(hFinal, e("sid") === hFinal("id"))
       .groupBy(col("oid").as("id"))
-      .agg(Exact.decSum(col("h"), S).as("ar"))
+      .agg(Exact.decSumWide(col("h"), S).as("ar"))
     val aDense = nodes.join(aRaw, Seq("id"), "left")
       .select(col("id"), coalesce(col("ar"), lit(0.0)).as("ar"))
       .localCheckpoint(false)
-    val aNorm = aDense.agg(Exact.decSum(col("ar"), S).as("an"))
+    val aNorm = aDense.agg(Exact.decSumWide(col("ar"), S).as("an"))
     val auth = aDense.crossJoin(broadcast(aNorm))
       .select(col("id"), Exact.roundS(col("ar") / col("an"), S).as("authority"))
     hFinal.select(col("id"), col("h").as("hub"))

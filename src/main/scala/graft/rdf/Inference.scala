@@ -73,6 +73,50 @@ object Inference {
     out
   }
 
+  // --------------------------------------------- #298 2-hop path census
+
+  /** #298: RELATION PATH CENSUS — for every composable relation pair
+    * (p1, p2): the number of 2-hop paths p1(a,b)∧p2(b,c), the number
+    * of distinct (a,c) endpoint pairs, and their ratio (the path
+    * multiplicity). This is the SUPPORT table rule mining runs on
+    * (AMIE-style: a chain rule's body support is exactly n_pairs) and
+    * the statistic that says which property chains are worth
+    * materializing (#150 hand-picks two chains; this measures ALL of
+    * them — the census is how those two were defensible). For KGE it
+    * is the composition profile: which relation compositions exist is
+    * what separates RotatE/QuatE-class models from TransE on this
+    * graph.
+    *
+    * Scale: ONE self-join of the encoded triples keyed on the middle
+    * entity (the exact shape every #150 round already pays), collapsing
+    * map-side onto ≤ |R|² keys; the distinct-endpoint count shuffles
+    * on (p1, p2, a, c) — the same cost class as the path join itself.
+    * Counts are BIGINT (n_paths ≤ Σ_b in(b)·out(b)); the ratio is one
+    * division. Pairs with zero paths are absent by construction (the
+    * census is sparse — most type combinations cannot compose).
+    */
+  def pathCensus(spark: SparkSession, dir: String): DataFrame = {
+    val enc = Dict.encodedTriples(spark, dir)
+    enc.select(col("pid").as("p1"), col("sid").as("a"), col("oid").as("mid"))
+      .join(enc.select(col("pid").as("p2"), col("sid").as("mid"),
+        col("oid").as("c")), "mid")
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("n_paths"),
+        countDistinct(col("a"), col("c")).as("n_pairs"))
+      .withColumn("multiplicity",
+        col("n_paths").cast("double") / col("n_pairs"))
+  }
+
+  val pathCensusSql: String =
+    s"""${Dict.preludeCtes}
+       |SELECT t1.pid AS p1, t2.pid AS p2,
+       |  COUNT(*) AS n_paths,
+       |  COUNT(DISTINCT (t1.sid, t2.oid)) AS n_pairs,
+       |  CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT (t1.sid, t2.oid))
+       |    AS multiplicity
+       |FROM encoded t1 JOIN encoded t2 ON t2.sid = t1.oid
+       |GROUP BY 1, 2""".stripMargin
+
   val inferChainSql: String = {
     def ruleSql(from: String, k: Int): String = chains.map { case (a, b, c) =>
       s"""  SELECT t1.s, '$c' AS p, t2.o

@@ -432,8 +432,10 @@ object Relational {
       .agg(count(lit(1)).as("n_obs"),
         Exact.decSum(col("x"), 6).as("sx"),
         Exact.decSum(col("y"), 6).as("sy"),
-        Exact.decSum(col("x") * col("y"), 12).as("sxy"),
-        Exact.decSum(col("x") * col("x"), 12).as("sxx"))
+        // wide accumulators (10x bench: the scale-12 moment sums
+        // exceed int64 past ~65k rows/brand at |x| ~ 12)
+        Exact.decSumWide(col("x") * col("y"), 12).as("sxy"),
+        Exact.decSumWide(col("x") * col("x"), 12).as("sxx"))
       .select(col("brand"), col("n_obs"),
         ((col("n_obs") * col("sxy") - col("sx") * col("sy")) /
          (col("n_obs") * col("sxx") - col("sx") * col("sx")))

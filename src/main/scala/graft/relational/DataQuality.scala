@@ -711,4 +711,230 @@ object DataQuality {
        |    / (n_docs * (n_t - n_docs))) AS drifted
        |FROM agg""".stripMargin
   }
+
+  // -------------------------------------- #300 Jensen–Shannon drift
+
+  /** Quality-score bins for the JS histogram: floor(q·20) on the 0.05
+    * grid — fixed-width, value-bounded (≤ 21 bins for q ∈ [0, 1]).
+    */
+  val JsBinsPerUnit = 20.0
+
+  /** ln 2 as a double literal — shortest-repr round-trips identically
+    * in both engines; JS(P‖Q) ≤ ln 2, so js/ln2 normalizes to [0, 1].
+    */
+  val Ln2 = 0.6931471805599453
+
+  /** #300: JENSEN–SHANNON source drift — per document source, the JS
+    * divergence between the source's quality-score histogram and the
+    * rest of the corpus. The third member of the drift triad with a
+    * distinct contract: #203's PSI is UNBOUNDED and blows up on empty
+    * bins (hence its Laplace floor dominates small-sample readings),
+    * #285's KS sees only the single worst CDF gap (one tall narrow
+    * spike barely moves D); JS is SYMMETRIC, SMOOTH and BOUNDED by
+    * ln 2, so `js_norm` ∈ [0, 1] is comparable across sources of very
+    * different sizes — the gauge a mixing policy can threshold
+    * uniformly.
+    *
+    * Exactness: quality lives on its 1e-6 roundS grid, bins are
+    * floor(q·20) (integral doubles — identical in both engines), all
+    * histogram counts are exact integers over the SAME value-bounded
+    * cell frame, and each cell's term ½p·ln(2p/(p+q)) + ½q·ln(2q/(p+q))
+    * takes ln of ONE ratio whose numerator/denominator are products of
+    * exactly-converted integer doubles (Laplace-smoothed, so never
+    * 0/0); terms are quantized on the 1e-6 grid and the per-source JS
+    * is an order-free quantized sum.
+    *
+    * Scale: docs collapse map-side onto (source, bin) — bounded by the
+    * grid × source count, never the corpus; the completion joins the
+    * broadcast source list onto the ≤ 21-bin frame; output one row per
+    * source.
+    */
+  def jsDivergence(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    val scored = Tables.documents(spark, dir)
+      .select(col("source"), col("n_chars"), TextAnalysis.words.as("ws"))
+      .select(col("source"),
+        floor(Exact.roundS(TextAnalysis.quality) * JsBinsPerUnit)
+          .cast("long").as("bin"))
+    val hs = scored.groupBy("source", "bin").agg(count(lit(1)).as("c"))
+    val g = scored.groupBy("bin").agg(count(lit(1)).as("ct"))
+    val gt = g.agg(count(lit(1)).as("n_bins"), sum("ct").as("n_t"))
+    val srcs = scored.select("source").distinct()
+    val ns = hs.groupBy("source").agg(sum("c").as("n_s"))
+    val full = g.crossJoin(broadcast(srcs))
+      .join(hs, Seq("source", "bin"), "left")
+      .select(col("source"), col("ct"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(gt))
+    // p = (c+1)/(n_s+B), q = (r+1)/(n_r+B); ln args cross-multiplied to
+    // one ratio of double products (overflow-safe at any corpus size).
+    val numP = (col("c") + 1L).cast("double") *
+      (col("n_t") - col("n_s") + col("n_bins")).cast("double")
+    val numQ = (col("ct") - col("c") + 1L).cast("double") *
+      (col("n_s") + col("n_bins")).cast("double")
+    val p = (col("c") + 1L).cast("double") /
+      (col("n_s") + col("n_bins")).cast("double")
+    val q = (col("ct") - col("c") + 1L).cast("double") /
+      (col("n_t") - col("n_s") + col("n_bins")).cast("double")
+    val term = lit(0.5) * p * log(lit(2.0) * numP / (numP + numQ)) +
+      lit(0.5) * q * log(lit(2.0) * numQ / (numP + numQ))
+    full
+      .select(col("source"), col("n_s"), col("n_bins"),
+        Exact.roundS(term, 6).as("term"))
+      .groupBy("source")
+      .agg(first("n_s").as("n_docs"), first("n_bins").as("n_bins"),
+        Exact.decSum(col("term"), 6).as("js"))
+      .withColumn("js_norm", col("js") / Ln2)
+  }
+
+  val jsDivergenceSql: String = {
+    import graft.text.TextAnalysis
+    val numP = "(CAST(c + 1 AS DOUBLE) * CAST(n_t - n_s + n_bins AS DOUBLE))"
+    val numQ = "(CAST(ct - c + 1 AS DOUBLE) * CAST(n_s + n_bins AS DOUBLE))"
+    val p = "(CAST(c + 1 AS DOUBLE) / CAST(n_s + n_bins AS DOUBLE))"
+    val q = "(CAST(ct - c + 1 AS DOUBLE) / CAST(n_t - n_s + n_bins AS DOUBLE))"
+    val term =
+      s"""0.5 * $p * ln(2.0 * $numP / ($numP + $numQ)) +
+         |    0.5 * $q * ln(2.0 * $numQ / ($numP + $numQ))""".stripMargin
+    s"""WITH d0 AS (
+       |  SELECT source, n_chars, ${TextAnalysis.duckWords} AS ws
+       |  FROM documents
+       |), s AS (
+       |  SELECT source,
+       |    CAST(floor(${Exact.duckRoundS(TextAnalysis.duckQuality)}
+       |      * $JsBinsPerUnit) AS BIGINT) AS bin
+       |  FROM d0
+       |), hs AS (
+       |  SELECT source, bin, COUNT(*) AS c FROM s GROUP BY 1, 2
+       |), g AS (SELECT bin, COUNT(*) AS ct FROM s GROUP BY 1),
+       |gt AS (SELECT COUNT(*) AS n_bins, CAST(SUM(ct) AS BIGINT) AS n_t
+       |       FROM g),
+       |srcs AS (SELECT DISTINCT source FROM s),
+       |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s
+       |       FROM hs GROUP BY 1),
+       |fl AS (
+       |  SELECT srcs.source, g.ct, COALESCE(hs.c, 0) AS c, ns.n_s,
+       |    gt.n_bins, gt.n_t
+       |  FROM g CROSS JOIN srcs
+       |  LEFT JOIN hs ON hs.source = srcs.source AND hs.bin = g.bin
+       |  JOIN ns ON ns.source = srcs.source, gt
+       |), terms AS (
+       |  SELECT source, n_s, n_bins,
+       |    ${Exact.duckRoundS(term, 6)} AS term
+       |  FROM fl
+       |)
+       |SELECT source, MIN(n_s) AS n_docs, MIN(n_bins) AS n_bins,
+       |  ${Exact.duckSum("term", 6)} AS js,
+       |  ${Exact.duckSum("term", 6)} / $Ln2 AS js_norm
+       |FROM terms GROUP BY source""".stripMargin
+  }
+
+  // --------------------------------- #301 quality-gate agreement (κ)
+
+  /** Fixed score-gate threshold (measured non-degenerate at every SF:
+    * the quality median sits ≈ 0.76 on this corpus shape).
+    */
+  val GateTheta = 0.75
+
+  /** #301: GATE AGREEMENT — Cohen's κ between the two document quality
+    * gates the pipeline ships: the Gopher RULE suite's composite keep
+    * (#191, `NOT vAny`) and the continuous SCORE gate (#32's quality ≥
+    * 0.75), per language. Two gates that agree 85% of the time sounds
+    * safe until you see κ ≈ 0 — agreement driven by base rates, i.e.
+    * the rules and the score are measuring DIFFERENT things and the
+    * choice of gate silently decides the corpus. This is the audit
+    * table a curation review reads before swapping gates: the full
+    * confusion (both-keep / rule-only / score-only / both-drop), each
+    * gate's keep rate, observed agreement p_o and chance-corrected κ.
+    *
+    * Exactness: both gates are integer/rational comparisons (the rule
+    * suite compares cross-multiplied integers; the score is one fixed
+    * IEEE tree vs a literal), counts are exact integers, and p_o, p_e,
+    * κ are fixed trees of correctly-rounded double ops evaluated
+    * identically by both engines (marginal products cast to double
+    * BEFORE multiplying — overflow-safe at any corpus size). Degenerate
+    * marginals (p_e = 1 forces p_o = 1) pin κ = 1.0 in both engines.
+    *
+    * Scale: ONE map-only pass computes both gates per doc (the stat
+    * columns are shared subtrees), collapsing map-side onto the |langs|
+    * keyspace; output bounded by the language list.
+    */
+  def gateAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.{Gopher, TextAnalysis}
+    val flags = Gopher.stats(Tables.documents(spark, dir), "lang")
+      .select(col("lang"),
+        (!Gopher.vAny).as("rule_keep"),
+        (TextAnalysis.quality >= GateTheta).as("score_keep"))
+    val cells = flags.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("rule_keep") && col("score_keep"), 1L).otherwise(0L))
+        .as("n_both_keep"),
+      sum(when(col("rule_keep") && !col("score_keep"), 1L).otherwise(0L))
+        .as("n_rule_only"),
+      sum(when(!col("rule_keep") && col("score_keep"), 1L).otherwise(0L))
+        .as("n_score_only"),
+      sum(when(!col("rule_keep") && !col("score_keep"), 1L).otherwise(0L))
+        .as("n_both_drop"))
+    val po = (col("n_both_keep") + col("n_both_drop")).cast("double") /
+      col("n_docs").cast("double")
+    val pe = ((col("n_both_keep") + col("n_rule_only")).cast("double") *
+        (col("n_both_keep") + col("n_score_only")).cast("double") +
+      (col("n_score_only") + col("n_both_drop")).cast("double") *
+        (col("n_rule_only") + col("n_both_drop")).cast("double")) /
+      (col("n_docs").cast("double") * col("n_docs").cast("double"))
+    cells
+      .withColumn("rule_keep_rate",
+        (col("n_both_keep") + col("n_rule_only")).cast("double") /
+          col("n_docs").cast("double"))
+      .withColumn("score_keep_rate",
+        (col("n_both_keep") + col("n_score_only")).cast("double") /
+          col("n_docs").cast("double"))
+      .withColumn("p_o", po)
+      .withColumn("kappa",
+        when(pe === 1.0, lit(1.0)).otherwise((po - pe) / (lit(1.0) - pe)))
+  }
+
+  val gateAgreementSql: String = {
+    import graft.text.{Gopher, TextAnalysis}
+    val po = "(CAST(n_both_keep + n_both_drop AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+    val pe =
+      """((CAST(n_both_keep + n_rule_only AS DOUBLE)
+        |   * CAST(n_both_keep + n_score_only AS DOUBLE)
+        | + CAST(n_score_only + n_both_drop AS DOUBLE)
+        |   * CAST(n_rule_only + n_both_drop AS DOUBLE))
+        | / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)))""".stripMargin
+    s"""WITH d AS (
+       |  SELECT lang, n_chars, ${TextAnalysis.duckWords} AS ws
+       |  FROM documents
+       |), st AS (
+       |  SELECT lang, n_chars, ws, ${Gopher.duckStatsList}
+       |  FROM d
+       |), f AS (
+       |  SELECT lang, (NOT ${Gopher.duckVAny}) AS rule_keep,
+       |    ((${TextAnalysis.duckQuality}) >= $GateTheta) AS score_keep
+       |  FROM st
+       |), cells AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |    CAST(SUM(CASE WHEN rule_keep AND score_keep THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_both_keep,
+       |    CAST(SUM(CASE WHEN rule_keep AND NOT score_keep THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_rule_only,
+       |    CAST(SUM(CASE WHEN NOT rule_keep AND score_keep THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_score_only,
+       |    CAST(SUM(CASE WHEN NOT rule_keep AND NOT score_keep THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_both_drop
+       |  FROM f GROUP BY 1
+       |)
+       |SELECT lang, n_docs, n_both_keep, n_rule_only, n_score_only,
+       |  n_both_drop,
+       |  CAST(n_both_keep + n_rule_only AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |    AS rule_keep_rate,
+       |  CAST(n_both_keep + n_score_only AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |    AS score_keep_rate,
+       |  $po AS p_o,
+       |  CASE WHEN $pe = 1.0 THEN 1.0
+       |       ELSE ($po - $pe) / (1.0 - $pe) END AS kappa
+       |FROM cells""".stripMargin
+  }
 }

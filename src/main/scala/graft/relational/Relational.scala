@@ -1471,4 +1471,71 @@ object Relational {
        |  AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey
        |  AND p_name LIKE '%widget%'
        |GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------- #302 open-order backlog
+
+  /** #302: OPEN-ORDER BACKLOG — the daily count of orders placed but
+    * not yet fully shipped: opened at `o_orderdate`, closed on the day
+    * the LAST of its lineitems ships (max l_shipdate; orders with no
+    * lineitems never close and sit in the backlog permanently — the
+    * honest unfulfilled-order semantics). The operational WIP gauge the
+    * TPC-H suite's point-in-time queries (q4 counts late orders IN a
+    * quarter) cannot substitute for: backlog is a LEVEL, and levels
+    * need the full open/close ledger cumulated from day one.
+    *
+    * Scale — the #268 sweep-line discipline on the day grid: open/close
+    * events collapse map-side onto the DAY keyspace (bounded by the
+    * date span, ~2.5k days, never the order count); the close day per
+    * order is one max-aggregate on l_orderkey (the key lineitem joins
+    * already shuffle on); the cumulation is a triangular join over the
+    * broadcast day-totals frame — O(span²) pairs, CONSTANT in data
+    * size, no unpartitioned window anywhere. Pure BIGINT counting.
+    */
+  def ordersBacklog(spark: SparkSession, dir: String): DataFrame = {
+    val opened = Tables.orders(spark, dir)
+      .groupBy(expr("unix_timestamp(o_orderdate) DIV 86400").as("day"))
+      .agg(count(lit(1)).as("n_opened"))
+    val closed = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(max(expr("unix_timestamp(l_shipdate) DIV 86400")).as("cday"))
+      .groupBy(col("cday").as("day"))
+      .agg(count(lit(1)).as("n_closed"))
+    val deltas = opened.join(closed, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_opened"), lit(0L)).as("n_opened"),
+        coalesce(col("n_closed"), lit(0L)).as("n_closed"))
+    deltas
+      .join(broadcast(deltas.select(col("day").as("pd"),
+        (col("n_opened") - col("n_closed")).as("pdelta"))),
+        col("pd") <= col("day"))
+      .groupBy("day", "n_opened", "n_closed")
+      .agg(sum("pdelta").as("backlog"))
+      .select("day", "n_opened", "n_closed", "backlog")
+  }
+
+  /** Oracle: the definitional single running sum over the merged day
+    * ledger (a window is fine oracle-side; the Spark plan is the
+    * constant-size triangular join).
+    */
+  val ordersBacklogSql: String =
+    s"""WITH op AS (
+       |  SELECT epoch_ms(o_orderdate) // 1000 // 86400 AS day,
+       |    COUNT(*) AS n_opened
+       |  FROM orders GROUP BY 1
+       |), cl0 AS (
+       |  SELECT l_orderkey,
+       |    MAX(epoch_ms(l_shipdate) // 1000 // 86400) AS day
+       |  FROM lineitem GROUP BY 1
+       |), cl AS (
+       |  SELECT day, COUNT(*) AS n_closed FROM cl0 GROUP BY 1
+       |), m AS (
+       |  SELECT COALESCE(op.day, cl.day) AS day,
+       |    COALESCE(n_opened, 0) AS n_opened,
+       |    COALESCE(n_closed, 0) AS n_closed
+       |  FROM op FULL OUTER JOIN cl ON op.day = cl.day
+       |)
+       |SELECT day, n_opened, n_closed,
+       |  CAST(SUM(n_opened - n_closed) OVER
+       |    (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
+       |FROM m""".stripMargin
 }

@@ -33,24 +33,45 @@ import graft.core.Tables
   */
 object Gopher {
 
-  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
-    val stats = Tables.documents(spark, dir)
-      .select(TextAnalysis.words.as("ws"))
-      .select(
+  import org.apache.spark.sql.{Column, DataFrame => DF}
+
+  /** Word-stat frame the rule suite reads (nw/chars/maxw/nstop/nuniq/
+    * nshort, plus the token array `ws` and any `carry` columns passed
+    * through) — factored so #191's suite and #301's gate-agreement table
+    * evaluate the SAME stat expressions and cannot drift.
+    */
+  private[graft] def stats(docs: DF, carry: String*): DF =
+    docs.select(carry.map(col) :+ col("n_chars") :+
+        TextAnalysis.words.as("ws"): _*)
+      .select(carry.map(col) ++ Seq(
+        col("n_chars"), col("ws"),
         size(col("ws")).cast("long").as("nw"),
         aggregate(col("ws"), lit(0L), (a, w) => a + length(w)).as("chars"),
         array_max(transform(col("ws"), w => length(w))).cast("long").as("maxw"),
         size(filter(col("ws"), w => w.isInCollection(TextAnalysis.stopwords)))
           .cast("long").as("nstop"),
         size(array_distinct(col("ws"))).cast("long").as("nuniq"),
-        size(filter(col("ws"), w => length(w) <= 2)).cast("long").as("nshort"))
-    val flags = stats.select(
-      (col("nw") < 50 || col("nw") > 100000).as("v1"),
-      (col("chars") < lit(3) * col("nw") || col("chars") > lit(10) * col("nw")).as("v2"),
-      (col("maxw") > 20).as("v3"),
-      (col("nstop") < 2).as("v4"),
-      (col("nuniq") * 5 < col("nw")).as("v5"),
-      (col("nshort") * 2 > col("nw")).as("v6"))
+        size(filter(col("ws"), w => length(w) <= 2)).cast("long")
+          .as("nshort")): _*)
+
+  /** The six violation predicates over the [[stats]] columns (shared by
+    * #191 and #301). Every bound compares integers — cross-multiplied
+    * ratio forms, no division.
+    */
+  private[graft] val violations: Seq[(String, Column)] = Seq(
+    "v1" -> (col("nw") < 50 || col("nw") > 100000),
+    "v2" -> (col("chars") < lit(3) * col("nw") ||
+      col("chars") > lit(10) * col("nw")),
+    "v3" -> (col("maxw") > 20),
+    "v4" -> (col("nstop") < 2),
+    "v5" -> (col("nuniq") * 5 < col("nw")),
+    "v6" -> (col("nshort") * 2 > col("nw")))
+
+  private[graft] val vAny: Column = violations.map(_._2).reduce(_ || _)
+
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val flags = stats(Tables.documents(spark, dir))
+      .select(violations.map { case (n, c) => c.as(n) }: _*)
       .withColumn("vAny",
         col("v1") || col("v2") || col("v3") || col("v4") || col("v5") || col("v6"))
     def cnt(c: String) = sum(when(col(c), 1L).otherwise(0L)).as("x" + c)
@@ -72,25 +93,38 @@ object Gopher {
         col("n_pass").cast("double") / col("n_docs").cast("double"))
   }
 
-  val gopherRulesSql: String =
-    s"""WITH d AS (
-       |  SELECT ${TextAnalysis.duckWords} AS ws FROM documents
-       |), s AS (
-       |  SELECT len(ws) AS nw,
+  /** Stats select-list fragment over a frame exposing `ws` — the SQL
+    * mirror of [[stats]], shared with #301's oracle.
+    */
+  private[graft] val duckStatsList: String =
+    s"""len(ws) AS nw,
        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
        |      list_transform(ws, w -> length(w))), (a, x) -> a + x) AS chars,
        |    list_max(list_transform(ws, w -> length(w))) AS maxw,
        |    len(list_filter(ws, w -> w IN ${TextAnalysis.duckStopList})) AS nstop,
        |    len(list_distinct(ws)) AS nuniq,
-       |    len(list_filter(ws, w -> length(w) <= 2)) AS nshort
+       |    len(list_filter(ws, w -> length(w) <= 2)) AS nshort""".stripMargin
+
+  /** SQL mirrors of [[violations]], over the [[duckStatsList]] columns. */
+  private[graft] val duckViols: Seq[(String, String)] = Seq(
+    "v1" -> "(nw < 50 OR nw > 100000)",
+    "v2" -> "(chars < 3 * nw OR chars > 10 * nw)",
+    "v3" -> "(maxw > 20)",
+    "v4" -> "(nstop < 2)",
+    "v5" -> "(nuniq * 5 < nw)",
+    "v6" -> "(nshort * 2 > nw)")
+
+  private[graft] val duckVAny: String =
+    duckViols.map(_._2).mkString("(", " OR ", ")")
+
+  val gopherRulesSql: String =
+    s"""WITH d AS (
+       |  SELECT ${TextAnalysis.duckWords} AS ws FROM documents
+       |), s AS (
+       |  SELECT $duckStatsList
        |  FROM d
        |), f AS (
-       |  SELECT (nw < 50 OR nw > 100000) AS v1,
-       |    (chars < 3 * nw OR chars > 10 * nw) AS v2,
-       |    (maxw > 20) AS v3,
-       |    (nstop < 2) AS v4,
-       |    (nuniq * 5 < nw) AS v5,
-       |    (nshort * 2 > nw) AS v6
+       |  SELECT ${duckViols.map { case (n, e) => s"$e AS $n" }.mkString(",\n    ")}
        |  FROM s
        |), a AS (
        |  SELECT COUNT(*) AS n_docs,

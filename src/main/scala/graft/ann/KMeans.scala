@@ -44,39 +44,98 @@ object KMeans {
     array(Array.tabulate(D)(i =>
       lit(PortableHash.dyadicJvm(s"KM|$c|$i"))).toSeq: _*)
 
+  private val aCache = new graft.core.DfCache[(SparkSession, String)]
+
+  /** The second-iteration assignment (vec_id, v, cluster) — the Lloyd
+    * chain through re-assignment, shared (and session-cached) between
+    * the codebook query (#65) and the silhouette acceptance table
+    * (#305).
+    */
+  private def assigned2(spark: SparkSession, dir: String): DataFrame =
+    aCache.getOrElseUpdate((spark, dir)) {
+      val p = pts(spark, dir)
+      val vf = graft.functions.VectorFolds
+      // iteration 1: assign to nearest seed centroid (argmin via struct min)
+      val a1 = p.withColumn("cluster",
+        array_min(array((0 until K).map(c =>
+          struct(vf.sqDiffSum(col("v"), seed(c)).as("d"), lit(c).as("c"))): _*))
+          .getField("c"))
+      // iteration 1: quantized per-dimension means
+      val cents1 = a1
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cluster", "dim").agg(Exact.decAvg(col("x")).as("cx"))
+        .groupBy("cluster").agg(
+          transform(array_sort(collect_list(struct(col("dim"), col("cx")))),
+            s => s.getField("cx")).as("cv"))
+      // iteration 2: re-assign against the updated centroids
+      p.crossJoin(broadcast(cents1))
+        .withColumn("d", vf.sqDiffSum(col("v"), col("cv")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("d"), col("cluster"))))
+        .filter(col("rn") === 1)
+        .select("vec_id", "v", "cluster")
+    }
+
   /** #65: two Lloyd iterations; one row per (cluster, dim). */
-  def kmeans(spark: SparkSession, dir: String): DataFrame = {
-    val p = pts(spark, dir)
+  def kmeans(spark: SparkSession, dir: String): DataFrame =
+    // iteration 2: final centroids + cluster sizes
+    assigned2(spark, dir)
+      .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cluster", "dim")
+      .agg(Exact.decAvg(col("x")).as("c_val"), count(lit(1)).as("n_points"))
+      .select("cluster", "dim", "c_val", "n_points")
+
+  /** #305: SIMPLIFIED SILHOUETTE — the clustering-acceptance table for
+    * the k-means tier (and by extension the IVF codebook it trains):
+    * per point, a = distance to its OWN final centroid and b = the
+    * nearest OTHER centroid, s = (b − a)/max(a, b) ∈ [−1, 1]; reported
+    * per cluster as (n_points, mean_intra, mean_nearest_other,
+    * mean_silhouette). This is the measurement that tells you K is
+    * wrong (clusters with s ≈ 0 overlap their neighbor) before the IVF
+    * recall report (#180) pays for it downstream. The centroid-based
+    * simplification is the standard big-data variant: the full
+    * pairwise silhouette is O(n²) and never runs at corpus scale.
+    *
+    * Scale: reuses the session-cached Lloyd assignment; per point K
+    * codegen'd folds against the broadcast K×D centroid table (the
+    * assign stage's own shape), one map-side collapse onto K keys.
+    * Exactness: final centroids are the SAME quantized means #65
+    * emits; distances are sqrt of the exact fold; a, b, s are fixed
+    * correctly-rounded trees; means quantize through [[Exact.decAvg]].
+    */
+  def silhouette(spark: SparkSession, dir: String): DataFrame = {
     val vf = graft.functions.VectorFolds
-    // iteration 1: assign to nearest seed centroid (argmin via struct min)
-    val a1 = p.withColumn("cluster",
-      array_min(array((0 until K).map(c =>
-        struct(vf.sqDiffSum(col("v"), seed(c)).as("d"), lit(c).as("c"))): _*))
-        .getField("c"))
-    // iteration 1: quantized per-dimension means
-    val cents1 = a1
+    val a2 = assigned2(spark, dir)
+    val cents2 = a2
       .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy("cluster", "dim").agg(Exact.decAvg(col("x")).as("cx"))
       .groupBy("cluster").agg(
         transform(array_sort(collect_list(struct(col("dim"), col("cx")))),
           s => s.getField("cx")).as("cv"))
-    // iteration 2: re-assign against the updated centroids
-    val a2 = p.crossJoin(broadcast(cents1))
-      .withColumn("d", vf.sqDiffSum(col("v"), col("cv")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("d"), col("cluster"))))
-      .filter(col("rn") === 1)
-    // iteration 2: final centroids + cluster sizes
-    a2.select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy("cluster", "dim")
-      .agg(Exact.decAvg(col("x")).as("c_val"), count(lit(1)).as("n_points"))
-      .select("cluster", "dim", "c_val", "n_points")
+    val s = a2
+      .crossJoin(broadcast(cents2
+        .select(col("cluster").as("kc"), col("cv"))))
+      .withColumn("d", sqrt(vf.sqDiffSum(col("v"), col("cv"))))
+      .groupBy("vec_id", "cluster")
+      .agg(min(when(col("kc") === col("cluster"), col("d"))).as("a"),
+        min(when(col("kc") =!= col("cluster"), col("d"))).as("b"))
+      .withColumn("s",
+        when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+    s.groupBy("cluster")
+      .agg(count(lit(1)).as("n_points"),
+        Exact.decAvg(col("a")).as("mean_intra"),
+        Exact.decAvg(col("b")).as("mean_nearest_other"),
+        Exact.decAvg(col("s")).as("mean_silhouette"))
   }
 
-  val kmeansSql: String = {
+  /** The Lloyd chain through the second assignment (`a2`), factored so
+    * #65's and #305's oracles share one text and cannot drift.
+    */
+  private[ann] val duckLloydCtes: String = {
     val seedEl = PortableHash.duckDyadic("'KM|' || c || '|' || (i - 1)")
     val fold = VectorLsh.duckFold("(v[i] - cv[i]) * (v[i] - cv[i])")
-    s"""WITH ve AS (
+    s"""ve AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings
        |), cents0 AS MATERIALIZED (
@@ -100,9 +159,39 @@ object KMeans {
        |), a2 AS (
        |  SELECT vec_id, v, cluster FROM d1
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) = 1
-       |)
+       |)""".stripMargin
+  }
+
+  val kmeansSql: String =
+    s"""WITH $duckLloydCtes
        |SELECT cluster, dim, ${Exact.duckAvg("x")} AS c_val, COUNT(*) AS n_points
        |FROM (SELECT cluster, unnest(v) AS x, unnest(range(0, $D)) AS dim FROM a2)
        |GROUP BY cluster, dim""".stripMargin
+
+  val silhouetteSql: String = {
+    val fold = VectorLsh.duckFold("(v[i] - cv[i]) * (v[i] - cv[i])")
+    val sExpr = "CASE WHEN greatest(a, b) = 0.0 THEN 0.0" +
+      " ELSE (b - a) / greatest(a, b) END"
+    s"""WITH $duckLloydCtes, m2 AS (
+       |  SELECT cluster, dim, ${Exact.duckAvg("x")} AS cx
+       |  FROM (SELECT cluster, unnest(v) AS x, unnest(range(0, $D)) AS dim FROM a2)
+       |  GROUP BY cluster, dim
+       |), cents2 AS MATERIALIZED (
+       |  SELECT cluster, list(cx ORDER BY dim) AS cv FROM m2 GROUP BY cluster
+       |), d2 AS MATERIALIZED (
+       |  SELECT a2.vec_id, a2.cluster AS own, cents2.cluster AS kc,
+       |    sqrt($fold) AS d
+       |  FROM a2, cents2
+       |), sil AS (
+       |  SELECT vec_id, own,
+       |    MIN(CASE WHEN kc = own THEN d END) AS a,
+       |    MIN(CASE WHEN kc <> own THEN d END) AS b
+       |  FROM d2 GROUP BY 1, 2
+       |)
+       |SELECT own AS cluster, COUNT(*) AS n_points,
+       |  ${Exact.duckAvg("a")} AS mean_intra,
+       |  ${Exact.duckAvg("b")} AS mean_nearest_other,
+       |  ${Exact.duckAvg(sExpr)} AS mean_silhouette
+       |FROM sil GROUP BY 1""".stripMargin
   }
 }

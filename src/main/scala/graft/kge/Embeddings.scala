@@ -136,6 +136,40 @@ object Embeddings {
       Dict.relations(spark, dir)
         .select(col("rid").as("id"), emb("QR", col("rid")).as("q")))
 
+  /** TuckER SHARED core tensor W (d_e × d_r × d_e = 8×8×8, family TK,
+    * row-major flat index f = i·64 + j·8 + k) as a JVM-side literal —
+    * the core is one global parameter, not per-relation, so it never
+    * touches the plan as data.
+    */
+  val tuckerW: IndexedSeq[Double] =
+    (0 until DRescal * DRescal * DRescal)
+      .map(f => PortableHash.dyadicJvm(s"TK|$f"))
+
+  /** TuckER relation-collapsed core M_r = W ×₂ r (the 8×8 matrix
+    * Σ_j W[i,j,k]·r_j, flat i·8+k) — computed ONCE per relation on the
+    * dictionary-sized frame (the real TuckER serving plan: collapse the
+    * shared core against each relation, then every triple pays one
+    * bilinear fold, exactly RESCAL's hot path). All entries are exact
+    * dyadic sums (denominator 2^14), so the factored score equals the
+    * direct 512-term triple contraction bit-for-bit.
+    */
+  def tuckerM(spark: SparkSession, dir: String): DataFrame =
+    tableCache.getOrElseUpdate((spark, dir, "TK")) {
+      val wLit = array(tuckerW.map(lit): _*)
+      val de = DRescal
+      // rv slices the CACHED relation table (same R family, first 8
+      // dims) — the cache boundary keeps the md5 generator out of the
+      // HOF lambdas below (the [[emb]] re-inlining warning).
+      relationEmb(spark, dir)
+        .select(col("id"), slice(col("v"), 1, de).as("rv"))
+        .select(col("id"), flatten(transform(sequence(lit(0), lit(de - 1)),
+          i => transform(sequence(lit(0), lit(de - 1)),
+            k => aggregate(sequence(lit(0), lit(de - 1)), lit(0.0),
+              (acc, j) => acc + element_at(wLit,
+                i * (de * de) + j * de + k + 1) *
+                element_at(col("rv"), j + 1))))).as("m"))
+    }
+
   /** DuckDB scalar equivalent of emb(kind, id)[i]. */
   def duckEl(kind: String, idExpr: String, iExpr: String): String =
     PortableHash.duckDyadic(s"'$kind' || '|' || $idExpr || '|' || $iExpr")

@@ -85,6 +85,51 @@ object Scoring {
       .select("sid", "pid", "oid", "score")
   }
 
+  /** #303: TuckER (Balažević et al. EMNLP'19)
+    * score = W ×₁ e_h ×₂ w_r ×₃ e_t — the fully-shared-core bilinear
+    * that SUBSUMES the whole family (RESCAL, DistMult, ComplEx, SimplE
+    * are all rank-restricted special cases of the core): relations
+    * share ONE d_e×d_r×d_e parameter tensor and differ only by their
+    * d_r vector, which is what lets TuckER do multi-task learning
+    * across relations that per-relation matrices (RESCAL) cannot.
+    *
+    * Plan — the real TuckER serving shape: the shared core collapses
+    * against each relation ONCE on the dictionary-sized frame
+    * (M_r = W ×₂ r, [[Embeddings.tuckerM]]), and every triple then pays
+    * exactly RESCAL's codegen'd bilinear fold over the broadcast M
+    * table. Exactness: every M entry is an exact dyadic sum
+    * (denominator 2^14), every score term denominator 2^28 with all
+    * magnitudes far inside 2^53 — the factored score equals the direct
+    * 512-term contraction bit-for-bit, so the oracle is the plain
+    * triple-SUM form and the factoring is machine-checked by the hash.
+    */
+  def tuckerScore(spark: SparkSession, dir: String): DataFrame = {
+    val e = entityEmb(spark, dir)
+    sliced(spark, dir)
+      .join(e.select(col("id").as("sid"), slice(col("v"), 1, DRescal).as("h8")), "sid")
+      .join(e.select(col("id").as("oid"), slice(col("v"), 1, DRescal).as("t8")), "oid")
+      .join(broadcast(tuckerM(spark, dir)
+        .select(col("id").as("pid"), col("m"))), "pid")
+      .withColumn("score",
+        VectorFolds.bilinear(col("m"), col("h8"), col("t8")))
+      .select("sid", "pid", "oid", "score")
+  }
+
+  val tuckerScoreSql: String = {
+    val de = DRescal
+    val we = graft.core.PortableHash.duckDyadic(
+      s"'TK|' || (a * ${de * de} + j * $de + b)")
+    val he = duckEl("E", "sid", "a"); val te = duckEl("E", "oid", "b")
+    val re = duckEl("R", "pid", "j")
+    s"""${prelude(ScoreMod)}
+       |SELECT sid, pid, oid, SUM((($we * $re) * $he) * $te) AS score
+       |FROM test_enc,
+       |  (SELECT unnest(range(0, $de)) AS a),
+       |  (SELECT unnest(range(0, $de)) AS j),
+       |  (SELECT unnest(range(0, $de)) AS b)
+       |GROUP BY sid, pid, oid""".stripMargin
+  }
+
   /** #16: HolE  score = Σ_k r_k · ccorr(h, t)_k via the custom Catalyst
     * [[graft.functions.CircularCorrelation]] expression (codegen'd O(d²)).
     */

@@ -71,4 +71,84 @@ object Decontaminate {
        |WHERE t.doc_id % $EvalMod <> 0 AND e.doc_id % $EvalMod = 0
        |GROUP BY t.doc_id""".stripMargin
   }
+
+  // --------------------------------------- #304 contamination coverage
+
+  /** Coverage histogram bins (0.1-wide; top bin closed at 1.0). */
+  val CovBins = 10
+
+  /** #304: CONTAMINATION COVERAGE CURVE — the threshold-tuning artifact
+    * behind #62 (the #289 design applied to decontamination): per
+    * coverage bin (shared eval 8-grams / own distinct 8-grams, the
+    * doc-level contamination FRACTION), the count of training docs in
+    * the bin and the at-or-above cumulative tail. #62 reports who
+    * overlaps and by how many grams; a removal POLICY needs "how many
+    * docs do I lose at each threshold τ" — including the mass at
+    * coverage 0, which #62's inner join structurally omits. The
+    * GPT-3-appendix policy debate (drop any overlap vs drop >X%) is
+    * decided by reading exactly this table.
+    *
+    * Scale: the eval gram set broadcasts (tiny by construction); the
+    * train corpus is scanned once (map-side gram explode + probe); the
+    * per-doc rollup keys on doc_id — the same partitioning #62 pays —
+    * and the histogram collapses onto ≤ 11 keys, the cumulative tail a
+    * bounded 11×11 explode. Exactness: coverage is one int/int double
+    * division; binning floors an identical double; counts are integers.
+    */
+  def coverage(spark: SparkSession, dir: String): DataFrame = {
+    val all = Tables.documents(spark, dir)
+    val evalGrams = grams(all.filter(col("doc_id") % EvalMod === 0))
+      .select("gh").distinct()
+    val train = grams(all.filter(col("doc_id") % EvalMod =!= 0))
+    val perDoc = train
+      .join(broadcast(evalGrams.withColumn("hit", lit(1L))), Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+    val binned = perDoc.select(
+      least(floor(col("n_shared").cast("double") / col("n_grams") * CovBins),
+        lit((CovBins - 1).toDouble)).cast("long").as("bin"))
+    val counts = binned.groupBy("bin").agg(count(lit(1)).as("n_docs"))
+    val cum = counts
+      .select(explode(expr("sequence(0L, bin)")).as("bin"), col("n_docs"))
+      .groupBy("bin").agg(sum("n_docs").as("n_docs_ge"))
+    cum.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        (col("bin").cast("double") / CovBins).as("coverage_lo"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        col("n_docs_ge"))
+  }
+
+  val coverageSql: String = {
+    val gram = (1 until N).foldLeft("ws[j]")((acc, k) => s"$acc || ' ' || ws[j+$k]")
+    s"""WITH d AS (
+       |  SELECT doc_id, $duckWords AS ws FROM documents
+       |), g AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct(list_transform(range(1, len(ws) - ${N - 2}),
+       |      j -> ${PortableHash.duck(gram)}))) AS gh
+       |  FROM d WHERE len(ws) >= $N
+       |), ev AS (
+       |  SELECT DISTINCT gh FROM g WHERE doc_id % $EvalMod = 0
+       |), per_doc AS (
+       |  SELECT t.doc_id, COUNT(*) AS n_grams,
+       |    CAST(SUM(CASE WHEN ev.gh IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_shared
+       |  FROM g t LEFT JOIN ev ON ev.gh = t.gh
+       |  WHERE t.doc_id % $EvalMod <> 0
+       |  GROUP BY 1
+       |), counts AS (
+       |  SELECT CAST(least(floor(CAST(n_shared AS DOUBLE) / n_grams
+       |      * $CovBins), ${CovBins - 1}) AS BIGINT) AS bin,
+       |    COUNT(*) AS n_docs
+       |  FROM per_doc GROUP BY 1
+       |), cum AS (
+       |  SELECT t AS bin, CAST(SUM(n_docs) AS BIGINT) AS n_docs_ge
+       |  FROM (SELECT UNNEST(range(0, bin + 1)) AS t, n_docs FROM counts)
+       |  GROUP BY 1
+       |)
+       |SELECT cum.bin, CAST(cum.bin AS DOUBLE) / $CovBins AS coverage_lo,
+       |  COALESCE(c.n_docs, 0) AS n_docs, cum.n_docs_ge
+       |FROM cum LEFT JOIN counts c ON c.bin = cum.bin""".stripMargin
+  }
 }

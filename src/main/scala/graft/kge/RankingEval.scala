@@ -465,6 +465,54 @@ object RankingEval {
        |  CAST(SUM(rank) AS DOUBLE) / COUNT(*) AS mean_rank
        |FROM ranks GROUP BY pid""".stripMargin
 
+  /** #306: RANK vs TAIL-ENTITY DEGREE — the eval-BIAS diagnostic the
+    * aggregate tables hide: KGE models are notorious for ranking
+    * POPULAR entities well (their embeddings see the most gradient) and
+    * long-tail entities badly, and a corpus snapshot whose MRR went up
+    * may have only gotten better at the head of the degree
+    * distribution. This table buckets the tail-direction rank frame by
+    * the true object's graph degree — the curve a model acceptance
+    * reads next to the per-relation table (#85).
+    *
+    * Bucketing is by DECIMAL-DIGIT COUNT of the object degree (the
+    * Benford trick: integer→string is canonical in every engine — no
+    * log2/log10 float edge can flip a bucket). Per bucket: n_test,
+    * MRR (quantized), hits@10, mean rank, and the degree range.
+    *
+    * Scale: one count aggregate over the triple table keyed on oid
+    * (the partitioning the rank build's joins already use), joined onto
+    * the SESSION-CACHED rank frame, collapsed onto ≤ a-dozen digit
+    * buckets. Nothing here touches the candidate pair space.
+    */
+  def evalByDegree(spark: SparkSession, dir: String): DataFrame = {
+    val deg = Dict.encodedTriples(spark, dir)
+      .groupBy("oid").agg(count(lit(1)).as("deg"))
+    ranks(spark, dir).join(deg, "oid")
+      .withColumn("deg_digits",
+        length(col("deg").cast("string")).cast("long"))
+      .groupBy("deg_digits")
+      .agg(count(lit(1)).as("n_test"),
+        min("deg").as("min_degree"),
+        max("deg").as("max_degree"),
+        graft.core.Exact.decAvg(lit(1.0) / col("rank")).as("mrr"),
+        (sum(when(col("rank") <= 10, 1).otherwise(0)).cast("double") /
+          count(lit(1))).as("hits10"),
+        (sum("rank").cast("double") / count(lit(1))).as("mean_rank"))
+  }
+
+  val evalByDegreeSql: String =
+    s"""$baseCtes,
+       |$tailCtes,
+       |deg AS (SELECT oid, COUNT(*) AS deg FROM encoded GROUP BY 1)
+       |SELECT CAST(length(CAST(deg AS VARCHAR)) AS BIGINT) AS deg_digits,
+       |  COUNT(*) AS n_test,
+       |  MIN(deg) AS min_degree, MAX(deg) AS max_degree,
+       |  ${graft.core.Exact.duckAvg("CAST(1 AS DOUBLE) / rank")} AS mrr,
+       |  CAST(SUM(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS hits10,
+       |  CAST(SUM(rank) AS DOUBLE) / COUNT(*) AS mean_rank
+       |FROM ranks JOIN deg USING (oid)
+       |GROUP BY 1""".stripMargin
+
   /** Head-direction (subject-corruption) chain appended after
     * [[baseCtes]]: the rt = r∘t product is precomputed per test
     * triple and each subject candidate is one row — the same

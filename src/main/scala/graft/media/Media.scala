@@ -676,4 +676,152 @@ object Media {
        |FROM d
        |LEFT JOIN agg ON agg.doc_id = d.doc_id
        |LEFT JOIN pk ON pk.doc_id = d.doc_id""".stripMargin
+
+  // ---------------------------------------- #307 perceptual DCT hash
+
+  /** 8×8 sample grid + luma values read from the REAL decoded BMP. */
+  final case class PixelGrid(doc_id: Long, width: Long, height: Long,
+      lumas: Array[Long])
+
+  val PhGrid = 8
+
+  /** DCT-II basis C[u][x] = cos(π(2x+1)u/16), row-major u·8+x — JVM
+    * doubles interpolated as literals into BOTH engines (shortest-repr
+    * round-trips), so no libm cos-implementation divergence can enter.
+    */
+  private[media] val phCos: IndexedSeq[Double] =
+    for (u <- 0 until PhGrid; x <- 0 until PhGrid)
+      yield math.cos(math.Pi * (2 * x + 1) * u / 16.0)
+
+  /** Decode stage: parse the real BMP header, sample the 8×8 luma grid
+    * (pixel (xi, yi) at xi = ⌊gx·w/8⌋, yi = ⌊gy·h/8⌋; luma = the
+    * integer R+G+B byte sum — no division enters the pixel math).
+    * Row padding is honored via the real rowSize stride; payload bytes
+    * never leave this stage.
+    */
+  private def phGrid(m: MediaIn): PixelGrid = {
+    val (w, h, _) = parseBmp(m.media)
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val lum = new Array[Long](PhGrid * PhGrid)
+    var gy = 0
+    while (gy < PhGrid) {
+      val yi = gy * h / PhGrid
+      var gx = 0
+      while (gx < PhGrid) {
+        val xi = gx * w / PhGrid
+        val base = 54 + yi * rowSize + xi * 3
+        var s = 0L; var c = 0
+        while (c < 3) { s += m.media(base + c) & 0xff; c += 1 }
+        lum(gy * PhGrid + gx) = s
+        gx += 1
+      }
+      gy += 1
+    }
+    PixelGrid(m.doc_id, w, h, lum)
+  }
+
+  /** #307: PERCEPTUAL DCT HASH (pHash) over the decoded BMP bucket —
+    * the frequency-domain member of the image-dedup family: #199's
+    * aHash is brightness-threshold (a resize or mild recompression
+    * flips it), the DCT sign hash keys on the image's low-frequency
+    * STRUCTURE, which is what survives benign transforms — the hash a
+    * production image-dedup joins on. Per image: real header decode →
+    * 8×8 luma grid → separable 2-D DCT-II (two quantized fold stages,
+    * G = L·Cᵀ then F = C·G) → 63 AC sign bits packed into one BIGINT,
+    * plus the DC coefficient for audit.
+    *
+    * Exactness: lumas are exact integers from real pixel bytes; the
+    * cos basis enters BOTH engines as identical JVM double literals;
+    * each stage is a 1e-6-quantized order-free sum ([[graft.core.Exact
+    * .decSum]]), so every coefficient — and therefore every sign bit —
+    * is engine-identical by construction. Scale: decode is map-only
+    * `mapPartitions` (payload never shuffles); the two DCT stages are
+    * 512-row-per-image joins against a broadcast 64-row basis table,
+    * collapsing map-side onto per-image keys — constant work per image,
+    * embarrassingly parallel.
+    */
+  def phash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grids = graft.core.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 0) // the BMP bucket
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => ingest(id, text) })
+      .mapPartitions(_.map(phGrid)) // payload bytes stop here
+      .toDF()
+    val cosT = broadcast(spark.createDataFrame(
+      phCos.zipWithIndex.map { case (c, i) =>
+        (i / PhGrid, i % PhGrid, c)
+      }).toDF("u", "k", "c"))
+    val px = grids
+      .select(col("doc_id"), col("width"), col("height"),
+        posexplode(col("lumas")).as(Seq("idx", "l")))
+      .select(col("doc_id"), col("width"), col("height"),
+        (col("idx") % PhGrid).as("x"),
+        (col("idx") / PhGrid).cast("int").as("y"), col("l"))
+    val g = px.join(cosT.select(col("u"), col("k").as("x"), col("c")), "x")
+      .groupBy("doc_id", "width", "height", "u", "y")
+      .agg(graft.core.Exact.decSum(col("l") * col("c")).as("g"))
+    val f = g.join(cosT.select(col("u").as("v"), col("k").as("y"),
+        col("c")), "y")
+      .groupBy("doc_id", "width", "height", "u", "v")
+      .agg(graft.core.Exact.decSum(col("g") * col("c")).as("f"))
+    f.groupBy("doc_id", "width", "height")
+      .agg(
+        max(when(col("u") === 0 && col("v") === 0, col("f"))).as("dc"),
+        sum(when((col("u") > 0 || col("v") > 0) && col("f") > 0.0,
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(u * $PhGrid + v - 1 AS INT))"))
+          .otherwise(0L)).as("phash"))
+  }
+
+  /** Oracle: mirrors the pixel CONSTRUCTION (data byte i = content
+    * byte i mod n — the cycling [[buildBmp]] writes; ASCII byte ≡
+    * codepoint) and the identical two-stage quantized DCT over the
+    * same interpolated cos literals.
+    */
+  val phashSql: String = {
+    import graft.core.Exact
+    val cosRows = phCos.zipWithIndex.map { case (c, i) =>
+      s"(${i / PhGrid}, ${i % PhGrid}, ${c}::DOUBLE)"
+    }.mkString(", ")
+    def byteAt(c: Int): String = {
+      val off = s"(yi * row_size + xi * 3 + $c) % n + 1"
+      s"unicode(text[$off : $off])"
+    }
+    s"""WITH dm AS (
+       |  SELECT doc_id, text,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n,
+       |    4 + CAST(octet_length(encode(text)) AS BIGINT) % 60 AS w,
+       |    2 + doc_id % 14 AS h
+       |  FROM documents WHERE doc_id % 3 = 0
+       |), dim AS (
+       |  SELECT *, ((3 * w + 3) // 4) * 4 AS row_size FROM dm
+       |), px0 AS (
+       |  SELECT doc_id, text, n, w, h, row_size, gx, gy,
+       |    (gy * h) // $PhGrid AS yi, (gx * w) // $PhGrid AS xi
+       |  FROM dim,
+       |    (SELECT unnest(range(0, $PhGrid)) AS gx),
+       |    (SELECT unnest(range(0, $PhGrid)) AS gy)
+       |), px AS (
+       |  SELECT doc_id, w, h, gx, gy,
+       |    CASE WHEN n = 0 THEN 0
+       |      ELSE ${byteAt(0)} + ${byteAt(1)} + ${byteAt(2)} END AS l
+       |  FROM px0
+       |), cosv AS (SELECT * FROM (VALUES $cosRows) AS t(u, k, c)),
+       |g AS (
+       |  SELECT doc_id, w, h, u, gy AS y, ${Exact.duckSum("l * c")} AS g
+       |  FROM px JOIN cosv ON cosv.k = px.gx
+       |  GROUP BY 1, 2, 3, 4, 5
+       |), f AS (
+       |  SELECT g.doc_id, g.w, g.h, g.u AS u, c2.u AS v,
+       |    ${Exact.duckSum("g.g * c2.c")} AS f
+       |  FROM g JOIN cosv c2 ON c2.k = g.y
+       |  GROUP BY 1, 2, 3, 4, 5
+       |)
+       |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       |  MAX(CASE WHEN u = 0 AND v = 0 THEN f END) AS dc,
+       |  CAST(SUM(CASE WHEN (u > 0 OR v > 0) AND f > 0.0
+       |    THEN (CAST(1 AS BIGINT) << CAST(u * $PhGrid + v - 1 AS INT))
+       |    ELSE 0 END) AS BIGINT) AS phash
+       |FROM f GROUP BY 1, 2, 3""".stripMargin
+  }
 }

@@ -77,9 +77,12 @@ object Dsir {
       .withColumn("keep", col("logw") > 0.0)
   }
 
-  val dsirWeightsSql: String = {
+  /** The weight-build CTE chain through the per-doc `wts` frame —
+    * factored so #157's and #309's oracles share one text.
+    */
+  private val dsirCtes: String = {
     val m = Features.NSlots
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS ws
        |  FROM documents
        |), feats AS (
@@ -105,11 +108,75 @@ object Dsir {
              s"ln(CAST((c_t + 1) * (n_r + $m) AS DOUBLE) / " +
                s"CAST((c_r + 1) * (n_t + $m) AS DOUBLE))", 6)} AS lr
        |  FROM model, tot
+       |), wts AS (
+       |  SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n_feats,
+       |    ${Exact.duckSum("CAST(c AS DOUBLE) * lr", 6)} AS logw
+       |  FROM ds JOIN lr USING (slot)
+       |  GROUP BY doc_id, lang
+       |)""".stripMargin
+  }
+
+  val dsirWeightsSql: String =
+    s"""WITH $dsirCtes
+       |SELECT doc_id, lang, n_feats, logw, logw > 0.0 AS keep
+       |FROM wts""".stripMargin
+
+  // ------------------------------------- #309 effective sample size
+
+  /** #309: EFFECTIVE SAMPLE SIZE of the DSIR importance weights, per
+    * language — the diagnostic importance-weighted training reads
+    * BEFORE trusting the weights: ESS = (Σw)²/Σw² collapses toward 1
+    * when a few documents dominate the weight mass (the selected
+    * corpus is then effectively those few docs repeated — variance
+    * explodes, and the right move is temperature-flattening or a
+    * larger raw pool). `ess_ratio` = ESS/n ∈ (0, 1] is the
+    * size-independent gauge. Weights are SELF-NORMALIZED in the log
+    * domain (w' = exp(logw − max logw) per language) so no magnitude
+    * ever leaves the representable range — the standard
+    * log-sum-exp discipline, and ESS is shift-invariant so the result
+    * is the true ESS, not an approximation.
+    *
+    * Exactness: logw and the per-language max are exact grid values
+    * (#157's quantized sums); each w' quantizes on the 1e-6 grid after
+    * the one exp (the house transcendental rule); Σw' and Σw'² are
+    * order-free quantized sums (the square sum at scale 12 through a
+    * DECIMAL accumulator — n·1e12 exceeds int64 past ~9e6 docs/lang).
+    *
+    * Scale: rides #157's weight build (one corpus scan + broadcast
+    * model); the max and the sums are |langs|-key map-side-combining
+    * aggregates; output one row per language.
+    */
+  def ess(spark: SparkSession, dir: String): DataFrame = {
+    val w = dsirWeights(spark, dir)
+    val mx = w.groupBy("lang").agg(max("logw").as("mw"))
+    w.join(broadcast(mx), "lang")
+      .withColumn("wq", Exact.roundS(exp(col("logw") - col("mw")), 6))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        first("mw").as("max_logw"),
+        Exact.decSum(col("wq"), 6).as("s1"),
+        Exact.decSumWide(col("wq") * col("wq"), 12).as("s2"))
+      .select(col("lang"), col("n_docs"), col("max_logw"),
+        (col("s1") * col("s1") / col("s2")).as("ess"),
+        (col("s1") * col("s1") / col("s2") / col("n_docs")).as("ess_ratio"))
+  }
+
+  val essSql: String = {
+    val wq = Exact.duckRoundS("exp(logw - mw)", 6)
+    s"""WITH $dsirCtes, mx AS (
+       |  SELECT lang, MAX(logw) AS mw FROM wts GROUP BY 1
+       |), w2 AS (
+       |  SELECT lang, $wq AS wq FROM wts JOIN mx USING (lang)
+       |), agg AS (
+       |  SELECT lang, COUNT(*) AS n_docs, MIN(mw) AS max_logw,
+       |    ${Exact.duckSum("wq", 6)} AS s1,
+       |    ${Exact.duckSum("wq * wq", 12)} AS s2
+       |  FROM w2 JOIN mx USING (lang)
+       |  GROUP BY 1
        |)
-       |SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n_feats,
-       |  ${Exact.duckSum("CAST(c AS DOUBLE) * lr", 6)} AS logw,
-       |  ${Exact.duckSum("CAST(c AS DOUBLE) * lr", 6)} > 0.0 AS keep
-       |FROM ds JOIN lr USING (slot)
-       |GROUP BY doc_id, lang""".stripMargin
+       |SELECT lang, n_docs, max_logw,
+       |  s1 * s1 / s2 AS ess,
+       |  s1 * s1 / s2 / n_docs AS ess_ratio
+       |FROM agg""".stripMargin
   }
 }

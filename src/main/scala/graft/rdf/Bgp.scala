@@ -162,4 +162,84 @@ object Bgp {
        |  COUNT(DISTINCT CASE WHEN ord IS NULL THEN who END) AS n_unbound
        |FROM inn LEFT JOIN pb USING (who)
        |GROUP BY nat""".stripMargin
+
+  // ------------------------------------- #308 SPARQL property paths
+
+  /** #308: SPARQL 1.1 PROPERTY PATHS (§9.1) — the three fixed-length
+    * path constructors beyond a plain BGP, each evaluated with the
+    * standard set semantics (a path binds its ENDPOINTS; the result is
+    * the distinct endpoint-pair set regardless of how many derivations
+    * reach it):
+    *
+    *   seq      ?ord  placedBy/inNation/inRegion        ?reg   (SequencePath)
+    *   alt_seq  ?ord  (placedBy|suppliedBy)/inNation/inRegion ?reg (AlternativePath)
+    *   inv_seq  ?cust ^placedBy/hasPart                 ?part  (InversePath)
+    *
+    * (The Kleene members `p+`/`p*` are #150's iterate-to-fixpoint
+    * forward chaining — this closes the FIXED-LENGTH algebra.) Each
+    * path compiles the published Spark-first way: predicate-filtered
+    * frames (the filter pushes into the scan — the columnar POS-index
+    * lookup), alternation = unionByName BEFORE the join, inversion =
+    * swapped endpoint projection (free — no operator at all), sequence
+    * = equi-joins on the join variable, then ONE distinct on the
+    * endpoint pair. Output per path: distinct pairs / starts / ends.
+    *
+    * Scale: the data-scale joins key on ?ord/?cust (the keys the base
+    * frames shuffle on anyway); nation→region is dimension-sized and
+    * broadcasts; the distinct is keyed like the final join. Alternation
+    * costs one union, not a second join tree.
+    */
+  def bgpPath(spark: SparkSession, dir: String): DataFrame = {
+    val t = TpchGraph.triples(spark, dir)
+    def pat(p: String, s: String, o: String): DataFrame =
+      t.filter(col("p") === p).select(col("s").as(s), col("o").as(o))
+    val pb = pat("placedBy", "start", "mid")
+    val sb = pat("suppliedBy", "start", "mid")
+    val cn = pat("inNation", "mid", "nat")
+    val nr = pat("inRegion", "nat", "end")
+    val hp = pat("hasPart", "ord", "end")
+
+    def report(name: String, pairs: DataFrame): DataFrame =
+      pairs.distinct().agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct("start").as("n_start"),
+        countDistinct("end").as("n_end"))
+        .select(lit(name).as("path"), col("n_pairs"), col("n_start"),
+          col("n_end"))
+
+    val seq = pb.join(cn, "mid").join(broadcast(nr), "nat")
+      .select("start", "end")
+    val altSeq = pb.unionByName(sb).join(cn, "mid")
+      .join(broadcast(nr), "nat").select("start", "end")
+    val invSeq = pat("placedBy", "ord", "start") // ^placedBy: swap roles
+      .join(hp, "ord").select("start", "end")
+    report("seq", seq)
+      .unionByName(report("alt_seq", altSeq))
+      .unionByName(report("inv_seq", invSeq))
+  }
+
+  val bgpPathSql: String =
+    s"""WITH ${TpchGraph.cte},
+       |pb AS (SELECT s AS start, o AS mid FROM triples WHERE p = 'placedBy'),
+       |sb AS (SELECT s AS start, o AS mid FROM triples WHERE p = 'suppliedBy'),
+       |cn AS (SELECT s AS mid, o AS nat FROM triples WHERE p = 'inNation'),
+       |nr AS (SELECT s AS nat, o AS e FROM triples WHERE p = 'inRegion'),
+       |seq AS (
+       |  SELECT DISTINCT start, e FROM pb JOIN cn USING (mid) JOIN nr USING (nat)
+       |), alt_seq AS (
+       |  SELECT DISTINCT start, e
+       |  FROM (SELECT * FROM pb UNION ALL SELECT * FROM sb)
+       |  JOIN cn USING (mid) JOIN nr USING (nat)
+       |), inv_seq AS (
+       |  SELECT DISTINCT pb0.o AS start, hp.o AS e
+       |  FROM triples pb0 JOIN triples hp ON hp.s = pb0.s AND hp.p = 'hasPart'
+       |  WHERE pb0.p = 'placedBy'
+       |)
+       |SELECT 'seq' AS path, COUNT(*) AS n_pairs,
+       |  COUNT(DISTINCT start) AS n_start, COUNT(DISTINCT e) AS n_end
+       |FROM seq
+       |UNION ALL SELECT 'alt_seq', COUNT(*), COUNT(DISTINCT start),
+       |  COUNT(DISTINCT e) FROM alt_seq
+       |UNION ALL SELECT 'inv_seq', COUNT(*), COUNT(DISTINCT start),
+       |  COUNT(DISTINCT e) FROM inv_seq""".stripMargin
 }

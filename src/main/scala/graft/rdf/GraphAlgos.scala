@@ -1754,4 +1754,162 @@ object GraphAlgos {
        |    AS conductance
        |FROM comm c LEFT JOIN lin l ON l.lbl = c.lbl, mm""".stripMargin
   }
+
+  // --------------------------------- #310 betweenness (sampled Brandes)
+
+  /** Betweenness sources (hash-min sample) and hop bound. */
+  val BetwSeeds = 4
+  val BetwIters = 4
+
+  /** #310: SAMPLED BOUNDED-DISTANCE BETWEENNESS (Brandes 2001 two-phase
+    * algorithm; Brandes 2008 §3 bounded-distance + source-sampled
+    * variants) — the broker/chokepoint centrality the family lacked:
+    * closeness (#202) says who is NEAR everything, PageRank who is
+    * ENDORSED; betweenness says who sits ON the shortest paths — the
+    * node whose removal disconnects flows. Exact betweenness is
+    * O(n·m) and never runs at corpus scale; the standard estimator
+    * (also the one production graph libraries ship) sums Brandes
+    * dependencies from a source SAMPLE within a hop bound: here the
+    * [[BetwSeeds]] hash-min entities and paths of length ≤
+    * [[BetwIters]].
+    *
+    * Two phases, both Spark-join-shaped:
+    *  - FORWARD (BFS + path counting): per round, frontier ⋈ edges,
+    *    σ(dst) = Σ σ(frontier preds) (exact BIGINT path counts),
+    *    first-reach discipline via anti-join against the visited set —
+    *    all [[BetwSeeds]] sources ride ONE (seed, id)-keyed frame, so a
+    *    round is one join + one map-side-combining sum regardless of
+    *    seed count.
+    *  - BACKWARD (dependency accumulation): from the deepest level up,
+    *    δ(v) = Σ_{w: dist(w)=dist(v)+1} σ(v)/σ(w) · (1 + δ(w)); each
+    *    per-edge term is quantized on the 1e-6 grid and decSum'd, so
+    *    every δ — and the final per-node sum over seeds — is an exact
+    *    grid value, identical in both engines.
+    *
+    * Emits nodes with positive accumulated dependency (the brokers;
+    * endpoints excluded per Brandes). Caveats stated: path counting is
+    * truncated at the hop bound and scaled by the sample, so scores
+    * are the ESTIMATOR's, comparable across runs at fixed seeds/bound.
+    *
+    * Scale: every round keys on the src-partitioned edge frame; frames
+    * carry ≤ seeds·|reached| rows; rounds lineage-checkpoint (the
+    * iterative-Spark discipline). Seed count and bound are knobs — the
+    * 100 TB run raises seeds, not the algorithm.
+    */
+  def betweenness(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Exact
+    val e = undirected(spark, dir)
+    val seeds = Dict.entities(spark, dir)
+      .select(col("id"),
+        graft.core.PortableHash.pHash(concat(lit("betw|"), col("uri"))).as("h"),
+        col("uri"))
+      .orderBy("h", "uri").limit(BetwSeeds)
+      .select(col("id").as("seed"), col("id"), lit(0L).as("dist"),
+        lit(1L).as("sigma"))
+    // forward: accumulate (seed, id, dist, sigma) level by level
+    val fwd = (1 to BetwIters).foldLeft(seeds: DataFrame) { (all, k) =>
+      cache.getOrElseUpdate((spark, dir, s"betwF$k")) {
+        val frontier = all.filter(col("dist") === (k - 1))
+        val nxt = e.join(frontier, e("src") === frontier("id"))
+          .groupBy(frontier("seed").as("seed"), e("dst").as("id"))
+          .agg(sum("sigma").as("sigma"))
+          .join(all.select(col("seed"), col("id"), lit(1).as("seen")),
+            Seq("seed", "id"), "left")
+          .filter(col("seen").isNull)
+          .select(col("seed"), col("id"), lit(k.toLong).as("dist"),
+            col("sigma"))
+        all.unionByName(nxt).localCheckpoint(false)
+      }
+    }
+    // backward: δ per level, deepest first; δ(deepest) = 0
+    val zero = fwd.filter(col("dist") === BetwIters)
+      .select(col("seed"), col("id"), col("sigma"), lit(0.0).as("delta"))
+    val deltas = ((BetwIters - 1) to 1 by -1)
+      .foldLeft(zero -> List.empty[DataFrame]) { case ((below, acc), k) =>
+        val lvl = cache.getOrElseUpdate((spark, dir, s"betwB$k")) {
+          val atK = fwd.filter(col("dist") === k)
+          val contrib = e.join(atK, e("src") === atK("id"))
+            .join(below.select(col("seed"), col("id").as("dst"),
+              col("sigma").as("sigw"), col("delta").as("dw")),
+              Seq("seed", "dst"))
+            .select(col("seed"), col("id"), col("sigma"),
+              Exact.roundS(col("sigma").cast("double") / col("sigw") *
+                (lit(1.0) + col("dw")), 6).as("term"))
+            .groupBy("seed", "id", "sigma")
+            .agg(Exact.decSum(col("term"), 6).as("delta"))
+          // nodes at level k with no deeper successors carry δ = 0
+          atK.select(col("seed"), col("id"), col("sigma"))
+            .join(contrib.select(col("seed"), col("id"),
+              col("delta")), Seq("seed", "id"), "left")
+            .select(col("seed"), col("id"), col("sigma"),
+              coalesce(col("delta"), lit(0.0)).as("delta"))
+            .localCheckpoint(false)
+        }
+        lvl -> (lvl :: acc)
+      }._2
+    deltas.reduce(_ unionByName _)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_sources"),
+        Exact.decSum(col("delta"), 6).as("betweenness"))
+      .filter(col("betweenness") > 0.0)
+  }
+
+  val betweennessSql: String = {
+    import graft.core.Exact
+    val h = graft.core.PortableHash.duck("'betw|' || uri")
+    def fRound(k: Int): String =
+      s"""f$k AS MATERIALIZED (
+         |  SELECT * FROM f${k - 1}
+         |  UNION ALL
+         |  SELECT n.seed, n.id, $k AS dist, n.sigma FROM (
+         |    SELECT p.seed, e.dst AS id, CAST(SUM(p.sigma) AS BIGINT) AS sigma
+         |    FROM ue e JOIN f${k - 1} p ON p.id = e.src AND p.dist = ${k - 1}
+         |    GROUP BY 1, 2
+         |  ) n
+         |  LEFT JOIN f${k - 1} v ON v.seed = n.seed AND v.id = n.id
+         |  WHERE v.id IS NULL
+         |)""".stripMargin
+    def bRound(k: Int): String = {
+      val below = if (k == BetwIters - 1) s"b${BetwIters}" else s"b${k + 1}"
+      s"""b$k AS MATERIALIZED (
+         |  SELECT a.seed, a.id, a.sigma, COALESCE(c.delta, 0.0) AS delta
+         |  FROM (SELECT seed, id, sigma FROM f$BetwIters WHERE dist = $k) a
+         |  LEFT JOIN (
+         |    SELECT a2.seed, a2.id, ${Exact.duckSum("term", 6)} AS delta
+         |    FROM (
+         |      SELECT a3.seed, a3.id,
+         |        ${Exact.duckRoundS(
+               "CAST(a3.sigma AS DOUBLE) / w.sigma * (1.0 + w.delta)", 6)} AS term
+         |      FROM ue e
+         |      JOIN (SELECT seed, id, sigma FROM f$BetwIters WHERE dist = $k) a3
+         |        ON a3.id = e.src
+         |      JOIN $below w ON w.seed = a3.seed AND w.id = e.dst
+         |    ) a2 GROUP BY 1, 2
+         |  ) c ON c.seed = a.seed AND c.id = a.id
+         |)""".stripMargin
+    }
+    s"""${Dict.preludeCtes},
+       |ue AS MATERIALIZED (
+       |  SELECT sid AS src, oid AS dst FROM encoded
+       |  UNION
+       |  SELECT oid, sid FROM encoded
+       |),
+       |f0 AS (
+       |  SELECT id AS seed, id, CAST(0 AS BIGINT) AS dist,
+       |    CAST(1 AS BIGINT) AS sigma
+       |  FROM entities ORDER BY $h, uri LIMIT $BetwSeeds
+       |),
+       |${(1 to BetwIters).map(fRound).mkString(",\n")},
+       |b$BetwIters AS (
+       |  SELECT seed, id, sigma, 0.0 AS delta
+       |  FROM f$BetwIters WHERE dist = $BetwIters
+       |),
+       |${((BetwIters - 1) to 1 by -1).map(bRound).mkString(",\n")}
+       |SELECT id, COUNT(*) AS n_sources,
+       |  ${Exact.duckSum("delta", 6)} AS betweenness
+       |FROM (${(1 until BetwIters).map(k => s"SELECT * FROM b$k")
+           .mkString(" UNION ALL ")})
+       |GROUP BY id
+       |HAVING ${Exact.duckSum("delta", 6)} > 0.0""".stripMargin
+  }
 }

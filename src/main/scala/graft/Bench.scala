@@ -122,7 +122,12 @@ object Bench {
     "kge_eval_both_bounded", "dict_persist_roundtrip",
     "kge_transe_train_step2_adamw", "dedup_rate_by_source",
     "split_temporal", "ann_nprobe_sweep", "kge_score_calibration",
-    "rdf_path_census", "embed_hard_negatives")
+    "rdf_path_census", "embed_hard_negatives",
+    "dq_js_divergence", "quality_gate_agreement", "orders_backlog",
+    "kge_tucker_score", "decontaminate_coverage",
+    "embed_cluster_silhouette", "kge_eval_by_degree", "media_phash",
+    "rdf_bgp_path", "sample_ess", "graph_betweenness",
+    "q2_min_cost", "q11_share", "q20_excess")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

@@ -1538,4 +1538,201 @@ object Relational {
        |  CAST(SUM(n_opened - n_closed) OVER
        |    (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
        |FROM m""".stripMargin
+
+  // --------------------------- #311 Q2: correlated-MIN decorrelation
+
+  /** Q2's region and part scope (ASIA = the q5 house literal). */
+  val Q2Region = "ASIA"
+  val Q2Type = "STANDARD"
+
+  /** #311: TPC-H Q2 (minimum-cost supplier), the correlated-MIN
+    * decorrelation showcase — the one classic subquery shape the suite
+    * still lacked (#188 COUNT, #189 scalar-agg, #195 EXISTS, #196 NOT
+    * IN, #197 scalar-broadcast): for each STANDARD part, the
+    * minimum-cost supplier among the region's suppliers, where the
+    * spec's `ps_supplycost = (SELECT MIN(ps_supplycost) … same part,
+    * same region)` becomes ONE groupBy-min over the region-filtered
+    * cost frame joined back on equality — ties emit every minimal
+    * supplier, exactly the spec's semantics.
+    *
+    * DOCUMENTED ADAPTATION (this corpus ships no partsupp table — the
+    * #280 q9 convention): supply cost of (part, supplier) = the
+    * minimum observed unit price over their lineitems, on the cent
+    * grid (floor(extprice/qty·100 + 0.5) — one division and one
+    * correctly-rounded quantization, then pure BIGINT MINs end to end).
+    *
+    * Scale: region suppliers are dimension-sized and broadcast; the
+    * cost frame collapses map-side onto the (part, supplier) catalog
+    * keyspace; the min and the join-back key on p_partkey — one
+    * shuffle, reused by both sides.
+    */
+  def q2MinCost(spark: SparkSession, dir: String): DataFrame = {
+    val rs = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)
+        .filter(col("r_name") === Q2Region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val p = Tables.part(spark, dir).filter(col("p_type") === Q2Type)
+      .select("p_partkey")
+    val cost = Tables.lineitem(spark, dir)
+      .join(broadcast(rs), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+      .agg(min(floor(col("l_extendedprice") / col("l_quantity") * 100.0
+        + 0.5).cast("long")).as("cost_c"))
+    val mn = cost.groupBy("p_partkey").agg(min("cost_c").as("mc"))
+    cost.join(mn, "p_partkey")
+      .filter(col("cost_c") === col("mc"))
+      .select(col("p_partkey"), (col("cost_c").cast("double") / 100.0)
+        .as("supply_cost"), col("s_suppkey"), col("s_name"),
+        col("s_acctbal"), col("n_name"))
+  }
+
+  val q2Sql: String =
+    s"""WITH rs AS (
+       |  SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier
+       |  JOIN nation ON n_nationkey = s_nationkey
+       |  JOIN region ON r_regionkey = n_regionkey
+       |  WHERE r_name = '$Q2Region'
+       |), cost AS (
+       |  SELECT l_partkey AS p_partkey, s_suppkey, s_name, s_acctbal, n_name,
+       |    MIN(CAST(floor(l_extendedprice / l_quantity * 100.0 + 0.5)
+       |      AS BIGINT)) AS cost_c
+       |  FROM lineitem JOIN rs ON s_suppkey = l_suppkey
+       |  JOIN part ON p_partkey = l_partkey AND p_type = '$Q2Type'
+       |  GROUP BY 1, 2, 3, 4, 5
+       |), mn AS (SELECT p_partkey, MIN(cost_c) AS mc FROM cost GROUP BY 1)
+       |SELECT p_partkey, CAST(cost_c AS DOUBLE) / 100.0 AS supply_cost,
+       |  s_suppkey, s_name, s_acctbal, n_name
+       |FROM cost JOIN mn USING (p_partkey) WHERE cost_c = mc""".stripMargin
+
+  // ------------------- #312 Q11: HAVING-above-global-share pattern
+
+  /** Q11's nation (the q7/q8 house literal — hosts suppliers at every
+    * SF) and the share cut (spec: 0.0001/SF; here a fixed 1/1000 so the
+    * integer cross-multiplied compare is scale-free).
+    */
+  val Q11Nation = "NATION_3"
+  val Q11ShareDen = 1000L
+
+  /** #312: TPC-H Q11 (important stock) — the HAVING-above-a-global-
+    * scalar pattern: per-part supplied value within one nation, keeping
+    * parts whose value exceeds 1/[[Q11ShareDen]] of the nation's
+    * total. The spec's `HAVING SUM(…) > (SELECT SUM(…)·fraction)`
+    * decorrelates into ONE pass building the per-part values + a
+    * broadcast 1-row total, and the cut compares CROSS-MULTIPLIED
+    * BIGINTs (value·1000 > total) — no float fraction anywhere, so the
+    * operator is exact at any corpus size.
+    *
+    * DOCUMENTED ADAPTATION (no partsupp): stock value of a part =
+    * Σ cents(l_extendedprice) over the nation's suppliers' lineitems.
+    *
+    * Scale: nation suppliers broadcast; values collapse map-side onto
+    * the part keyspace; the total re-aggregates the part frame (tiny);
+    * output bounded by the share cut.
+    */
+  def q11Share(spark: SparkSession, dir: String): DataFrame = {
+    val ns = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .filter(col("n_name") === Q11Nation)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val vals = Tables.lineitem(spark, dir)
+      .join(broadcast(ns), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long"))
+        .as("val_c"))
+    val tot = vals.agg(sum("val_c").as("tot_c"))
+    vals.crossJoin(broadcast(tot))
+      .filter(col("val_c") * Q11ShareDen > col("tot_c"))
+      .select(col("p_partkey"),
+        (col("val_c").cast("double") / 100.0).as("value"),
+        (col("val_c").cast("double") / col("tot_c")).as("share"))
+  }
+
+  val q11Sql: String =
+    s"""WITH ns AS (
+       |  SELECT s_suppkey FROM supplier
+       |  JOIN nation ON n_nationkey = s_nationkey
+       |  WHERE n_name = '$Q11Nation'
+       |), vals AS (
+       |  SELECT l_partkey AS p_partkey,
+       |    CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+       |      AS BIGINT) AS val_c
+       |  FROM lineitem JOIN ns ON s_suppkey = l_suppkey
+       |  GROUP BY 1
+       |), tot AS (SELECT CAST(SUM(val_c) AS BIGINT) AS tot_c FROM vals)
+       |SELECT p_partkey, CAST(val_c AS DOUBLE) / 100.0 AS value,
+       |  CAST(val_c AS DOUBLE) / tot_c AS share
+       |FROM vals, tot WHERE val_c * $Q11ShareDen > tot_c""".stripMargin
+
+  // ------------------- #313 Q20: nested-IN dominant-supplier pattern
+
+  val Q20Nation = "NATION_3"
+  val Q20YearLo = "1996-01-01 00:00:00"
+  val Q20YearHi = "1997-01-01 00:00:00"
+
+  /** #313: TPC-H Q20 (excess/dominant stock) — the NESTED-IN pattern
+    * (`s_suppkey IN (… ps_partkey IN (…) AND availqty > 0.5·shipped)`):
+    * suppliers in one nation who DOMINATED a part's supply in one year
+    * — shipped more than half of that part's total shipped quantity.
+    * Both IN levels decorrelate into aggregations + joins: per-(part,
+    * supplier) year quantities, per-part totals, the >50% cut as a
+    * cross-multiplied integer compare (2·qty > total — exact, no
+    * fraction), then a count per qualifying supplier.
+    *
+    * DOCUMENTED ADAPTATION (no partsupp): "availqty" is the supplier's
+    * own shipped quantity of the part — the dominance reading of Q20's
+    * excess-stock test. Quantities ride the cent grid (whole-valued
+    * doubles → exact BIGINTs).
+    *
+    * Scale: one (part, supplier)-keyed aggregate over the year slice
+    * (map-side combine), a part-keyed total re-aggregating that frame,
+    * the cut a broadcast-free same-key join, and the nation filter a
+    * broadcast dim join at the end — the fact table is scanned once.
+    */
+  def q20Excess(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts(Q20YearLo) &&
+        col("l_shipdate") < ts(Q20YearHi))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(floor(col("l_quantity") * 100.0 + 0.5).cast("long"))
+        .as("qty_c"))
+    val ptot = li.groupBy("l_partkey").agg(sum("qty_c").as("tot_c"))
+    val ns = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .filter(col("n_name") === Q20Nation)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name")
+    li.join(ptot, "l_partkey")
+      .filter(col("qty_c") * 2 > col("tot_c"))
+      .join(broadcast(ns), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_suppkey", "s_name")
+      .agg(count(lit(1)).as("n_dominant_parts"))
+  }
+
+  val q20Sql: String =
+    s"""WITH li AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    CAST(SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))
+       |      AS BIGINT) AS qty_c
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '$Q20YearLo'
+       |    AND l_shipdate < TIMESTAMP '$Q20YearHi'
+       |  GROUP BY 1, 2
+       |), ptot AS (
+       |  SELECT l_partkey, CAST(SUM(qty_c) AS BIGINT) AS tot_c
+       |  FROM li GROUP BY 1
+       |), ns AS (
+       |  SELECT s_suppkey, s_name FROM supplier
+       |  JOIN nation ON n_nationkey = s_nationkey
+       |  WHERE n_name = '$Q20Nation'
+       |)
+       |SELECT s_suppkey, s_name, COUNT(*) AS n_dominant_parts
+       |FROM li JOIN ptot USING (l_partkey)
+       |JOIN ns ON s_suppkey = l_suppkey
+       |WHERE qty_c * 2 > tot_c
+       |GROUP BY 1, 2""".stripMargin
 }

@@ -127,7 +127,8 @@ object Bench {
     "kge_tucker_score", "decontaminate_coverage",
     "embed_cluster_silhouette", "kge_eval_by_degree", "media_phash",
     "rdf_bgp_path", "sample_ess", "graph_betweenness",
-    "q2_min_cost", "q11_share", "q20_excess")
+    "q2_min_cost", "q11_share", "q20_excess",
+    "kge_eval_by_category", "text_vocab_drift")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

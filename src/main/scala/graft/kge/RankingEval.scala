@@ -605,6 +605,58 @@ object RankingEval {
        |${row("ranks_h", "head")}""".stripMargin
   }
 
+  /** #314: EVAL BY RELATION CATEGORY — the Bordes/TransH headline table
+    * (every KGE paper's "performance per 1-1 / 1-N / N-1 / N-N"): both
+    * rank directions broken down by #169's relation-category protocol,
+    * because the AGGREGATE MRR hides exactly the asymmetry this table
+    * shows — 1-N relations are easy tail-side and hard head-side BY
+    * CONSTRUCTION, so a model change that trades head- for tail-side
+    * quality moves the aggregate while this table shows the trade.
+    *
+    * Scale: both rank frames are session-cached; the category table is
+    * relation-dictionary-sized (broadcast); output ≤ 8 rows.
+    */
+  def evalByCategory(spark: SparkSession, dir: String): DataFrame = {
+    val cats = graft.rdf.Rdf.relationCats(spark, dir)
+      .select("pid", "category")
+    ranks(spark, dir).withColumn("direction", lit("tail"))
+      .unionByName(ranksHead(spark, dir).withColumn("direction", lit("head")))
+      .join(broadcast(cats), "pid")
+      .groupBy("category", "direction")
+      .agg(count(lit(1)).as("n_test"),
+        graft.core.Exact.decAvg(lit(1.0) / col("rank")).as("mrr"),
+        (sum(when(col("rank") <= 10, 1).otherwise(0)).cast("double") /
+          count(lit(1))).as("hits10"),
+        (sum("rank").cast("double") / count(lit(1))).as("mean_rank"))
+  }
+
+  val evalByCategorySql: String = {
+    def side(src: String, direction: String) =
+      s"SELECT pid, '$direction' AS direction, rank FROM $src"
+    s"""$baseCtes,
+       |$tailCtes,
+       |$headCtes,
+       |cats AS (
+       |  SELECT pid, CASE
+       |    WHEN CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT sid) < 1.5
+       |     AND CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT oid) < 1.5 THEN '1-1'
+       |    WHEN CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT sid) >= 1.5
+       |     AND CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT oid) < 1.5 THEN '1-N'
+       |    WHEN CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT sid) < 1.5
+       |     AND CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT oid) >= 1.5 THEN 'N-1'
+       |    ELSE 'N-N'
+       |  END AS category
+       |  FROM encoded GROUP BY pid
+       |)
+       |SELECT category, direction, COUNT(*) AS n_test,
+       |  ${graft.core.Exact.duckAvg("CAST(1 AS DOUBLE) / rank")} AS mrr,
+       |  CAST(SUM(CASE WHEN rank <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS hits10,
+       |  CAST(SUM(rank) AS DOUBLE) / COUNT(*) AS mean_rank
+       |FROM (${side("ranks", "tail")} UNION ALL ${side("ranks_h", "head")})
+       |JOIN cats USING (pid)
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   /** #291 oracle: both directions over the BoundedCap-capped pools.
     * Pair space at oracle SFs is |test|·2·BoundedCap (~0.4 M at
     * sf0.01), so the chain keeps the simple expanded-scalar shape —

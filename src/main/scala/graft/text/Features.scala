@@ -264,4 +264,120 @@ object Features {
        |FROM sc
        |ORDER BY llr DESC, w1 ASC, w2 ASC LIMIT $LlrTopN""".stripMargin
   }
+
+  // -------------------------------------- #315 vocabulary drift (JS)
+
+  /** ln 2 literal (see DataQuality.Ln2 — same constant, kept local to
+    * avoid a cross-module constant dependency in SQL interpolation).
+    */
+  private val Ln2 = 0.6931471805599453
+
+  /** #315: VOCABULARY DRIFT — per document source, the Jensen–Shannon
+    * divergence between the source's hashed uni+bigram SLOT
+    * distribution and the rest of the corpus: the CONTENT member of
+    * the drift triad's document side. #300 compares quality-SCORE
+    * histograms (a source can drift in topic while its quality
+    * distribution holds perfectly still — boilerplate swaps, template
+    * changes, language mix shifts); this compares what the documents
+    * actually SAY, over the same fixed [[NSlots]] feature space the
+    * classifier stack (#155/#157) consumes — so a drift alarm here
+    * predicts classifier-input drift directly. Bounded by ln 2;
+    * `js_norm` ∈ [0, 1] thresholds uniformly across sources.
+    *
+    * Exactness/scale: the #155 hashing discipline (map-side slot
+    * collapse, keyspace FIXED at [[NSlots]]·|sources| regardless of
+    * corpus size); Laplace-smoothed cell terms take ln of one ratio of
+    * exactly-converted integer-double products, quantized 1e-6,
+    * order-free sums; completion joins the broadcast source list onto
+    * the slot frame.
+    */
+  def vocabDrift(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Exact
+    val ws = split(trim(col("text")), "\\s+")
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), ws.as("ws"))
+    val bigrams = zip_with(
+      slice(col("ws"), lit(1), size(col("ws")) - 1),
+      slice(col("ws"), lit(2), size(col("ws")) - 1),
+      (x, y) => concat_ws(" ", x, y))
+    val feats = docs.select(col("source"), explode(col("ws")).as("feat"))
+      .unionByName(docs.filter(size(col("ws")) >= 2)
+        .select(col("source"), explode(bigrams).as("feat")))
+      .select(col("source"),
+        pmod(PortableHash.pHash(concat(lit("FH|"), col("feat"))),
+          lit(NSlots)).as("slot"))
+    val hs = feats.groupBy("source", "slot").agg(count(lit(1)).as("c"))
+    val g = feats.groupBy("slot").agg(count(lit(1)).as("ct"))
+    val gt = g.agg(count(lit(1)).as("n_slots"), sum("ct").as("n_t"))
+    val srcs = feats.select("source").distinct()
+    val ns = hs.groupBy("source").agg(sum("c").as("n_s"))
+    val full = g.crossJoin(broadcast(srcs))
+      .join(hs, Seq("source", "slot"), "left")
+      .select(col("source"), col("ct"), coalesce(col("c"), lit(0L)).as("c"))
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(gt))
+    val numP = (col("c") + 1L).cast("double") *
+      (col("n_t") - col("n_s") + col("n_slots")).cast("double")
+    val numQ = (col("ct") - col("c") + 1L).cast("double") *
+      (col("n_s") + col("n_slots")).cast("double")
+    val p = (col("c") + 1L).cast("double") /
+      (col("n_s") + col("n_slots")).cast("double")
+    val q = (col("ct") - col("c") + 1L).cast("double") /
+      (col("n_t") - col("n_s") + col("n_slots")).cast("double")
+    val term = lit(0.5) * p * log(lit(2.0) * numP / (numP + numQ)) +
+      lit(0.5) * q * log(lit(2.0) * numQ / (numP + numQ))
+    full
+      .select(col("source"), col("n_s"), col("n_slots"),
+        Exact.roundS(term, 6).as("term"))
+      .groupBy("source")
+      .agg(first("n_s").as("n_feats"), first("n_slots").as("n_slots"),
+        Exact.decSum(col("term"), 6).as("js"))
+      .withColumn("js_norm", col("js") / Ln2)
+  }
+
+  val vocabDriftSql: String = {
+    import graft.core.Exact
+    val numP = "(CAST(c + 1 AS DOUBLE) * CAST(n_t - n_s + n_slots AS DOUBLE))"
+    val numQ = "(CAST(ct - c + 1 AS DOUBLE) * CAST(n_s + n_slots AS DOUBLE))"
+    val p = "(CAST(c + 1 AS DOUBLE) / CAST(n_s + n_slots AS DOUBLE))"
+    val q = "(CAST(ct - c + 1 AS DOUBLE) / CAST(n_t - n_s + n_slots AS DOUBLE))"
+    val term =
+      s"""0.5 * $p * ln(2.0 * $numP / ($numP + $numQ)) +
+         |    0.5 * $q * ln(2.0 * $numQ / ($numP + $numQ))""".stripMargin
+    s"""WITH d AS (
+       |  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS ws
+       |  FROM documents
+       |), feats AS (
+       |  SELECT source, unnest(ws) AS feat FROM d
+       |  UNION ALL
+       |  SELECT source,
+       |    unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]))
+       |  FROM d WHERE len(ws) >= 2
+       |), sl AS (
+       |  SELECT source, ${PortableHash.duck("'FH|' || feat")} % $NSlots AS slot
+       |  FROM feats
+       |), hs AS (
+       |  SELECT source, slot, COUNT(*) AS c FROM sl GROUP BY 1, 2
+       |), g AS (SELECT slot, COUNT(*) AS ct FROM sl GROUP BY 1),
+       |gt AS (SELECT COUNT(*) AS n_slots, CAST(SUM(ct) AS BIGINT) AS n_t
+       |       FROM g),
+       |srcs AS (SELECT DISTINCT source FROM sl),
+       |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s
+       |       FROM hs GROUP BY 1),
+       |fl AS (
+       |  SELECT srcs.source, g.ct, COALESCE(hs.c, 0) AS c, ns.n_s,
+       |    gt.n_slots, gt.n_t
+       |  FROM g CROSS JOIN srcs
+       |  LEFT JOIN hs ON hs.source = srcs.source AND hs.slot = g.slot
+       |  JOIN ns ON ns.source = srcs.source, gt
+       |), terms AS (
+       |  SELECT source, n_s, n_slots,
+       |    ${Exact.duckRoundS(term, 6)} AS term
+       |  FROM fl
+       |)
+       |SELECT source, MIN(n_s) AS n_feats, MIN(n_slots) AS n_slots,
+       |  ${Exact.duckSum("term", 6)} AS js,
+       |  ${Exact.duckSum("term", 6)} / $Ln2 AS js_norm
+       |FROM terms GROUP BY source""".stripMargin
+  }
 }

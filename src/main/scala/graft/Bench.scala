@@ -128,7 +128,8 @@ object Bench {
     "embed_cluster_silhouette", "kge_eval_by_degree", "media_phash",
     "rdf_bgp_path", "sample_ess", "graph_betweenness",
     "q2_min_cost", "q11_share", "q20_excess",
-    "kge_eval_by_category", "text_vocab_drift")
+    "kge_eval_by_category", "text_vocab_drift",
+    "q12_shipmode", "dq_fk_orphans")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

@@ -1,6 +1,6 @@
 package graft.relational
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -82,6 +82,131 @@ object DataQuality {
       .unionByName(fromFk("orders_fk_customer", o, fkOrdersCust))
       .unionByName(fromFk("customer_fk_nation", c, fkCustNation))
       .withColumn("pass", col("n_violations") === 0L)
+  }
+
+  // ----------------------------------------- #317 FK orphan audit detail
+
+  /** #317: referential-integrity ORPHAN AUDIT — the actionable detail
+    * table behind #164's boolean FK gates: for every foreign-key edge in
+    * the star schema, the orphaned child-row count, the number of
+    * DISTINCT missing parent keys, and the min/max missing key (the
+    * triage handles: one missing parent with a million children is a
+    * dropped-dimension-row incident; a contiguous missing-key range is a
+    * lost partition). The registered run stages the incident with the
+    * house fixture-from-data rule — each parent "snapshot" drops keys
+    * with pHash('fkloss|'|key) % 13 == 0, simulating a lost parent
+    * partition — so every orphan path is exercised and hash-checked;
+    * a real deployment passes the actual parent snapshots.
+    *
+    * Plan shape: lineitem's THREE edges ride ONE scan — three left joins
+    * against key-only parents (orders shuffles on the natural order key,
+    * part/supplier broadcast) and a single aggregate emits all three
+    * edges' metrics, unpivoted by a literal stack. The remaining edges
+    * are one key-only left join each, broadcast wherever the parent is
+    * dimension-sized. Output is one row per FK edge — bounded by the
+    * schema, never the data — and all-integer, so the oracle match is
+    * exact with no quantization.
+    */
+  def fkOrphans(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.PortableHash
+    def keep(key: Column): Column =
+      PortableHash.pHash(concat(lit("fkloss|"), key.cast("string"))) % 13 =!= 0
+    def parent(df: DataFrame, key: String, out: String): DataFrame =
+      df.select(col(key).as(out)).filter(keep(col(out)))
+
+    val oKeys = parent(Tables.orders(spark, dir), "o_orderkey", "pk_ord")
+    val pKeys = parent(Tables.part(spark, dir), "p_partkey", "pk_part")
+    val sKeys = parent(Tables.supplier(spark, dir), "s_suppkey", "pk_supp")
+    val cKeys = parent(Tables.customer(spark, dir), "c_custkey", "pk_cust")
+    val nKeys = parent(Tables.nation(spark, dir), "n_nationkey", "pk_nat")
+    val rKeys = parent(Tables.region(spark, dir), "r_regionkey", "pk_reg")
+
+    def metrics(fk: String, pk: String, tag: String) = {
+      val miss = when(col(pk).isNull, col(fk))
+      Seq(
+        sum(when(col(pk).isNull, 1L).otherwise(0L)).as(s"${tag}_orph"),
+        countDistinct(miss).as(s"${tag}_keys"),
+        min(miss).cast("long").as(s"${tag}_mn"),
+        max(miss).cast("long").as(s"${tag}_mx"))
+    }
+    val liCols = metrics("l_orderkey", "pk_ord", "o") ++
+      metrics("l_partkey", "pk_part", "p") ++
+      metrics("l_suppkey", "pk_supp", "s")
+    val liEdges = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+      .join(oKeys, col("l_orderkey") === col("pk_ord"), "left")
+      .join(broadcast(pKeys), col("l_partkey") === col("pk_part"), "left")
+      .join(broadcast(sKeys), col("l_suppkey") === col("pk_supp"), "left")
+      .agg(count(lit(1)).as("n"), liCols: _*)
+      .selectExpr(
+        """stack(3,
+          |  'lineitem_orderkey_orders',   n, o_orph, o_keys, o_mn, o_mx,
+          |  'lineitem_partkey_part',      n, p_orph, p_keys, p_mn, p_mx,
+          |  'lineitem_suppkey_supplier',  n, s_orph, s_keys, s_mn, s_mx)
+          |AS (fk_name, child_rows, orphan_rows, missing_keys, mn, mx)
+          |""".stripMargin)
+
+    def edge(child: DataFrame, fk: String, parentKeys: DataFrame, pk: String,
+             label: String, bcast: Boolean): DataFrame = {
+      val par = if (bcast) broadcast(parentKeys) else parentKeys
+      val miss = when(col(pk).isNull, col(fk))
+      child.select(fk).join(par, col(fk) === col(pk), "left")
+        .agg(count(lit(1)).as("child_rows"),
+          sum(when(col(pk).isNull, 1L).otherwise(0L)).as("orphan_rows"),
+          countDistinct(miss).as("missing_keys"),
+          min(miss).cast("long").as("mn"), max(miss).cast("long").as("mx"))
+        .select(lit(label).as("fk_name"), col("child_rows"),
+          col("orphan_rows"), col("missing_keys"), col("mn"), col("mx"))
+    }
+    liEdges
+      .unionByName(edge(Tables.orders(spark, dir), "o_custkey", cKeys,
+        "pk_cust", "orders_custkey_customer", bcast = false))
+      .unionByName(edge(Tables.customer(spark, dir), "c_nationkey", nKeys,
+        "pk_nat", "customer_nationkey_nation", bcast = true))
+      .unionByName(edge(Tables.supplier(spark, dir), "s_nationkey", nKeys,
+        "pk_nat", "supplier_nationkey_nation", bcast = true))
+      .unionByName(edge(Tables.nation(spark, dir), "n_regionkey", rKeys,
+        "pk_reg", "nation_regionkey_region", bcast = true))
+      .select(col("fk_name"), col("child_rows"), col("orphan_rows"),
+        col("missing_keys"),
+        coalesce(col("mn"), lit(-1L)).as("min_missing"),
+        coalesce(col("mx"), lit(-1L)).as("max_missing"))
+  }
+
+  val fkOrphansSql: String = {
+    def keep(key: String) =
+      s"${graft.core.PortableHash.duck(s"'fkloss|' || $key")} % 13 <> 0"
+    def edge(label: String, child: String, fk: String, parentTbl: String,
+             pk: String) =
+      s"""SELECT '$label' AS fk_name,
+         |  CAST(COUNT(*) AS BIGINT) AS child_rows,
+         |  CAST(SUM(CASE WHEN k.$pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS orphan_rows,
+         |  CAST(COUNT(DISTINCT CASE WHEN k.$pk IS NULL THEN c.$fk END)
+         |    AS BIGINT) AS missing_keys,
+         |  COALESCE(CAST(MIN(CASE WHEN k.$pk IS NULL THEN c.$fk END)
+         |    AS BIGINT), -1) AS min_missing,
+         |  COALESCE(CAST(MAX(CASE WHEN k.$pk IS NULL THEN c.$fk END)
+         |    AS BIGINT), -1) AS max_missing
+         |FROM $child c LEFT JOIN
+         |  (SELECT $pk FROM $parentTbl WHERE ${keep(pk)}) k
+         |  ON c.$fk = k.$pk""".stripMargin
+    Seq(
+      edge("lineitem_orderkey_orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      edge("lineitem_partkey_part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      edge("lineitem_suppkey_supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      edge("orders_custkey_customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      edge("customer_nationkey_nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      edge("supplier_nationkey_nation", "supplier", "s_nationkey",
+        "nation", "n_nationkey"),
+      edge("nation_regionkey_region", "nation", "n_regionkey",
+        "region", "r_regionkey")
+    ).mkString("\nUNION ALL\n")
   }
 
   /** #167: per-column PROFILING (the Deequ analyzer / dataset-statistics

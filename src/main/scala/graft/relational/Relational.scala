@@ -1713,6 +1713,59 @@ object Relational {
       .agg(count(lit(1)).as("n_dominant_parts"))
   }
 
+  // ------------------------------- #316 Q12: late lines by service class
+
+  /** #316: TPC-H Q12 (shipping modes and order priority) — the last of
+    * the 22 classic shapes this corpus can express: among lines shipped
+    * LATE in a one-year window, how many belong to urgent-priority
+    * orders vs the rest, per service class. Adapted to the corpus
+    * columns (no l_shipmode/l_commitdate/l_receiptdate here):
+    * l_linestatus stands in for the mode dimension and "late" is a ship
+    * lag of more than 60 days past the order date, where reference Q12
+    * tests receipt-past-commit — the same fact⋈fact shape, date filter,
+    * and CASE rollup.
+    *
+    * Plan: lineitem prunes to 3 columns with the year window pushed to
+    * the scan BEFORE the join; the join keys on the order key — the
+    * lake's natural bucket key (#114), co-located free when bucketed —
+    * with the lateness predicate fused as a join filter so no wide row
+    * survives it; the rollup collapses onto the 2-value status space
+    * map-side. Outputs are pure counts: hash-exact, no quantization.
+    */
+  def q12Shipmode(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-01-01 00:00:00"))
+      .select(col("l_orderkey"), col("l_linestatus"),
+        expr("unix_micros(l_shipdate) DIV 1000000").as("ship_s"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("unix_micros(o_orderdate) DIV 1000000").as("order_s"))
+      .join(li, col("l_orderkey") === col("o_orderkey") &&
+        col("ship_s") > col("order_s") + lit(60L * 86400L))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+          col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+          .as("low_line_count"))
+  }
+
+  val q12Sql: String =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND epoch_ns(l_shipdate) // 1000000000
+      |      > epoch_ns(o_orderdate) // 1000000000 + 60 * 86400
+      |GROUP BY l_linestatus""".stripMargin
+
   val q20Sql: String =
     s"""WITH li AS (
        |  SELECT l_partkey, l_suppkey,

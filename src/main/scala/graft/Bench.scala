@@ -129,7 +129,8 @@ object Bench {
     "rdf_bgp_path", "sample_ess", "graph_betweenness",
     "q2_min_cost", "q11_share", "q20_excess",
     "kge_eval_by_category", "text_vocab_drift",
-    "q12_shipmode", "dq_fk_orphans")
+    "q12_shipmode", "dq_fk_orphans",
+    "corpus_source_overlap", "embed_dim_stats")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

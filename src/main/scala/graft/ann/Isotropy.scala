@@ -92,4 +92,64 @@ object Isotropy {
        |  sqrt(ss) / n AS mean_norm
        |FROM agg""".stripMargin
   }
+
+  // ------------------------------------------- #319 per-dimension stats
+
+  /** #319: PER-DIMENSION EMBEDDING STATS — for every coordinate of the
+    * embedding space: count, zero count, mean, variance, min, max. The
+    * dimension-level audit the vector-level diagnostics can't give:
+    * a DEAD dimension (variance ≈ 0 — the encoder stopped using it, or a
+    * projection/truncation bug zeroed it) silently wastes index width in
+    * every ANN structure downstream (#30/#38/#59 all pay per dim), and a
+    * RUNAWAY dimension (variance ≫ others) dominates L2 distances the
+    * same way the #270 anisotropy cone dominates cosines. Also the input
+    * for choosing PQ sub-space splits and the #121 truncation cut.
+    *
+    * Scale: one posexplode feeds a map-side-combining aggregate onto the
+    * 64-key dim space — a scan, no joins, output bounded by the
+    * dimension count. Exactness: component sums and square sums are
+    * order-free quantized integer sums on the 1e-12 grid with DECIMAL
+    * accumulators (corpus-size-safe past 2^63 scaled units); mean and
+    * variance are a fixed literal tree over those exact sums — identical
+    * doubles in both engines; min/max are exact float widenings.
+    */
+  def dimStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("dim"), col("x"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("x") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        Exact.decSumWide(col("x"), 12).as("sx"),
+        Exact.decSumWide(col("x") * col("x"), 12).as("sxx"),
+        min(col("x")).as("min_v"),
+        max(col("x")).as("max_v"))
+      .select(col("dim"), col("n"), col("n_zero"),
+        (col("sx") / col("n")).as("mean"),
+        ((col("sxx") / col("n")) -
+          (col("sx") / col("n")) * (col("sx") / col("n"))).as("variance"),
+        col("min_v"), col("max_v"))
+
+  val dimStatsSql: String = {
+    val d = VectorLsh.EmbDim
+    s"""WITH x AS (
+       |  SELECT dim, v FROM (
+       |    SELECT unnest(generate_series(1, $d)) AS dim,
+       |      unnest(list_transform(embedding, e -> CAST(e AS DOUBLE))) AS v
+       |    FROM embeddings)
+       |), agg AS (
+       |  SELECT CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+       |    CAST(SUM(CASE WHEN v = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_zero,
+       |    ${Exact.duckSum("v", 12)} AS sx,
+       |    ${Exact.duckSum("v * v", 12)} AS sxx,
+       |    MIN(v) AS min_v, MAX(v) AS max_v
+       |  FROM x GROUP BY 1
+       |)
+       |SELECT dim, n, n_zero, sx / n AS mean,
+       |  (sxx / n) - (sx / n) * (sx / n) AS variance, min_v, max_v
+       |FROM agg""".stripMargin
+  }
 }

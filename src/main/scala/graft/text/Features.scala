@@ -380,4 +380,71 @@ object Features {
        |  ${Exact.duckSum("term", 6)} / $Ln2 AS js_norm
        |FROM terms GROUP BY source""".stripMargin
   }
+
+  // --------------------------------------- #318 source vocabulary overlap
+
+  /** #318: SOURCE VOCABULARY OVERLAP — pairwise Jaccard and overlap
+    * coefficient of every crawl-source pair's distinct-word vocabulary:
+    * the redundancy MATRIX mixing policy reads before setting per-source
+    * budgets (#53/#68). The per-source dedup rate (#294) counts verbatim
+    * copies and #315's drift gauge compares each source to the rest —
+    * neither says WHICH sources duplicate each other; two sources with
+    * near-identical vocabularies contribute one source's worth of
+    * diversity and should share one budget line. The overlap coefficient
+    * is the containment reading (a small source living INSIDE a big
+    * one's vocabulary scores high even when Jaccard is diluted).
+    *
+    * Scale: the corpus collapses map-side to distinct (source, word) —
+    * bounded by vocab × sources, never corpus rows; the intersection is
+    * ONE word-keyed self-join on that bounded frame (s1 < s2 dedups
+    * pairs); per-source sizes broadcast onto the ≤ C(sources,2) pair
+    * rows. Exactness: integer counts; jaccard/overlap are single
+    * divisions of identical integers — no quantization anywhere.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(trim(col("text")), "\\s+")
+    val sv = Tables.documents(spark, dir)
+      .select(col("source"), explode(ws).as("w"))
+      .distinct()
+    val sizes = sv.groupBy("source").agg(count(lit(1)).as("n_vocab"))
+    sv.as("a").join(sv.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n_vocab").as("n_a"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n_vocab").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .as("jaccard"),
+        (col("n_common").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double")).as("overlap_coef"))
+  }
+
+  val sourceOverlapSql: String =
+    """WITH sv AS (
+      |  SELECT DISTINCT source, w FROM (
+      |    SELECT source,
+      |      unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |    FROM documents)
+      |), sz AS (
+      |  SELECT source, COUNT(*) AS n_vocab FROM sv GROUP BY source
+      |), inter AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    COUNT(*) AS n_common
+      |  FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT source_a, source_b,
+      |  sa.n_vocab AS n_a, sb.n_vocab AS n_b, n_common,
+      |  CAST(n_common AS DOUBLE)
+      |    / CAST(sa.n_vocab + sb.n_vocab - n_common AS DOUBLE) AS jaccard,
+      |  CAST(n_common AS DOUBLE)
+      |    / CAST(least(sa.n_vocab, sb.n_vocab) AS DOUBLE) AS overlap_coef
+      |FROM inter
+      |JOIN sz sa ON sa.source = source_a
+      |JOIN sz sb ON sb.source = source_b""".stripMargin
 }

@@ -130,7 +130,8 @@ object Bench {
     "q2_min_cost", "q11_share", "q20_excess",
     "kge_eval_by_category", "text_vocab_drift",
     "q12_shipmode", "dq_fk_orphans",
-    "corpus_source_overlap", "embed_dim_stats")
+    "corpus_source_overlap", "embed_dim_stats",
+    "media_color_stats", "sketch_quantile")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

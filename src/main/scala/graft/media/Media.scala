@@ -824,4 +824,108 @@ object Media {
        |    ELSE 0 END) AS BIGINT) AS phash
        |FROM f GROUP BY 1, 2, 3""".stripMargin
   }
+
+  // ------------------------------------------ #320 per-image color stats
+
+  /** Decode output for [[colorStats]]: exact integer channel sums read
+    * from the real pixel bytes (stride-honoring — padding bytes are
+    * skipped exactly as a real decoder skips them).
+    */
+  final case class ColorSums(doc_id: Long, width: Long, height: Long,
+      n_px: Long, b_sum: Long, g_sum: Long, r_sum: Long)
+
+  private def colorDecode(m: MediaIn): ColorSums = {
+    val (w, h, _) = parseBmp(m.media)
+    val rowSize = ((3 * w + 3) / 4) * 4
+    var b = 0L; var g = 0L; var r = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = 54 + y * rowSize + x * 3
+        b += m.media(base) & 0xff
+        g += m.media(base + 1) & 0xff
+        r += m.media(base + 2) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    ColorSums(m.doc_id, w.toLong, h.toLong, w.toLong * h, b, g, r)
+  }
+
+  /** #320: PER-IMAGE COLOR STATS over the decoded BMP bucket — exact
+    * per-channel (B/G/R) byte sums, channel means, and overall
+    * brightness from the REAL pixel array: the image-side quality gauge
+    * (a near-black or blown-out image is the visual analog of a
+    * boilerplate document — filtered before training), and the simplest
+    * decode that touches EVERY pixel, proving the full-frame read path
+    * (header parse → stride walk → channel split) the sampled ops
+    * (#199 aHash 8×8 grid, #307 pHash) never exercise. Padding bytes
+    * are skipped via the real rowSize stride, exactly as a compliant
+    * reader does.
+    *
+    * Scale: decode is map-only `mapPartitions` — payload bytes never
+    * leave the stage, output is 7 integers + 4 ratios per image.
+    * Exactness: channel sums are exact integers (≤ 255·w·h); means and
+    * brightness are single divisions of identical integers. The oracle
+    * mirrors the pixel CONSTRUCTION (cycled content bytes, ASCII byte ≡
+    * codepoint) while the Spark side reads only the real bytes — a
+    * header/pixel tamper shows up as a mismatch, not a re-derivation.
+    */
+  def colorStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.core.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 0) // the BMP bucket
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        colorDecode(ingest(id, text)) }) // payload bytes stop here
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("n_px"),
+        col("b_sum"), col("g_sum"), col("r_sum"),
+        (col("b_sum").cast("double") / col("n_px").cast("double"))
+          .as("b_mean"),
+        (col("g_sum").cast("double") / col("n_px").cast("double"))
+          .as("g_mean"),
+        (col("r_sum").cast("double") / col("n_px").cast("double"))
+          .as("r_mean"),
+        ((col("b_sum") + col("g_sum") + col("r_sum")).cast("double") /
+          (col("n_px") * 3L).cast("double")).as("brightness"))
+  }
+
+  /** Oracle: mirrors the construction arithmetic (data byte i = content
+    * byte i mod n) over every non-padding pixel byte.
+    */
+  val colorStatsSql: String = {
+    def byteAt(c: Int): String = {
+      val off = s"((p // w) * row_size + (p % w) * 3 + $c) % n + 1"
+      s"CASE WHEN n = 0 THEN 0 ELSE unicode(text[$off : $off]) END"
+    }
+    s"""WITH dm AS (
+       |  SELECT doc_id, text,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n,
+       |    4 + CAST(octet_length(encode(text)) AS BIGINT) % 60 AS w,
+       |    2 + doc_id % 14 AS h
+       |  FROM documents WHERE doc_id % 3 = 0
+       |), dim AS (
+       |  SELECT *, ((3 * w + 3) // 4) * 4 AS row_size FROM dm
+       |), px AS (
+       |  SELECT doc_id, w, h, n, row_size, text,
+       |    unnest(range(0, w * h)) AS p
+       |  FROM dim
+       |), sums AS (
+       |  SELECT doc_id, MAX(w) AS width, MAX(h) AS height,
+       |    MAX(w * h) AS n_px,
+       |    CAST(SUM(${byteAt(0)}) AS BIGINT) AS b_sum,
+       |    CAST(SUM(${byteAt(1)}) AS BIGINT) AS g_sum,
+       |    CAST(SUM(${byteAt(2)}) AS BIGINT) AS r_sum
+       |  FROM px GROUP BY doc_id
+       |)
+       |SELECT doc_id, width, height, n_px, b_sum, g_sum, r_sum,
+       |  CAST(b_sum AS DOUBLE) / CAST(n_px AS DOUBLE) AS b_mean,
+       |  CAST(g_sum AS DOUBLE) / CAST(n_px AS DOUBLE) AS g_mean,
+       |  CAST(r_sum AS DOUBLE) / CAST(n_px AS DOUBLE) AS r_mean,
+       |  CAST(b_sum + g_sum + r_sum AS DOUBLE)
+       |    / CAST(n_px * 3 AS DOUBLE) AS brightness
+       |FROM sums""".stripMargin
+  }
 }

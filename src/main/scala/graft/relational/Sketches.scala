@@ -608,4 +608,91 @@ object Sketches {
        |  m4 / (m2 * m2) - 3.0 AS kurtosis_ex
        |FROM m""".stripMargin
   }
+
+  // ----------------------------------- #321 grid-CDF quantile sketch
+
+  /** The quantile targets, as exact rationals so the nearest-rank pick
+    * is pure integer arithmetic in both engines.
+    */
+  private[graft] val QuantileQs: Seq[(String, Long, Long)] =
+    Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p95", 19L, 20L),
+      ("p99", 99L, 100L))
+
+  /** Sketch state for [[quantileSketch]]: per (event_type, cent cell)
+    * counts. Bounded by the VALUE DOMAIN (the cent grid of a capped
+    * metric — ≤ ~49k cells/type here), not the data; partials and
+    * shards merge by plain ADDITION like #262's power sums, which is
+    * what makes it a sketch: per-executor partials, per-day states, and
+    * cross-datacenter shards all combine without re-touching events.
+    */
+  private[graft] def quantileState(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"),
+        floor(col("value") * 100.0 + 0.5).cast("long").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Readout shared by the op and the merge spec: nearest-rank
+    * quantiles (rank = ⌈q·n⌉ via integer cross-multiplication) off the
+    * per-type cumulative cell counts.
+    */
+  private[graft] def quantileReadout(state: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perType = Window.partitionBy("event_type")
+    val cum = state
+      .withColumn("cum", sum(col("cnt")).over(perType.orderBy("cell")))
+      .withColumn("n", sum(col("cnt")).over(perType))
+    val qdf = broadcast(state.sparkSession
+      .createDataFrame(QuantileQs).toDF("q", "qnum", "qden"))
+    cum.join(qdf,
+        col("cum") >= expr("(qnum * n + qden - 1) DIV qden"))
+      .groupBy("event_type", "q")
+      .agg(max(col("n")).as("n"),
+        max(expr("(qnum * n + qden - 1) DIV qden")).as("rnk"),
+        (min(col("cell")).cast("double") / 100.0).as("value"))
+  }
+
+  /** #321: MERGEABLE QUANTILE SKETCH (fixed value-grid CDF) — the
+    * distribution sketch completing the family: #91/#154 answer
+    * distinct-count, #92 frequency, #262 moments; this answers "what is
+    * p99?" from state that MERGES. #108 computes exact R-7 quantiles
+    * with a full pass; at 100 TB the operational need is different —
+    * per-shard/per-day states that combine by addition into any rollup
+    * (hour→day→month) with quantiles read from the merged state alone.
+    * On a cent-grid-bounded metric the grid CDF is EXACT (every KLL/
+    * t-digest would only approximate it) and its state is bounded by
+    * the domain, not the data — the honest fixed-universe trade,
+    * documented: an unbounded-domain metric needs a coarser grid or a
+    * compacting sketch.
+    *
+    * Scale: the state build is one map-side-combining aggregate onto
+    * the (type, cell) keyspace; the readout's running sum is a window
+    * over the DOMAIN-bounded state frame (≤49k rows/type — never data-
+    * scale); the 4 rank picks are an integer-threshold join against a
+    * 4-row broadcast. Exactness: counts and cross-multiplied ranks are
+    * pure integers; the only division is the final cell→value literal.
+    */
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame =
+    quantileReadout(quantileState(Tables.events(spark, dir)))
+
+  val quantileSketchSql: String = {
+    val qRows = QuantileQs.map { case (q, nu, de) => s"('$q', $nu, $de)" }
+      .mkString(", ")
+    s"""WITH st AS (
+       |  SELECT event_type,
+       |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cell,
+       |    COUNT(*) AS cnt
+       |  FROM events GROUP BY 1, 2
+       |), c AS (
+       |  SELECT event_type, cell, cnt,
+       |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY cell) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY event_type) AS n
+       |  FROM st
+       |), q AS (
+       |  SELECT * FROM (VALUES $qRows) AS t(q, qnum, qden)
+       |)
+       |SELECT event_type, q, CAST(MAX(n) AS BIGINT) AS n,
+       |  CAST(MAX((qnum * n + qden - 1) // qden) AS BIGINT) AS rnk,
+       |  CAST(MIN(cell) AS DOUBLE) / 100.0 AS value
+       |FROM c JOIN q ON cum >= (qnum * n + qden - 1) // qden
+       |GROUP BY 1, 2""".stripMargin
+  }
 }

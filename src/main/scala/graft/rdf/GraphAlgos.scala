@@ -1912,4 +1912,105 @@ object GraphAlgos {
        |GROUP BY id
        |HAVING ${Exact.duckSum("delta", 6)} > 0.0""".stripMargin
   }
+
+  // ------------------------------- #322 sampled diameter / distance CDF
+
+  val DiamSeeds = 8
+  val DiamIters = 6
+
+  /** #322: SAMPLED BOUNDED-DISTANCE DIAMETER & DISTANCE CDF — the
+    * distance-distribution report (the HyperANF/"four degrees of
+    * separation" measurement, computed here exactly over a source
+    * sample instead of approximately over all sources): multi-source
+    * BFS from the [[DiamSeeds]] hash-min entities out to [[DiamIters]]
+    * hops, then the (seed, node) distance histogram with cumulative
+    * counts and fractions. The reads: `diameter_lb` (the max observed
+    * distance — a LOWER bound on the true diameter, the honest
+    * direction for a sampled+bounded probe) and the effective diameter
+    * (smallest d with ≥90% of reached pairs — read off the cum/frac
+    * columns; spec-pinned). Exact diameter is all-pairs BFS — O(n·m) —
+    * and never runs at corpus scale; the sampled distance CDF is the
+    * standard production substitute and also the input for picking hop
+    * bounds (#144/#310 depth knobs) and join-fanout budgets.
+    *
+    * Scale: all seeds ride ONE (seed, id)-keyed frontier — a round is
+    * one src-partitioned edge join + one map-side-combining min,
+    * regardless of seed count; rounds lineage-checkpoint (the
+    * iterative discipline); the histogram is depth-bounded (≤7 rows),
+    * its cumulative a triangular self-join on that bounded frame —
+    * never a data-scale window. Seed count and bound are the 100 TB
+    * knobs. Exactness: distances and counts are pure integers; frac is
+    * one division of identical integers.
+    */
+  def diameter(spark: SparkSession, dir: String): DataFrame = {
+    val e = undirected(spark, dir)
+    val seeds = Dict.entities(spark, dir)
+      .select(col("id"),
+        graft.core.PortableHash.pHash(concat(lit("diam|"), col("uri")))
+          .as("h"), col("uri"))
+      .orderBy("h", "uri").limit(DiamSeeds)
+      .select(col("id").as("seed"), col("id"), lit(0L).as("dist"))
+    val d = (1 to DiamIters).foldLeft(seeds: DataFrame) { (frame, k) =>
+      cache.getOrElseUpdate((spark, dir, s"diam$k")) {
+        val next = frame.unionByName(
+            e.join(frame, e("src") === frame("id"))
+              .select(frame("seed"), e("dst").as("id"),
+                (frame("dist") + 1L).as("dist")))
+          .groupBy("seed", "id").agg(min("dist").as("dist"))
+        val cp = next.localCheckpoint(false)
+        cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+      }
+    }
+    val hist = d.groupBy("dist").agg(count(lit(1)).as("n_pairs"))
+    val tot = d.agg(count(lit(1)).as("total"),
+      max("dist").as("diameter_lb"))
+    hist.as("a").join(hist.as("b"), col("b.dist") <= col("a.dist"))
+      .groupBy(col("a.dist").as("dist"), col("a.n_pairs").as("n_pairs"))
+      .agg(sum(col("b.n_pairs")).as("cum"))
+      .crossJoin(broadcast(tot))
+      .select(col("dist"), col("n_pairs"), col("cum"),
+        (col("cum").cast("double") / col("total").cast("double"))
+          .as("frac"),
+        col("diameter_lb"))
+  }
+
+  val diameterSql: String = {
+    def round(k: Int): String =
+      s"""d$k AS MATERIALIZED (
+         |  SELECT seed, id, MIN(dist) AS dist FROM (
+         |    SELECT seed, id, dist FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT b.seed, e.dst AS id, b.dist + 1 AS dist
+         |    FROM ue e JOIN d${k - 1} b ON b.id = e.src
+         |  ) GROUP BY seed, id
+         |)""".stripMargin
+    s"""${Dict.preludeCtes},
+       |ue AS MATERIALIZED (
+       |  SELECT sid AS src, oid AS dst FROM encoded
+       |  UNION
+       |  SELECT oid, sid FROM encoded
+       |),
+       |seeds AS (
+       |  SELECT id FROM (
+       |    SELECT id,
+       |      ${graft.core.PortableHash.duck("'diam|' || uri")} AS h, uri
+       |    FROM entities ORDER BY h, uri LIMIT $DiamSeeds)
+       |),
+       |d0 AS (SELECT id AS seed, id, CAST(0 AS BIGINT) AS dist FROM seeds),
+       |${(1 to DiamIters).map(round).mkString(",\n")},
+       |hist AS (
+       |  SELECT dist, COUNT(*) AS n_pairs FROM d$DiamIters GROUP BY dist
+       |),
+       |tot AS (
+       |  SELECT COUNT(*) AS total, MAX(dist) AS diameter_lb
+       |  FROM d$DiamIters
+       |)
+       |SELECT a.dist, CAST(a.n_pairs AS BIGINT) AS n_pairs,
+       |  CAST(SUM(b.n_pairs) AS BIGINT) AS cum,
+       |  CAST(SUM(b.n_pairs) AS DOUBLE) / CAST(MAX(total) AS DOUBLE)
+       |    AS frac,
+       |  CAST(MAX(diameter_lb) AS BIGINT) AS diameter_lb
+       |FROM hist a JOIN hist b ON b.dist <= a.dist CROSS JOIN tot
+       |GROUP BY 1, 2""".stripMargin
+  }
 }

@@ -131,7 +131,8 @@ object Bench {
     "kge_eval_by_category", "text_vocab_drift",
     "q12_shipmode", "dq_fk_orphans",
     "corpus_source_overlap", "embed_dim_stats",
-    "media_color_stats", "sketch_quantile", "graph_diameter")
+    "media_color_stats", "sketch_quantile", "graph_diameter",
+    "source_schema_evolution")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

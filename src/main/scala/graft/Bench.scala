@@ -132,7 +132,8 @@ object Bench {
     "q12_shipmode", "dq_fk_orphans",
     "corpus_source_overlap", "embed_dim_stats",
     "media_color_stats", "sketch_quantile", "graph_diameter",
-    "source_schema_evolution")
+    "source_schema_evolution",
+    "events_diff_in_diff", "search_prf_expand")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

@@ -3190,4 +3190,96 @@ object Events {
        |  s.resid_mean, s.resid_sd,
        |  abs(d.remainder - s.resid_mean) > 3.0 * s.resid_sd AS is_anomaly
        |FROM dec d JOIN sd s ON s.event_type = d.event_type""".stripMargin
+
+  // ------------------------------------ #324 difference-in-differences
+
+  /** #324: DIFFERENCE-IN-DIFFERENCES — the causal readout for a
+    * treatment that turns ON at a point in time: (post−pre) change in
+    * the treated arm minus the same change in the control arm, so any
+    * shared trend (seasonality, growth, a marketing push) cancels and
+    * only the treatment-correlated delta survives. The #215 A/B z-test
+    * is cross-sectional (one period, randomized arms); DiD is the
+    * panel-data member of the experimentation family — what you reach
+    * for when the "experiment" is a launch, not a randomized split. The
+    * arm assignment reuses #215's hash split so the two reports face
+    * the same population; pre/post is the corpus midpoint day (an
+    * integer derived from the data's own span — deterministic and
+    * engine-mirrorable).
+    *
+    * Output is ONE wide row: the four (arm × period) cell counts and
+    * cent-grid mean values plus the DiD estimate — a fixed literal
+    * IEEE tree over exact quantized sums, identical in both engines.
+    * Scale: one map-side-combining aggregate onto 4 cells (the
+    * min/max-day scalar broadcasts back); nothing data-scale moves.
+    */
+  def diffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.{Exact, PortableHash}
+    val e = eventsS(spark, dir)
+      .select(col("user_id"), col("value"),
+        expr("ts_s DIV 86400").as("day"))
+    val span = e.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(expr("(d0 + d1 + 1) DIV 2").as("cut"))
+    val cells = e.crossJoin(broadcast(span))
+      .select(
+        when(PortableHash.pHash(concat(lit("ab|"), col("user_id"))) % 2 === 0,
+          "A").otherwise("B").as("arm"),
+        when(col("day") >= col("cut"), "post").otherwise("pre").as("period"),
+        col("value"))
+      .groupBy("arm", "period")
+      .agg(count(lit(1)).as("n"), Exact.decSum(col("value"), 2).as("sv"))
+    def cell(a: String, p: String, c: String) =
+      max(when(col("arm") === a && col("period") === p, col(c)))
+    val wide = cells.agg(
+      cell("A", "pre", "n").as("n_a_pre"), cell("A", "pre", "sv").as("s_a_pre"),
+      cell("A", "post", "n").as("n_a_post"), cell("A", "post", "sv").as("s_a_post"),
+      cell("B", "pre", "n").as("n_b_pre"), cell("B", "pre", "sv").as("s_b_pre"),
+      cell("B", "post", "n").as("n_b_post"), cell("B", "post", "sv").as("s_b_post"))
+    def m(s: String, n: String) = col(s) / col(n).cast("double")
+    wide.select(
+      col("n_a_pre"), col("n_a_post"), col("n_b_pre"), col("n_b_post"),
+      m("s_a_pre", "n_a_pre").as("mean_a_pre"),
+      m("s_a_post", "n_a_post").as("mean_a_post"),
+      m("s_b_pre", "n_b_pre").as("mean_b_pre"),
+      m("s_b_post", "n_b_post").as("mean_b_post"),
+      ((m("s_b_post", "n_b_post") - m("s_b_pre", "n_b_pre")) -
+        (m("s_a_post", "n_a_post") - m("s_a_pre", "n_a_pre"))).as("did"))
+  }
+
+  val diffInDiffSql: String = {
+    import graft.core.{Exact, PortableHash}
+    val h = PortableHash.duck("'ab|' || user_id")
+    s"""WITH e AS (
+       |  SELECT user_id, value, ($duckTsS // 86400) AS day FROM events
+       |), span AS (
+       |  SELECT (MIN(day) + MAX(day) + 1) // 2 AS cut FROM e
+       |), cells AS (
+       |  SELECT
+       |    CASE WHEN $h % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+       |    CASE WHEN day >= cut THEN 'post' ELSE 'pre' END AS period,
+       |    COUNT(*) AS n, ${Exact.duckSum("value", 2)} AS sv
+       |  FROM e, span GROUP BY 1, 2
+       |), wide AS (
+       |  SELECT
+       |    MAX(CASE WHEN arm = 'A' AND period = 'pre' THEN n END) AS n_a_pre,
+       |    MAX(CASE WHEN arm = 'A' AND period = 'pre' THEN sv END) AS s_a_pre,
+       |    MAX(CASE WHEN arm = 'A' AND period = 'post' THEN n END) AS n_a_post,
+       |    MAX(CASE WHEN arm = 'A' AND period = 'post' THEN sv END) AS s_a_post,
+       |    MAX(CASE WHEN arm = 'B' AND period = 'pre' THEN n END) AS n_b_pre,
+       |    MAX(CASE WHEN arm = 'B' AND period = 'pre' THEN sv END) AS s_b_pre,
+       |    MAX(CASE WHEN arm = 'B' AND period = 'post' THEN n END) AS n_b_post,
+       |    MAX(CASE WHEN arm = 'B' AND period = 'post' THEN sv END) AS s_b_post
+       |  FROM cells
+       |)
+       |SELECT CAST(n_a_pre AS BIGINT) AS n_a_pre,
+       |  CAST(n_a_post AS BIGINT) AS n_a_post,
+       |  CAST(n_b_pre AS BIGINT) AS n_b_pre,
+       |  CAST(n_b_post AS BIGINT) AS n_b_post,
+       |  s_a_pre / n_a_pre AS mean_a_pre,
+       |  s_a_post / n_a_post AS mean_a_post,
+       |  s_b_pre / n_b_pre AS mean_b_pre,
+       |  s_b_post / n_b_post AS mean_b_post,
+       |  (s_b_post / n_b_post - s_b_pre / n_b_pre)
+       |    - (s_a_post / n_a_post - s_a_pre / n_a_pre) AS did
+       |FROM wide""".stripMargin
+  }
 }

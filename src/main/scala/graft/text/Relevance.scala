@@ -605,4 +605,113 @@ object Relevance {
        |SELECT n, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
        |  -((n * sxy - sx * sy) / (n * sxx - sx * sx)) AS zipf_exponent
        |FROM s""".stripMargin
+
+  // ------------------------------------- #325 PRF query expansion
+
+  val PrfTerms = 3
+
+  /** #325: PSEUDO-RELEVANCE-FEEDBACK QUERY EXPANSION (RM3-lite) — the
+    * classic second-pass retrieval move: take the first-pass BM25
+    * top-5 per query as presumed-relevant feedback, mine their
+    * highest-signal terms (tf-idf-weighted corpus-rarity score over
+    * the feedback set, original query terms excluded, ranked on the
+    * (weight, term) total order), add the top [[PrfTerms]] to the
+    * query, and re-run the identical BM25 scoring over the EXPANDED
+    * term set. Recovers vocabulary-mismatch docs (relevant but sharing
+    * no literal query term) that single-pass lexical retrieval
+    * structurally misses — the pre-neural standard still shipped by
+    * production search engines, and the lexical sibling of the
+    * embedding-side #120 refine-rerank.
+    *
+    * Scale: the feedback set is queries×5 rows (broadcast); candidate
+    * mining touches only feedback docs' term rows; both ranking windows
+    * partition on query_id with inputs bounded by feedback-doc vocab —
+    * never corpus-scale; the second pass reuses the same vocabulary-
+    * keyed joins as #55 with the expanded (still tiny, broadcast)
+    * query-term table. Exactness: candidate weights are one division
+    * of exact integers; per-term scores ride #55's 1e-12 quantized
+    * order-free sum; ranks use total orders.
+    */
+  def prfExpand(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val tf = termFreq(spark, dir)
+    val qterms = queries.toDF("query_id", "qtext")
+      .select(col("query_id"), explode(split(col("qtext"), " ")).as("term"))
+    val fb = bm25Search(spark, dir).select("query_id", "doc_id")
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val byQw = Window.partitionBy("query_id")
+      .orderBy(col("wq").desc, col("term").asc)
+    val exp = fb.join(tf, "doc_id")
+      .groupBy("query_id", "term").agg(sum("tf").as("sum_tf"))
+      .join(qterms, Seq("query_id", "term"), "left_anti")
+      .join(broadcast(df), "term").crossJoin(broadcast(n))
+      .withColumn("wq",
+        (col("sum_tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rnk", row_number().over(byQw))
+      .filter(col("rnk") <= PrfTerms)
+      .select("query_id", "term")
+    val qt2 = qterms.unionByName(exp).distinct()
+    val docLen = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(words).cast("long").as("dl"))
+    val stats = docLen.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val idf = (col("n_docs") - col("df") + 0.5) /
+      ((col("df") + 0.5) * col("n_docs"))
+    val tfNorm = (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl") / col("avgdl"))))
+    val byQuery = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    tf.join(broadcast(qt2), "term")
+      .join(broadcast(df), "term")
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("s_term", idf * tfNorm)
+      .groupBy("query_id", "doc_id")
+      .agg(Exact.decSum(col("s_term"), 12).as("score"))
+      .withColumn("rnk", row_number().over(byQuery))
+      .filter(col("rnk") <= 5)
+      .select("query_id", "doc_id", "score", "rnk")
+  }
+
+  val prfExpandSql: String =
+    s"""WITH $bm25Ctes,
+       |n2 AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |cand AS (
+       |  SELECT query_id, tf.term AS term, SUM(tf.tf) AS sum_tf
+       |  FROM bm JOIN tf ON tf.doc_id = bm.doc_id
+       |  GROUP BY 1, 2
+       |), cand2 AS (
+       |  SELECT c.query_id, c.term,
+       |    CAST(c.sum_tf * n_docs AS DOUBLE) / df.df AS wq
+       |  FROM cand c JOIN df USING (term), n2
+       |  WHERE NOT EXISTS (SELECT 1 FROM qt
+       |    WHERE qt.query_id = c.query_id AND qt.term = c.term)
+       |), expn AS (
+       |  SELECT query_id, term FROM (
+       |    SELECT query_id, term,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY wq DESC, term ASC) AS r
+       |    FROM cand2) WHERE r <= $PrfTerms
+       |), qt2 AS (
+       |  SELECT DISTINCT query_id, term FROM (
+       |    SELECT query_id, term FROM qt
+       |    UNION ALL SELECT query_id, term FROM expn)
+       |), scored2 AS (
+       |  SELECT query_id, tf.doc_id,
+       |    ((n_docs - df + 0.5) / ((df + 0.5) * n_docs)) *
+       |    ((tf * ${k1 + 1}) / (tf + $k1 * ((${1 - b}) + $b * (dl / avgdl))))
+       |      AS s_term
+       |  FROM tf JOIN qt2 USING (term) JOIN df USING (term)
+       |       JOIN dl ON dl.doc_id = tf.doc_id, stats
+       |), agg2 AS (
+       |  SELECT query_id, doc_id, ${Exact.duckSum("s_term", 12)} AS score
+       |  FROM scored2 GROUP BY query_id, doc_id
+       |)
+       |SELECT query_id, doc_id, score,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id ASC) AS rnk
+       |FROM agg2
+       |QUALIFY rnk <= 5""".stripMargin
 }

@@ -1964,7 +1964,7 @@ object GraphAlgos {
     val hist = d.groupBy("dist").agg(count(lit(1)).as("n_pairs"))
     val tot = d.agg(count(lit(1)).as("total"),
       max("dist").as("diameter_lb"))
-    hist.as("a").join(hist.as("b"), col("b.dist") <= col("a.dist"))
+    hist.as("a").join(broadcast(hist.as("b")), col("b.dist") <= col("a.dist"))
       .groupBy(col("a.dist").as("dist"), col("a.n_pairs").as("n_pairs"))
       .agg(sum(col("b.n_pairs")).as("cum"))
       .crossJoin(broadcast(tot))

@@ -133,7 +133,8 @@ object Bench {
     "corpus_source_overlap", "embed_dim_stats",
     "media_color_stats", "sketch_quantile", "graph_diameter",
     "source_schema_evolution",
-    "events_diff_in_diff", "search_prf_expand")
+    "events_diff_in_diff", "search_prf_expand",
+    "events_cuped", "text_textrank")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

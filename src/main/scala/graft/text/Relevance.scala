@@ -606,6 +606,104 @@ object Relevance {
        |  -((n * sxy - sx * sy) / (n * sxx - sx * sx)) AS zipf_exponent
        |FROM s""".stripMargin
 
+  // ----------------------------------------------- #326 TextRank
+
+  val TrIters = 3
+  val TrTopN = 20
+  private val TrDamp = 0.85
+
+  /** #326: TEXTRANK keywords (Mihalcea & Tarau 2004) — weighted
+    * PageRank over the corpus word co-occurrence graph: adjacent-word
+    * pairs form undirected weighted edges, and a word ranks high when
+    * its NEIGHBORS rank high — the recursive centrality signal the
+    * frequency family (#54 tf-idf, #175 RAKE) cannot see (a
+    * mid-frequency word wired into every important context beats a
+    * high-frequency word in unimportant ones). Three exact power
+    * iterations, unrolled for the oracle exactly like entity PageRank
+    * (#83) — same damping, same quantized-contribution discipline
+    * (each per-edge term s·w/W rides the 1e-12 grid order-free, so
+    * every iterate is engine-identical) — then the top-[[TrTopN]] on
+    * the (score, word) total order via TakeOrdered, ranked post-limit.
+    *
+    * Scale: the graph is VOCABULARY-bounded (edges = distinct adjacent
+    * pairs), built by one map-side-combining pair count; an iteration
+    * is one edge⋈score join + one dst-keyed quantized sum — the #83
+    * machinery on a graph whose size is set by the vocabulary, not the
+    * corpus; corpus growth only changes edge WEIGHTS. A production run
+    * iterates to tolerance exactly as pagerankConverged does.
+    */
+  def textrank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(words.as("ws"))
+    val pairs = zip_with(
+      slice(col("ws"), lit(1), size(col("ws")) - 1),
+      slice(col("ws"), lit(2), size(col("ws")) - 1),
+      (x, y) => struct(x.as("w1"), y.as("w2")))
+    val adj = docs.filter(size(col("ws")) >= 2)
+      .select(explode(pairs).as("p"))
+      .select(col("p.w1").as("a"), col("p.w2").as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = adj.unionByName(adj.select(col("b").as("a"), col("a").as("b")))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+    val strength = und.groupBy("a").agg(sum("w").as("wsum"))
+    val nodes = und.select(col("a").as("word")).distinct()
+    val n = nodes.agg(count(lit(1)).as("n"))
+    val s0 = nodes.crossJoin(broadcast(n))
+      .select(col("word"), (lit(1.0) / col("n")).as("s"))
+    val sK = (1 to TrIters).foldLeft(s0) { (s, _) =>
+      val contrib = und
+        .join(s.withColumnRenamed("word", "a"), "a")
+        .join(strength, "a")
+        .groupBy(col("b").as("word"))
+        .agg(Exact.decSum(col("s") / col("wsum") * col("w"), 12).as("c"))
+      nodes.join(contrib, Seq("word"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("word"),
+          (lit(1 - TrDamp) / col("n") +
+            lit(TrDamp) * coalesce(col("c"), lit(0.0))).as("s"))
+    }
+    sK.orderBy(col("s").desc, col("word").asc).limit(TrTopN)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("s").desc, col("word").asc)))
+      .select(col("word"), col("s").as("score"), col("rnk"))
+  }
+
+  val textrankSql: String = {
+    def iter(k: Int): String =
+      s"""s$k AS MATERIALIZED (
+         |  SELECT nodes.word,
+         |    ${1 - TrDamp} / n + $TrDamp * COALESCE(c.c, 0.0) AS s
+         |  FROM nodes LEFT JOIN (
+         |    SELECT und.b AS word, ${Exact.duckSum("p.s / st.wsum * und.w", 12)} AS c
+         |    FROM und
+         |    JOIN s${k - 1} p ON p.word = und.a
+         |    JOIN strength st ON st.a = und.a
+         |    GROUP BY und.b
+         |  ) c ON c.word = nodes.word, nn
+         |)""".stripMargin
+    s"""WITH d AS (
+       |  SELECT regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents
+       |), adj AS (
+       |  SELECT w1 AS a, w2 AS b FROM (
+       |    SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+       |      unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+       |    FROM d WHERE len(ws) >= 2
+       |  ) WHERE w1 <> w2
+       |), und AS MATERIALIZED (
+       |  SELECT a, b, COUNT(*) AS w FROM (
+       |    SELECT a, b FROM adj UNION ALL SELECT b, a FROM adj
+       |  ) GROUP BY a, b
+       |), strength AS MATERIALIZED (
+       |  SELECT a, SUM(w) AS wsum FROM und GROUP BY a
+       |), nodes AS MATERIALIZED (SELECT DISTINCT a AS word FROM und),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |s0 AS (SELECT word, 1.0 / n AS s FROM nodes, nn),
+       |${(1 to TrIters).map(iter).mkString(",\n")}
+       |SELECT word, s AS score,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY s DESC, word ASC) AS INT) AS rnk
+       |FROM s$TrIters
+       |ORDER BY s DESC, word ASC LIMIT $TrTopN""".stripMargin
+  }
+
   // ------------------------------------- #325 PRF query expansion
 
   val PrfTerms = 3

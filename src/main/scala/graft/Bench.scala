@@ -134,7 +134,8 @@ object Bench {
     "media_color_stats", "sketch_quantile", "graph_diameter",
     "source_schema_evolution",
     "events_diff_in_diff", "search_prf_expand",
-    "events_cuped", "text_textrank")
+    "events_cuped", "text_textrank",
+    "dict_delta_update", "events_sequential_test")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

@@ -212,4 +212,69 @@ object Dict {
        |  JOIN entities eo ON t.o = eo.uri
        |  WHERE ${PortableHash.duck("t.s || '|' || t.p || '|' || t.o")} % $mod = 0
        |)""".stripMargin
+
+  // ---------------------------------------- #328 incremental dictionary
+
+  /** #328: INCREMENTAL DICTIONARY UPDATE — the production maintenance
+    * path the one-shot encode (#8) can't serve: when a new corpus
+    * snapshot arrives, already-assigned entity ids MUST NOT move (every
+    * persisted embedding table, encoded triple file, and downstream
+    * artifact is keyed by them — #292's persisted tier exists precisely
+    * so they survive); only genuinely new entities get ids, appended
+    * AFTER the existing range in the same deterministic bucket order.
+    * Re-encoding the world on every snapshot is the naive alternative
+    * and is wrong twice at 100 TB: the re-encode cost itself, and the
+    * invalidation of every id-keyed artifact. The registered run stages
+    * the increment deterministically (the "old" snapshot = triples with
+    * pHash('old|'|s|p|o) % 4 ≠ 0 — ¾ of the graph), derives the old
+    * dictionary, and emits the UPDATED dictionary with an is_new flag.
+    *
+    * Scale: the old dictionary is the #292 parquet artifact in
+    * production (read, not recomputed — here it derives from the staged
+    * snapshot so the oracle can mirror it); the new-entity set is one
+    * uri-keyed anti-join; its ranking runs the same two-level bucket
+    * scheme (64-way parallel local ranks + broadcast offsets — no
+    * global sort) over ONLY the new entities; the offset is one
+    * broadcast scalar. Append stability — old ids bit-identical through
+    * the update — is the spec-pinned contract.
+    */
+  def deltaUpdate(spark: SparkSession, dir: String): DataFrame = {
+    val t = TpchGraph.triples(spark, dir)
+    val oldT = t.filter(PortableHash.pHash(concat(lit("old|"), col("s"),
+      lit("|"), col("p"), lit("|"), col("o"))) % 4 =!= 0)
+    val oldUris = oldT.select(col("s").as("uri"))
+      .union(oldT.select(col("o").as("uri"))).distinct()
+    val oldDict = encode(oldUris)
+    val newUris = entityUris(spark, dir)
+      .join(oldDict, Seq("uri"), "left_anti")
+    val oldCnt = oldDict.agg(count(lit(1)).as("c"))
+    val newDict = encode(newUris).crossJoin(broadcast(oldCnt))
+      .select(col("uri"), (col("id") + col("c")).as("id"))
+    oldDict.withColumn("is_new", lit(false))
+      .unionByName(newDict.withColumn("is_new", lit(true)))
+  }
+
+  val deltaUpdateSql: String = {
+    val oldH = PortableHash.duck("'old|' || s || '|' || p || '|' || o")
+    def rank(src: String) =
+      s"""SELECT uri, CAST(ROW_NUMBER() OVER (
+         |    ORDER BY ${PortableHash.duck("uri")} % $NBuckets, uri) - 1
+         |    AS BIGINT) AS id
+         |  FROM $src""".stripMargin
+    s"""WITH ${TpchGraph.cte},
+       |old_t AS (SELECT * FROM triples WHERE $oldH % 4 <> 0),
+       |old_e AS MATERIALIZED (
+       |  ${rank("(SELECT s AS uri FROM old_t UNION SELECT o FROM old_t)")}
+       |),
+       |new_u AS (
+       |  SELECT uri FROM (SELECT s AS uri FROM triples
+       |    UNION SELECT o FROM triples)
+       |  WHERE uri NOT IN (SELECT uri FROM old_e)
+       |),
+       |oc AS (SELECT COUNT(*) AS c FROM old_e),
+       |new_e AS (SELECT uri, id + c AS id FROM (${rank("new_u")}), oc)
+       |SELECT uri, id, FALSE AS is_new FROM old_e
+       |UNION ALL
+       |SELECT uri, id, TRUE AS is_new FROM new_e""".stripMargin
+  }
 }

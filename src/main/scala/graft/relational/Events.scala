@@ -3245,6 +3245,109 @@ object Events {
         (m("s_a_post", "n_a_post") - m("s_a_pre", "n_a_pre"))).as("did"))
   }
 
+  // ---------------------------------------- #329 sequential mSPRT test
+
+  /** Mixing variance for the mSPRT normal mixture — dyadic (1/16) so
+    * products with it stay exact.
+    */
+  val SeqTau2 = 0.0625
+
+  /** #329: ALWAYS-VALID SEQUENTIAL TEST (mixture SPRT — Johari, Koomen,
+    * Pekelis & Walsh 2017, the "peeking problem" fix): the fixed-n
+    * z-test (#215) holds its α only if the experimenter looks ONCE at a
+    * pre-committed sample size — but every live dashboard is looked at
+    * continuously, and repeated peeking inflates a nominal 5% test to
+    * 20-30% false positives. The mSPRT's mixture likelihood ratio
+    * Λ = √(V/(V+τ²)) · exp(δ²τ² / (2V(V+τ²))) yields p = min(1, 1/Λ)
+    * that is valid at EVERY moment of monitoring — the always-valid
+    * p-value streaming A/B dashboards ship. Emitted in LOG form
+    * (log Λ never overflows where Λ itself can exp-overflow once n·δ²
+    * grows — the same overflow discipline as the #279 G² ln form).
+    *
+    * Exactness: δ and V are fixed literal trees over the #215 cell
+    * integers; log Λ and p each apply ONE transcendental (ln, exp) to
+    * engine-identical inputs and round on the 1e-6 grid per the house
+    * transcendental rule; τ² is dyadic. Degenerate-variance guard
+    * mirrors #215 (all-convert/none-convert ⇒ no test). Scale: the
+    * whole readout derives from the same 2-cell aggregate as #215 —
+    * one map-side-combining user pass, then arithmetic on one row.
+    */
+  def sequentialTest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.{Exact, PortableHash}
+    val users = eventsS(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("ne"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+      .select(col("user_id"),
+        when(col("np") * 5L > col("ne"), 1L).otherwise(0L).as("conv"))
+      .withColumn("variant",
+        when(PortableHash.pHash(concat(lit("ab|"), col("user_id"))) % 2 === 0,
+          "A").otherwise("B"))
+    val v = users.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+    val wide = v.filter(col("variant") === "A")
+      .select(col("n").as("n_a"), col("c").as("c_a"))
+      .crossJoin(broadcast(v.filter(col("variant") === "B")
+        .select(col("n").as("n_b"), col("c").as("c_b"))))
+    val pp = (col("c_a") + col("c_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val vv = (pp * (lit(1.0) - pp)) *
+      ((lit(1.0) / col("n_a")) + (lit(1.0) / col("n_b")))
+    val delta = col("c_a").cast("double") / col("n_a") -
+      col("c_b").cast("double") / col("n_b")
+    val tau2 = lit(SeqTau2)
+    def logLambda = lit(0.5) * log(col("v") / (col("v") + tau2)) +
+      col("delta") * col("delta") * tau2 /
+        (lit(2.0) * col("v") * (col("v") + tau2))
+    wide.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        delta.as("delta"), vv.as("v"))
+      .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        col("delta"), col("v"),
+        when(col("v") > 0.0, Exact.roundS(logLambda, 6)).as("log_lambda"),
+        when(col("v") > 0.0, Exact.roundS(
+          least(lit(1.0), exp(-logLambda)), 6)).as("always_valid_p"))
+      .withColumn("reject",
+        coalesce(col("always_valid_p") < 0.05, lit(false)))
+  }
+
+  val sequentialTestSql: String = {
+    import graft.core.{Exact, PortableHash}
+    val h = PortableHash.duck("'ab|' || user_id")
+    val t2 = SeqTau2
+    val ll = s"0.5 * ln(v / (v + $t2)) + " +
+      s"delta * delta * $t2 / (2.0 * v * (v + $t2))"
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 5
+       |      > COUNT(*) THEN 1 ELSE 0 END AS conv,
+       |    CASE WHEN $h % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+       |  FROM events GROUP BY user_id
+       |), v0 AS (
+       |  SELECT variant, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS c
+       |  FROM u GROUP BY variant
+       |), w AS (
+       |  SELECT a.n AS n_a, a.c AS c_a, b.n AS n_b, b.c AS c_b
+       |  FROM (SELECT n, c FROM v0 WHERE variant = 'A') a,
+       |       (SELECT n, c FROM v0 WHERE variant = 'B') b
+       |), d AS (
+       |  SELECT n_a, c_a, n_b, c_b,
+       |    (CAST(c_a AS DOUBLE) / n_a) - (CAST(c_b AS DOUBLE) / n_b)
+       |      AS delta,
+       |    ((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) *
+       |     (1.0 - (CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)))) *
+       |    ((1.0 / n_a) + (1.0 / n_b)) AS v
+       |  FROM w
+       |)
+       |SELECT n_a, c_a, n_b, c_b, delta, v,
+       |  CASE WHEN v > 0.0 THEN ${Exact.duckRoundS(ll, 6)} END
+       |    AS log_lambda,
+       |  CASE WHEN v > 0.0 THEN ${Exact.duckRoundS(
+           s"least(1.0, exp(-($ll)))", 6)} END AS always_valid_p,
+       |  COALESCE(CASE WHEN v > 0.0 THEN ${Exact.duckRoundS(
+           s"least(1.0, exp(-($ll)))", 6)} END < 0.05, false) AS reject
+       |FROM d""".stripMargin
+  }
+
   // ---------------------------------------------------- #327 CUPED
 
   /** #327: CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013) —

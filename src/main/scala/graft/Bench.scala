@@ -158,7 +158,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.core.Logs.quietBoundedWindowWarnings()
     SparkEntry.sessionConfigs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val tally = new graft.core.ShuffleTally().attach(spark.sparkContext)
 
     // Optional subset (comma list) for bounded scale smokes: the
     // synthetic-sf1 run (tools/BenchScale) grew past a session budget
@@ -198,7 +200,13 @@ object Bench {
       // by a transient contention window (cp_mttkrp 46.8 s vs 1.5 s
       // steady-state). The min of two runs is robust to a one-off stall
       // while still charging real recompute to the query.
-      val timed = (1 to 2).map { _ =>
+      // Shuffle accounting (VERDICT r7 item 8): snapshot the listener
+      // totals around warm run 1 — plans are deterministic, so run 1's
+      // exchanged bytes/records ARE the query's shuffle profile. The
+      // settle waits sit OUTSIDE the timing windows.
+      val shufBefore = tally.settle()
+      var shufAfterRun1 = shufBefore
+      val timed = (1 to 2).map { i =>
         // GC boundary: after the warmup pass the heap is full of cached
         // blocks + codegen classes, and collector pauses were landing
         // INSIDE whichever query ran next (bimodal 1.6 s vs 90 s for the
@@ -209,34 +217,42 @@ object Bench {
         val err: Option[String] =
           try { run(fn(spark, sfDir)); None }
           catch { case e: Throwable => Some(e.getClass.getSimpleName) }
-        ((System.nanoTime() - t0) / 1e9, err)
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (i == 1) shufAfterRun1 = tally.settle()
+        (dt, err)
       }
+      val sb = shufBefore; val sa = shufAfterRun1
+      val shuf = (sa._1 - sb._1, sa._2 - sb._2, sa._3 - sb._3, sa._4 - sb._4)
       // err only when EVERY run failed; one good run is a valid timing
       val good = timed.filter(_._2.isEmpty)
       val (warm, err) =
         if (good.nonEmpty) (good.map(_._1).min, None)
         else (timed.map(_._1).min, timed.head._2)
-      (name, warm, if (coldErr.isEmpty) Some(cold) else None, err)
+      (name, warm, if (coldErr.isEmpty) Some(cold) else None, err, shuf)
     }
     def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val ok = results.filter(_._4.isEmpty)
-    val qs = ok.map { case (k, v, _, _) => jq(k) + ":" + v }
+    val qs = ok.map { case (k, v, _, _, _) => jq(k) + ":" + v }
       .mkString("{", ",", "}")
-    val colds = results.collect { case (k, _, Some(c), _) => jq(k) + ":" + c }
+    val colds = results.collect { case (k, _, Some(c), _, _) => jq(k) + ":" + c }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(e)) => jq(k) + ":" + jq(e) }
+    val errs = results.collect { case (k, _, _, Some(e), _) => jq(k) + ":" + jq(e) }
       .mkString("{", ",", "}")
+    // Per-query shuffle profile (one warm run): exchanged bytes and rows.
+    val shufs = results.map { case (k, _, _, _, (rb, rr, wb, wr)) =>
+      jq(k) + s""":{"read_b":$rb,"read_rows":$rr,"write_b":$wb,"write_rows":$wr}"""
+    }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val totalCold = results.flatMap(_._3).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$colds,"total_cold":$totalCold,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$colds,"total_cold":$totalCold,"errors":$errs,"shuffle":$shufs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(out), json + "\n")
     // stdout gets a COMPACT line (round 6: the driver records only a
     // ~2 kB tail of stdout, so the 200+-query line arrived truncated
     // and parsed as null). Totals + errors + the slowest queries fit
     // the tail window; the full per-query artifact is the file above.
     val slow = ok.sortBy(-_._2).take(12)
-      .map { case (k, v, _, _) => jq(k) + ":" + math.round(v * 1000) / 1000.0 }
+      .map { case (k, v, _, _, _) => jq(k) + ":" + math.round(v * 1000) / 1000.0 }
       .mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$slow,"n_queries":${ok.size},"total_cold":$totalCold,"errors":$errs,"sf":"$sfDir","artifact":"$out"}""")

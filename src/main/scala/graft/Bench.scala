@@ -135,7 +135,9 @@ object Bench {
     "source_schema_evolution",
     "events_diff_in_diff", "search_prf_expand",
     "events_cuped", "text_textrank",
-    "dict_delta_update", "events_sequential_test")
+    "dict_delta_update", "events_sequential_test",
+    // round-8 additions
+    "kge_checkpoint_roundtrip", "kge_transe_train_step2_adagrad")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

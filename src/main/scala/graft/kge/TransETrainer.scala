@@ -157,6 +157,19 @@ object TransETrainer {
     ent.select(col("id"), posexplode(col("vec")).as(Seq("i", "v")))
   }
 
+  /** #331: TWO unrolled ADAGRAD steps (VERDICT r7 item 6) — the #293
+    * state-carrying discipline applied to the reference's ACTUAL
+    * optimizer (AdaGrad, python/sansa/ml/kbc/kge/param.py:89-93:
+    * `a += g²; θ −= lr·g/√(a+ε)`): epoch 2's accumulator is epoch 1's
+    * squared gradient PLUS the new one, so the oracle pins the
+    * monotone step-shrinking behavior that defines AdaGrad across
+    * steps, which the from-zero single-step row (#80) cannot see.
+    */
+  def trainStep2Adagrad(spark: SparkSession, dir: String): DataFrame = {
+    val (ent, _, _) = trainFrames(spark, dir, "adagrad", 2, Lr)
+    ent.select(col("id"), posexplode(col("vec")).as(Seq("i", "v")))
+  }
+
   private def trainStepFor(spark: SparkSession, dir: String,
       optimizer: String): DataFrame = {
     val (ent, _, _) = trainFrames(spark, dir, optimizer, 1, Lr)
@@ -267,22 +280,55 @@ object TransETrainer {
     *    (order-free), update/bias/decay expressions textual mirrors
     *    with all constants interpolated from the SAME Scala doubles.
     */
-  val trainStep2AdamWSql: String = {
+  val trainStep2AdamWSql: String = trainStep2SqlFor("adamw")
+  val trainStep2AdagradSql: String = trainStep2SqlFor("adagrad")
+
+  /** Two-step unrolled oracle (#293/#331): shared skeleton; the
+    * optimizer plugs in its epoch-1 (from zero slots) and epoch-2
+    * (carried slots m1/v1 — AdaGrad uses m1 as the accumulator, v1
+    * stays 0) update expressions plus the slot carries, every
+    * expression a textual mirror of the trainer's zip_with chains with
+    * constants interpolated from the SAME Scala doubles.
+    */
+  private def trainStep2SqlFor(optimizer: String): String = {
     val mbHash = PortableHash.duck("'mb|' || sid || '|' || pid || '|' || oid")
     val negHash = PortableHash.duck("'neg|' || sid || '|' || pid || '|' || oid")
     val c1 = 1 - Beta1; val c2 = 1 - Beta2
     val bc1a = 1.0 - math.pow(Beta1, 1); val bc2a = 1.0 - math.pow(Beta2, 1)
     val bc1b = 1.0 - math.pow(Beta1, 2); val bc2b = 1.0 - math.pow(Beta2, 2)
     val lw = Lr * Wd
-    // epoch-1 AdamW update from zero state over a mean gradient alias
-    def up1(v: String, g: String): String =
-      s"$v - $Lr * (((($c1) * $g) / $bc1a) / " +
-        s"(sqrt((($c2) * ($g * $g)) / $bc2a) + $Eps)) - $lw * $v"
+    // epoch-1 update from zero slot state over a mean gradient alias
+    def up1(v: String, g: String): String = optimizer match {
+      case "adamw" =>
+        s"$v - $Lr * (((($c1) * $g) / $bc1a) / " +
+          s"(sqrt((($c2) * ($g * $g)) / $bc2a) + $Eps)) - $lw * $v"
+      case "adagrad" =>
+        // a₁ = 0 + g² ≡ g² exactly; step = g/√(a₁+ε)
+        s"$v - $Lr * ($g / sqrt(($g * $g) + $Eps))"
+    }
     // epoch-2 update from carried slots
     def up2(v: String, m1: String, v1: String, g: String): String =
-      s"$v - $Lr * ((($Beta1 * $m1 + ($c1) * $g) / $bc1b) / " +
-        s"(sqrt(($Beta2 * $v1 + ($c2) * ($g * $g)) / $bc2b) + $Eps)) - " +
-        s"$lw * $v"
+      optimizer match {
+        case "adamw" =>
+          s"$v - $Lr * ((($Beta1 * $m1 + ($c1) * $g) / $bc1b) / " +
+            s"(sqrt(($Beta2 * $v1 + ($c2) * ($g * $g)) / $bc2b) + $Eps)) - " +
+            s"$lw * $v"
+        case "adagrad" =>
+          // a₂ = a₁ + g₂²; step = g₂/√(a₂+ε) — same association as the
+          // trainer's zip_with (accumulate first, then add ε)
+          s"$v - $Lr * ($g / sqrt(($m1 + $g * $g) + $Eps))"
+      }
+    // slot carries out of epoch 1 (what e1/r1 persist for epoch 2)
+    val slot1 = optimizer match {
+      case "adamw" => s"($c1) * gm.g"
+      case "adagrad" => "gm.g * gm.g"
+    }
+    val slot2 = optimizer match {
+      case "adamw" => s"($c2) * (gm.g * gm.g)"
+      case "adagrad" => "0.0"
+    }
+    val slot1r = slot1.replace("gm.g", "gmr.g")
+    val slot2r = slot2.replace("gm.g", "gmr.g")
     s"""${Dict.preludeCtes},
        |n AS (SELECT COUNT(*) AS n_ent FROM entities),
        |mb AS MATERIALIZED (
@@ -344,15 +390,15 @@ object TransETrainer {
        |e1 AS MATERIALIZED (
        |  SELECT e0.id, e0.i,
        |    CASE WHEN gm.g IS NULL THEN e0.v ELSE ${up1("e0.v", "gm.g")} END AS v,
-       |    COALESCE(($c1) * gm.g, 0.0) AS m1,
-       |    COALESCE(($c2) * (gm.g * gm.g), 0.0) AS v1
+       |    COALESCE($slot1, 0.0) AS m1,
+       |    COALESCE($slot2, 0.0) AS v1
        |  FROM e0 LEFT JOIN gm ON gm.id = e0.id AND gm.i = e0.i
        |),
        |r1 AS MATERIALIZED (
        |  SELECT r0.id, r0.i,
        |    CASE WHEN gmr.g IS NULL THEN r0.v ELSE ${up1("r0.v", "gmr.g")} END AS v,
-       |    COALESCE(($c1) * gmr.g, 0.0) AS m1,
-       |    COALESCE(($c2) * (gmr.g * gmr.g), 0.0) AS v1
+       |    COALESCE($slot1r, 0.0) AS m1,
+       |    COALESCE($slot2r, 0.0) AS v1
        |  FROM r0 LEFT JOIN gmr ON gmr.id = r0.id AND gmr.i = r0.i
        |),
        |trip2 AS MATERIALIZED (
@@ -406,6 +452,20 @@ object TransETrainer {
   private[kge] def trainFrames(spark: SparkSession, dir: String,
       optimizer: String, epochs: Int = Epochs, lr: Double = Lr,
       freshNegs: Boolean = false)
+      : (DataFrame, DataFrame, Seq[(Int, Double)]) = {
+    val (ent, rel, losses) =
+      trainState(spark, dir, optimizer, epochs, lr, freshNegs)
+    (ent.select(col("id"), col("vec")), rel.select(col("id"), col("vec")),
+      losses)
+  }
+
+  /** Full trainer state — (id, vec, s1, s2) frames WITH the optimizer
+    * slots — for the checkpoint tier ([[Checkpoints]]): resuming
+    * bit-identically requires the moments, not just the parameters.
+    */
+  private[kge] def trainState(spark: SparkSession, dir: String,
+      optimizer: String, epochs: Int = Epochs, lr: Double = Lr,
+      freshNegs: Boolean = false)
       : (DataFrame, DataFrame, Seq[(Int, Double)]) =
     trainedCache.getOrElseUpdate(
       (spark, dir, s"$optimizer|$epochs|$lr|$freshNegs"),
@@ -414,7 +474,38 @@ object TransETrainer {
   private def trainRun(spark: SparkSession, dir: String,
       optimizer: String, epochs: Int, lr: Double, freshNegs: Boolean)
       : (DataFrame, DataFrame, Seq[(Int, Double)]) = {
-    import spark.implicits._
+    val x0 = TrainData.minibatch(spark, dir)
+    // optimizer slot arrays: s1 = Adagrad accumulator / Adam 1st moment,
+    // s2 = Adam 2nd moment (unused by sgd/adagrad)
+    val zeros = array((0 until D).map(_ => lit(0.0)): _*)
+    // freshNegs needs every entity embeddable (any id can be drawn as a
+    // corruption) — the production layout anyway; the fixed batch only
+    // ever touches its own three id sets.
+    val entIds =
+      if (freshNegs) Dict.entities(spark, dir).select(col("id"))
+      else x0.select(explode(array(col("sid"), col("oid"), col("nid"))).as("id"))
+        .distinct()
+    val ent0 = entIds.withColumn("vec", initVec("TE", col("id")))
+      .withColumn("s1", zeros).withColumn("s2", zeros).localCheckpoint()
+    val rel0 = x0.select(col("pid").as("id")).distinct()
+      .withColumn("vec", initVec("TR", col("id")))
+      .withColumn("s1", zeros).withColumn("s2", zeros).localCheckpoint()
+    epochLoop(spark, dir, optimizer, ent0, rel0, 1, epochs, lr, freshNegs)
+  }
+
+  /** The epoch loop from an ARBITRARY starting state: `entInit`/`relInit`
+    * carry (id, vec, s1, s2) — fresh dyadic init with zero slots for a
+    * from-scratch run, or a [[Checkpoints]]-loaded frame pair to RESUME
+    * a prior run. `startEpoch` continues the global epoch numbering
+    * (Adam/AdamW bias corrections 1−βᵗ and freshNegs' per-epoch
+    * corruption hashes are functions of the ABSOLUTE epoch, so a resumed
+    * run replays exactly the schedule the uninterrupted run would have
+    * had — the bit-identity the resume spec pins).
+    */
+  private[kge] def epochLoop(spark: SparkSession, dir: String,
+      optimizer: String, entInit: DataFrame, relInit: DataFrame,
+      startEpoch: Int, epochs: Int, lr: Double, freshNegs: Boolean)
+      : (DataFrame, DataFrame, Seq[(Int, Double)]) = {
     // deterministic minibatch + corrupted objects, shared across all
     // trainer entries (see TrainData — the reference's minibatch-SGD
     // shape with a pHash-fixed batch)
@@ -450,21 +541,8 @@ object TransETrainer {
           .drop("k")
       }
 
-    // optimizer slot arrays: s1 = Adagrad accumulator / Adam 1st moment,
-    // s2 = Adam 2nd moment (unused by sgd/adagrad)
-    val zeros = array((0 until D).map(_ => lit(0.0)): _*)
-    // freshNegs needs every entity embeddable (any id can be drawn as a
-    // corruption) — the production layout anyway; the fixed batch only
-    // ever touches its own three id sets.
-    val entIds =
-      if (freshNegs) Dict.entities(spark, dir).select(col("id"))
-      else x0.select(explode(array(col("sid"), col("oid"), col("nid"))).as("id"))
-        .distinct()
-    var ent = entIds.withColumn("vec", initVec("TE", col("id")))
-      .withColumn("s1", zeros).withColumn("s2", zeros).localCheckpoint()
-    var rel = x0.select(col("pid").as("id")).distinct()
-      .withColumn("vec", initVec("TR", col("id")))
-      .withColumn("s1", zeros).withColumn("s2", zeros).localCheckpoint()
+    var ent = entInit
+    var rel = relInit
 
     def joinedFor(x: DataFrame): DataFrame =
       x.join(ent.select(col("id").as("sid"), col("vec").as("h")), "sid")
@@ -485,7 +563,7 @@ object TransETrainer {
         .agg(Exact.decSum(col("l"))).head().getDouble(0)
 
     val losses = Seq.newBuilder[(Int, Double)]
-    for (epoch <- 1 to epochs) {
+    for (epoch <- startEpoch to epochs) {
       if (freshNegs) {
         // Bordes et al.'s entity renormalization at each epoch start:
         // without the unit-sphere projection the hinge is satisfiable by
@@ -604,7 +682,6 @@ object TransETrainer {
       j.unpersist()
     }
     losses += ((epochs, lossOf(joinedFor(batchFor(epochs)))))
-    (ent.select(col("id"), col("vec")), rel.select(col("id"), col("vec")),
-      losses.result())
+    (ent, rel, losses.result())
   }
 }

@@ -137,7 +137,8 @@ object Bench {
     "events_cuped", "text_textrank",
     "dict_delta_update", "events_sequential_test",
     // round-8 additions
-    "kge_checkpoint_roundtrip", "kge_transe_train_step2_adagrad")
+    "kge_checkpoint_roundtrip", "kge_transe_train_step2_adagrad",
+    "pipeline_e2e")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

@@ -73,7 +73,13 @@ object CorpusClean {
         .withColumn("uniq_ok", col("qual_ok") && col("doc_id") === col("keep_id"))
     }
 
-  def corpusClean(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-document stage flags through the clean funnel — the frame the
+    * #51 report aggregates, exposed so the end-to-end pipeline (#332,
+    * [[Pipeline]]) can compose on the SAME per-doc verdicts instead of
+    * re-deriving them: (doc_id, source, n_words, quality, lang_ok,
+    * qual_ok, uniq_ok, kept).
+    */
+  private[pipeline] def keptFlags(spark: SparkSession, dir: String): DataFrame = {
     val staged = stagedFlags(spark, dir)
 
     // near-dup removal: drop a doc when a verified pair partner with a
@@ -83,10 +89,13 @@ object CorpusClean {
       .join(s3.withColumnRenamed("doc_id", "d1"), "d1")
       .select(col("d2").as("doc_id")).distinct()
       .withColumn("near_dropped", lit(true))
-    val all = staged.join(dropNear, Seq("doc_id"), "left")
+    staged.join(dropNear, Seq("doc_id"), "left")
       .withColumn("kept",
         col("uniq_ok") && coalesce(!col("near_dropped"), lit(true)))
+  }
 
+  def corpusClean(spark: SparkSession, dir: String): DataFrame = {
+    val all = keptFlags(spark, dir)
     def cnt(c: org.apache.spark.sql.Column) = sum(c.cast("long"))
     all.groupBy("source").agg(
       count(lit(1)).as("n_raw"),
@@ -99,13 +108,16 @@ object CorpusClean {
         .as("sum_quality_kept"))
   }
 
-  val corpusCleanSql: String = {
+  /** The clean-funnel CTE chain `lw … alls` (per-doc `kept` verdicts;
+    * requires the MinHash CTEs — `vpairs` — already in scope). Shared
+    * by the #51 oracle and the #332 end-to-end pipeline oracle.
+    */
+  private[pipeline] val cleanCtes: String = {
     // lang-ID + quality fragments mirror TextAnalysis SQL; the MinHash
     // CTE chain is shared verbatim with the dedup oracles.
     val duckWords = "regexp_split_to_array(trim(text), '\\s+')"
     val keepList = KeepLangs.map(l => s"'$l'").mkString("(", ", ", ")")
-    s"""WITH ${Dedup.minhashCtes},
-       |lw AS (
+    s"""lw AS (
        |  SELECT doc_id,
        |    ['de','en','es','fr','zh'][CAST(${graft.core.PortableHash.duck("w")} % 5 AS INT) + 1] AS pred_lang
        |  FROM (SELECT doc_id, unnest($duckWords) AS w FROM documents)
@@ -140,7 +152,12 @@ object CorpusClean {
        |  SELECT s.*, COALESCE(s.uniq_ok, FALSE)
        |    AND dn.doc_id IS NULL AS kept
        |  FROM staged s LEFT JOIN drop_near dn USING (doc_id)
-       |)
+       |)""".stripMargin
+  }
+
+  val corpusCleanSql: String = {
+    s"""WITH ${Dedup.minhashCtes},
+       |$cleanCtes
        |SELECT source,
        |  COUNT(*) AS n_raw,
        |  CAST(SUM(CAST(lang_ok AS BIGINT)) AS BIGINT) AS n_lang_ok,

@@ -202,7 +202,10 @@ object QualityClassifier {
     * #141 and #178 oracles so server and calibration report score with
     * the SAME re-derived trajectory.
     */
-  private lazy val (serveCtes: String, duckP: String) = {
+  // serve-path CTE bodies + quantized-sigmoid expression, exposed to the
+  // package so the #332 end-to-end pipeline oracle can splice the gate's
+  // re-derived trajectory into its composed CTE chain.
+  private[pipeline] lazy val (serveCtes: String, duckP: String) = {
     def zOfSql(wref: String) = (1 until NF).foldLeft(s"$wref.w0 * f.x0") {
       (acc, j) => s"$acc + $wref.w$j * f.x$j"
     }

@@ -40,4 +40,15 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** All source-table names (dimension tables included). */
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Loader by name (dimension tables skip the [[spread]] repartition). */
+  def byName(s: SparkSession, d: String, name: String): DataFrame =
+    name match {
+      case "nation" | "region" => dim(s, d, name)
+      case other => table(s, d, other)
+    }
 }

@@ -1310,4 +1310,111 @@ object Ann {
        |SELECT CAST(m AS BIGINT) AS m, n_vecs, mean_dist FROM per_block
        |UNION ALL SELECT m, n_vecs, mean_dist FROM overall""".stripMargin
   }
+
+  // --------------------------------------------- #334 int8 serving recall
+
+  /** #334: INT8 SERVING RECALL — the recall half of the scalar-
+    * quantization story (#86 reports the storage-side reconstruction
+    * error; this measures what the SERVING tier actually loses):
+    * normalize, absmax-quantize query AND database vectors to int8
+    * (#86's exact scheme on the unit sphere), rank by the symmetric
+    * int8 dot product s_q·s_v·Σc_q·c_v — the integer-SIMD score an
+    * int8 store serves — and report per-query recall@K against the
+    * float cosine truth. Together with #288 (PQ distortion) and #296
+    * (nprobe sweep) this completes the tuning artifacts for every
+    * compression tier on the ladder.
+    *
+    * Determinism: unit-normalize, scale, and codes are correctly-
+    * rounded IEEE chains identical in both engines; the dot is an
+    * EXACT integer (≤64·127²); the score is two multiplications over
+    * identical doubles, so the (score DESC, vec_id) ranking is
+    * engine-deterministic with no quantization needed — same argument
+    * as the float brute ranking. Scale: quantization is map-only; the
+    * scoring join broadcasts the query codes and runs the house
+    * two-phase salted heaps (per-query shuffle moves k·S rows, never
+    * N); truth comes from the session-cached brute pass.
+    */
+  def sqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val coded = vecs(spark, dir)
+      .withColumn("nrm", VectorLsh.norm(col("v")))
+      .withColumn("u", transform(col("v"), x =>
+        when(col("nrm") === 0.0, lit(0.0)).otherwise(x / col("nrm"))))
+      .withColumn("amax", array_max(transform(col("u"), abs(_))))
+      .withColumn("qs", col("amax") / lit(127.0))
+      .withColumn("cd", transform(col("u"), x =>
+        when(col("amax") === 0.0, lit(0L))
+          .otherwise(floor(x / col("qs") + lit(0.5)).cast("long"))))
+      .select(col("vec_id"), col("qs"), col("cd"))
+    val q = coded.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("q_id"), col("qs").as("qsq"),
+        col("cd").as("cq"))
+    val scored = coded.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("idot",
+        aggregate(zip_with(col("cq"), col("cd"), _ * _), lit(0L), _ + _))
+      .withColumn("score",
+        col("qsq") * col("qs") * col("idot").cast("double"))
+      .withColumn("salt", pmod(col("vec_id"), lit(NSalt)))
+    val partial = scored.withColumn("prank", row_number().over(
+        Window.partitionBy("q_id", "salt")
+          .orderBy(col("score").desc, col("vec_id").asc)))
+      .filter(col("prank") <= K)
+    val topk = partial.withColumn("rank", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("vec_id").asc)))
+      .filter(col("rank") <= K)
+      .select("q_id", "vec_id")
+    val truth = bruteTopK(spark, dir)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    topk.join(truth, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(coalesce(sum("hit"), lit(0L)).as("n_hits"))
+      .select(col("q_id"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(K.toDouble)).as("recall"))
+  }
+
+  val sqRecallSql: String = {
+    val idot = s"list_sum(list_transform(range(1, ${VectorLsh.EmbDim + 1}), " +
+      "i -> q.cd[i] * e.cd[i]))"
+    s"""WITH ve AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), nr AS (
+       |  SELECT vec_id, v,
+       |    sqrt(${VectorLsh.duckFold("v[i] * v[i]")}) AS nrm
+       |  FROM ve
+       |), un AS (
+       |  SELECT vec_id, list_transform(v,
+       |    x -> CASE WHEN nrm = 0.0 THEN 0.0 ELSE x / nrm END) AS u
+       |  FROM nr
+       |), am AS (
+       |  SELECT vec_id, u, list_max(list_transform(u, x -> abs(x))) AS amax
+       |  FROM un
+       |), cs AS MATERIALIZED (
+       |  SELECT vec_id, amax / 127.0 AS qs,
+       |    list_transform(u, x -> CASE WHEN amax = 0.0 THEN CAST(0 AS BIGINT)
+       |      ELSE CAST(floor(x / (amax / 127.0) + 0.5) AS BIGINT) END) AS cd
+       |  FROM am
+       |), sc AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+       |    q.qs * e.qs * CAST($idot AS DOUBLE) AS score
+       |  FROM cs q JOIN cs e ON e.vec_id <> q.vec_id
+       |  WHERE q.vec_id % $QueryMod = 0
+       |), tk AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS r
+       |    FROM sc
+       |  ) WHERE r <= $K
+       |), truth AS MATERIALIZED (
+       |  SELECT q_id, vec_id FROM ($bruteTopKSql)
+       |)
+       |SELECT tk.q_id,
+       |  CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hits,
+       |  CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / $K.0 AS recall
+       |FROM tk LEFT JOIN truth t
+       |  ON t.q_id = tk.q_id AND t.vec_id = tk.vec_id
+       |GROUP BY tk.q_id""".stripMargin
+  }
 }

@@ -3510,4 +3510,104 @@ object Events {
        |    - (s_a_post / n_a_post - s_a_pre / n_a_pre) AS did
        |FROM wide""".stripMargin
   }
+
+  // ------------------------------------------- #333 changepoint detect
+
+  /** #333: SINGLE-CHANGEPOINT DETECTION per event type — the binary-
+    * segmentation step (the building block CBS/PELT iterate): over the
+    * daily value-sum series, the split k maximizing the between-segment
+    * variance reduction gain(k) = n₁n₂/n·(μ₁−μ₂)², reported with the
+    * pre/post means — the "WHEN did the level shift" readout that
+    * complements #187's CUSUM "has it drifted" alarm and #284's
+    * seasonal-residual anomalies ("which days are off"). A monitoring
+    * stack pages on CUSUM and then runs exactly this to timestamp and
+    * size the shift.
+    *
+    * Exactness: daily sums on the 1e-6 integer grid (order-free);
+    * gain's numerator (S₁·n₂ − S₂·n₁) stays INTEGER inside
+    * DECIMAL(38,0) (int64 would overflow at (Σ·n)² scale), one
+    * correctly-rounded cast to double, then fixed literal-order IEEE
+    * ops; gain quantized back to the 1e-6 grid so the per-type argmax
+    * (ties → earliest day) is engine-deterministic. Scale: one
+    * map-side-combining daily rollup (same shuffle as #187), windows
+    * partitioned by type over the ≤|days| frame, argmax a second tiny
+    * window — nothing data-scale moves after the first aggregate.
+    */
+  def changepoint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.core.Exact
+    val e = Tables.events(spark, dir)
+    val daily = e
+      .select(col("event_type"),
+        expr(s"${tsNanos(e)} DIV $NsPerDay").as("day"), col("value"))
+      .groupBy("event_type", "day")
+      .agg(sum(floor(col("value") * 1e6 + 0.5).cast("long")).as("sv"))
+    val byType = Window.partitionBy("event_type")
+    val ordered = byType.orderBy("day")
+    val t = daily
+      .withColumn("k", row_number().over(ordered))
+      .withColumn("n", count(lit(1)).over(byType))
+      .withColumn("st", sum("sv").over(byType))
+      .withColumn("s1", sum("sv").over(
+        ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("k") < col("n")) // split AFTER day k: [1..k] vs [k+1..n]
+      .withColumn("n1", col("k"))
+      .withColumn("n2", col("n") - col("k"))
+      // d = (S₁·n₂ − S₂·n₁) / grid — exact integer diff in DECIMAL(38,0)
+      .withColumn("d",
+        (col("s1").cast("decimal(38,0)") * col("n2")
+          - (col("st") - col("s1")).cast("decimal(38,0)") * col("n1"))
+          .cast("double") / lit(1e6))
+      .withColumn("gain", Exact.roundS(
+        col("d") * col("d")
+          / (col("n1") * col("n2") * col("n")).cast("double"), 6))
+    t.withColumn("r", row_number().over(
+        byType.orderBy(col("gain").desc, col("day").asc)))
+      .filter(col("r") === 1)
+      .select(col("event_type"), col("day").as("cp_day"),
+        col("n1").cast("long").as("n_pre"), col("n2").cast("long").as("n_post"),
+        Exact.roundS(col("s1").cast("double") / col("n1") / lit(1e6), 6)
+          .as("mean_pre"),
+        Exact.roundS((col("st") - col("s1")).cast("double") / col("n2")
+          / lit(1e6), 6).as("mean_post"),
+        col("gain"))
+  }
+
+  val changepointSql: String = {
+    import graft.core.Exact
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_ns(ts) // $NsPerDay AS day,
+       |    CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+       |      AS BIGINT) AS sv
+       |  FROM events GROUP BY 1, 2
+       |), t AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS k,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+       |    CAST(SUM(sv) OVER (PARTITION BY event_type) AS BIGINT) AS st,
+       |    CAST(SUM(sv) OVER (PARTITION BY event_type ORDER BY day
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s1
+       |  FROM daily
+       |), g AS (
+       |  SELECT event_type, day, k AS n1, n - k AS n2, st, s1,
+       |    CAST(CAST(s1 AS DECIMAL(38,0)) * (n - k)
+       |      - CAST(st - s1 AS DECIMAL(38,0)) * k AS DOUBLE)
+       |      / 1000000.0 AS d,
+       |    n
+       |  FROM t WHERE k < n
+       |), gg AS (
+       |  SELECT *, ${Exact.duckRoundS(
+             "d * d / CAST(n1 * n2 * n AS DOUBLE)", 6)} AS gain
+       |  FROM g
+       |)
+       |SELECT event_type, day AS cp_day, n1 AS n_pre, n2 AS n_post,
+       |  ${Exact.duckRoundS("CAST(s1 AS DOUBLE) / n1 / 1000000.0", 6)}
+       |    AS mean_pre,
+       |  ${Exact.duckRoundS(
+           "CAST(st - s1 AS DOUBLE) / n2 / 1000000.0", 6)} AS mean_post,
+       |  gain
+       |FROM gg
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+       |  ORDER BY gain DESC, day ASC) = 1""".stripMargin
+  }
 }

@@ -138,7 +138,8 @@ object Bench {
     "dict_delta_update", "events_sequential_test",
     // round-8 additions
     "kge_checkpoint_roundtrip", "kge_transe_train_step2_adagrad",
-    "pipeline_e2e", "events_changepoint", "embed_sq_recall")
+    "pipeline_e2e", "events_changepoint", "embed_sq_recall",
+    "events_ab_holm")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

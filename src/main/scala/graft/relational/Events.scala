@@ -3511,6 +3511,163 @@ object Events {
        |FROM wide""".stripMargin
   }
 
+  // --------------------------------------- #335 Holm-corrected AB family
+
+  /** Holm step-down critical |z| values: index k = number of remaining
+    * hypotheses, crit(k) = Φ⁻¹(1 − α/(2k)) at α = 0.05 — pinned
+    * CONSTANTS (JVM doubles interpolated into both engines), covering
+    * any family up to 10 metrics; the events schema has 5 types.
+    */
+  val HolmCrit: Seq[Double] = Seq(
+    1.9599639845400536, 2.2414027276049464, 2.3939797998185104,
+    2.4977054744123737, 2.5758293035489, 2.638257273476751,
+    2.690109527158866, 2.734368786533176, 2.772921294608662,
+    2.8070337683438114)
+
+  /** #335: the #215 two-proportion z-test run as a FAMILY — one test per
+    * event type (metric: the user's share of type-t activity exceeds
+    * 1/5) — with HOLM step-down multiple-testing control (Holm 1979):
+    * five looks at α=0.05 inflate the family false-positive rate to
+    * ~23%, the classic dashboard failure #329's peeking fix does not
+    * cover (that one is looks-over-TIME; this is looks-across-METRICS).
+    * Tests are ranked by |z| (descending, grid-quantized, type
+    * tiebreak); test at rank i must clear crit(m−i+1), and rejection
+    * stops at the first failure — the sequential prefix-AND.
+    *
+    * Spark-first (and PlanGuard-safe): the family frame is ≤|types|
+    * rows, so rank and prefix-AND run as two broadcast self-joins
+    * (count-of-better and all-pass-below), never a single-partition
+    * window over an unbounded frame. Per-user metrics come from ONE
+    * (user × type) aggregate against a broadcast type list so absent
+    * combinations count as non-converted. z chains are #215's literal
+    * trees verbatim; the unpowered / degenerate guard mirrors #215
+    * (unpowered tests are excluded from the family m, reported with
+    * null rank and reject = false).
+    */
+  def abHolm(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.{Exact, PortableHash}
+    val e = eventsS(spark, dir)
+    val u = e.groupBy("user_id").agg(count(lit(1)).as("ne"))
+    val ty = e.select("event_type").distinct()
+    val ut = e.groupBy("user_id", "event_type").agg(count(lit(1)).as("nt"))
+    val base = u.crossJoin(broadcast(ty))
+      .join(ut, Seq("user_id", "event_type"), "left")
+      .select(col("event_type"),
+        when(coalesce(col("nt"), lit(0L)) * 5L > col("ne"), 1L)
+          .otherwise(0L).as("conv"),
+        when(PortableHash.pHash(concat(lit("ab|"), col("user_id"))) % 2 === 0,
+          "A").otherwise("B").as("variant"))
+    val v = base.groupBy("event_type", "variant")
+      .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+    val wide = v.filter(col("variant") === "A")
+      .select(col("event_type"), col("n").as("n_a"), col("c").as("c_a"))
+      .join(v.filter(col("variant") === "B")
+        .select(col("event_type"), col("n").as("n_b"), col("c").as("c_b")),
+        "event_type")
+    val pa = col("c_a").cast("double") / col("n_a")
+    val pb = col("c_b").cast("double") / col("n_b")
+    val pp = (col("c_a") + col("c_b")).cast("double") / (col("n_a") + col("n_b"))
+    val se = sqrt((pp * (lit(1.0) - pp)) *
+      ((lit(1.0) / col("n_a")) + (lit(1.0) / col("n_b"))))
+    val tests = wide
+      .withColumn("powered", col("n_a") >= 30L && col("n_b") >= 30L)
+      .withColumn("z",
+        when(col("powered") && se > 0.0, Exact.roundS((pa - pb) / se, 6)))
+      .withColumn("absz", abs(col("z")))
+    val fam = tests.filter(col("z").isNotNull)
+      .select("event_type", "absz").localCheckpoint(false)
+    // rank = 1 + |{better tests}|; ties break on event_type — a
+    // ≤|types|² broadcast self-join, not an unpartitioned window
+    val ranked = fam.join(broadcast(
+        fam.select(col("event_type").as("ty"), col("absz").as("az"))),
+        col("az") > col("absz") ||
+          (col("az") === col("absz") && col("ty") < col("event_type")),
+        "left")
+      .groupBy("event_type").agg((count(col("ty")) + 1L).as("rank"))
+    val m1 = fam.agg(count(lit(1)).as("m"))
+    val critExpr = HolmCrit.zipWithIndex.foldLeft(lit(Double.NaN)) {
+      case (acc, (c, i)) => when(col("k") === (i + 1).toLong, lit(c)).otherwise(acc)
+    }
+    val withCrit = fam.join(ranked, "event_type").crossJoin(broadcast(m1))
+      .withColumn("k", col("m") - col("rank") + 1L)
+      .withColumn("crit", critExpr)
+      .withColumn("pass", col("absz") >= col("crit"))
+    // sequential step-down: reject i iff EVERY rank ≤ i passes
+    val holm = withCrit.join(broadcast(
+        withCrit.select(col("rank").as("r2"), col("pass").as("p2"))),
+        col("r2") <= col("rank"))
+      .groupBy("event_type")
+      .agg((min(col("p2").cast("int")) === 1).as("reject_holm"))
+    tests
+      .join(withCrit.select("event_type", "m", "rank", "crit"),
+        Seq("event_type"), "left")
+      .join(holm, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_a"), col("c_a"), col("n_b"),
+        col("c_b"), col("z"), col("m"), col("rank"), col("crit"),
+        coalesce(abs(col("z")) > lit(1.9599639845400536), lit(false))
+          .as("reject_unadjusted"),
+        coalesce(col("reject_holm"), lit(false)).as("reject_holm"))
+  }
+
+  val abHolmSql: String = {
+    import graft.core.{Exact, PortableHash}
+    val h = PortableHash.duck("'ab|' || u.user_id")
+    val critCase = HolmCrit.zipWithIndex
+      .map { case (c, i) => s"WHEN ${i + 1} THEN $c" }.mkString(" ")
+    s"""WITH u AS (
+       |  SELECT user_id, COUNT(*) AS ne FROM events GROUP BY 1
+       |), ty AS (SELECT DISTINCT event_type FROM events),
+       |ut AS (
+       |  SELECT user_id, event_type, COUNT(*) AS nt
+       |  FROM events GROUP BY 1, 2
+       |), base AS (
+       |  SELECT t.event_type,
+       |    CASE WHEN COALESCE(x.nt, 0) * 5 > u.ne THEN 1 ELSE 0 END AS conv,
+       |    CASE WHEN $h % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+       |  FROM u CROSS JOIN ty t
+       |  LEFT JOIN ut x ON x.user_id = u.user_id AND x.event_type = t.event_type
+       |), v AS (
+       |  SELECT event_type, variant, COUNT(*) AS n,
+       |    CAST(SUM(conv) AS BIGINT) AS c
+       |  FROM base GROUP BY 1, 2
+       |), w AS (
+       |  SELECT a.event_type, a.n AS n_a, a.c AS c_a, b.n AS n_b, b.c AS c_b
+       |  FROM (SELECT * FROM v WHERE variant = 'A') a
+       |  JOIN (SELECT * FROM v WHERE variant = 'B') b USING (event_type)
+       |), tests AS (
+       |  SELECT event_type, n_a, c_a, n_b, c_b,
+       |    CASE WHEN n_a >= 30 AND n_b >= 30 AND
+       |      sqrt(((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) *
+       |            (1.0 - (CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)))) *
+       |           ((1.0 / n_a) + (1.0 / n_b))) > 0.0
+       |    THEN ${Exact.duckRoundS(
+             """((CAST(c_a AS DOUBLE) / n_a) - (CAST(c_b AS DOUBLE) / n_b))
+               | / sqrt(((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)) *
+               |         (1.0 - (CAST(c_a + c_b AS DOUBLE) / (n_a + n_b)))) *
+               |        ((1.0 / n_a) + (1.0 / n_b)))""".stripMargin, 6)}
+       |    END AS z
+       |  FROM w
+       |), fam AS (
+       |  SELECT event_type, abs(z) AS absz,
+       |    ROW_NUMBER() OVER (ORDER BY abs(z) DESC, event_type) AS rank,
+       |    COUNT(*) OVER () AS m
+       |  FROM tests WHERE z IS NOT NULL
+       |), hc AS (
+       |  SELECT *, CASE m - rank + 1 $critCase END AS crit FROM fam
+       |), hp AS (
+       |  SELECT *,
+       |    MIN(CASE WHEN absz >= crit THEN 1 ELSE 0 END)
+       |      OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS allpass
+       |  FROM hc
+       |)
+       |SELECT t.event_type, t.n_a, t.c_a, t.n_b, t.c_b, t.z,
+       |  h.m, h.rank, h.crit,
+       |  COALESCE(abs(t.z) > 1.9599639845400536, FALSE)
+       |    AS reject_unadjusted,
+       |  COALESCE(h.allpass = 1, FALSE) AS reject_holm
+       |FROM tests t LEFT JOIN hp h USING (event_type)""".stripMargin
+  }
+
   // ------------------------------------------- #333 changepoint detect
 
   /** #333: SINGLE-CHANGEPOINT DETECTION per event type — the binary-

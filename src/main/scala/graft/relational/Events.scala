@@ -3511,6 +3511,99 @@ object Events {
        |FROM wide""".stripMargin
   }
 
+  // --------------------------------------- #336 quantile treatment effects
+
+  /** #336: QUANTILE TREATMENT EFFECTS — the distributional readout of
+    * the experiment stack: #215/#335 test a MEAN (conversion rate),
+    * but heavy-tailed value metrics (revenue per user) routinely move
+    * in the tail while the median sits still, or vice versa — the
+    * standard econometrics practice (Koenker & Bassett's quantile
+    * lens) is to report the per-quantile difference q_B(p) − q_A(p)
+    * at p ∈ {25, 50, 75, 90} of the USER-level metric. One experiment
+    * readout, four rows: where in the distribution the treatment acts.
+    *
+    * Exactness: the user metric is the cent-grid integer sum of the
+    * user's event values (order-free); quantiles are #108's
+    * nearest-rank picks over a (variant, cent)-keyed histogram —
+    * integer compares, no interpolation — and the effect is one
+    * subtraction of two grid doubles. Scale: one map-side-combining
+    * user rollup (the #215 shuffle), then a histogram bounded by the
+    * occupied cent grid per variant, windows partitioned by variant,
+    * output bounded by the quantile list.
+    */
+  def quantileAb(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.PortableHash
+    val users = eventsS(spark, dir)
+      .groupBy("user_id")
+      .agg(sum(floor(col("value") * 100.0 + lit(0.5)).cast("long")).as("ui"))
+      .withColumn("variant",
+        when(PortableHash.pHash(concat(lit("ab|"), col("user_id"))) % 2 === 0,
+          "A").otherwise("B"))
+    val hist = users.groupBy("variant", "ui").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("variant").orderBy("ui")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("variant")
+    def pick(p: Int) =
+      (min(when(col("cum") >= expr(s"(n * $p + 99) DIV 100"), col("ui")))
+        / 100.0).as(s"q$p")
+    val qs = hist
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wAll))
+      .groupBy("variant")
+      .agg(max("n").as("n_users"), pick(25), pick(50), pick(75), pick(90))
+    val wide = qs.filter(col("variant") === "A")
+      .select(col("n_users").as("n_a"), col("q25").as("q25_a"),
+        col("q50").as("q50_a"), col("q75").as("q75_a"), col("q90").as("q90_a"))
+      .crossJoin(broadcast(qs.filter(col("variant") === "B")
+        .select(col("n_users").as("n_b"), col("q25").as("q25_b"),
+          col("q50").as("q50_b"), col("q75").as("q75_b"),
+          col("q90").as("q90_b"))))
+    wide.selectExpr(
+      """stack(4,
+        |  25, n_a, n_b, q25_a, q25_b, q25_b - q25_a,
+        |  50, n_a, n_b, q50_a, q50_b, q50_b - q50_a,
+        |  75, n_a, n_b, q75_a, q75_b, q75_b - q75_a,
+        |  90, n_a, n_b, q90_a, q90_b, q90_b - q90_a
+        |) AS (p, n_a, n_b, q_a, q_b, qte)""".stripMargin)
+  }
+
+  val quantileAbSql: String = {
+    import graft.core.PortableHash
+    val h = PortableHash.duck("'ab|' || user_id")
+    def pick(p: Int) =
+      s"MIN(CASE WHEN cum >= (n * $p + 99) // 100 THEN ui END) / 100.0"
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+       |      AS ui,
+       |    CASE WHEN $h % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+       |  FROM events GROUP BY user_id
+       |), hist AS (
+       |  SELECT variant, ui, COUNT(*) AS c FROM u GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT variant, ui, c,
+       |    SUM(c) OVER (PARTITION BY variant ORDER BY ui) AS cum,
+       |    SUM(c) OVER (PARTITION BY variant) AS n
+       |  FROM hist
+       |), qs AS (
+       |  SELECT variant, CAST(MAX(n) AS BIGINT) AS n_users,
+       |    ${pick(25)} AS q25, ${pick(50)} AS q50,
+       |    ${pick(75)} AS q75, ${pick(90)} AS q90
+       |  FROM cum GROUP BY variant
+       |), w AS (
+       |  SELECT a.n_users AS n_a, b.n_users AS n_b,
+       |    a.q25 AS q25_a, b.q25 AS q25_b, a.q50 AS q50_a, b.q50 AS q50_b,
+       |    a.q75 AS q75_a, b.q75 AS q75_b, a.q90 AS q90_a, b.q90 AS q90_b
+       |  FROM (SELECT * FROM qs WHERE variant = 'A') a,
+       |       (SELECT * FROM qs WHERE variant = 'B') b
+       |)
+       |SELECT 25 AS p, n_a, n_b, q25_a AS q_a, q25_b AS q_b,
+       |  q25_b - q25_a AS qte FROM w
+       |UNION ALL SELECT 50, n_a, n_b, q50_a, q50_b, q50_b - q50_a FROM w
+       |UNION ALL SELECT 75, n_a, n_b, q75_a, q75_b, q75_b - q75_a FROM w
+       |UNION ALL SELECT 90, n_a, n_b, q90_a, q90_b, q90_b - q90_a FROM w""".stripMargin
+  }
+
   // --------------------------------------- #335 Holm-corrected AB family
 
   /** Holm step-down critical |z| values: index k = number of remaining

@@ -139,7 +139,9 @@ object Bench {
     // round-8 additions
     "kge_checkpoint_roundtrip", "kge_transe_train_step2_adagrad",
     "pipeline_e2e", "events_changepoint", "embed_sq_recall",
-    "events_ab_holm", "events_quantile_ab")
+    "events_ab_holm", "events_quantile_ab",
+    // round-9 additions
+    "ann_index_roundtrip")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

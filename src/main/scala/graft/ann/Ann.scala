@@ -28,7 +28,7 @@ object Ann {
   val QueryMod = 100
   val NSalt = 32
 
-  private def vecs(spark: SparkSession, dir: String): DataFrame =
+  private[ann] def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
@@ -97,20 +97,20 @@ object Ann {
     * the operator oracle-checkable while exercising the identical plan
     * shape — coarse quantize, probe, scan short-lists).
     */
-  private lazy val centroids: Array[Array[Double]] =
+  private[ann] lazy val centroids: Array[Array[Double]] =
     Array.tabulate(NCells, VectorLsh.EmbDim)((c, i) =>
       graft.core.PortableHash.dyadicJvm(s"IVF|$c|$i"))
 
   /** Squared L2 distance of `v` to centroid c (codebook as literals —
     * zero per-row hash work, pure codegen arithmetic).
     */
-  private def centDist(v: org.apache.spark.sql.Column, c: Int) = {
+  private[ann] def centDist(v: org.apache.spark.sql.Column, c: Int) = {
     val cent = array(centroids(c).map(lit).toSeq: _*)
     graft.functions.VectorFolds.sqDiffSum(v, cent)
   }
 
   /** Cell assignment = argmin_c dist (ties → smaller c). */
-  private def cellOf(v: org.apache.spark.sql.Column) =
+  private[ann] def cellOf(v: org.apache.spark.sql.Column) =
     array_min(array((0 until NCells).map(c =>
       struct(centDist(v, c).as("d"), lit(c).as("c"))): _*)).getField("c")
 
@@ -183,7 +183,7 @@ object Ann {
     * trains these with k-means per subspace; the fixed codebook keeps the
     * operator oracle-checkable with the identical plan shape.
     */
-  private lazy val pqCent: Array[Array[Array[Double]]] =
+  private[ann] lazy val pqCent: Array[Array[Array[Double]]] =
     Array.tabulate(PqM, PqNCent, PqSubDim)((m, c, i) =>
       graft.core.PortableHash.dyadicJvm(s"PQ|$m|$c|$i"))
 
@@ -194,7 +194,7 @@ object Ann {
     * the compact [[graft.functions.VectorFolds.pqEncode]]/`pqLut` loops
     * JIT fine.
     */
-  private lazy val pqFlatCodebook: Array[Double] =
+  private[ann] lazy val pqFlatCodebook: Array[Double] =
     pqCent.flatten.flatten
 
   /** #59: product-quantization top-k with asymmetric distance (ADC).

@@ -141,7 +141,7 @@ object Bench {
     "pipeline_e2e", "events_changepoint", "embed_sq_recall",
     "events_ab_holm", "events_quantile_ab",
     // round-9 additions
-    "ann_index_roundtrip")
+    "ann_index_roundtrip", "events_changepoints_multi")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

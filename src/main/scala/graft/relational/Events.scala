@@ -3860,4 +3860,203 @@ object Events {
        |QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
        |  ORDER BY gain DESC, day ASC) = 1""".stripMargin
   }
+
+  // ------------------------------------ #338 multi-shift changepoints
+
+  /** Recursion depth bound: binary segmentation at depth d can emit up
+    * to 2^d−1 changepoints; 3 levels (≤7 shifts per series) covers the
+    * monitoring use ("this series re-leveled twice this quarter") while
+    * keeping the unrolled plan bounded.
+    */
+  val CpMaxDepth = 3
+
+  /** CBS-style F acceptance: a split is accepted iff the explained
+    * variance clears gain·(n−2) ≥ C·(SSE−gain) — i.e. the split's
+    * t² ≥ C — with C = 4 (|t| ≥ 2). In exact grid integers:
+    * d²·(n−2+C) ≥ C·n₁·n₂·(n·Σv²−S²), so the accept/reject decision is
+    * an integer compare, identical in both engines.
+    */
+  val CpAcceptC = 4
+
+  /** Segments shorter than this are not split further (an F test on
+    * n < 4 has no residual degrees of freedom to speak of).
+    */
+  val CpMinSeg = 4
+
+  private val cpDailyCache =
+    new graft.core.DfCache[(SparkSession, String)]()
+
+  /** The per-type daily grid series with its within-type day rank —
+    * computed once per (session, dir) and shared by the recursion
+    * levels (at 100 TB this is the one data-scale rollup; everything
+    * after runs on ≤\|types\|·\|days\| rows).
+    */
+  private def cpIndexedDaily(spark: SparkSession, dir: String): DataFrame =
+    cpDailyCache.getOrElseUpdate((spark, dir)) {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.events(spark, dir)
+      e.select(col("event_type"),
+          expr(s"${tsNanos(e)} DIV $NsPerDay").as("day"), col("value"))
+        .groupBy("event_type", "day")
+        .agg(sum(floor(col("value") * 1e6 + 0.5).cast("long")).as("sv"))
+        .withColumn("k", row_number().over(
+          Window.partitionBy("event_type").orderBy("day")).cast("long"))
+    }
+
+  /** One binary-segmentation level over a (event_type, lo, hi) segment
+    * frame: per segment, #333's argmax split (quantized-gain order, day
+    * tiebreak), then the exact-integer F acceptance. Emits the accepted
+    * split rows with all the segment stats still attached.
+    */
+  private def cpBestSplits(idx: DataFrame, segs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.core.Exact
+    val segKey = Seq(col("event_type"), col("lo"), col("hi"))
+    val w = Window.partitionBy(segKey: _*)
+    val wCum = Window.partitionBy(segKey: _*).orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    idx.join(broadcast(segs), Seq("event_type"))
+      .filter(col("k").between(col("lo"), col("hi")))
+      .withColumn("n", col("hi") - col("lo") + 1)
+      .withColumn("st", sum("sv").over(w).cast("decimal(38,0)"))
+      .withColumn("svv",
+        sum(col("sv").cast("decimal(38,0)") * col("sv")).over(w)
+          .cast("decimal(38,0)"))
+      .withColumn("s1", sum("sv").over(wCum).cast("decimal(38,0)"))
+      .filter(col("k") < col("hi"))
+      .withColumn("n1", col("k") - col("lo") + 1)
+      .withColumn("n2", col("hi") - col("k"))
+      // d = S₁·n₂ − S₂·n₁ in grid units, exact in DECIMAL(38,0)
+      .withColumn("ddec",
+        col("s1") * col("n2") - (col("st") - col("s1")) * col("n1"))
+      .withColumn("d", col("ddec").cast("double") / lit(1e6))
+      .withColumn("gain", Exact.roundS(col("d") * col("d")
+        / (col("n1") * col("n2") * col("n")).cast("double"), 6))
+      // n·SSE = n·Σv² − S², exact in grid² units
+      .withColumn("ssen",
+        col("n").cast("decimal(38,0)") * col("svv") - col("st") * col("st"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(segKey: _*).orderBy(col("gain").desc, col("day").asc)))
+      .filter(col("r") === 1)
+      .filter(col("ssen") > 0 &&
+        col("ddec") * col("ddec")
+          * (col("n") + lit(CpAcceptC - 2)).cast("decimal(38,0)")
+          >= lit(CpAcceptC)
+            * (col("n1") * col("n2")).cast("decimal(38,0)") * col("ssen"))
+  }
+
+  /** #338: MULTI-SHIFT CHANGEPOINT DETECTION — circular binary
+    * segmentation's recursion (the shape CBS/PELT iterate; VERDICT r8
+    * item 4) over #333's single-split primitive: find the best split of
+    * each segment, ACCEPT it only if its F statistic clears the pinned
+    * threshold (t² ≥ [[CpAcceptC]] — real monitors must not split
+    * noise), recurse on both children (depth ≤ [[CpMaxDepth]], child
+    * length ≥ [[CpMinSeg]]). A series that re-leveled twice gets BOTH
+    * days; #333 by construction reports only the larger one.
+    *
+    * Exactness: #333's decimal algebra per segment (daily sums on the
+    * 1e-6 grid; d = S₁n₂−S₂n₁ integer in DECIMAL(38,0); gain quantized
+    * for the argmax), plus the acceptance as a pure integer inequality
+    * d²(n−2+C) ≥ C·n₁n₂·(nΣv²−S²) — DECIMAL(38,0) here, HUGEINT in the
+    * oracle, both exact. (Bound: d² needs < 1e38 — daily grid sums to
+    * ~1e17 with years of days; beyond that, coarsen the value grid.)
+    * Scale: ONE map-side-combining daily rollup (cached per session),
+    * then every level runs on ≤\|types\|·\|days\| rows — type-partitioned
+    * windows, a broadcast segment join, nothing data-scale moves.
+    */
+  def changepointsMulti(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.Exact
+    val idx = cpIndexedDaily(spark, dir)
+    var segs = idx.groupBy("event_type")
+      .agg(min("k").as("lo"), max("k").as("hi"))
+    val levels = Seq.newBuilder[DataFrame]
+    for (depth <- 1 to CpMaxDepth) {
+      val acc = cpBestSplits(idx, segs)
+      levels += acc.select(lit(depth).as("depth"), col("event_type"),
+        col("day").as("cp_day"), col("n1").as("n_pre"), col("n2").as("n_post"),
+        Exact.roundS(col("s1").cast("double") / col("n1") / lit(1e6), 6)
+          .as("mean_pre"),
+        Exact.roundS((col("st") - col("s1")).cast("double") / col("n2")
+          / lit(1e6), 6).as("mean_post"),
+        col("gain"))
+      if (depth < CpMaxDepth) {
+        val left = acc.select(col("event_type"), col("lo"), col("k").as("hi"))
+        val right = acc.select(col("event_type"), (col("k") + 1).as("lo"),
+          col("hi"))
+        segs = left.unionByName(right)
+          .filter(col("hi") - col("lo") + 1 >= CpMinSeg)
+      }
+    }
+    levels.result().reduce(_ unionByName _)
+  }
+
+  val changepointsMultiSql: String = {
+    import graft.core.Exact
+    // one recursion level: best accepted split per (event_type, lo, hi)
+    def level(i: Int, segCte: String): String =
+      s"""cand$i AS (
+         |  SELECT i.event_type, i.day, i.k, s.lo, s.hi,
+         |    s.hi - s.lo + 1 AS n,
+         |    CAST(SUM(i.sv) OVER
+         |      (PARTITION BY i.event_type, s.lo, s.hi) AS HUGEINT) AS st,
+         |    CAST(SUM(CAST(i.sv AS HUGEINT) * i.sv) OVER
+         |      (PARTITION BY i.event_type, s.lo, s.hi) AS HUGEINT) AS svv,
+         |    CAST(SUM(i.sv) OVER (PARTITION BY i.event_type, s.lo, s.hi
+         |      ORDER BY i.k ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS s1
+         |  FROM idx i JOIN $segCte s
+         |    ON i.event_type = s.event_type AND i.k BETWEEN s.lo AND s.hi
+         |), g$i AS (
+         |  SELECT event_type, day, k, lo, hi, n, st, s1, svv,
+         |    k - lo + 1 AS n1, hi - k AS n2,
+         |    s1 * (hi - k) - (st - s1) * (k - lo + 1) AS ddec,
+         |    CAST(s1 * (hi - k) - (st - s1) * (k - lo + 1) AS DOUBLE)
+         |      / 1000000.0 AS d
+         |  FROM cand$i WHERE k < hi
+         |), gg$i AS (
+         |  SELECT *, ${Exact.duckRoundS(
+               "d * d / CAST(n1 * n2 * n AS DOUBLE)", 6)} AS gain,
+         |    CAST(n AS HUGEINT) * svv - st * st AS ssen
+         |  FROM g$i
+         |), best$i AS (
+         |  SELECT * FROM gg$i
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type, lo, hi
+         |    ORDER BY gain DESC, day ASC) = 1
+         |), acc$i AS (
+         |  SELECT * FROM best$i
+         |  WHERE ssen > 0 AND ddec * ddec * CAST(n + ${CpAcceptC - 2} AS HUGEINT)
+         |    >= $CpAcceptC * CAST(n1 * n2 AS HUGEINT) * ssen
+         |)""".stripMargin
+    def nextSeg(i: Int): String =
+      s"""seg${i + 1} AS (
+         |  SELECT event_type, lo, k AS hi FROM acc$i WHERE k - lo + 1 >= $CpMinSeg
+         |  UNION ALL
+         |  SELECT event_type, k + 1 AS lo, hi FROM acc$i WHERE hi - k >= $CpMinSeg
+         |)""".stripMargin
+    def out(i: Int): String =
+      s"""SELECT CAST($i AS INT) AS depth, event_type, day AS cp_day,
+         |  n1 AS n_pre, n2 AS n_post,
+         |  ${Exact.duckRoundS("CAST(s1 AS DOUBLE) / n1 / 1000000.0", 6)}
+         |    AS mean_pre,
+         |  ${Exact.duckRoundS(
+             "CAST(st - s1 AS DOUBLE) / n2 / 1000000.0", 6)} AS mean_post,
+         |  gain
+         |FROM acc$i""".stripMargin
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_ns(ts) // $NsPerDay AS day,
+       |    CAST(SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT))
+       |      AS BIGINT) AS sv
+       |  FROM events GROUP BY 1, 2
+       |), idx AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+       |    ORDER BY day) AS BIGINT) AS k
+       |  FROM daily
+       |), seg1 AS (
+       |  SELECT event_type, MIN(k) AS lo, MAX(k) AS hi FROM idx GROUP BY 1
+       |), ${level(1, "seg1")}, ${nextSeg(1)},
+       |${level(2, "seg2")}, ${nextSeg(2)},
+       |${level(3, "seg3")}
+       |${out(1)}
+       |UNION ALL ${out(2)}
+       |UNION ALL ${out(3)}""".stripMargin
+  }
 }

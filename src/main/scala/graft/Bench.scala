@@ -141,7 +141,8 @@ object Bench {
     "pipeline_e2e", "events_changepoint", "embed_sq_recall",
     "events_ab_holm", "events_quantile_ab",
     // round-9 additions
-    "ann_index_roundtrip", "events_changepoints_multi")
+    "ann_index_roundtrip", "events_changepoints_multi",
+    "events_quantile_ab_ci")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

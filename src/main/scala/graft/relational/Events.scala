@@ -3531,14 +3531,21 @@ object Events {
     * occupied cent grid per variant, windows partitioned by variant,
     * output bounded by the quantile list.
     */
-  def quantileAb(spark: SparkSession, dir: String): DataFrame = {
+  /** The user-level cent-grid metric with its hash arm — shared by the
+    * point QTE (#336) and its bootstrap CI (#339).
+    */
+  private def qabUsers(spark: SparkSession, dir: String): DataFrame = {
     import graft.core.PortableHash
-    val users = eventsS(spark, dir)
+    eventsS(spark, dir)
       .groupBy("user_id")
       .agg(sum(floor(col("value") * 100.0 + lit(0.5)).cast("long")).as("ui"))
       .withColumn("variant",
         when(PortableHash.pHash(concat(lit("ab|"), col("user_id"))) % 2 === 0,
           "A").otherwise("B"))
+  }
+
+  def quantileAb(spark: SparkSession, dir: String): DataFrame = {
+    val users = qabUsers(spark, dir)
     val hist = users.groupBy("variant", "ui").agg(count(lit(1)).as("c"))
     val wCum = Window.partitionBy("variant").orderBy("ui")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -3602,6 +3609,153 @@ object Events {
        |UNION ALL SELECT 50, n_a, n_b, q50_a, q50_b, q50_b - q50_a FROM w
        |UNION ALL SELECT 75, n_a, n_b, q75_a, q75_b, q75_b - q75_a FROM w
        |UNION ALL SELECT 90, n_a, n_b, q90_a, q90_b, q90_b - q90_a FROM w""".stripMargin
+  }
+
+  // ------------------------------------------ #339 QTE bootstrap CI
+
+  /** Bootstrap replicate count for the QTE interval — #283's constant;
+    * as there, the CI indices derive from the REALIZED replicate count
+    * (a replicate whose hash-even user subset is empty in either arm
+    * drops out of the A⋈B join and must not shift the picks).
+    */
+  val QabCiB = 32
+
+  /** #339: QUANTILE TREATMENT EFFECTS WITH A BOOTSTRAP CI (VERDICT r8
+    * item 5) — #336 reports q_B(p)−q_A(p) with no interval, inviting
+    * exactly the overclaiming readout Holm (#335) exists to prevent;
+    * this attaches the experimentation family's house uncertainty
+    * (#283's deterministic half-sampling bootstrap): replicate b keeps
+    * the users with pHash("qb"|user|b) even, each replicate recomputes
+    * the per-variant nearest-rank quantiles over its own histogram,
+    * and the 90% interval per quantile is the nearest-rank
+    * [⌈0.05·n⌉, ⌈0.95·n⌉] pick over the sorted replicate QTEs.
+    *
+    * Exactness: membership is integer hash parity; every replicate
+    * quantile is a grid value read (integer compares, no
+    * interpolation); qte_b is one subtraction of grid doubles; the CI
+    * picks are value reads of a sorted ≤B-element list. Scale: the
+    * replicate expansion is a bounded ×B generate over USER rows
+    * (never events), one shuffle keyed (b, variant, ui) for the
+    * histograms, windows partitioned by (b, variant), everything after
+    * bounded by B×the occupied cent grid.
+    */
+  def quantileAbCi(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core.PortableHash
+    val reps = qabUsers(spark, dir)
+      .select(col("user_id"), col("ui"), col("variant"),
+        explode(sequence(lit(0), lit(QabCiB - 1))).as("b"))
+      .filter(PortableHash.pHash(concat_ws("|",
+        lit("qb"), col("user_id"), col("b"))) % 2 === 0)
+    val hist = reps.groupBy("b", "variant", "ui").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("b", "variant").orderBy("ui")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("b", "variant")
+    def pick(p: Int) =
+      (min(when(col("cum") >= expr(s"(n * $p + 99) DIV 100"), col("ui")))
+        / 100.0).as(s"q$p")
+    val qs = hist
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("n", sum("c").over(wAll))
+      .groupBy("b", "variant")
+      .agg(pick(25), pick(50), pick(75), pick(90))
+    val a = qs.filter(col("variant") === "A").select(col("b"),
+      col("q25").as("a25"), col("q50").as("a50"),
+      col("q75").as("a75"), col("q90").as("a90"))
+    val bq = qs.filter(col("variant") === "B").select(col("b"),
+      col("q25").as("b25"), col("q50").as("b50"),
+      col("q75").as("b75"), col("q90").as("b90"))
+    val long = a.join(bq, Seq("b")).selectExpr(
+      """stack(4,
+        |  25, b25 - a25,
+        |  50, b50 - a50,
+        |  75, b75 - a75,
+        |  90, b90 - a90) AS (p, qte_b)""".stripMargin)
+    val ci = long.groupBy("p").agg(
+        sort_array(collect_list(col("qte_b"))).as("qsort"),
+        count(lit(1)).as("n_replicates"))
+      .select(col("p"), col("n_replicates"),
+        element_at(col("qsort"),
+          ceil(col("n_replicates") * 0.05).cast("int")).as("qte_lo"),
+        element_at(col("qsort"),
+          ceil(col("n_replicates") * 0.95).cast("int")).as("qte_hi"))
+    quantileAb(spark, dir).join(broadcast(ci), Seq("p"))
+      .select(col("p"), col("n_a"), col("n_b"), col("q_a"), col("q_b"),
+        col("qte"), col("n_replicates"), col("qte_lo"), col("qte_hi"))
+  }
+
+  val quantileAbCiSql: String = {
+    import graft.core.PortableHash
+    val hArm = PortableHash.duck("'ab|' || user_id")
+    val hRep = PortableHash.duck("'qb|' || user_id || '|' || b")
+    def pick(p: Int) =
+      s"MIN(CASE WHEN cum >= (n * $p + 99) // 100 THEN ui END) / 100.0 AS q$p"
+    def basePick(p: Int) =
+      s"MIN(CASE WHEN cum >= (n * $p + 99) // 100 THEN ui END) / 100.0"
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+       |      AS ui,
+       |    CASE WHEN $hArm % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+       |  FROM events GROUP BY user_id
+       |), bhist AS (
+       |  SELECT b, variant, ui, COUNT(*) AS c
+       |  FROM u, (SELECT unnest(range(0, $QabCiB)) AS b)
+       |  WHERE $hRep % 2 = 0
+       |  GROUP BY 1, 2, 3
+       |), bcum AS (
+       |  SELECT b, variant, ui, c,
+       |    SUM(c) OVER (PARTITION BY b, variant ORDER BY ui) AS cum,
+       |    SUM(c) OVER (PARTITION BY b, variant) AS n
+       |  FROM bhist
+       |), bqs AS (
+       |  SELECT b, variant, ${pick(25)}, ${pick(50)}, ${pick(75)}, ${pick(90)}
+       |  FROM bcum GROUP BY b, variant
+       |), blong AS (
+       |  SELECT a.b, 25 AS p, bb.q25 - a.q25 AS qte_b
+       |  FROM (SELECT * FROM bqs WHERE variant = 'A') a
+       |  JOIN (SELECT * FROM bqs WHERE variant = 'B') bb USING (b)
+       |  UNION ALL SELECT a.b, 50, bb.q50 - a.q50
+       |  FROM (SELECT * FROM bqs WHERE variant = 'A') a
+       |  JOIN (SELECT * FROM bqs WHERE variant = 'B') bb USING (b)
+       |  UNION ALL SELECT a.b, 75, bb.q75 - a.q75
+       |  FROM (SELECT * FROM bqs WHERE variant = 'A') a
+       |  JOIN (SELECT * FROM bqs WHERE variant = 'B') bb USING (b)
+       |  UNION ALL SELECT a.b, 90, bb.q90 - a.q90
+       |  FROM (SELECT * FROM bqs WHERE variant = 'A') a
+       |  JOIN (SELECT * FROM bqs WHERE variant = 'B') bb USING (b)
+       |), ci AS (
+       |  SELECT p, list_sort(list(qte_b)) AS l,
+       |    COUNT(*) AS n_replicates
+       |  FROM blong GROUP BY p
+       |), hist AS (
+       |  SELECT variant, ui, COUNT(*) AS c FROM u GROUP BY 1, 2
+       |), cum AS (
+       |  SELECT variant, ui, c,
+       |    SUM(c) OVER (PARTITION BY variant ORDER BY ui) AS cum,
+       |    SUM(c) OVER (PARTITION BY variant) AS n
+       |  FROM hist
+       |), qs AS (
+       |  SELECT variant, CAST(MAX(n) AS BIGINT) AS n_users,
+       |    ${basePick(25)} AS q25, ${basePick(50)} AS q50,
+       |    ${basePick(75)} AS q75, ${basePick(90)} AS q90
+       |  FROM cum GROUP BY variant
+       |), w AS (
+       |  SELECT a.n_users AS n_a, b.n_users AS n_b,
+       |    a.q25 AS q25_a, b.q25 AS q25_b, a.q50 AS q50_a, b.q50 AS q50_b,
+       |    a.q75 AS q75_a, b.q75 AS q75_b, a.q90 AS q90_a, b.q90 AS q90_b
+       |  FROM (SELECT * FROM qs WHERE variant = 'A') a,
+       |       (SELECT * FROM qs WHERE variant = 'B') b
+       |), base AS (
+       |  SELECT 25 AS p, n_a, n_b, q25_a AS q_a, q25_b AS q_b,
+       |    q25_b - q25_a AS qte FROM w
+       |  UNION ALL SELECT 50, n_a, n_b, q50_a, q50_b, q50_b - q50_a FROM w
+       |  UNION ALL SELECT 75, n_a, n_b, q75_a, q75_b, q75_b - q75_a FROM w
+       |  UNION ALL SELECT 90, n_a, n_b, q90_a, q90_b, q90_b - q90_a FROM w
+       |)
+       |SELECT base.p, n_a, n_b, q_a, q_b, qte, n_replicates,
+       |  l[CAST(ceil(n_replicates * 0.05) AS INT)] AS qte_lo,
+       |  l[CAST(ceil(n_replicates * 0.95) AS INT)] AS qte_hi
+       |FROM base JOIN ci ON base.p = ci.p""".stripMargin
   }
 
   // --------------------------------------- #335 Holm-corrected AB family

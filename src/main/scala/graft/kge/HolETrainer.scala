@@ -171,30 +171,62 @@ object HolETrainer {
   /** Returns (epoch, loss) rows; loss decreases over the first epochs. */
   def train(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // shared deterministic minibatch (TrainData): reference-shaped
-    // minibatch training, one build for all trainer entries
+    val (ent, rel, losses) = trainState(spark, dir, Epochs)
+    val finalLoss = lossOf(joinedFor(spark, dir, ent, rel))
+    (losses :+ (Epochs, finalLoss)).toDF("epoch", "loss")
+  }
+
+  /** Full trainer state after `epochs` epochs: the (id, vec) entity and
+    * relation frames plus the per-epoch losses — the checkpointable
+    * surface ([[Checkpoints]]; the reference checkpoints exactly this
+    * model's params, kge/hole.py:253-258 `save_epoch`). HolE trains
+    * with plain SGD, so unlike TransE-AdamW there are no optimizer
+    * slots to carry: params ARE the state.
+    */
+  private[kge] def trainState(spark: SparkSession, dir: String,
+      epochs: Int): (DataFrame, DataFrame, Seq[(Int, Double)]) = {
     val x = TrainData.minibatch(spark, dir)
-
-    var ent = x.select(explode(array(col("sid"), col("oid"), col("nid"))).as("id"))
+    val ent0 = x.select(explode(array(col("sid"), col("oid"), col("nid"))).as("id"))
       .distinct().withColumn("vec", initVec("HE", col("id"))).localCheckpoint()
-    var rel = x.select(col("pid").as("id")).distinct()
+    val rel0 = x.select(col("pid").as("id")).distinct()
       .withColumn("vec", initVec("HR", col("id"))).localCheckpoint()
+    epochLoop(spark, dir, ent0, rel0, 1, epochs)
+  }
 
-    def joined: DataFrame =
-      x.join(ent.select(col("id").as("sid"), col("vec").as("h")), "sid")
-        .join(ent.select(col("id").as("oid"), col("vec").as("t")), "oid")
-        .join(ent.select(col("id").as("nid"), col("vec").as("tn")), "nid")
-        .join(broadcast(rel.select(col("id").as("pid"), col("vec").as("r"))), "pid")
+  private def joinedFor(spark: SparkSession, dir: String,
+      ent: DataFrame, rel: DataFrame): DataFrame = {
+    val x = TrainData.minibatch(spark, dir)
+    x.join(ent.select(col("id").as("sid"), col("vec").as("h")), "sid")
+      .join(ent.select(col("id").as("oid"), col("vec").as("t")), "oid")
+      .join(ent.select(col("id").as("nid"), col("vec").as("tn")), "nid")
+      .join(broadcast(rel.select(col("id").as("pid"), col("vec").as("r"))), "pid")
+  }
 
-    def fPos: Column = dot(col("r"), ccorr(col("h"), col("t")))
-    def fNeg: Column = dot(col("r"), ccorr(col("h"), col("tn")))
+  private def fPos: Column = dot(col("r"), ccorr(col("h"), col("t")))
+  private def fNeg: Column = dot(col("r"), ccorr(col("h"), col("tn")))
 
-    def lossOf(df: DataFrame): Double =
-      df.select(greatest(lit(0.0), lit(Margin) + fNeg - fPos).as("l"))
-        .agg(Exact.decSum(col("l"))).head().getDouble(0)
+  private def lossOf(df: DataFrame): Double =
+    df.select(greatest(lit(0.0), lit(Margin) + fNeg - fPos).as("l"))
+      .agg(Exact.decSum(col("l"))).head().getDouble(0)
+
+  /** The epoch loop from an ARBITRARY starting state — fresh dyadic
+    * init for a from-scratch run, or a [[Checkpoints]]-loaded (id, vec)
+    * pair to RESUME a prior run. SGD's update is a pure function of the
+    * current params and the fixed minibatch (no bias-correction
+    * schedule), so a resumed run replays exactly the uninterrupted
+    * run's arithmetic — the bit-identity the resume spec pins.
+    */
+  private[kge] def epochLoop(spark: SparkSession, dir: String,
+      entInit: DataFrame, relInit: DataFrame,
+      startEpoch: Int, epochs: Int)
+      : (DataFrame, DataFrame, Seq[(Int, Double)]) = {
+    var ent = entInit
+    var rel = relInit
+
+    def joined: DataFrame = joinedFor(spark, dir, ent, rel)
 
     val losses = Seq.newBuilder[(Int, Double)]
-    for (epoch <- 1 to Epochs) {
+    for (epoch <- startEpoch to epochs) {
       val j = joined.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       losses += ((epoch - 1, lossOf(j)))
       // hinge active ⇒ ∂L = ∂f(neg) − ∂f(pos):
@@ -235,7 +267,6 @@ object HolETrainer {
       rel = applyGrad(rel, "r").localCheckpoint()
       j.unpersist()
     }
-    losses += ((Epochs, lossOf(joined)))
-    losses.result().toDF("epoch", "loss")
+    (ent, rel, losses.result())
   }
 }

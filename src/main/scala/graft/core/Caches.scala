@@ -48,8 +48,23 @@ object Caches {
 
   private[core] def register(c: DfCache[_]): Unit = all.add(c)
 
+  // Derived-tier module caches that are NOT DfCaches (the BPE merge
+  // table, trained LR weights, trainer state) register a clear hook so
+  // central eviction reaches them too — without this, Bench's cold path
+  // and the SqlSurface eager audit saw order-dependent warmth (an op
+  // looked lazy only because an alphabetically-earlier sibling had
+  // trained the shared state).
+  private val hooks =
+    new java.util.concurrent.ConcurrentLinkedQueue[() => Unit]()
+
+  def registerHook(h: () => Unit): Unit = hooks.add(h)
+
   /** Unpersist and forget every cached frame (harness teardown hook). */
-  def clearAll(): Unit = all.forEach(_.clear())
+  def clearAll(): Unit = {
+    all.forEach(_.clear())
+    hooks.forEach(_.apply())
+    Tables.clearFrames()
+  }
 
   /** Evict only the `derived` tier — per-operator computed state
     * (ranked frames, graph iterations, embeddings, shingles) — keeping
@@ -58,5 +73,8 @@ object Caches {
     * This is Bench's cold-path boundary: a cold timing charges an
     * operator its own compute, not the shared corpus encoding.
     */
-  def clearDerived(): Unit = all.forEach(c => if (c.tier != "infra") c.clear())
+  def clearDerived(): Unit = {
+    all.forEach(c => if (c.tier != "infra") c.clear())
+    hooks.forEach(_.apply())
+  }
 }

@@ -24,11 +24,25 @@ object Tables {
     if (df.inputFiles.length >= n) df else df.repartition(n)
   }
 
+  // Plan-level memo per (session, dir, table): `spark.read.parquet`
+  // re-infers the schema on EVERY call — a distributed footer-reading
+  // job per read — so a board-wide registration (SqlSurface) or a
+  // multi-table query paid one Spark job per table REFERENCE instead of
+  // per table. The memo holds unexecuted logical plans (no persist, no
+  // data), and [[clearFrames]] drops the references on harness teardown
+  // so stopped sessions are not retained.
+  private val frames = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  private[core] def clearFrames(): Unit = frames.clear()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spread(spark.read.parquet(s"$dir/$name.parquet"))
+    frames.getOrElseUpdate((spark, dir, s"t|$name"),
+      spread(spark.read.parquet(s"$dir/$name.parquet")))
 
   private def dim(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    frames.getOrElseUpdate((spark, dir, s"d|$name"),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")

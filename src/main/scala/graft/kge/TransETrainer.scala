@@ -448,6 +448,7 @@ object TransETrainer {
     */
   private val trainedCache = new scala.collection.concurrent.TrieMap[
     (SparkSession, String, String), (DataFrame, DataFrame, Seq[(Int, Double)])]
+  graft.core.Caches.registerHook(() => trainedCache.clear())
 
   private[kge] def trainFrames(spark: SparkSession, dir: String,
       optimizer: String, epochs: Int = Epochs, lr: Double = Lr,

@@ -155,6 +155,7 @@ object QualityClassifier {
     */
   private val wCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Seq[Double]]
+  graft.core.Caches.registerHook(() => wCache.clear())
 
   def trainedW(spark: SparkSession, dir: String): Seq[Double] =
     wCache.getOrElseUpdate((spark, dir), {

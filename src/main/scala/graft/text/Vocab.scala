@@ -105,6 +105,7 @@ object Vocab {
     */
   private val mergeCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Seq[(Int, String, String, String, Long)]]
+  graft.core.Caches.registerHook(() => mergeCache.clear())
 
   private def learnedMerges(spark: SparkSession,
       dir: String): Seq[(Int, String, String, String, Long)] =

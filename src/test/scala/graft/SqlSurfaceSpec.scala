@@ -64,4 +64,40 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // the aggregate into the scan side
     assert(plan.contains("l_returnflag"), "predicate vanished from the plan")
   }
+
+  test("registering the lazy board triggers ZERO Spark jobs (VERDICT r8 item 7)") {
+    import java.util.concurrent.atomic.AtomicLong
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new AtomicLong(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def settled(): Long = {
+      var prev = -1L; var cur = jobs.get()
+      while (cur != prev) { Thread.sleep(100); prev = cur; cur = jobs.get() }
+      cur
+    }
+    // warm the per-table schema memo first: table REGISTRATION is
+    // allowed its one footer-inference job per table — a registered
+    // VIEW is not allowed any
+    SqlSurface.registerTables(spark, TestSpark.sf)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val before = settled()
+      val views = SqlSurface.registerLazy(spark, TestSpark.sf)
+      val delta = settled() - before
+      assert(views.size ==
+        SparkEntry.queries.size - SqlSurface.EagerNames.size)
+      assert(delta == 0,
+        s"lazy registration ran $delta Spark jobs — an operator on the " +
+          "lazy list executes work at build time; move it to EagerNames")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("the eager list stays within the board and the split covers it") {
+    assert(SqlSurface.EagerNames.subsetOf(SparkEntry.queries.keySet))
+    val lazySet = SparkEntry.queries.keySet -- SqlSurface.EagerNames
+    assert((lazySet ++ SqlSurface.EagerNames) == SparkEntry.queries.keySet)
+  }
 }

@@ -157,6 +157,22 @@ object Bench {
 
   /** Callable form (tools/BenchScale drives it against synthetic SFs). */
   def run(sfDir: String, out: String): Unit = {
+    // Trailing artifact (the previous bench.json at this path, read
+    // BEFORE overwrite): per-query reference timings for the
+    // marathon-retime trigger below.
+    val prior: Map[String, Double] = try {
+      val p = Paths.get(out)
+      if (!Files.exists(p)) Map.empty
+      else {
+        val s = Files.readString(p)
+        """"queries":\{([^}]*)\}""".r.findFirstMatchIn(s).map(_.group(1))
+          .map { qsec =>
+            """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(qsec)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }.getOrElse(Map.empty[String, Double])
+      }
+    } catch { case _: Throwable => Map.empty }
+
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors, 32).toString)
     val spark = SparkSession.builder()
@@ -237,10 +253,39 @@ object Bench {
         else (timed.map(_._1).min, timed.head._2)
       (name, warm, if (coldErr.isEmpty) Some(cold) else None, err, shuf)
     }
+
+    // Automated marathon-retime (VERDICT r8 item 6): a long session's
+    // GC/compaction interference can inflate a single query 10×+
+    // (streaming_windowed_agg read 17 s in-board vs 1.37 s solo in r8;
+    // dq_benford in r6/r7), which used to force hand-retiming every
+    // round. Any query whose warm time exceeds 3× its trailing-artifact
+    // value (the previous bench.json at this path, read before
+    // overwrite) is re-timed at the END of the run and the artifact
+    // records {marathon, solo}; the reported warm value is the min —
+    // still "min of warm runs", just with the suspects granted extras.
+    val retimed: Map[String, (Double, Double)] = results.collect {
+      case (name, warm, _, None, _)
+          if prior.get(name).exists(p => warm > 1.0 && warm > 3 * p) =>
+        val fn = SparkEntry.queries(name)
+        val solo = (1 to 2).map { _ =>
+          System.gc()
+          val t0 = System.nanoTime()
+          try run(fn(spark, sfDir)) catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        name -> (warm, solo)
+    }.toMap
+
     def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val ok = results.filter(_._4.isEmpty)
+    val ok = results
+      .map { case (k, v, c, e, s) =>
+        (k, retimed.get(k).map(r => math.min(v, r._2)).getOrElse(v), c, e, s) }
+      .filter(_._4.isEmpty)
     val qs = ok.map { case (k, v, _, _, _) => jq(k) + ":" + v }
       .mkString("{", ",", "}")
+    val retimes = retimed.map { case (k, (m, s)) =>
+      jq(k) + s""":{"marathon":$m,"solo":$s}"""
+    }.mkString("{", ",", "}")
     val colds = results.collect { case (k, _, Some(c), _, _) => jq(k) + ":" + c }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, Some(e), _) => jq(k) + ":" + jq(e) }
@@ -252,7 +297,7 @@ object Bench {
     val total = ok.map(_._2).sum
     val totalCold = results.flatMap(_._3).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$colds,"total_cold":$totalCold,"errors":$errs,"shuffle":$shufs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$colds,"total_cold":$totalCold,"errors":$errs,"retimed":$retimes,"shuffle":$shufs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(out), json + "\n")
     // stdout gets a COMPACT line (round 6: the driver records only a
     // ~2 kB tail of stdout, so the 200+-query line arrived truncated

@@ -142,7 +142,8 @@ object Bench {
     "events_ab_holm", "events_quantile_ab",
     // round-9 additions
     "ann_index_roundtrip", "events_changepoints_multi",
-    "events_quantile_ab_ci")
+    "events_quantile_ab_ci", "ann_index_delta",
+    "streaming_restart_sessionize")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =

@@ -91,7 +91,7 @@ object SqlSurface {
     "pipeline_e2e",
     // driver-side merge/codebook/probe loops and sweeps
     "bpe_encode", "ann_nprobe_sweep", "ann_index_roundtrip",
-    "search_mmr_rerank", "events_ab_holm",
+    "ann_index_delta", "search_mmr_rerank", "events_ab_holm",
     // staging writes (persisted artifacts / source fixtures; fixtures
     // staged at EXECUTION — e.g. dq_fk_orphans — stay lazy: the first
     // query of the view pays them, not registration)
@@ -104,7 +104,8 @@ object SqlSurface {
     "streaming_hll", "streaming_bloom", "streaming_anomaly",
     "streaming_value_hist", "streaming_ams", "streaming_kmv",
     "streaming_drift", "streaming_latest_state", "streaming_user_state",
-    "streaming_funnel", "streaming_topk", "streaming_quality_filter")
+    "streaming_funnel", "streaming_topk", "streaming_quality_filter",
+    "streaming_restart_sessionize")
 
   /** Register ONLY the pure-logical-plan views (the board minus
     * [[EagerNames]]) — a SQL user cataloging the surface to run one

@@ -37,12 +37,16 @@ import graft.core.TempDirs
   */
 object AnnIndex {
 
-  /** Materialize the IVF-PQ serving state under `path` (ingest-time). */
-  def save(spark: SparkSession, dir: String, path: String): Unit = {
+  /** Materialize the IVF-PQ serving state under `path` (ingest-time).
+    * `pred` restricts which vectors are indexed (default: all) — the
+    * base-corpus build of the delta-ingest story (#341).
+    */
+  def save(spark: SparkSession, dir: String, path: String,
+      pred: Column = lit(true)): Unit = {
     import spark.implicits._
     val vf = graft.functions.VectorFolds
     val cb = lit(Ann.pqFlatCodebook)
-    Ann.vecs(spark, dir)
+    Ann.vecs(spark, dir).filter(pred)
       .withColumn("cell", Ann.cellOf(col("v")))
       .withColumn("codes", vf.pqEncode(col("v"), cb, Ann.PqNCent, Ann.PqSubDim))
       .select("vec_id", "codes", "cell")
@@ -126,4 +130,61 @@ object AnnIndex {
     * change a single bit of the served top-k.
     */
   val roundtripSql: String = Ann.ivfpqTopKSql
+
+  // --------------------------------------------- #341 delta ingest
+
+  /** The held-out "today's arrivals" slice for the delta-ingest story:
+    * vectors with vec_id % DeltaMod == DeltaRes are absent from the
+    * base index and arrive as a delta batch.
+    */
+  val DeltaMod = 13
+  val DeltaRes = 5
+
+  /** Append a batch of NEW vectors to an existing index artifact: the
+    * arrivals are encoded with the artifact's own LOADED codebooks
+    * (production: codebooks are immutable across delta ingests — only
+    * a full rebuild retrains them) and appended into the
+    * cell-partitioned codes table, an O(|delta|) job that never touches
+    * the already-indexed corpus. The [[Dict]] `dict_delta_update`
+    * discipline (#328) applied to the ANN tier.
+    */
+  def appendDelta(spark: SparkSession, dir: String, path: String,
+      pred: Column): Unit = {
+    val vf = graft.functions.VectorFolds
+    val (_, cents, flat) = load(spark, path)
+    val cb = lit(flat)
+    def centDist(v: Column, c: Int): Column =
+      vf.sqDiffSum(v, array(cents(c).map(lit).toSeq: _*))
+    Ann.vecs(spark, dir).filter(pred)
+      .withColumn("cell",
+        array_min(array(cents.indices.map(c =>
+          struct(centDist(col("v"), c).as("d"), lit(c).as("c"))): _*))
+          .getField("c"))
+      .withColumn("codes", vf.pqEncode(col("v"), cb, Ann.PqNCent, Ann.PqSubDim))
+      .select("vec_id", "codes", "cell")
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$path/codes.parquet")
+  }
+
+  /** #341 registered query: base-build → delta-ingest → serve. The
+    * base index covers the corpus MINUS the arrival slice; the slice
+    * is appended via [[appendDelta]] (encode only the delta, append
+    * partitions); the served top-k over the merged artifact must be
+    * hash-identical to an index built over the full corpus at once —
+    * i.e. delta ingest loses nothing and double-counts nothing.
+    */
+  def deltaRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = TempDirs.stagedFor((spark, dir, "ann_index_delta"),
+      "graft_anndelta_") { p =>
+      save(spark, dir, p, col("vec_id") % DeltaMod =!= DeltaRes)
+      appendDelta(spark, dir, p, col("vec_id") % DeltaMod === DeltaRes)
+    }
+    servedTopK(spark, dir, path)
+  }
+
+  /** #341 oracle: the from-raw full-corpus IVF-PQ SQL — same bar as
+    * #337; the incremental path must be indistinguishable from the
+    * rebuild.
+    */
+  val deltaRoundtripSql: String = Ann.ivfpqTopKSql
 }

@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -32,8 +31,8 @@ object Orc {
   def roundtrip(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select("doc_id", "lang", "n_chars", "source", "text")
-    val out = Files.createTempDirectory("graft_orc_").toString
-    docs.write.mode("overwrite").orc(out)
+    val out = graft.core.TempDirs.stagedFor((spark, dir, "orc"),
+      "graft_orc_")(p => docs.write.mode("overwrite").orc(p))
     spark.read.orc(out)
       .filter(col("n_chars") >= LoChars && col("n_chars") <= HiChars)
       .select("doc_id", "lang", "n_chars", "source", "text")

@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -32,8 +31,9 @@ object ParquetPartitioned {
   def prunedRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select("doc_id", "lang", "n_chars", "source", "text")
-    val out = Files.createTempDirectory("graft_part_").toString
-    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    val out = graft.core.TempDirs.stagedFor((spark, dir, "part_lang"),
+      "graft_part_")(p =>
+      docs.write.mode("overwrite").partitionBy("lang").parquet(p))
     spark.read.parquet(out)
       .filter(col("lang") === PruneLang)
       .select("doc_id", "lang", "n_chars", "source", "text")

@@ -136,6 +136,80 @@ object EventStreams {
        |FROM numbered GROUP BY user_id, session_seq""".stripMargin
   }
 
+  // --------------------------- #340 restart-from-checkpoint sessionize
+
+  /** Watermark delay for the restartable production-shape run. */
+  val RestartDelayS = 600
+
+  /** #340: SESSIONIZE ACROSS A KILL/RESTART, registered and
+    * oracle-gated (VERDICT r8 item 2 made restart a SPEC; this makes it
+    * part of the correctness gate): the events feed arrives in two
+    * waves split at the event-time midpoint, the append+watermark
+    * session query runs to a durable parquet sink with a durable
+    * checkpointLocation, is STOPPED after wave 1, and RESTARTED for
+    * wave 2 — file-source offsets, the watermark, and every open
+    * session's state recover from the checkpoint, and the final sink
+    * must equal the batch gaps-and-islands sessions that are CLOSED at
+    * the final watermark (session_end + gap ≤ max_ts − delay): sessions
+    * spanning the restart boundary merge, nothing emits twice (file-sink
+    * manifest), open sessions stay unemitted.
+    *
+    * The staging dance is memoized per (session, dir) — later calls
+    * read the committed sink, so benches time the read (TempDirs rule).
+    */
+  def restartSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val root = graft.core.TempDirs.stagedFor((spark, dir, "restart_sess"),
+      "graft_rsess_") { p =>
+      val batch = spark.read.parquet(s"$dir/events.parquet")
+      val e = batch
+        .withColumn("ts_s",
+          expr(s"${graft.relational.Events.tsNanos(batch)} DIV 1000000000"))
+        .select("user_id", "ts_s", "value")
+      val mm = e.agg(min("ts_s"), max("ts_s")).head()
+      val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+      val schema = StructType(Seq(
+        StructField("user_id", LongType), StructField("ts_s", LongType),
+        StructField("value", DoubleType)))
+      def leg(pred: org.apache.spark.sql.Column): Unit =
+        e.filter(pred).write.mode("append").parquet(s"$p/src")
+      def runLeg(): Unit = {
+        val sess = spark.readStream.schema(schema).parquet(s"$p/src")
+          .withColumn("ts", timestamp_seconds(col("ts_s")))
+          .withWatermark("ts", s"$RestartDelayS seconds")
+          .groupBy(session_window(col("ts"), Gap), col("user_id"))
+          .agg(min("ts_s").as("session_start"),
+            max("ts_s").as("session_end"),
+            count(lit(1)).as("n_events"),
+            Exact.decSum(col("value")).as("sum_value"))
+          .select("user_id", "session_start", "session_end",
+            "n_events", "sum_value")
+        val q = sess.writeStream.format("parquet")
+          .option("path", s"$p/out")
+          .option("checkpointLocation", s"$p/ck")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      leg(col("ts_s") <= cut); runLeg()   // wave 1, then the "crash"
+      leg(col("ts_s") > cut); runLeg()    // restart from the checkpoint
+    }
+    spark.read.parquet(s"$root/out")
+  }
+
+  /** #340 oracle: the batch session rule (identical to #37's), filtered
+    * to the sessions CLOSED at the final watermark — window end
+    * (session_end + gap) ≤ max_ts − delay. Late data cannot exist by
+    * construction (the waves split on event time), so closed-at-final-
+    * watermark is exactly the append-mode emission set.
+    */
+  val restartSessionizeSql: String = {
+    val g = graft.relational.Events.GapS
+    val tsS = graft.relational.Events.duckTsS
+    s"""SELECT * FROM ($sessionizeSql)
+       |WHERE session_end + $g <=
+       |  (SELECT MAX($tsS) FROM events) - $RestartDelayS""".stripMargin
+  }
+
   /** #69: stream-static enrichment join — the events stream joins a
     * static customer→nation dimension, then aggregates per (nation,
     * event_type). The canonical streaming-ETL shape: the static side is

@@ -30,8 +30,20 @@ object ScaleUp {
 
   private val Off = 10000000L
 
-  /** 1-in-Mod token substitution rate on replica documents. */
+  /** 1-in-Mod token substitution rate on NEAR-DUP replica documents. */
   val PerturbMod = 10
+
+  /** Near-dup cluster width cap (round 9): replicas r < NearDupReps
+    * perturb at 1-in-[[PerturbMod]] and stay near-dups of the original
+    * (jaccard ≈ 0.57 ≥ τ); replicas r ≥ NearDupReps perturb at 1-in-2
+    * (jaccard ≈ 0.07 — independent documents). Without the cap, a 30×
+    * scale-up built 30-wide near-dup clusters whose LSH CANDIDATE space
+    * grows as C(width,2) per cluster — at sf3 the verification join
+    * spilled past the sandbox disk. A real 3× corpus has 3× the
+    * clusters at the same width, which is exactly what the cap
+    * produces; sf1 (reps=10) is unchanged.
+    */
+  val NearDupReps = 10
 
   private val shifts: Map[String, Seq[String]] = Map(
     "customer" -> Seq("c_custkey"),
@@ -56,10 +68,11 @@ object ScaleUp {
       : org.apache.spark.sql.DataFrame = {
     import graft.core.PortableHash
     val ws = split(trim(col("text")), "\\s+")
+    val rate = when(col("_r") < NearDupReps, lit(PerturbMod)).otherwise(lit(2))
     val sub = transform(ws, (w, i) =>
       when(PortableHash.pHash(concat_ws("|", lit("perturb"),
           col("doc_id").cast("string"), i.cast("string")))
-          % PerturbMod === 0,
+          % rate === 0,
         concat(lit("zz"), substring(md5(concat_ws("|",
           col("doc_id").cast("string"), i.cast("string"))), 1, 6)))
       .otherwise(w))

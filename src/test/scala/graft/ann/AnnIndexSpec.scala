@@ -73,6 +73,43 @@ class AnnIndexSpec extends AnyFunSuite {
       s"expected a cell partition filter on: ${codesScan.get}")
   }
 
+  test("delta ingest: base + appended arrivals serve bit-identically to the full index") {
+    val session = Ann.ivfpqTopK(spark, TestSpark.sf)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    val delta = AnnIndex.deltaRoundtrip(spark, TestSpark.sf)
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(delta.length == session.length && delta.nonEmpty)
+    delta.zip(session).foreach { case (a, b) =>
+      assert(a == b, s"delta-ingested index diverges: $a != $b")
+    }
+  }
+
+  test("delta ingest is O(|delta|): the append adds exactly the arrival slice; base-only serving misses it") {
+    val dir = Files.createTempDirectory("graft_anndelta_spec_").toString
+    try {
+      import org.apache.spark.sql.functions.col
+      val isNew = col("vec_id") % AnnIndex.DeltaMod === AnnIndex.DeltaRes
+      AnnIndex.save(spark, TestSpark.sf, dir, !isNew)
+      val baseOnly = AnnIndex.servedTopK(spark, TestSpark.sf, dir)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val nBase = spark.read.parquet(s"$dir/codes.parquet").count()
+      AnnIndex.appendDelta(spark, TestSpark.sf, dir, isNew)
+      val nAll = spark.read.parquet(s"$dir/codes.parquet").count()
+      val emb = graft.core.Tables.embeddings(spark, TestSpark.sf)
+      assert(nAll - nBase == emb.filter(isNew).count(),
+        "the append must add exactly the arrival slice, nothing else")
+      assert(nAll == emb.count())
+      val merged = AnnIndex.servedTopK(spark, TestSpark.sf, dir)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      // negative control: without the delta, some neighbors are missing
+      assert(baseOnly != merged,
+        "base-only serving must visibly miss the arrivals")
+      // and no duplicate (q_id, vec_id) pairs after the append
+      val keys = merged.toSeq.map(r => (r._1, r._2))
+      assert(keys.length == keys.distinct.length)
+    } finally rm(Paths.get(dir))
+  }
+
   test("negative control: a lost inverted list changes the served answer") {
     val dir = Files.createTempDirectory("graft_annindex_neg_").toString
     try {

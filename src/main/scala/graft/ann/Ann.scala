@@ -32,25 +32,27 @@ object Ann {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
-  /** #29: exact top-k cosine neighbors for each query vector. */
+  /** #29: exact top-k cosine neighbors for each query vector. The
+    * candidate stream collapses through [[graft.functions.TopK]]'s
+    * K-bounded heap aggregate (round 9) — a hash aggregate whose
+    * map-side partial phase IS the distributed heap (one per input
+    * partition, K rows each cross the wire), replacing the two-phase
+    * salted-WINDOW formulation that shuffle-sorted every candidate
+    * row. Kept set and ranking identical (K largest under
+    * (cosine desc, vec_id asc)), so the oracle is unchanged.
+    */
   def bruteTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
     val q = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("cosine", VectorLsh.cosine(col("qv"), col("v")))
-      .withColumn("salt", pmod(col("vec_id"), lit(NSalt)))
-    // Phase 1: top-k within (query, salt) — S distributed partial heaps.
-    val partial = scored.withColumn("prank", row_number().over(
-        Window.partitionBy("q_id", "salt")
-          .orderBy(col("cosine").desc, col("vec_id").asc)))
-      .filter(col("prank") <= K)
-    // Phase 2: global top-k of the k·S survivors per query.
-    partial.withColumn("rank", row_number().over(
-        Window.partitionBy("q_id")
-          .orderBy(col("cosine").desc, col("vec_id").asc)))
-      .filter(col("rank") <= K)
-      .select("q_id", "vec_id", "cosine", "rank")
+      .groupBy("q_id")
+      .agg(graft.functions.TopK.topkMax(col("cosine"), col("vec_id"), K)
+        .as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("q_id"), col("s.id").as("vec_id"),
+        col("s.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
   }
 
   val bruteTopKSql: String =
@@ -1194,26 +1196,22 @@ object Ann {
     * cosine-shaped index on the board serve inner-product workloads.
     *
     * Exactness: the dot is the house ordered fold — identical IEEE
-    * sequence both engines, no grid. Scale: the #29 two-phase salted
-    * heaps verbatim — per-(query, salt) partial top-k then a k·S-row
-    * global pick; the scored frame never globally sorts.
+    * sequence both engines, no grid. Scale: the K-bounded heap
+    * aggregate (round 9, [[graft.functions.TopK]]) — a hash aggregate
+    * whose map-side partial phase moves only K rows per (query,
+    * partition); the scored frame never sorts at all.
     */
   def mipsTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
     val q = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("dot", VectorLsh.dot(col("qv"), col("v")))
-      .withColumn("salt", pmod(col("vec_id"), lit(NSalt)))
-    val partial = scored.withColumn("prank", row_number().over(
-        Window.partitionBy("q_id", "salt")
-          .orderBy(col("dot").desc, col("vec_id").asc)))
-      .filter(col("prank") <= K)
-    partial.withColumn("rank", row_number().over(
-        Window.partitionBy("q_id")
-          .orderBy(col("dot").desc, col("vec_id").asc)))
-      .filter(col("rank") <= K)
-      .select("q_id", "vec_id", "dot", "rank")
+      .groupBy("q_id")
+      .agg(graft.functions.TopK.topkMax(col("dot"), col("vec_id"), K).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("q_id"), col("s.id").as("vec_id"),
+        col("s.score").as("dot"), (col("pos") + 1).cast("int").as("rank"))
   }
 
   val mipsTopKSql: String =
@@ -1348,21 +1346,16 @@ object Ann {
     val q = coded.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("q_id"), col("qs").as("qsq"),
         col("cd").as("cq"))
-    val scored = coded.join(broadcast(q), col("vec_id") =!= col("q_id"))
+    val topk = coded.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("idot",
         aggregate(zip_with(col("cq"), col("cd"), _ * _), lit(0L), _ + _))
       .withColumn("score",
         col("qsq") * col("qs") * col("idot").cast("double"))
-      .withColumn("salt", pmod(col("vec_id"), lit(NSalt)))
-    val partial = scored.withColumn("prank", row_number().over(
-        Window.partitionBy("q_id", "salt")
-          .orderBy(col("score").desc, col("vec_id").asc)))
-      .filter(col("prank") <= K)
-    val topk = partial.withColumn("rank", row_number().over(
-        Window.partitionBy("q_id")
-          .orderBy(col("score").desc, col("vec_id").asc)))
-      .filter(col("rank") <= K)
-      .select("q_id", "vec_id")
+      .groupBy("q_id")
+      .agg(graft.functions.TopK.topkMax(col("score"), col("vec_id"), K)
+        .as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("s"))
+      .select(col("q_id"), col("s.id").as("vec_id"))
     val truth = bruteTopK(spark, dir)
       .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
     topk.join(truth, Seq("q_id", "vec_id"), "left")

@@ -1,7 +1,6 @@
 package graft.ann
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{Tables, VectorLsh}
@@ -39,10 +38,17 @@ object Binarize {
 
   /** #159: per-query Hamming top-K over the packed signatures (rank by
     * (distance ASC, vec_id ASC) — total order). Queries broadcast; the
-    * data side scans two sign words per vector; the two-phase salted heaps
-    * bound every window at K·NSalt rows (the #29 discipline). The
-    * signature column is computed inline here; a production store
-    * computes it once at ingest and scans the packed column.
+    * data side scans two sign words per vector; the candidate stream
+    * collapses through [[graft.functions.TopK]]'s K-bounded heap
+    * aggregate — a hash aggregate with a map-side partial phase, so
+    * only K rows per (query, partition) cross the wire and NOTHING is
+    * sorted (round 9: the previous two-phase salted-WINDOW form
+    * shuffle-sorted all n²/QueryMod candidate rows, which started
+    * spilling at sf3 — 13.4× at 3× data vs the 9× candidate bound; the
+    * heap removes the sort while keeping the identical kept set, so
+    * the oracle is unchanged). The signature column is computed inline
+    * here; a production store computes it once at ingest and scans the
+    * packed column.
     */
   def hammingTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -55,16 +61,13 @@ object Binarize {
     e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("hamming",
         expr("bit_count(sig_lo ^ q_lo) + bit_count(sig_hi ^ q_hi)"))
-      .withColumn("salt", pmod(col("vec_id"), lit(Ann.NSalt)))
-      .withColumn("prank", row_number().over(
-        Window.partitionBy("q_id", "salt")
-          .orderBy(col("hamming").asc, col("vec_id").asc)))
-      .filter(col("prank") <= Ann.K)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id")
-          .orderBy(col("hamming").asc, col("vec_id").asc)))
-      .filter(col("rank") <= Ann.K)
-      .select("q_id", "vec_id", "hamming", "rank")
+      .groupBy("q_id")
+      .agg(graft.functions.TopK.topkMin(
+        col("hamming").cast("double"), col("vec_id"), Ann.K).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("q_id"), col("s.id").as("vec_id"),
+        col("s.score").cast("int").as("hamming"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   val hammingTopKSql: String = {

@@ -10,4 +10,7 @@ package object functions {
 
   val VectorFolds: org.apache.spark.sql.graft.VectorFolds.type =
     org.apache.spark.sql.graft.VectorFolds
+
+  val TopK: org.apache.spark.sql.graft.TopKAgg.type =
+    org.apache.spark.sql.graft.TopKAgg
 }

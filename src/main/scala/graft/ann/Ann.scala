@@ -82,11 +82,12 @@ object Ann {
     e.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cosine", VectorLsh.cosine(col("qv"), col("v")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id")
-          .orderBy(col("cosine").desc, col("vec_id").asc)))
-      .filter(col("rank") <= K)
-      .select("q_id", "vec_id", "cosine", "rank")
+      .groupBy("q_id")
+      .agg(graft.functions.TopK.topkMax(col("cosine"), col("vec_id"), K)
+        .as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("q_id"), col("s.id").as("vec_id"),
+        col("s.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
   }
 
   // ------------------------------------------------------------- IVF topk
@@ -133,11 +134,12 @@ object Ann {
     e.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cosine", VectorLsh.cosine(col("qv"), col("v")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id")
-          .orderBy(col("cosine").desc, col("vec_id").asc)))
-      .filter(col("rank") <= K)
-      .select("q_id", "vec_id", "cosine", "rank")
+      .groupBy("q_id")
+      .agg(graft.functions.TopK.topkMax(col("cosine"), col("vec_id"), K)
+        .as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("q_id"), col("s.id").as("vec_id"),
+        col("s.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
   }
 
   val ivfTopKSql: String = {
@@ -223,11 +225,12 @@ object Ann {
       .select(col("vec_id").as("q_id"), col("lut"))
     e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("approx_d", vf.pqAdc(col("lut"), col("codes"), PqNCent))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id")
-          .orderBy(col("approx_d").asc, col("vec_id").asc)))
-      .filter(col("rank") <= K)
-      .select("q_id", "vec_id", "approx_d", "rank")
+      .groupBy("q_id")
+      .agg(graft.functions.TopK.topkMin(col("approx_d"), col("vec_id"), K)
+        .as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("q_id"), col("s.id").as("vec_id"),
+        col("s.score").as("approx_d"), (col("pos") + 1).cast("int").as("rank"))
   }
 
   val pqTopKSql: String = {
@@ -307,11 +310,12 @@ object Ann {
     e.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("approx_d", vf.pqAdc(col("lut"), col("codes"), PqNCent))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id")
-          .orderBy(col("approx_d").asc, col("vec_id").asc)))
-      .filter(col("rank") <= kk)
-      .select("q_id", "vec_id", "approx_d", "rank")
+      .groupBy("q_id")
+      .agg(graft.functions.TopK.topkMin(col("approx_d"), col("vec_id"), kk)
+        .as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("q_id"), col("s.id").as("vec_id"),
+        col("s.score").as("approx_d"), (col("pos") + 1).cast("int").as("rank"))
   }
 
   // ----------------------------------------------------------- kNN graph

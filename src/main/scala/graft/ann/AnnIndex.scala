@@ -107,11 +107,12 @@ object AnnIndex {
       .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("approx_d", vf.pqAdc(col("lut"), col("codes"), Ann.PqNCent))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id")
-          .orderBy(col("approx_d").asc, col("vec_id").asc)))
-      .filter(col("rank") <= Ann.K)
-      .select("q_id", "vec_id", "approx_d", "rank")
+      .groupBy("q_id")
+      .agg(graft.functions.TopK.topkMin(col("approx_d"), col("vec_id"), Ann.K)
+        .as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("q_id"), col("s.id").as("vec_id"),
+        col("s.score").as("approx_d"), (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** #337 registered query: ingest→persist→load→serve. The save is

@@ -31,7 +31,7 @@ object Binarize {
     * codegen'd column arithmetic, no HOF lambda, no shuffle
     * (bit-packing is a map-only ingest step at any scale).
     */
-  private[ann] def signature(v: Column, lo: Int): Column =
+  private[graft] def signature(v: Column, lo: Int): Column =
     (1 to BitsPerWord).map(j =>
       when(element_at(v, lo + j) > 0.0, lit(1L << (j - 1))).otherwise(lit(0L)))
       .reduce(_ bitwiseOR _)
@@ -51,14 +51,27 @@ object Binarize {
     * packed column.
     */
   def hammingTopK(spark: SparkSession, dir: String): DataFrame = {
+    // The repartition AFTER the signature projection is load-bearing: it
+    // is the materialization barrier that makes the packed words real
+    // columns before the pair loop. Without it, whole-stage codegen
+    // fuses the projection into the join stage and lazily evaluates the
+    // 2×32-term sign fold at first use — INSIDE the per-broadcast-row
+    // loop, i.e. once per PAIR instead of once per row (measured: 56 s
+    // → 4 s at sf3; the sf3 13.4×-then-8× scaling anomalies were this,
+    // not the aggregate). A production store persists the packed column
+    // at ingest, which is the same barrier in table form (#337's codes).
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .select(col("vec_id"), signature(col("v"), 0).as("sig_lo"),
         signature(col("v"), BitsPerWord).as("sig_hi"))
+      .repartition(32)
     val q = e.filter(col("vec_id") % Ann.QueryMod === 0)
       .select(col("vec_id").as("q_id"), col("sig_lo").as("q_lo"),
         col("sig_hi").as("q_hi"))
-    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+    // crossJoin + filter, not join(cond): a non-equi inner BNLJ falls
+    // off the codegen path; cross+filter keeps the scan fused (2.6×).
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
       .withColumn("hamming",
         expr("bit_count(sig_lo ^ q_lo) + bit_count(sig_hi ^ q_hi)"))
       .groupBy("q_id")

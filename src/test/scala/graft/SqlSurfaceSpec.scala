@@ -100,4 +100,22 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val lazySet = SparkEntry.queries.keySet -- SqlSurface.EagerNames
     assert((lazySet ++ SqlSurface.EagerNames) == SparkEntry.queries.keySet)
   }
+
+  test("SURVEY §5's documented lazy/eager counts equal the measured split") {
+    // VERDICT r9 item 7: the §5 prose drifted from the measured set
+    // once; pin the doc to the code so it cannot again. The canonical
+    // line has the fixed form "lazy L / eager E of T."
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val m = "lazy (\\d+) / eager (\\d+) of (\\d+)\\.".r
+      .findFirstMatchIn(survey)
+    assert(m.isDefined, "SURVEY.md must carry the canonical split line")
+    val (l, e, t) = (m.get.group(1).toInt, m.get.group(2).toInt,
+      m.get.group(3).toInt)
+    assert(e == SqlSurface.EagerNames.size,
+      s"SURVEY says $e eager; EagerNames has ${SqlSurface.EagerNames.size}")
+    assert(t == SparkEntry.queries.size,
+      s"SURVEY says $t total; the board has ${SparkEntry.queries.size}")
+    assert(l == t - e)
+  }
 }

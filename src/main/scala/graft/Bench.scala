@@ -143,7 +143,9 @@ object Bench {
     // round-9 additions
     "ann_index_roundtrip", "events_changepoints_multi",
     "events_quantile_ab_ci", "ann_index_delta",
-    "streaming_restart_sessionize")
+    "streaming_restart_sessionize",
+    // round-10 additions
+    "embed_hamming_mih")
 
   /** Force full materialization of every output column. */
   private def run(df: DataFrame): Unit =
@@ -156,23 +158,51 @@ object Bench {
     run(sfDir, out)
   }
 
+  /** Real-JSON artifact parse (ADVICE r9: the old regex worked only on
+    * our own emitter and would silently yield Map.empty on any format
+    * change). Jackson rides the Spark classpath. Returns (sf, queries).
+    */
+  private[graft] def parseArtifact(path: java.nio.file.Path)
+      : Option[(String, Map[String, Double])] =
+    try {
+      if (!Files.exists(path)) None
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(Files.readString(path))
+        val sf = Option(root.get("sf")).map(_.asText).getOrElse("")
+        val qn = root.get("queries")
+        if (qn == null || !qn.isObject) None
+        else {
+          val it = qn.fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) {
+            val e = it.next(); b += e.getKey -> e.getValue.asDouble
+          }
+          Some(sf -> b.result())
+        }
+      }
+    } catch { case _: Throwable => None }
+
   /** Callable form (tools/BenchScale drives it against synthetic SFs). */
   def run(sfDir: String, out: String): Unit = {
-    // Trailing artifact (the previous bench.json at this path, read
-    // BEFORE overwrite): per-query reference timings for the
-    // marathon-retime trigger below.
-    val prior: Map[String, Double] = try {
-      val p = Paths.get(out)
-      if (!Files.exists(p)) Map.empty
-      else {
-        val s = Files.readString(p)
-        """"queries":\{([^}]*)\}""".r.findFirstMatchIn(s).map(_.group(1))
-          .map { qsec =>
-            """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(qsec)
-              .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          }.getOrElse(Map.empty[String, Double])
+    // Trailing reference for the marathon-retime trigger: the previous
+    // bench.json at this path PLUS its predecessor (Bench archives the
+    // overwritten artifact as <out>.prev each run), per-query MIN of
+    // the two — one inflated prior round can no longer mask a
+    // regression or spuriously spare a suspect. Artifacts whose "sf"
+    // differs from this run's are ignored (ADVICE r9: comparing warm
+    // times across scale factors triggered/masked retimes bogusly).
+    val candidates = Seq(Paths.get(out), Paths.get(out + ".prev"))
+    val matching = candidates.flatMap(p =>
+      parseArtifact(p).collect { case (sf, qs) if sf == sfDir => (p.toString, qs) })
+    val trailingSource: Seq[String] = matching.map(_._1)
+    val prior: Map[String, Double] = matching.map(_._2)
+      .foldLeft(Map.empty[String, Double]) { (acc, m) =>
+        (acc.keySet ++ m.keySet).iterator.map { k =>
+          k -> math.min(acc.getOrElse(k, Double.MaxValue),
+            m.getOrElse(k, Double.MaxValue))
+        }.toMap
       }
-    } catch { case _: Throwable => Map.empty }
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors, 32).toString)
@@ -255,26 +285,33 @@ object Bench {
       (name, warm, if (coldErr.isEmpty) Some(cold) else None, err, shuf)
     }
 
-    // Automated marathon-retime (VERDICT r8 item 6): a long session's
-    // GC/compaction interference can inflate a single query 10×+
-    // (streaming_windowed_agg read 17 s in-board vs 1.37 s solo in r8;
-    // dq_benford in r6/r7), which used to force hand-retiming every
-    // round. Any query whose warm time exceeds 3× its trailing-artifact
-    // value (the previous bench.json at this path, read before
-    // overwrite) is re-timed at the END of the run and the artifact
-    // records {marathon, solo}; the reported warm value is the min —
-    // still "min of warm runs", just with the suspects granted extras.
-    val retimed: Map[String, (Double, Double)] = results.collect {
+    // Automated marathon-retime (VERDICT r8 item 6, trigger retuned per
+    // VERDICT r9 item 2): a long session's GC/compaction interference
+    // can inflate a single query 10×+ (streaming_windowed_agg read 17 s
+    // in-board vs 1.37 s solo in r8), and r9's looser 3×/1 s gate let
+    // 13 phantom +1.5× regressions (~21 s) into the artifact uncaught.
+    // Any query whose warm time exceeds 1.5× its trailing reference
+    // (min of the last two same-sf artifacts) above a 0.3 s floor is
+    // re-timed at the END of the run; the artifact records
+    // {marathon, solo} and the reported warm value is the min — still
+    // "min of warm runs", just with the suspects granted extras. A solo
+    // leg that THROWS is discarded rather than timed (ADVICE r9: a
+    // fast-failing retime used to publish its tiny elapsed as a bogus
+    // low warm value); if every solo leg fails, the in-board warm
+    // stands and no retime is recorded.
+    val retimed: Map[String, (Double, Double)] = results.flatMap {
       case (name, warm, _, None, _)
-          if prior.get(name).exists(p => warm > 1.0 && warm > 3 * p) =>
+          if prior.get(name).exists(p => warm > 0.3 && warm > 1.5 * p) =>
         val fn = SparkEntry.queries(name)
-        val solo = (1 to 2).map { _ =>
+        val soloOk = (1 to 2).flatMap { _ =>
           System.gc()
           val t0 = System.nanoTime()
-          try run(fn(spark, sfDir)) catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9
-        }.min
-        name -> (warm, solo)
+          val ok = try { run(fn(spark, sfDir)); true }
+                   catch { case _: Throwable => false }
+          if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        }
+        soloOk.minOption.map(solo => name -> (warm, solo))
+      case _ => None
     }.toMap
 
     def jq(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -297,9 +334,19 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val totalCold = results.flatMap(_._3).sum
+    // trailing_source (VERDICT r9 item 8): name the artifacts that
+    // supplied the retime reference values, so cross-round diffs are
+    // machine-explainable from the artifact alone.
+    val tsrc = trailingSource.map(jq).mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$colds,"total_cold":$totalCold,"errors":$errs,"retimed":$retimes,"shuffle":$shufs,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get(out), json + "\n")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$colds,"total_cold":$totalCold,"errors":$errs,"retimed":$retimes,"trailing_source":$tsrc,"shuffle":$shufs,"sf":"$sfDir"}"""
+    // Archive the artifact being overwritten: <out>.prev is the second
+    // leg of the next run's min-of-last-two trailing reference.
+    val outP = Paths.get(out)
+    if (Files.exists(outP))
+      Files.copy(outP, Paths.get(out + ".prev"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Files.writeString(outP, json + "\n")
     // stdout gets a COMPACT line (round 6: the driver records only a
     // ~2 kB tail of stdout, so the 200+-query line arrived truncated
     // and parsed as null). Totals + errors + the slowest queries fit

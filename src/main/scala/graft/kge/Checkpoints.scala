@@ -60,9 +60,9 @@ object Checkpoints {
 
   /** Load a params-only checkpoint — the SGD-family state ([[save]]
     * writes whatever columns the frames carry; HolE's state is
-    * (id, vec) with no optimizer slots, exactly the param dict the
-    * reference's `save_epoch` pickles for ITS eponymous model,
-    * kge/hole.py:253-258).
+    * (id, vec) with no optimizer slots — the same params-only scope as
+    * the reference's `save_epoch`, which saves Keras h5 weights via
+    * model.save_weights for ITS eponymous model, kge/hole.py:253-258).
     */
   def loadVecs(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
     def frame(p: String) = spark.read.parquet(p).select(col("id"), col("vec"))

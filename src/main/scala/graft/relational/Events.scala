@@ -4092,11 +4092,21 @@ object Events {
       .withColumn("r", row_number().over(
         Window.partitionBy(segKey: _*).orderBy(col("gain").desc, col("day").asc)))
       .filter(col("r") === 1)
-      .filter(col("ssen") > 0 &&
-        col("ddec") * col("ddec")
-          * (col("n") + lit(CpAcceptC - 2)).cast("decimal(38,0)")
-          >= lit(CpAcceptC)
-            * (col("n1") * col("n2")).cast("decimal(38,0)") * col("ssen"))
+      // Acceptance as a pure integer inequality. Guard (ADVICE r9): on
+      // DECIMAL(38,0) overflow non-ANSI Spark yields NULL and the
+      // filter would silently NOT-split, while the oracle's HUGEINT
+      // raises — so an out-of-bound corpus must raise HERE too, making
+      // the engines share a failure mode instead of silently diverging
+      // near the documented 1e38 grid bound.
+      .withColumn("acc_lhs", col("ddec") * col("ddec")
+        * (col("n") + lit(CpAcceptC - 2)).cast("decimal(38,0)"))
+      .withColumn("acc_rhs", lit(CpAcceptC)
+        * (col("n1") * col("n2")).cast("decimal(38,0)") * col("ssen"))
+      .filter(when(col("acc_lhs").isNull || col("acc_rhs").isNull,
+          raise_error(lit("changepoint acceptance overflowed DECIMAL(38,0): " +
+            "series exceeds the documented 1e38 grid bound")))
+        .otherwise(col("ssen") > 0 && col("acc_lhs") >= col("acc_rhs")))
+      .drop("acc_lhs", "acc_rhs")
   }
 
   /** #338: MULTI-SHIFT CHANGEPOINT DETECTION — circular binary

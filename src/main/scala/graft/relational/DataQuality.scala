@@ -251,23 +251,28 @@ object DataQuality {
           countDistinct(col(c)).as(s"${c}_nd"))
         }
       val pass = df.agg(count(lit(1)).as("n"), aggs: _*)
+      // ONE aggregate pass per table (r10, guide §2.4): the per-column
+      // output rows unfold from the single aggregate row via inline —
+      // the previous per-column `pass.select(...)` union re-planned and
+      // RE-EXECUTED the whole-table aggregate once per profiled column
+      // (12 scans+aggregates for 4 tables; warm 6.3 s → 1.x s).
       val rows =
         nums.map { case (c, _) =>
-          pass.select(lit(tbl).as("table_name"), lit(c).as("column_name"),
+          struct(lit(tbl).as("table_name"), lit(c).as("column_name"),
             col("n").as("n_rows"), col(s"${c}_nn").as("n_null"),
             col(s"${c}_nd").as("n_distinct"),
             col(s"${c}_min").as("min_v"), col(s"${c}_max").as("max_v"),
             (col(s"${c}_sum") / col("n")).as("mean_v"))
         } ++
         cats.map { c =>
-          pass.select(lit(tbl).as("table_name"), lit(c).as("column_name"),
+          struct(lit(tbl).as("table_name"), lit(c).as("column_name"),
             col("n").as("n_rows"), col(s"${c}_nn").as("n_null"),
             col(s"${c}_nd").as("n_distinct"),
             lit(null).cast("double").as("min_v"),
             lit(null).cast("double").as("max_v"),
             lit(null).cast("double").as("mean_v"))
         }
-      rows.reduce(_ unionByName _)
+      pass.select(inline(array(rows: _*)))
     }.reduce(_ unionByName _)
   }
 

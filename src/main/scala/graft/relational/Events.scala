@@ -3794,18 +3794,33 @@ object Events {
   def abHolm(spark: SparkSession, dir: String): DataFrame = {
     import graft.core.{Exact, PortableHash}
     val e = eventsS(spark, dir)
-    val u = e.groupBy("user_id").agg(count(lit(1)).as("ne"))
-    val ty = e.select("event_type").distinct()
-    val ut = e.groupBy("user_id", "event_type").agg(count(lit(1)).as("nt"))
-    val base = u.crossJoin(broadcast(ty))
-      .join(ut, Seq("user_id", "event_type"), "left")
-      .select(col("event_type"),
-        when(coalesce(col("nt"), lit(0L)) * 5L > col("ne"), 1L)
-          .otherwise(0L).as("conv"),
-        when(PortableHash.pHash(concat(lit("ab|"), col("user_id"))) % 2 === 0,
-          "A").otherwise("B").as("variant"))
-    val v = base.groupBy("event_type", "variant")
-      .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+    // r10 (guide §2.3/§2.4): ONE scan+aggregate of events — the user
+    // totals and the type list both derive from the (user, type) counts
+    // (ne = Σ_t nt; checkpointed so the three consumers don't each
+    // re-run the events aggregate). Previously u / ty / ut were three
+    // independent full scans.
+    val ut = e.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("nt")).localCheckpoint(false)
+    val u = ut.groupBy("user_id").agg(sum("nt").as("ne"))
+    val ty = ut.select("event_type").distinct()
+    // The old users×types crossJoin materialized |users|·|types| rows
+    // only to count them back down. But n per (type, variant) is just
+    // the variant's TOTAL user count (absent (user, type) pairs never
+    // convert: nt=0 ⇒ conv=0 since ne ≥ 1), so aggregate
+    // users-per-variant and converters-per-(type, variant) separately
+    // and re-attach on the ≤|types|×2-row grid — identical (n, c)
+    // table, one user-scale shuffle less and no 5× row blowup.
+    val uv = u.withColumn("variant",
+      when(PortableHash.pHash(concat(lit("ab|"), col("user_id"))) % 2 === 0,
+        "A").otherwise("B"))
+    val nv = uv.groupBy("variant").agg(count(lit(1)).as("n"))
+    val conv = ut.join(uv, Seq("user_id"))
+      .filter(col("nt") * 5L > col("ne"))
+      .groupBy("event_type", "variant").agg(count(lit(1)).as("c"))
+    val v = ty.crossJoin(broadcast(nv))
+      .join(conv, Seq("event_type", "variant"), "left")
+      .select(col("event_type"), col("variant"), col("n"),
+        coalesce(col("c"), lit(0L)).as("c"))
     val wide = v.filter(col("variant") === "A")
       .select(col("event_type"), col("n").as("n_a"), col("c").as("c_a"))
       .join(v.filter(col("variant") === "B")
@@ -3816,13 +3831,19 @@ object Events {
     val pp = (col("c_a") + col("c_b")).cast("double") / (col("n_a") + col("n_b"))
     val se = sqrt((pp * (lit(1.0) - pp)) *
       ((lit(1.0) / col("n_a")) + (lit(1.0) / col("n_b"))))
+    // r10: checkpoint the ≤|types|-row `tests` frame itself, not just
+    // the fam slice — the final select re-joins `tests`, and without
+    // the cut its whole upstream (user aggregate, converter join) was
+    // analyzed and EXECUTED a second time per run (guide §3.3:
+    // materialising an intermediate truncates the plan).
     val tests = wide
       .withColumn("powered", col("n_a") >= 30L && col("n_b") >= 30L)
       .withColumn("z",
         when(col("powered") && se > 0.0, Exact.roundS((pa - pb) / se, 6)))
       .withColumn("absz", abs(col("z")))
+      .localCheckpoint(false)
     val fam = tests.filter(col("z").isNotNull)
-      .select("event_type", "absz").localCheckpoint(false)
+      .select("event_type", "absz")
     // rank = 1 + |{better tests}|; ties break on event_type — a
     // ≤|types|² broadcast self-join, not an unpartitioned window
     val ranked = fam.join(broadcast(

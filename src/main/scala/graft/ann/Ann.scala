@@ -815,11 +815,20 @@ object Ann {
     * rows. Truth is computed once and reused across all four joins.
     */
   def recallReport(spark: SparkSession, dir: String): DataFrame = {
+    // r10 (guide §3.3/§5): checkpoint the K·|Q|-row truth frame — the
+    // doc says "truth is computed once and reused", but as a plain
+    // subtree the brute-force pass was re-planned and RE-EXECUTED by
+    // each of the six semi-joins plus the six broadcast n_queries
+    // branches. The checkpoint makes "once" literal.
     val truth = bruteTopK(spark, dir).select("q_id", "vec_id")
+      .localCheckpoint(false)
     val nq = truth.agg(countDistinct(col("q_id")).as("n_queries"))
+    // broadcast hint: the checkpoint's LogicalRDD carries the brute
+    // pass's (huge) origin size estimate, which otherwise flips these
+    // semi-joins from broadcast to sort-merge.
     def row(name: String, f: DataFrame): DataFrame =
       f.select(col("q_id"), col("vec_id"))
-        .join(truth, Seq("q_id", "vec_id"), "left_semi")
+        .join(broadcast(truth), Seq("q_id", "vec_id"), "left_semi")
         .agg(count(lit(1)).as("n_hits"))
         .crossJoin(broadcast(nq))
         .select(lit(name).as("variant"), col("n_queries"), col("n_hits"),

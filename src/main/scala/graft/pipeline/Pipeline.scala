@@ -81,22 +81,34 @@ object Pipeline {
 
     def n(s: Column) = sum(when(s, 1L).otherwise(0L))
     def t(s: Column) = sum(when(s, col("tok")).otherwise(0L))
-    val agg = fl.agg(
-      count(lit(1)).as("n0"), sum("tok").as("t0"),
-      n(col("s1")).as("n1"), t(col("s1")).as("t1"),
-      n(col("s2")).as("n2"), t(col("s2")).as("t2"),
-      n(col("s3")).as("n3"), t(col("s3")).as("t3"),
-      n(col("s4")).as("n4"), t(col("s4")).as("t4"),
-      n(col("s5")).as("n5"), t(col("s5")).as("t5"))
-    // #82's concat-then-chunk over the survivors: per-source streams,
-    // blocks = ceil(stream tokens / SeqLen), summed across sources.
-    val blocks = fl.filter(col("s5")).groupBy("source")
-      .agg(sum("tok").as("st"))
-      .agg(coalesce(sum(expr(
-        s"(st + ${Packing.SeqLen - 1}) DIV ${Packing.SeqLen}")), lit(0L))
+    // r10 (guide §2.4, remove duplicated subtrees): the funnel counts
+    // and the packed-block count used to be TWO independent aggregates
+    // over `fl`, so the whole upstream chain (clean flags, canonical
+    // pair graph, LR gate, contamination probe) was planned and
+    // EXECUTED twice per run. One per-source aggregate pass now feeds
+    // both: stage totals are sums of the per-source partials, and
+    // blocks = Σ_source ceil(t5_source / SeqLen) exactly as before
+    // (a source with no s5 survivors has t5_source = 0 ⇒ 0 blocks,
+    // identical to being absent from the old filtered aggregate).
+    val per = fl.groupBy("source").agg(
+      count(lit(1)).as("c0"), sum("tok").as("s0"),
+      n(col("s1")).as("c1"), t(col("s1")).as("m1"),
+      n(col("s2")).as("c2"), t(col("s2")).as("m2"),
+      n(col("s3")).as("c3"), t(col("s3")).as("m3"),
+      n(col("s4")).as("c4"), t(col("s4")).as("m4"),
+      n(col("s5")).as("c5"), t(col("s5")).as("m5"))
+    val agg = per.agg(
+      coalesce(sum("c0"), lit(0L)).as("n0"), sum("s0").as("t0"),
+      sum("c1").as("n1"), sum("m1").as("t1"),
+      sum("c2").as("n2"), sum("m2").as("t2"),
+      sum("c3").as("n3"), sum("m3").as("t3"),
+      sum("c4").as("n4"), sum("m4").as("t4"),
+      sum("c5").as("n5"), sum("m5").as("t5"),
+      coalesce(sum(expr(
+        s"(m5 + ${Packing.SeqLen - 1}) DIV ${Packing.SeqLen}")), lit(0L))
         .as("nb"))
 
-    agg.crossJoin(blocks).selectExpr(
+    agg.selectExpr(
       s"""stack(7,
          |  0, 'raw',            n0, t0, CAST(NULL AS BIGINT),
          |  1, 'clean',          n1, t1, CAST(NULL AS BIGINT),

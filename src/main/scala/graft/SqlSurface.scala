@@ -92,6 +92,10 @@ object SqlSurface {
     // driver-side merge/codebook/probe loops and sweeps
     "bpe_encode", "ann_nprobe_sweep", "ann_index_roundtrip",
     "ann_index_delta", "search_mmr_rerank", "events_ab_holm",
+    // r10: localCheckpoint'ed shared intermediates (truth frame /
+    // per-level accepted splits) — AQE finalizes the checkpointed plan
+    // at build time, so registration executes it
+    "ann_recall_report", "events_changepoints_multi",
     // staging writes (persisted artifacts / source fixtures; fixtures
     // staged at EXECUTION — e.g. dq_fk_orphans — stay lazy: the first
     // query of the view pays them, not registration)

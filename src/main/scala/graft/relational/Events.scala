@@ -4156,7 +4156,12 @@ object Events {
       .agg(min("k").as("lo"), max("k").as("hi"))
     val levels = Seq.newBuilder[DataFrame]
     for (depth <- 1 to CpMaxDepth) {
-      val acc = cpBestSplits(idx, segs)
+      // r10 (guide §3.3): checkpoint each level's accepted splits
+      // (≤ 2^depth·|types| rows). Without the cut, level d's plan
+      // re-contained levels 1..d−1 BOTH via the segment derivation and
+      // via the output union, so the window/join machinery of level 1
+      // executed at every deeper level (1+2+3 executions for depth 3).
+      val acc = cpBestSplits(idx, segs).localCheckpoint(false)
       levels += acc.select(lit(depth).as("depth"), col("event_type"),
         col("day").as("cp_day"), col("n1").as("n_pre"), col("n2").as("n_post"),
         Exact.roundS(col("s1").cast("double") / col("n1") / lit(1e6), 6)

@@ -26,12 +26,22 @@ object Relevance {
   private val words: Column = split(trim(col("text")), "\\s+")
   private val duckWords = "regexp_split_to_array(trim(text), '\\s+')"
 
-  /** (doc_id, term, tf) — one explode, one groupBy(doc_id, term). */
+  /** (doc_id, term, tf) — one explode, one groupBy(doc_id, term).
+    * r10: derived-tier cached — §5 calls this frame "the thing you
+    * materialize once", yet six operators (#54 tfidf, #55 bm25,
+    * #204 zipf, #247 heaps, #245 burstiness, #325 prf) each re-ran the
+    * corpus-scale explode+aggregate. Bench's cold legs still charge it
+    * (clearDerived), so per-query compute stays honestly measured.
+    */
+  private val tfCache = new graft.core.DfCache[(SparkSession, String)]
+
   private def termFreq(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(words).as("term"))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
+    tfCache.getOrElseUpdate((spark, dir)) {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(words).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+    }
 
   private val termFreqCte: String =
     s"""tf AS (

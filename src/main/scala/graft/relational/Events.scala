@@ -271,10 +271,27 @@ object Events {
     * DIV ns/day) keeps everything exact; the rate is one division
     * against the broadcast cohort size.
     */
+  /** r10 (guide §5 "materialize once"): the distinct (user, day)
+    * activity frame — built identically by #90 retention, #211 growth
+    * accounting and #226 stickiness, and referenced FIVE times inside
+    * growth accounting's single plan. Derived-tier cached; Bench's
+    * cold legs still charge the events scan (clearDerived). Day is
+    * integer ts_s DIV 86400 ≡ (epoch_ns DIV ns_per_day) ≡ the previous
+    * double-division-then-cast for ts_s ∈ [0, 2⁴⁰] (quotient
+    * granularity 1/86400 dwarfs double rounding error) — re-proved
+    * hash-exact vs the oracle for all three consumers.
+    */
+  private val userDayCache = new graft.core.DfCache[(SparkSession, String)]
+
+  private def userDay(spark: SparkSession, dir: String): DataFrame =
+    userDayCache.getOrElseUpdate((spark, dir)) {
+      eventsS(spark, dir)
+        .select(col("user_id"), expr("ts_s DIV 86400").as("day"))
+        .distinct()
+    }
+
   def retention(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
-    val byDay = e
-      .select(col("user_id"), expr(s"${tsNanos(e)} DIV $NsPerDay").as("day")).distinct()
+    val byDay = userDay(spark, dir)
     val cohorts = byDay.groupBy("user_id").agg(min("day").as("cohort_day"))
     val sizes = cohorts.groupBy("cohort_day").agg(count(lit(1)).as("cohort_size"))
     byDay.join(cohorts, "user_id")
@@ -752,16 +769,29 @@ object Events {
     * combine, and the normalizing window runs over that dictionary-
     * small frame, never the data.
     */
-  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
-    val pairs = eventsS(spark, dir)
-      .withColumn("next_type", lead("event_type", 1).over(byUser))
-      .filter(col("next_type").isNotNull)
-      .select(col("event_type").as("from_type"), col("next_type").as("to_type"))
-    val cnt = pairs.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
-    cnt.withColumn("n_from", sum("n").over(Window.partitionBy("from_type")))
-      .withColumn("p", col("n").cast("double") / col("n_from").cast("double"))
-  }
+  /** r10 (guide §5 "materialize once"): the ≤|types|²-row transition
+    * frame is derived-tier cached — #181 itself, #244's four power
+    * iterations and #248's two legs each re-paid the events-scale
+    * per-user successor window otherwise. Bench's cold legs still
+    * charge the scan (clearDerived precedes them).
+    */
+  private val markovCache = new graft.core.DfCache[(SparkSession, String)]
+
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame =
+    markovCache.getOrElseUpdate((spark, dir)) {
+      val byUser = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+      val pairs = eventsS(spark, dir)
+        .withColumn("next_type", lead("event_type", 1).over(byUser))
+        .filter(col("next_type").isNotNull)
+        .select(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      val cnt = pairs.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      cnt.withColumn("n_from", sum("n").over(Window.partitionBy("from_type")))
+        .withColumn("p", col("n").cast("double") / col("n_from").cast("double"))
+        // ≤|types|² rows: single-partition so the ~20 downstream stages
+        // of #244/#248 launch 1 task, not 32 (guide §2.6 small-frame
+        // task-launch overhead dominated both queries' exec legs)
+        .coalesce(1)
+    }
 
   val markovTransitionsSql: String =
     s"""WITH seq AS (
@@ -1555,9 +1585,7 @@ object Events {
     * integer — hash-exact with no quantization.
     */
   def growthAccounting(spark: SparkSession, dir: String): DataFrame = {
-    val act = eventsS(spark, dir)
-      .select(col("user_id"), (col("ts_s") / 86400L).cast("long").as("day"))
-      .distinct()
+    val act = userDay(spark, dir)
     val first = act.groupBy("user_id").agg(min("day").as("first_day"))
     val prev = act.select(col("user_id"), (col("day") + 1L).as("day"),
       lit(1L).as("was_active"))
@@ -2135,8 +2163,7 @@ object Events {
     * bounded by the calendar.
     */
   def stickiness(spark: SparkSession, dir: String): DataFrame = {
-    val act = eventsS(spark, dir)
-      .select(col("user_id"), expr("ts_s DIV 86400").as("day")).distinct()
+    val act = userDay(spark, dir)
     val bounds = act.agg(min("day").as("d0"), max("day").as("d1"))
     val perUserDay = act.crossJoin(broadcast(bounds))
       .select(col("user_id"), col("d0"), col("d1"),

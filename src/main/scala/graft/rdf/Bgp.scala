@@ -209,8 +209,14 @@ object Bgp {
 
     val seq = pb.join(cn, "mid").join(broadcast(nr), "nat")
       .select("start", "end")
-    val altSeq = pb.unionByName(sb).join(cn, "mid")
-      .join(broadcast(nr), "nat").select("start", "end")
+    // r10 (guide §2.4): alternation used to union BEFORE the join
+    // ((pb ∪ sb) ⋈ cn ⋈ nr), so the placedBy leg re-joined the exact
+    // subtree `seq` already builds with no exchange to reuse. Joins
+    // distribute over UNION ALL — the multiset of (start, end) pairs
+    // is identical leg by leg — so alt = seq-leg ∪ sb-leg lets the
+    // runtime reuse seq's shuffles; the one distinct stays at the end.
+    val altSeq = seq.unionByName(
+      sb.join(cn, "mid").join(broadcast(nr), "nat").select("start", "end"))
     val invSeq = pat("placedBy", "ord", "start") // ^placedBy: swap roles
       .join(hp, "ord").select("start", "end")
     report("seq", seq)

@@ -47,7 +47,14 @@ object Inference {
     */
   def inferChain(spark: SparkSession, dir: String): DataFrame = {
     val base = TpchGraph.triples(spark, dir)
-    var known = base.localCheckpoint(false)
+    // r10 (guide §2.2): `known` was re-localCheckpoint'ed whole each
+    // round — three full-graph copies (compute + storage) for a
+    // closure that only ever GROWS by the checkpointed delta. known is
+    // now the cheap union of the already-materialized pieces; each
+    // round still checkpoints only its frontier. Same rows, same
+    // rounds — only the per-round full-graph copy is gone.
+    var knownParts = Seq(base.localCheckpoint(false))
+    var known = knownParts.head
     var delta = known
     var out: DataFrame = null
     for (k <- 1 to Rounds) {
@@ -66,7 +73,8 @@ object Inference {
       }.reduce(_ unionByName _).distinct()
       delta = cand.join(known, Seq("s", "p", "o"), "left_anti")
         .localCheckpoint(false)
-      known = known.unionByName(delta).localCheckpoint(false)
+      knownParts :+= delta
+      known = knownParts.reduce(_ unionByName _)
       val tagged = delta.withColumn("round", lit(k))
       out = if (out == null) tagged else out.unionByName(tagged)
     }

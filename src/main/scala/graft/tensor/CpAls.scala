@@ -167,8 +167,13 @@ object CpAls {
     */
   def halfSweepA(spark: SparkSession, dir: String): DataFrame = {
     val x = Dict.encodedTriples(spark, dir)
-    val b = initFactor(x, "pid", "B")
-    val c = initFactor(x, "oid", "C")
+    // r10 (guide §2.4): each init factor feeds TWO consumers — its
+    // eager Gram job and the MTTKRP join — so the entity-scale
+    // distinct(oid)+dyadic build of C executed twice per run.
+    // localCheckpoint materializes each once (same discipline as
+    // cpAls' sweep loop); values are bit-identical rows, not a rerun.
+    val b = initFactor(x, "pid", "B").localCheckpoint()
+    val c = initFactor(x, "oid", "C").localCheckpoint()
     val m = sumVec(joinFactors(x, "sid", sys.error("A unused"), b, c), "sid", "t")
     applyRight(m, solveMat(gram(b), gram(c)))
       .select(col("id") +: (0 until R).map(r =>

@@ -340,16 +340,24 @@ object Relational {
     val lp = lpCache.getOrElseUpdate((spark, dir))(
       Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_partkey")).distinct())
+    // r10 (guide §4): was transform³ over the raw set — |ps|³ struct
+    // constructions per order, then a filter keeping the 1/6 with
+    // p1<p2<p3. Sorting the (distinct) set once and walking ordered
+    // index combinations i<j<k builds exactly C(|ps|,3) structs — the
+    // identical triple multiset (sorted distinct ⇒ a[i]<a[j]<a[k]).
+    // The size≥3 guard both drops triple-less orders before the
+    // explode and keeps every `sequence` bound ascending.
     val tripleCnt = lp
       .groupBy("l_orderkey")
-      .agg(collect_set(col("l_partkey")).as("ps"))
-      .select(explode(filter(
-        flatten(transform(col("ps"), x =>
-          flatten(transform(col("ps"), y =>
-            transform(col("ps"), z =>
-              struct(x.as("p1"), y.as("p2"), z.as("p3"))))))),
-        s => s.getField("p1") < s.getField("p2") &&
-          s.getField("p2") < s.getField("p3"))).as("t"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .filter(size(col("ps")) >= 3)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ps) - 2), i ->
+          |  flatten(transform(sequence(i + 1, size(ps) - 1), j ->
+          |    transform(sequence(j + 1, size(ps)), k ->
+          |      struct(element_at(ps, i) AS p1,
+          |             element_at(ps, j) AS p2,
+          |             element_at(ps, k) AS p3))))))""".stripMargin)).as("t"))
       .groupBy(col("t.p1").as("p1"), col("t.p2").as("p2"),
         col("t.p3").as("p3"))
       .agg(count(lit(1)).as("n_orders"))

@@ -36,25 +36,35 @@ object Unfold {
   val ChkP = 9973L
 
   def unfoldStats(spark: SparkSession, dir: String): DataFrame = {
+    // r10 (guide §2.3, shuffle fewer bytes): was explode(3 structs per
+    // entry) + groupBy(mode) with two countDistincts — a 3·nnz generate
+    // whose multi-distinct Expand fed 9·nnz map rows. One pass over the
+    // COO rows with per-mode distinct aggregates plans a single 7·nnz
+    // Expand, no generate; the three report rows unfold from the one
+    // aggregate row. Values per mode are computed by the identical
+    // formulas — same counts, extents and checksum.
     val nEnt = Dict.entities(spark, dir).agg(count(lit(1)).as("n_ent"))
-    val modes = Dict.encodedTriples(spark, dir)
+    val e = Dict.encodedTriples(spark, dir)
       .crossJoin(broadcast(nEnt))
-      .select(explode(array(
-        struct(lit(1L).as("mode"), col("sid").as("r"),
-          (col("oid") + col("n_ent") * col("pid")).as("c")),
-        struct(lit(2L).as("mode"), col("oid").as("r"),
-          (col("sid") + col("n_ent") * col("pid")).as("c")),
-        struct(lit(3L).as("mode"), col("pid").as("r"),
-          (col("sid") + col("n_ent") * col("oid")).as("c")))).as("e"))
-      .select(col("e.mode").as("mode"), col("e.r").as("r"), col("e.c").as("c"))
-    modes.groupBy("mode")
-      .agg(
-        count(lit(1)).as("nnz"),
-        countDistinct(col("r")).as("n_rows_occ"),
-        countDistinct(col("c")).as("n_cols_occ"),
-        min(col("c")).as("col_min"),
-        max(col("c")).as("col_max"),
-        sum((col("r") % ChkP) * (col("c") % ChkP)).as("idx_checksum"))
+      .select(col("sid"), col("pid"), col("oid"),
+        (col("oid") + col("n_ent") * col("pid")).as("c1"),
+        (col("sid") + col("n_ent") * col("pid")).as("c2"),
+        (col("sid") + col("n_ent") * col("oid")).as("c3"))
+    def modeAggs(m: Int, r: String, c: String) = Seq(
+      countDistinct(col(r)).as(s"nr$m"),
+      countDistinct(col(c)).as(s"nc$m"),
+      min(col(c)).as(s"mn$m"),
+      max(col(c)).as(s"mx$m"),
+      sum((col(r) % ChkP) * (col(c) % ChkP)).as(s"ck$m"))
+    val aggs = count(lit(1)).as("nnz") +:
+      (modeAggs(1, "sid", "c1") ++ modeAggs(2, "oid", "c2") ++
+        modeAggs(3, "pid", "c3"))
+    def row(m: Int) = struct(lit(m.toLong).as("mode"), col("nnz"),
+      col(s"nr$m").as("n_rows_occ"), col(s"nc$m").as("n_cols_occ"),
+      col(s"mn$m").as("col_min"), col(s"mx$m").as("col_max"),
+      col(s"ck$m").as("idx_checksum"))
+    e.agg(aggs.head, aggs.tail: _*)
+      .select(inline(array(row(1), row(2), row(3))))
   }
 
   val unfoldStatsSql: String =

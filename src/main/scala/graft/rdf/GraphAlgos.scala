@@ -969,11 +969,21 @@ object GraphAlgos {
     val w = walks(spark, dir)
       .select(col("walk_id"), col("step"), col("node"))
       .localCheckpoint(false)
-    w.as("a").join(w.as("b"),
-        col("a.walk_id") === col("b.walk_id") &&
-          col("a.step") =!= col("b.step") &&
-          abs(col("a.step") - col("b.step")) <= WalkWin)
-      .groupBy(col("a.node").as("center"), col("b.node").as("context"))
+    // r10 (guide §3.4): was a data-scale self-join on walk_id (sort +
+    // join of 4·|walks| rows against itself). A walk is ≤ WalkLen+1
+    // rows, so the windowed pairs generate map-side from one per-walk
+    // collect: same (center, context) multiset — the join emitted
+    // exactly the a.step≠b.step, |Δstep|≤win pairs per walk_id, and
+    // steps are unique within a walk.
+    w.groupBy("walk_id")
+      .agg(collect_list(struct(col("step"), col("node"))).as("ws"))
+      .select(explode(expr(
+        s"""flatten(transform(ws, a ->
+           |  transform(filter(ws, b -> b.step != a.step
+           |      AND abs(a.step - b.step) <= $WalkWin),
+           |    b -> struct(a.node AS center, b.node AS context))))"""
+          .stripMargin)).as("pr"))
+      .groupBy(col("pr.center").as("center"), col("pr.context").as("context"))
       .agg(count(lit(1)).as("n_cooc"))
   }
 

@@ -33,14 +33,22 @@ object Shacl {
     // sh:class-style: the object of each link must exist as the subject
     // of the class-defining predicate.
     def targetExists(constraint: String, link: String, defining: String): DataFrame = {
+      // r10 (guide §2.4): was TWO aggregates over the link set (an
+      // anti-join violation count + a separate n_checked count glued
+      // by crossJoin), executing the predicate scan twice. `targets`
+      // is distinct, so a LEFT join matches each link at most once —
+      // n_checked = all rows, n_violations = unmatched rows, one pass.
       val links = p(link)
-      val targets = p(defining).select(col("s").as("o")).distinct()
-      val viol = links.join(targets, Seq("o"), "left_anti")
-        .agg(count(lit(1)).as("v"))
-      links.agg(count(lit(1)).as("n_checked"))
-        .crossJoin(broadcast(viol))
+      val targets = p(defining).select(col("s").as("o"), lit(1L).as("hit"))
+        .distinct()
+      links.join(targets, Seq("o"), "left")
+        .agg(count(lit(1)).as("n_checked"),
+          // coalesce: an empty link set must report 0, not NULL (the
+          // old anti-join count was 0 there)
+          coalesce(sum(when(col("hit").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_violations"))
         .select(lit(constraint).as("constraint_name"), col("n_checked"),
-          col("v").as("n_violations"))
+          col("n_violations"))
     }
     // sh:minCount 1 / sh:maxCount 1: every focus subject (subjects of
     // `focus`) carries exactly one `must` link.

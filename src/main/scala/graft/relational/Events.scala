@@ -1683,29 +1683,37 @@ object Events {
         col("ts_s").as("pts"),
         floor(col("value") * 100.0 + 0.5).cast("long").as("cents"))
     val t = e.filter(col("event_type").isin("view", "click"))
-      .select(col("user_id"), col("event_id").as("tid"),
+      .select(col("user_id").as("t_uid"), col("event_id").as("tid"),
         col("event_type").as("channel"), col("ts_s").as("tts"))
-    val m = p.join(t, Seq("user_id"))
-      .filter(col("tts") < col("pts") &&
-        col("tts") >= col("pts") - AttribWindowS)
+    // r10 (guide §2.4): the orphan branch used to anti-join purchases
+    // against a SECOND execution of the purchase×touch join. One LEFT
+    // join carries orphans as null-channel rows through the same
+    // window pass: an orphan is its own 1-row pid partition, so its
+    // credit is cents div 1 + cents % 1 = cents — exactly the old
+    // full-cents orphan credit — and it groups under 'unattributed'.
+    // A null-keyed sentinel purchase keeps the 'unattributed' row
+    // present when no orphans exist ((0, NULL), matching the old
+    // aggregate-over-empty row): its pid is NULL so count(pid) skips
+    // it, and its NULL cents vanish from the sum. Real touch rows all
+    // carry a pid, so count(pid) ≡ the old count(*) per channel.
+    val sentinel = p.sparkSession.range(1).select(
+      lit(null).cast("long").as("user_id"), lit(null).cast("long").as("pid"),
+      lit(null).cast("long").as("pts"), lit(null).cast("long").as("cents"))
+    val m = p.unionByName(sentinel).join(t,
+      col("user_id") === col("t_uid") && col("tts") < col("pts") &&
+        col("tts") >= col("pts") - AttribWindowS, "left")
     val w = Window.partitionBy("pid")
-    val credited = m
-      .withColumn("rnk", row_number().over(
+    m.withColumn("rnk", row_number().over(
         w.orderBy(col("tts").asc, col("tid").asc)))
       .withColumn("n", count(lit(1)).over(w))
-      .select(col("channel"),
+      .select(coalesce(col("channel"), lit("unattributed")).as("channel"),
+        col("pid"),
         (expr("cents div n") +
           when(col("rnk") === col("n"), col("cents") % col("n"))
             .otherwise(lit(0L))).as("credit"))
       .groupBy("channel")
-      .agg(count(lit(1)).as("n_touches"),
+      .agg(count(col("pid")).as("n_touches"),
         (sum("credit").cast("double") / 100.0).as("credited_value"))
-    val orphan = p.join(m.select("pid").distinct(), Seq("pid"), "left_anti")
-      .agg(count(lit(1)).as("n_touches"),
-        (sum("cents").cast("double") / 100.0).as("credited_value"))
-      .select(lit("unattributed").as("channel"),
-        col("n_touches"), col("credited_value"))
-    credited.unionByName(orphan)
   }
 
   val attributionSql: String =

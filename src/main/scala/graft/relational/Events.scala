@@ -1419,27 +1419,47 @@ object Events {
     * the variant rollup is a 2-key aggregate; the test head is a
     * 1-row computation.
     */
+  /** r10 (guide §5): the per-user (conv, variant) frame — #215 abTest
+    * and #329 sequentialTest build it identically, and each used to
+    * re-run the events-scale user aggregate for BOTH variant arms of
+    * its 2-row pivot. Derived-tier cached; cold legs still pay.
+    *
+    * conversion = "purchase-heavy user" (purchase share > 1/5, as the
+    * cross-multiplied integer compare): ≥1-purchase converts EVERYONE
+    * on a long-running stream (se = 0, no test), share-of-activity has
+    * real cross-user variance at every SF.
+    */
+  private val usersConvCache = new graft.core.DfCache[(SparkSession, String)]
+
+  private def usersConv(spark: SparkSession, dir: String): DataFrame =
+    usersConvCache.getOrElseUpdate((spark, dir)) {
+      import graft.core.PortableHash
+      eventsS(spark, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("ne"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+        .select(col("user_id"),
+          when(col("np") * 5L > col("ne"), 1L).otherwise(0L).as("conv"))
+        .withColumn("variant",
+          when(PortableHash.pHash(concat(lit("ab|"), col("user_id"))) % 2 === 0,
+            "A").otherwise("B"))
+    }
+
+  /** One-pass pivot of the 2×2 A/B cells — identical (n, c) per arm to
+    * the old filter-per-variant + crossJoin whenever both variants
+    * exist (guaranteed beyond a handful of users; re-proved vs the
+    * oracle at both gate SFs).
+    */
+  private def abCells(users: DataFrame): DataFrame =
+    users.agg(
+      sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === "A", col("conv")).otherwise(0L)).as("c_a"),
+      sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === "B", col("conv")).otherwise(0L)).as("c_b"))
+
   def abTest(spark: SparkSession, dir: String): DataFrame = {
-    import graft.core.{Exact, PortableHash}
-    // conversion = "purchase-heavy user" (purchase share > 1/5, as the
-    // cross-multiplied integer compare): ≥1-purchase converts EVERYONE
-    // on a long-running stream (se = 0, no test), share-of-activity has
-    // real cross-user variance at every SF
-    val users = eventsS(spark, dir)
-      .groupBy("user_id")
-      .agg(count(lit(1)).as("ne"),
-        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
-      .select(col("user_id"),
-        when(col("np") * 5L > col("ne"), 1L).otherwise(0L).as("conv"))
-      .withColumn("variant",
-        when(PortableHash.pHash(concat(lit("ab|"), col("user_id"))) % 2 === 0,
-          "A").otherwise("B"))
-    val v = users.groupBy("variant")
-      .agg(count(lit(1)).as("n"), sum("conv").as("c"))
-    val wide = v.filter(col("variant") === "A")
-      .select(col("n").as("n_a"), col("c").as("c_a"))
-      .crossJoin(broadcast(v.filter(col("variant") === "B")
-        .select(col("n").as("n_b"), col("c").as("c_b"))))
+    import graft.core.Exact
+    val wide = abCells(usersConv(spark, dir))
     val pa = col("c_a").cast("double") / col("n_a")
     val pb = col("c_b").cast("double") / col("n_b")
     val pp = (col("c_a") + col("c_b")).cast("double") / (col("n_a") + col("n_b"))
@@ -3308,22 +3328,10 @@ object Events {
     * one map-side-combining user pass, then arithmetic on one row.
     */
   def sequentialTest(spark: SparkSession, dir: String): DataFrame = {
-    import graft.core.{Exact, PortableHash}
-    val users = eventsS(spark, dir)
-      .groupBy("user_id")
-      .agg(count(lit(1)).as("ne"),
-        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
-      .select(col("user_id"),
-        when(col("np") * 5L > col("ne"), 1L).otherwise(0L).as("conv"))
-      .withColumn("variant",
-        when(PortableHash.pHash(concat(lit("ab|"), col("user_id"))) % 2 === 0,
-          "A").otherwise("B"))
-    val v = users.groupBy("variant")
-      .agg(count(lit(1)).as("n"), sum("conv").as("c"))
-    val wide = v.filter(col("variant") === "A")
-      .select(col("n").as("n_a"), col("c").as("c_a"))
-      .crossJoin(broadcast(v.filter(col("variant") === "B")
-        .select(col("n").as("n_b"), col("c").as("c_b"))))
+    import graft.core.Exact
+    // r10: same shared user frame + one-pass pivot as #215 (see
+    // usersConv/abCells).
+    val wide = abCells(usersConv(spark, dir))
     val pp = (col("c_a") + col("c_b")).cast("double") /
       (col("n_a") + col("n_b"))
     val vv = (pp * (lit(1.0) - pp)) *

@@ -396,12 +396,18 @@ object GraphAlgos {
   /** Co-purchase edges (a < b, distinct part pairs sharing an order). */
   private def copurchEdges(spark: SparkSession, dir: String): DataFrame =
     cache.getOrElseUpdate((spark, dir, "copurch")) {
+      // r10 (guide §4): ordered index pairs i<j over the SORTED basket
+      // — C(n,2) constructions instead of the n² cube + filter (same
+      // pair multiset; sorted distinct ⇒ ps[i] < ps[j]).
       graft.core.Tables.lineitem(spark, dir)
-        .groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("ps"))
-        .select(explode(filter(
-          flatten(transform(col("ps"), x =>
-            transform(col("ps"), y => struct(x.as("a"), y.as("b"))))),
-          s => s.getField("a") < s.getField("b"))).as("e"))
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .filter(size(col("ps")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(ps) - 1), i ->
+            |  transform(sequence(i + 1, size(ps)), j ->
+            |    struct(element_at(ps, i) AS a,
+            |           element_at(ps, j) AS b))))""".stripMargin)).as("e"))
         .select(col("e.a").as("a"), col("e.b").as("b"))
         .distinct()
     }

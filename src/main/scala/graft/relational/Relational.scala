@@ -178,14 +178,25 @@ object Relational {
     * catalog size. The top-20 is a TakeOrdered per-partition heap (no
     * global sort); deterministic ties: (count desc, p1, p2).
     */
+  /** r10 (guide §4): ordered index pairs i<j over the SORTED distinct
+    * basket — C(n,2) struct constructions instead of the n² cube +
+    * filter; identical pair multiset (sorted distinct ⇒ ps[i] < ps[j]).
+    * Callers must pre-filter size(ps) ≥ 2 (also keeps both `sequence`
+    * bounds ascending).
+    */
+  private def orderedPairs(f1: String, f2: String) =
+    explode(expr(
+      s"""flatten(transform(sequence(1, size(ps) - 1), i ->
+         |  transform(sequence(i + 1, size(ps)), j ->
+         |    struct(element_at(ps, i) AS $f1,
+         |           element_at(ps, j) AS $f2))))""".stripMargin))
+
   def basketPairs(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_orderkey")
-      .agg(collect_set(col("l_partkey")).as("ps"))
-      .select(explode(filter(
-        flatten(transform(col("ps"), x =>
-          transform(col("ps"), y => struct(x.as("p1"), y.as("p2"))))),
-        s => s.getField("p1") < s.getField("p2"))).as("pair"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(orderedPairs("p1", "p2").as("pair"))
       .select(col("pair.p1").as("p1"), col("pair.p2").as("p2"))
       .groupBy("p1", "p2")
       .agg(count(lit(1)).as("n_orders"))
@@ -246,11 +257,9 @@ object Relational {
         .select(col("l_orderkey"), col("l_partkey")).distinct())
     val pairCnt = lp
       .groupBy("l_orderkey")
-      .agg(collect_set(col("l_partkey")).as("ps"))
-      .select(explode(filter(
-        flatten(transform(col("ps"), x =>
-          transform(col("ps"), y => struct(x.as("p1"), y.as("p2"))))),
-        s => s.getField("p1") < s.getField("p2"))).as("pair"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(orderedPairs("p1", "p2").as("pair"))
       .groupBy(col("pair.p1").as("p1"), col("pair.p2").as("p2"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= RuleMinSupport)
@@ -692,11 +701,9 @@ object Relational {
         .select(col("l_orderkey"), col("l_partkey")).distinct())
     val pairCnt = lp
       .groupBy("l_orderkey")
-      .agg(collect_set(col("l_partkey")).as("ps"))
-      .select(explode(filter(
-        flatten(transform(col("ps"), x =>
-          transform(col("ps"), y => struct(x.as("p1"), y.as("p2"))))),
-        s => s.getField("p1") < s.getField("p2"))).as("pair"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(orderedPairs("p1", "p2").as("pair"))
       .groupBy(col("pair.p1").as("p1"), col("pair.p2").as("p2"))
       .agg(count(lit(1)).as("cooc"))
       .filter(col("cooc") >= RuleMinSupport)

@@ -306,10 +306,16 @@ object Features {
       .select(col("source"),
         pmod(PortableHash.pHash(concat(lit("FH|"), col("feat"))),
           lit(NSlots)).as("slot"))
+    // r10 (guide §2.4): g and srcs used to re-aggregate `feats` (the
+    // corpus-scale explode+hash pipeline) on different keys — three
+    // independent executions with no exchange to reuse. Everything
+    // rolls up from the dictionary-sized hs instead: ct per slot is
+    // the sum of its per-source cells, and a source/slot appears in hs
+    // iff it appears in feats — identical values by construction.
     val hs = feats.groupBy("source", "slot").agg(count(lit(1)).as("c"))
-    val g = feats.groupBy("slot").agg(count(lit(1)).as("ct"))
+    val g = hs.groupBy("slot").agg(sum("c").as("ct"))
     val gt = g.agg(count(lit(1)).as("n_slots"), sum("ct").as("n_t"))
-    val srcs = feats.select("source").distinct()
+    val srcs = hs.select("source").distinct()
     val ns = hs.groupBy("source").agg(sum("c").as("n_s"))
     val full = g.crossJoin(broadcast(srcs))
       .join(hs, Seq("source", "slot"), "left")

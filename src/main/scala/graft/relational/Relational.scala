@@ -1320,9 +1320,14 @@ object Relational {
       .agg(max((expr("unix_timestamp(l_shipdate) DIV 86400" +
         " - unix_timestamp(o_orderdate) DIV 86400") > Q21LateDays)
         .cast("int")).as("late"))
-    val perOrder = pair.groupBy("l_orderkey")
-      .agg(count(lit(1)).as("n_supp"), sum("late").as("n_late"))
-    pair.join(perOrder, "l_orderkey")
+    // r10 (guide §2.4): the per-order totals were a re-aggregation of
+    // `pair` joined back to itself — two executions of the
+    // lineitem⋈orders aggregate. A window over the same key computes
+    // n_supp/n_late in one pass (identical per-order values).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
+    pair
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late", sum("late").over(w))
       .filter(col("late") === 1 && col("n_supp") > 1L && col("n_late") === 1L)
       .groupBy("l_suppkey")
       .agg(count(lit(1)).as("numwait"))

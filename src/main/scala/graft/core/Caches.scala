@@ -76,5 +76,20 @@ object Caches {
   def clearDerived(): Unit = {
     all.forEach(c => if (c.tier != "infra") c.clear())
     hooks.forEach(_.apply())
+    // r10: localCheckpoint blocks are per-invocation artifacts no cache
+    // tracks — a full-board Bench session accumulated hundreds of them
+    // (each checkpointing query leaks a set per warmup/cold/warm leg,
+    // freed only by clearAll at session end), and the growing heap
+    // pressure inflated every alphabetically-late query (the r10
+    // marathon's 68 retimes cluster in sample_/sketch_/streaming_/
+    // text_). Freeing them here never invalidates a live frame: the
+    // derived caches were just cleared, infra-tier builds never
+    // checkpoint, and Bench/QueryTime (the only callers) rebuild each
+    // query's DataFrame from fn() on every leg.
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach(_.sparkContext.getPersistentRDDs.values
+        .filter(org.apache.spark.rdd.GraftRddIntrospect.isLocallyCheckpointed)
+        .foreach(_.unpersist(blocking = false)))
   }
 }

@@ -21,4 +21,19 @@ object Logs {
   def quietBoundedWindowWarnings(): Unit =
     Configurator.setLevel(
       "org.apache.spark.sql.execution.window.WindowExec", Level.ERROR)
+
+  /** Demote the per-block chatter of the bench's cold-path checkpoint
+    * eviction (r11, VERDICT r10 item 1): every
+    * Caches.clearDerived() unpersist of a locally-checkpointed RDD
+    * emits a "lineage has been truncated" WARN (by design — the bench
+    * rebuilds each frame per leg, so the truncation is intended) plus
+    * BlockManager remove/re-add WARNs, thousands of lines over a
+    * 277-query session that flooded the driver's recorded stderr tail.
+    * Bench/QueryTime sessions opt in; Verify and tests keep the
+    * default so a genuinely unexpected truncation stays visible.
+    */
+  def quietCheckpointEvictionWarnings(): Unit = {
+    Configurator.setLevel("org.apache.spark.rdd.MapPartitionsRDD", Level.ERROR)
+    Configurator.setLevel("org.apache.spark.storage.BlockManager", Level.ERROR)
+  }
 }

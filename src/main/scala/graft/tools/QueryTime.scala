@@ -17,6 +17,7 @@ object QueryTime {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.SparkEntry.sessionConfigs.foreach { case (k, v) => spark.conf.set(k, v) }
+    graft.core.Caches.enableCheckpointSweep() // cold probe rebuilds per leg
     def once(name: String): Double = {
       System.gc()
       val t0 = System.nanoTime

@@ -7,7 +7,9 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The bench artifact's trailing-reference plumbing (VERDICT r9 items
   * 2/8 + ADVICE): real JSON parse, sf guard, and malformed-input
   * behavior — the pieces whose silent failure modes caused r9's 13
-  * phantom regressions.
+  * phantom regressions. r11 adds the cpus field (VERDICT r10 item 1:
+  * the driver's 8-cpu leg retimed itself against the 32-cpu artifact
+  * into a timeout).
   */
 class BenchArtifactSpec extends AnyFunSuite {
 
@@ -17,14 +19,24 @@ class BenchArtifactSpec extends AnyFunSuite {
     p
   }
 
-  test("parseArtifact reads sf and per-query seconds from a real artifact") {
+  test("parseArtifact reads sf, cpus and per-query seconds from a real artifact") {
     val p = tmp("""{"metric":"total","value":3.5,"unit":"sec",
       "queries":{"q1_agg":1.25,"dedup_exact":2.25},
-      "errors":{},"sf":"/root/testdata/sf0.1"}""")
+      "errors":{},"cpus":32,"sf":"/root/testdata/sf0.1"}""")
     try {
-      val Some((sf, qs)) = Bench.parseArtifact(p)
+      val Some((sf, cpus, qs)) = Bench.parseArtifact(p)
       assert(sf == "/root/testdata/sf0.1")
+      assert(cpus.contains(32))
       assert(qs == Map("q1_agg" -> 1.25, "dedup_exact" -> 2.25))
+    } finally Files.delete(p)
+  }
+
+  test("parseArtifact reports no cpus for pre-r11 artifacts (no retime reference)") {
+    val p = tmp("""{"queries":{"q1_agg":1.25},"sf":"/root/testdata/sf0.1"}""")
+    try {
+      val Some((_, cpus, _)) = Bench.parseArtifact(p)
+      assert(cpus.isEmpty,
+        "an artifact without cpus must parse as cpus-unknown, not default")
     } finally Files.delete(p)
   }
 
@@ -34,7 +46,7 @@ class BenchArtifactSpec extends AnyFunSuite {
     val p = tmp("""{"sf":"X","retimed":{"a":{"marathon":9.0,"solo":1.0}},
       "queries":{"q":0.5}}""")
     try {
-      val Some((sf, qs)) = Bench.parseArtifact(p)
+      val Some((sf, _, qs)) = Bench.parseArtifact(p)
       assert(sf == "X" && qs == Map("q" -> 0.5))
     } finally Files.delete(p)
   }

@@ -41,19 +41,30 @@ object Ann {
     * row. Kept set and ranking identical (K largest under
     * (cosine desc, vec_id asc)), so the oracle is unchanged.
     */
-  def bruteTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = vecs(spark, dir)
-    val q = e.filter(col("vec_id") % QueryMod === 0)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", VectorLsh.cosine(col("qv"), col("v")))
-      .groupBy("q_id")
-      .agg(graft.functions.TopK.topkMax(col("cosine"), col("vec_id"), K)
-        .as("tk"))
-      .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "s")))
-      .select(col("q_id"), col("s.id").as("vec_id"),
-        col("s.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
-  }
+  /** Derived-tier cache for the exact ranking (r11, VERDICT r10 item
+    * 8): #29 is also the TRUTH of #180's recall report — as separate
+    * subtrees each invocation of either query re-paid the full
+    * N·|Q|/QueryMod scoring pass. The K·|Q|-row result is cached once
+    * per session (lazy localCheckpoint truncates consumers' plans; the
+    * bench's cold legs still recompute via clearDerived).
+    */
+  private val bruteCache = new graft.core.DfCache[(SparkSession, String)]
+
+  def bruteTopK(spark: SparkSession, dir: String): DataFrame =
+    bruteCache.getOrElseUpdate((spark, dir)) {
+      val e = vecs(spark, dir)
+      val q = e.filter(col("vec_id") % QueryMod === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .withColumn("cosine", VectorLsh.cosine(col("qv"), col("v")))
+        .groupBy("q_id")
+        .agg(graft.functions.TopK.topkMax(col("cosine"), col("vec_id"), K)
+          .as("tk"))
+        .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+        .select(col("q_id"), col("s.id").as("vec_id"),
+          col("s.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+        .localCheckpoint(false)
+    }
 
   val bruteTopKSql: String =
     s"""WITH ve AS (
@@ -72,10 +83,26 @@ object Ann {
        |  FROM s
        |) WHERE rank <= $K""".stripMargin
 
+  /** Derived-tier cache for the serving-tier outputs (r11, VERDICT r10
+    * item 8 follow-through): each tier's result is K·|Q| rows, but
+    * #180 (recall report) re-executed all six tier pipelines per
+    * invocation on top of its truth join — the tiers ARE the serving
+    * artifacts, cached once per session exactly like the rank frames.
+    * Lazy localCheckpoint inside each build truncates the report's
+    * combined plan (6 tier subtrees + truth) to LogicalRDD scans.
+    * Bench cold legs recompute everything via clearDerived.
+    */
+  private val tierCache =
+    new graft.core.DfCache[(SparkSession, String, String)]
+  private def cachedTier(name: String, spark: SparkSession, dir: String)(
+      build: => DataFrame): DataFrame =
+    tierCache.getOrElseUpdate((spark, dir, name))(build.localCheckpoint(false))
+
   /** #30: LSH-bucketed top-k — only candidates sharing the query's
     * hyperplane bucket are scored.
     */
-  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+  def lshTopK(spark: SparkSession, dir: String): DataFrame =
+    cachedTier("lsh", spark, dir) {
     val e = vecs(spark, dir).withColumn("bucket", VectorLsh.bucket(col("v")))
     val q = e.filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
@@ -123,7 +150,8 @@ object Ann {
     * partition-pruned scan, and train the codebook with distributed
     * k-means over a sample.
     */
-  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame =
+    cachedTier("ivf", spark, dir) {
     val e = vecs(spark, dir).withColumn("cell", cellOf(col("v")))
     val probes = vecs(spark, dir).filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -214,7 +242,8 @@ object Ann {
     * lookups. Combine with the IVF cells (#38) for IVF-PQ, the standard
     * billion-scale layout.
     */
-  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+  def pqTopK(spark: SparkSession, dir: String): DataFrame =
+    cachedTier("pq", spark, dir) {
     val vf = graft.functions.VectorFolds
     val cb = lit(pqFlatCodebook)
     val e = vecs(spark, dir)
@@ -293,7 +322,7 @@ object Ann {
     * serves directly; kk = [[Refine]] feeds the exact re-rank stage).
     */
   private def ivfpqRanked(spark: SparkSession, dir: String,
-      kk: Int): DataFrame = {
+      kk: Int): DataFrame = cachedTier(s"ivfpq$kk", spark, dir) {
     val vf = graft.functions.VectorFolds
     val cb = lit(pqFlatCodebook)
     val e = vecs(spark, dir)
@@ -463,7 +492,8 @@ object Ann {
     * window. Total exact-distance work per query: [[Refine]] folds,
     * independent of corpus size.
     */
-  def refineRerank(spark: SparkSession, dir: String): DataFrame = {
+  def refineRerank(spark: SparkSession, dir: String): DataFrame =
+    cachedTier("refine", spark, dir) {
     val shortlist = ivfpqRanked(spark, dir, Refine).select("q_id", "vec_id")
     val q = vecs(spark, dir).filter(col("vec_id") % QueryMod === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
@@ -700,7 +730,8 @@ object Ann {
     * order-independent); ADC is the fixed ascending-m 8-term sum both
     * engines evaluate literally.
     */
-  def pqTrainedTopK(spark: SparkSession, dir: String): DataFrame = {
+  def pqTrainedTopK(spark: SparkSession, dir: String): DataFrame =
+    cachedTier("pq_trained", spark, dir) {
     val vf = graft.functions.VectorFolds
     val seedCb = lit(pqFlatCodebook)
     val e = vecs(spark, dir)
@@ -815,13 +846,15 @@ object Ann {
     * rows. Truth is computed once and reused across all four joins.
     */
   def recallReport(spark: SparkSession, dir: String): DataFrame = {
-    // r10 (guide §3.3/§5): checkpoint the K·|Q|-row truth frame — the
-    // doc says "truth is computed once and reused", but as a plain
-    // subtree the brute-force pass was re-planned and RE-EXECUTED by
-    // each of the six semi-joins plus the six broadcast n_queries
-    // branches. The checkpoint makes "once" literal.
+    // r10 (guide §3.3/§5): the brute-force pass used to be re-planned
+    // and RE-EXECUTED by each of the six semi-joins plus the six
+    // broadcast n_queries branches; a per-invocation checkpoint made
+    // "once" literal. r11 (VERDICT r10 item 8): the truth now comes
+    // from the session-cached #29 frame itself (checkpointed inside
+    // the cache build), so repeat invocations of the report — and
+    // ann_brute_topk runs in the same session — stop re-paying the
+    // scoring pass entirely.
     val truth = bruteTopK(spark, dir).select("q_id", "vec_id")
-      .localCheckpoint(false)
     val nq = truth.agg(countDistinct(col("q_id")).as("n_queries"))
     // broadcast hint: the checkpoint's LogicalRDD carries the brute
     // pass's (huge) origin size estimate, which otherwise flips these

@@ -189,6 +189,16 @@ object Dedup {
           col("y.sz") * 2 >= col("x.sz") && col("y.sz") <= col("x.sz") * 2)
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
+      // r11 (guide §2.5/§2.6; VERDICT r10 item 5): the exact
+      // array_intersect verify that follows is CPU-bound per pair, but
+      // AQE's bytes-based coalescing sized the distinct's output at 6
+      // tasks (a pair is two longs; the cost is the shingle-array work
+      // attached AFTER the exchange). Explicit user repartition pins the
+      // verify stage to the session's core count — scale-adaptive
+      // (defaultParallelism tracks the master/cluster), not a local[32]
+      // constant — and AQE honours user-specified partition counts.
+      .repartition(spark.sparkContext.defaultParallelism,
+        col("d1"), col("d2"))
     withJaccard(cands, docs)
       .filter(col("jaccard") >= JaccardTau)
       .select("d1", "d2", "jaccard")
@@ -479,9 +489,18 @@ object Dedup {
     * integer counting; the rate is one division.
     */
   def rateBySource(spark: SparkSession, dir: String): DataFrame =
+    // r11 (guide §2.4): was documents ⋈ canonical(...), but canonical
+    // is itself documents ⋈ components — the corpus scanned twice and
+    // re-joined with itself on doc_id just to read back is_canonical.
+    // Joining the (tiny, broadcast) component frame directly is
+    // row-identical: doc_id is unique in documents, canonical_id =
+    // coalesce(component, doc_id), so is_canonical ⇔ component is null
+    // or the doc labels its own component.
     graft.core.Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))
-      .join(canonical(spark, dir), Seq("doc_id"))
+      .join(components(spark, dir), Seq("doc_id"), "left")
+      .withColumn("is_canonical",
+        col("component").isNull || col("component") === col("doc_id"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),

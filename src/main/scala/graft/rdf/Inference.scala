@@ -46,7 +46,19 @@ object Inference {
     * round (1-based); base triples are never re-emitted.
     */
   def inferChain(spark: SparkSession, dir: String): DataFrame = {
+    // r11 (guide §2.3 shuffle fewer bytes; VERDICT r10 item 4): the
+    // rules only ever read or derive the predicates in [[chains]], so
+    // the ENTIRE fixpoint — chain joins, anti-join, checkpoints — runs
+    // on the 3-predicate subgraph instead of the full triple view
+    // (which is dominated by lineitem-scale edges no rule can touch).
+    // Row-equivalence: every candidate has p ∈ {superProps} ⊆ relevant,
+    // so the anti-join against known-restricted-to-relevant drops
+    // exactly the same rows, and each join leg filters p to a single
+    // relevant value anyway. r10's version checkpointed the FULL graph
+    // once per invocation — that copy was the 23 s cold leg.
+    val relevant = chains.flatMap { case (a, b, c) => Seq(a, b, c) }.distinct
     val base = TpchGraph.triples(spark, dir)
+      .filter(col("p").isin(relevant: _*))
     // r10 (guide §2.2): `known` was re-localCheckpoint'ed whole each
     // round — three full-graph copies (compute + storage) for a
     // closure that only ever GROWS by the checkpointed delta. known is

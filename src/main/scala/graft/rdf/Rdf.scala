@@ -181,7 +181,17 @@ object Rdf {
     * integer IEEE division each (no sums of floats), so the doubles are
     * engine-identical.
     */
+  /** Dictionary-sized (|relations| rows) but data-scale to compute
+    * (full-graph groupBy with two distinct counts) — derived-tier
+    * cached (r11): #169 itself and #314's broadcast side both read it,
+    * and #314 otherwise re-paid the graph scan per invocation.
+    */
+  private val relCatsCache = new graft.core.DfCache[(SparkSession, String)]
+
   def relationCats(spark: SparkSession, dir: String): DataFrame =
+    relCatsCache.getOrElseUpdate((spark, dir))(relationCatsBuild(spark, dir))
+
+  private def relationCatsBuild(spark: SparkSession, dir: String): DataFrame =
     Dict.encodedTriples(spark, dir)
       .groupBy("pid")
       .agg(
@@ -323,6 +333,16 @@ object Rdf {
       local.join(broadcast(offsets), Seq("pid", "slot", "bucket"))
         .select(col("pid"), col("slot"), col("ent"),
           (col("offset") + col("local_rank") - 1).as("rnk"))
+        // r11 (guide §2.4; VERDICT r10 item 7): persist the pool
+        // partitioned on the PICK join's key — the cached
+        // InMemoryRelation then reports hashpartitioning(pid,slot,rnk)
+        // and EnsureRequirements drops the pool-side Exchange from
+        // every pick join (one per invocation here, one per epoch at
+        // training scale). One extra exchange at build time, paid once
+        // per session/corpus snapshot. Count matches the session's
+        // shuffle-partition setting so the cands side co-partitions.
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col("pid"), col("slot"), col("rnk"))
     }
     val sizes = pools.groupBy("pid", "slot").agg(count(lit(1)).as("sz"))
     val slotOf = PortableHash.pHash(

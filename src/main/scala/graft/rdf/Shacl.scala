@@ -27,56 +27,65 @@ object Shacl {
     * partition. Output bounded by the suite.
     */
   def shaclCheck(spark: SparkSession, dir: String): DataFrame = {
+    // r11 (guide §2.4 remove shuffles outright; VERDICT r10 item 6):
+    // the suite used to run each constraint as its own branch — 10
+    // predicate-filtered passes over the triple view, 5 joins, 26
+    // exchanges, and a per-branch AQE stage cascade for five summary
+    // rows. Every constraint is a statement about PER-NODE edge-role
+    // counts, so one pass now computes those counts (inline → 2 rows
+    // per triple → one node-keyed aggregate with map-side combine) and
+    // one global aggregate over the node stats derives all five
+    // (n_checked, n_violations) pairs at once; stack() emits the five
+    // rows. Equivalences, constraint by constraint (targets were
+    // DISTINCT, so the old LEFT joins matched at most once — link
+    // membership ⇔ the target node's defining-subject count > 0):
+    //   targetExists(link, def): n_checked = Σ_x link_o(x);
+    //     violations = Σ_x link_o(x)·[def_s(x) = 0]
+    //   exactlyOne(focus, must): n_checked = #{x : focus(x) > 0};
+    //     violations = #{x : focus(x) > 0 ∧ must_s(x) ≠ 1}
+    // Plan: 26 Exchanges → 2 (node aggregate + one-row final), zero
+    // joins. At a predicate-partitioned 100 TB store the single pass
+    // reads each constraint predicate's partition once instead of
+    // twice per constraint.
     val t = TpchGraph.triples(spark, dir)
-    def p(name: String) = t.filter(col("p") === name)
-
-    // sh:class-style: the object of each link must exist as the subject
-    // of the class-defining predicate.
-    def targetExists(constraint: String, link: String, defining: String): DataFrame = {
-      // r10 (guide §2.4): was TWO aggregates over the link set (an
-      // anti-join violation count + a separate n_checked count glued
-      // by crossJoin), executing the predicate scan twice. `targets`
-      // is distinct, so a LEFT join matches each link at most once —
-      // n_checked = all rows, n_violations = unmatched rows, one pass.
-      val links = p(link)
-      val targets = p(defining).select(col("s").as("o"), lit(1L).as("hit"))
-        .distinct()
-      links.join(targets, Seq("o"), "left")
-        .agg(count(lit(1)).as("n_checked"),
-          // coalesce: an empty link set must report 0, not NULL (the
-          // old anti-join count was 0 there)
-          coalesce(sum(when(col("hit").isNull, 1L).otherwise(0L)), lit(0L))
-            .as("n_violations"))
-        .select(lit(constraint).as("constraint_name"), col("n_checked"),
-          col("n_violations"))
-    }
-    // sh:minCount 1 / sh:maxCount 1: every focus subject (subjects of
-    // `focus`) carries exactly one `must` link.
-    def exactlyOne(constraint: String, focus: String, must: String): DataFrame = {
-      val subjects = p(focus).select("s").distinct()
-      val counts = subjects.join(
-          p(must).groupBy("s").agg(count(lit(1)).as("c")), Seq("s"), "left")
-        .select(coalesce(col("c"), lit(0L)).as("c"))
-      counts.agg(count(lit(1)).as("n_checked"),
-        sum(when(col("c") =!= 1L, 1L).otherwise(0L)).as("n_violations"))
-        .select(lit(constraint).as("constraint_name"), col("n_checked"),
-          col("n_violations"))
-    }
-
-    targetExists("placedBy_target_has_nation", "placedBy", "inNation")
-      .unionByName(targetExists("suppliedBy_target_has_nation", "suppliedBy", "inNation"))
-      .unionByName(targetExists("inNation_target_has_region", "inNation", "inRegion"))
-      .unionByName(exactlyOne("order_exactly_one_customer", "hasPart", "placedBy"))
-      .unionByName {
-        val customers = p("placedBy").select(col("o").as("s")).distinct()
-        val counts = customers.join(
-            p("inNation").groupBy("s").agg(count(lit(1)).as("c")), Seq("s"), "left")
-          .select(coalesce(col("c"), lit(0L)).as("c"))
-        counts.agg(count(lit(1)).as("n_checked"),
-          sum(when(col("c") =!= 1L, 1L).otherwise(0L)).as("n_violations"))
-          .select(lit("customer_exactly_one_nation").as("constraint_name"),
-            col("n_checked"), col("n_violations"))
-      }
+    val roles = t.select(inline(array(
+      struct(col("s").as("node"), col("p"), lit("s").as("side")),
+      struct(col("o").as("node"), col("p"), lit("o").as("side")))))
+    def cnt(p: String, side: String) =
+      sum(when(col("p") === p && col("side") === side, 1L).otherwise(0L))
+    val nodeStats = roles.groupBy("node").agg(
+      cnt("placedBy", "s").as("placedby_s"),
+      cnt("placedBy", "o").as("placedby_o"),
+      cnt("suppliedBy", "o").as("suppliedby_o"),
+      cnt("inNation", "s").as("innation_s"),
+      cnt("inNation", "o").as("innation_o"),
+      cnt("inRegion", "s").as("inregion_s"),
+      cnt("hasPart", "s").as("haspart_s"))
+    def z(c: org.apache.spark.sql.Column) = coalesce(c, lit(0L))
+    val one = nodeStats.agg(
+      z(sum("placedby_o")).as("c1_checked"),
+      z(sum(when(col("innation_s") === 0L, col("placedby_o"))
+        .otherwise(0L))).as("c1_viol"),
+      z(sum("suppliedby_o")).as("c2_checked"),
+      z(sum(when(col("innation_s") === 0L, col("suppliedby_o"))
+        .otherwise(0L))).as("c2_viol"),
+      z(sum("innation_o")).as("c3_checked"),
+      z(sum(when(col("inregion_s") === 0L, col("innation_o"))
+        .otherwise(0L))).as("c3_viol"),
+      z(sum(when(col("haspart_s") > 0L, 1L).otherwise(0L))).as("c4_checked"),
+      z(sum(when(col("haspart_s") > 0L && col("placedby_s") =!= 1L, 1L)
+        .otherwise(0L))).as("c4_viol"),
+      z(sum(when(col("placedby_o") > 0L, 1L).otherwise(0L))).as("c5_checked"),
+      z(sum(when(col("placedby_o") > 0L && col("innation_s") =!= 1L, 1L)
+        .otherwise(0L))).as("c5_viol"))
+    one.select(expr(
+      """stack(5,
+        |  'placedBy_target_has_nation',   c1_checked, c1_viol,
+        |  'suppliedBy_target_has_nation', c2_checked, c2_viol,
+        |  'inNation_target_has_region',   c3_checked, c3_viol,
+        |  'order_exactly_one_customer',   c4_checked, c4_viol,
+        |  'customer_exactly_one_nation',  c5_checked, c5_viol)
+        |AS (constraint_name, n_checked, n_violations)""".stripMargin))
       .withColumn("pass", col("n_violations") === 0L)
   }
 

@@ -2,9 +2,18 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** sf0.001 smoke: every registered non-iterative query plans, runs and
-  * returns rows (the iterative trainers have their own deeper specs in
+/** sf0.001 smoke: registered non-iterative queries plan, run and
+  * return rows (the iterative trainers have their own deeper specs in
   * graft.tensor.TrainerSpec — excluded here to keep `sbt test` fast).
+  *
+  * r11 (VERDICT r10 item 2): the full 341-query sweep outgrew the
+  * driver's `sbt test` budget (the r10 run was killed mid-suite with
+  * zero failures) AND duplicates graft.Verify's job — the driver runs
+  * Verify + oracle parity separately over every query. Default is now
+  * one representative per name-prefix family (~65 canaries: catches a
+  * broken session config, cache tier, or source schema immediately);
+  * set SPARK_GRAFT_FULL_SMOKE=1 for the full sweep when iterating on
+  * query code.
   */
 class SmokeSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -17,7 +26,12 @@ class SmokeSpec extends AnyFunSuite {
     // train→eval composition: iterative too, deep spec in TrainEvalSpec
     "kge_train_eval")
 
-  SparkEntry.queries.keys.toSeq.sorted.filterNot(slow).foreach { name =>
+  private val all = SparkEntry.queries.keys.toSeq.sorted.filterNot(slow)
+  private val names =
+    if (sys.env.get("SPARK_GRAFT_FULL_SMOKE").exists(_.nonEmpty)) all
+    else all.groupBy(_.takeWhile(_ != '_')).values.map(_.head).toSeq.sorted
+
+  names.foreach { name =>
     test(s"$name runs on sf0.001 and returns rows") {
       val df = SparkEntry.queries(name)(spark, TestSpark.sf)
       assert(df.columns.nonEmpty)
